@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Mirrors the reference's schema-on-read posture: parquet schema is inferred
+  * from footers (reference: `data/emr/etl.py:20` reads with inference), and any
+  * narrowing to a fixed contract happens in the ingest operators
+  * ([[graft.ops.Ingest]]), not here.
+  *
+  * Scale note: each loader is a plain parquet scan, so Catalyst pushes column
+  * pruning and predicate filters down into the vectorized reader. At 100 TB the
+  * same call reads a partitioned directory tree instead of a single file —
+  * nothing here assumes single-file input.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Unique total-order key for `lineitem` row-level outputs.
+    *
+    * The synthetic data does NOT make (l_orderkey, l_linenumber) unique
+    * (verified at sf0.01: 60000 rows, 45832 distinct pairs), but adding
+    * (l_partkey, l_extendedprice) does. Every row-level lineitem query must
+    * end with this ordering so the driver's hash compare is deterministic.
+    */
+  val lineitemKey: Seq[String] =
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+}
