@@ -20,14 +20,65 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_ingest"      -> (Ingest.q01Ingest _),
-    "q02_incremental" -> (Ingest.q02Incremental _),
+    "q01_ingest"         -> (Ingest.q01Ingest _),
+    "q02_incremental"    -> (Ingest.q02Incremental _),
+    "q03_filter"         -> (Relational.q03Filter _),
+    "q10_join_broadcast" -> (Relational.q10JoinBroadcast _),
+    "q11_join_sortmerge" -> (Relational.q11JoinSortmerge _),
+    "q12_join_star"      -> (Relational.q12JoinStar _),
+    "q13_join_outer"     -> (Relational.q13JoinOuter _),
+    "q14_join_semi"      -> (Relational.q14JoinSemi _),
+    "q15_join_range"     -> (Relational.q15JoinRange _),
+    "q17_join_theta"     -> (Relational.q17JoinTheta _),
+    "q20_agg_group"      -> (Aggregates.q20AggGroup _),
+    "q21_agg_global"     -> (Aggregates.q21AggGlobal _),
+    "q22_agg_distinct"   -> (Aggregates.q22AggDistinct _),
+    "q23_agg_hll"        -> (Aggregates.q23AggHll _),
+    "q24_agg_rollup"     -> (Aggregates.q24AggRollup _),
+    "q25_agg_percentile" -> (Aggregates.q25AggPercentile _),
+    "q26_agg_custom"     -> (Aggregates.q26AggCustom _),
+    "q30_win_rank"       -> (Windows.q30WinRank _),
+    "q31_win_lag"        -> (Windows.q31WinLag _),
+    "q32_win_frame"      -> (Windows.q32WinFrame _),
+    "q33_topk"           -> (Relational.q33Topk _),
+    "q34_union"          -> (Relational.q34Union _),
+    "q35_setops"         -> (Relational.q35Setops _),
+    "q40_string"         -> (Scalars.q40String _),
+    "q41_datetime"       -> (Scalars.q41Datetime _),
+    "q42_math"           -> (Scalars.q42Math _),
+    "q43_null"           -> (Scalars.q43Null _),
+    "q44_json"           -> (Scalars.q44Json _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q01_ingest"      -> Ingest.q01Sql,
-    "q02_incremental" -> Ingest.q02Sql,
+    "q01_ingest"         -> Ingest.q01Sql,
+    "q02_incremental"    -> Ingest.q02Sql,
+    "q03_filter"         -> Relational.q03Sql,
+    "q10_join_broadcast" -> Relational.q10Sql,
+    "q11_join_sortmerge" -> Relational.q11Sql,
+    "q12_join_star"      -> Relational.q12Sql,
+    "q13_join_outer"     -> Relational.q13Sql,
+    "q14_join_semi"      -> Relational.q14Sql,
+    "q15_join_range"     -> Relational.q15Sql,
+    "q17_join_theta"     -> Relational.q17Sql,
+    "q20_agg_group"      -> Aggregates.q20Sql,
+    "q21_agg_global"     -> Aggregates.q21Sql,
+    "q22_agg_distinct"   -> Aggregates.q22Sql,
+    "q24_agg_rollup"     -> Aggregates.q24Sql,
+    "q25_agg_percentile" -> Aggregates.q25Sql,
+    "q26_agg_custom"     -> Aggregates.q26Sql,
+    "q30_win_rank"       -> Windows.q30Sql,
+    "q31_win_lag"        -> Windows.q31Sql,
+    "q32_win_frame"      -> Windows.q32Sql,
+    "q33_topk"           -> Relational.q33Sql,
+    "q34_union"          -> Relational.q34Sql,
+    "q35_setops"         -> Relational.q35Sql,
+    "q40_string"         -> Scalars.q40Sql,
+    "q41_datetime"       -> Scalars.q41Sql,
+    "q42_math"           -> Scalars.q42Sql,
+    "q43_null"           -> Scalars.q43Sql,
+    "q44_json"           -> Scalars.q44Sql,
   )
 }

@@ -29,7 +29,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright (ParquetSchemaConverter throws Illegal Parquet type).
+    * Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true` (Verify /
+    * Bench / test sessions all do); the column then arrives as BIGINT
+    * nanoseconds and is floor-divided to µs here — the same truncation DuckDB
+    * applies on read, so oracle timestamps match exactly. `div` is 64-bit
+    * integer division (a double division would lose precision: ns epochs
+    * ≈ 1.7e18 > 2^53).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Aggregations — SURVEY.md §2.4 (implied-warehouse tier; the reference ships
+  * no aggregation of its own, its Redshift table exists so users can run
+  * these ad hoc, `/root/reference/README.md:77`).
+  *
+  * Scale design notes:
+  *  - All grouped aggregates are partial+final `HashAggregateExec` — map-side
+  *    combine shrinks shuffle traffic to |groups| per partition, so cardinality
+  *    of the group key (not fact rows) drives the shuffle at 100 TB.
+  *  - COUNT(DISTINCT) expands to a two-phase aggregate; where an exact answer
+  *    isn't needed at scale, q23's HyperLogLog sketch is the O(1)-memory path.
+  *  - Double sums that the oracle must hash-match go through DECIMAL(18,x):
+  *    exact, associative, order-independent — same bits regardless of
+  *    partitioning. Integer-valued doubles (l_quantity) sum exactly in double
+  *    (≪ 2^53) and skip the cast.
+  */
+object Aggregates {
+
+  private def decSum(c: Column, scale: Int) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** q20_agg_group — TPC-H Q1-shaped grouped aggregate over the fact table
+    * (the revenue-measure columns mirror the reference's five FLOAT fee
+    * columns, `setup.py:89-93`). */
+  def q20AggGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (decSum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q20Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q21_agg_global — no-group aggregate; single reduce to one row. */
+  def q21AggGlobal(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice"), 2).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+
+  val q21Sql: String =
+    """SELECT count(*) AS n_rows,
+      |       count(DISTINCT l_orderkey) AS n_orders,
+      |       sum(l_quantity) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       min(l_shipdate) AS min_ship,
+      |       max(l_shipdate) AS max_ship
+      |FROM lineitem""".stripMargin
+
+  /** q22_agg_distinct — exact COUNT(DISTINCT) per group (expand + two-phase
+    * aggregate under the hood). */
+  def q22AggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q22Sql: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q23_agg_hll — approximate distinct via HyperLogLog++ sketch: constant
+    * memory per group at any scale, mergeable across partitions. HLL
+    * implementations differ across engines, so there is deliberately no
+    * hash-matched oracle (SURVEY §7.4); the ScalaTest suite bounds the
+    * relative error against the exact count instead. */
+  def q23AggHll(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** q24_agg_rollup — ROLLUP grouping-set hierarchy with NULL group keys
+    * folded to a sentinel so ordering is total and engine-independent. */
+  def q24AggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q24Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |       COALESCE(l_linestatus, 'ALL') AS ls,
+      |       count(*) AS n_rows, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** q25_agg_percentile — exact interpolated percentiles. Computed over the
+    * integer-valued l_quantity so the interpolation arithmetic (quarter
+    * fractions of integers — exact binary fractions) is bit-identical across
+    * engines regardless of formula association. */
+  def q25AggPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.75)").as("p75_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q25Sql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.25) AS p25_qty,
+      |       quantile_cont(l_quantity, 0.5)  AS median_qty,
+      |       quantile_cont(l_quantity, 0.75) AS p75_qty,
+      |       min(l_quantity) AS min_qty,
+      |       max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Typed custom aggregator: sum of squares. Demonstrates the
+    * `Aggregator[IN, BUF, OUT]` API (mergeable buffer → scales as a normal
+    * partial/final aggregate). Inputs are integer-valued doubles, so the sum
+    * is exact in double and order-independent. */
+  object SumSq extends Aggregator[Double, Double, Double] {
+    override def zero: Double = 0.0
+    override def reduce(b: Double, a: Double): Double = b + a * a
+    override def merge(b1: Double, b2: Double): Double = b1 + b2
+    override def finish(r: Double): Double = r
+    override def bufferEncoder = Encoders.scalaDouble
+    override def outputEncoder = Encoders.scalaDouble
+  }
+
+  /** q26_agg_custom — the typed UDAF in a grouped aggregate, oracle-checked
+    * against its algebraic SQL equivalent. */
+  def q26AggCustom(spark: SparkSession, sfDir: String): DataFrame = {
+    val sumsq = udaf(SumSq, Encoders.scalaDouble)
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(sumsq(col("l_quantity")).as("sum_sq_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q26Sql: String =
+    """SELECT l_returnflag, sum(l_quantity * l_quantity) AS sum_sq_qty,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}

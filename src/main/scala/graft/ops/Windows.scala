@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Window functions — SURVEY.md §2.5 (implied-warehouse tier).
+  *
+  * Scale design notes: every window here partitions by a key (priority /
+  * custkey), so execution is one shuffle on the partition key followed by a
+  * per-partition sort — no global sort, no driver involvement. Frame
+  * aggregates over doubles go through DECIMAL so running sums are exact and
+  * independent of how the engine internally associates frame additions
+  * (Spark streams the frame; other engines may use segment trees — decimal
+  * makes both bit-identical).
+  */
+object Windows {
+
+  /** q30_win_rank — ranking functions: top-3 orders by price within each
+    * priority class. row_number uses a total order (price desc, key) so it is
+    * deterministic; rank is computed over the price alone (value-determined,
+    * hence also deterministic under ties). */
+  def q30WinRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val byPriceOnly = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(byPrice))
+      .withColumn("price_rank", rank().over(byPriceOnly))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("price_rank"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  val q30Sql: String =
+    """SELECT o_orderpriority, rn, price_rank, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |         rank() OVER (PARTITION BY o_orderpriority
+      |                      ORDER BY o_totalprice DESC) AS price_rank
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** q31_win_lag — analytic lag: days since the customer's previous order
+    * (NULL for the first). */
+  def q31WinLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q31Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       datediff('day',
+      |                lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |                    ORDER BY o_orderdate, o_orderkey),
+      |                o_orderdate) AS gap_days
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** q32_win_frame — frame-spec aggregates: running total (unbounded
+    * preceding) and 3-row moving average per customer. Decimal sums keep the
+    * running totals exact → order-of-addition independent. */
+  def q32WinFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last3   = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(running)
+          .cast("double").as("running_spend"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(last3)
+          .cast("double") / count(lit(1)).over(last3)).as("moving_avg3"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q32Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_spend,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  / count(*) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+}
