@@ -48,6 +48,24 @@ object SparkEntry {
     "q42_math"           -> (Scalars.q42Math _),
     "q43_null"           -> (Scalars.q43Null _),
     "q44_json"           -> (Scalars.q44Json _),
+    "q16_asof"           -> (Similarity.q16Asof _),
+    "q36_dedup"          -> (Dedup.q36Dedup _),
+    "q50_similarity"     -> (Similarity.q50Similarity _),
+    "q51_textstats"      -> (Text.q51Textstats _),
+    "q52_langid"         -> (Text.q52Langid _),
+    "q53_quality"        -> (Text.q53Quality _),
+    "q54_tokens"         -> (Text.q54Tokens _),
+    "q55_fingerprint"    -> (Text.q55Fingerprint _),
+    "q60_window_tumbling" -> (Events.q60WindowTumbling _),
+    "q61_window_sliding" -> (Events.q61WindowSliding _),
+    "q62_sessionize"     -> (Events.q62Sessionize _),
+    "q70_minhash_lsh"    -> (Dedup.q70MinhashLsh _),
+    "q71_simhash"        -> (Dedup.q71Simhash _),
+    "q72_ngram_jaccard"  -> (Dedup.q72NgramJaccard _),
+    "q73_embedding_neardup" -> (Similarity.q73EmbeddingNeardup _),
+    "q74_ann_topk"       -> (Similarity.q74AnnTopk _),
+    "q80_multimodal"     -> (Multimodal.q80Multimodal _),
+    "q81_media_features" -> (Multimodal.q81MediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,5 +98,19 @@ object SparkEntry {
     "q42_math"           -> Scalars.q42Sql,
     "q43_null"           -> Scalars.q43Sql,
     "q44_json"           -> Scalars.q44Sql,
+    "q16_asof"           -> Similarity.q16Sql,
+    "q36_dedup"          -> Dedup.q36Sql,
+    "q50_similarity"     -> Similarity.q50Sql,
+    "q51_textstats"      -> Text.q51Sql,
+    "q52_langid"         -> Text.q52Sql,
+    "q53_quality"        -> Text.q53Sql,
+    "q54_tokens"         -> Text.q54Sql,
+    "q55_fingerprint"    -> Text.q55Sql,
+    "q60_window_tumbling" -> Events.q60Sql,
+    "q61_window_sliding" -> Events.q61Sql,
+    "q62_sessionize"     -> Events.q62Sql,
+    "q72_ngram_jaccard"  -> Dedup.q72Sql,
+    "q73_embedding_neardup" -> Similarity.q73Sql,
+    "q80_multimodal"     -> Multimodal.q80Sql,
   )
 }

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators — north-star tier X (BASELINE.json): exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection over
+  * `documents`.
+  *
+  * Scale design (these exist precisely for the 100 TB training-data case):
+  *  - Exact dedup is a hash-groupBy on the dedup key — one shuffle whose
+  *    cardinality is the number of distinct keys. The canonical representative
+  *    is min(doc_id), which is deterministic (dropDuplicates is not).
+  *  - MinHash signatures are computed entirely map-side with higher-order
+  *    functions (no explode of the shingle set, no UDFs): per document,
+  *    aggregate() folds each of the k permutations over the shingle-hash
+  *    array. Only the tiny (doc_id, band, signature) tuples shuffle — the LSH
+  *    bucket join never moves document text.
+  *  - SimHash likewise reduces each doc to 64 bit-counters map-side.
+  *  - n-gram Jaccard joins on exploded distinct grams; the candidate space is
+  *    bounded (adjacent-id band here; in production, by the LSH buckets).
+  */
+object Dedup {
+
+  /** q36_dedup — exact dedup: canonical representative (min doc_id) per
+    * distinct text. Deterministic replacement for dropDuplicates("text"). */
+  def q36Dedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("text"))
+      .orderBy(col("keep_id"))
+
+  val q36Sql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Fixed affine permutation constants for MinHash: h_j(x) = (a_j·x+b_j) mod p
+    * over the Mersenne prime 2^31-1. Generated from a fixed seed so
+    * signatures are stable across runs and partitionings. */
+  private val MinhashP = 2147483647L
+  private val NumHashes = 16
+  private val NumBands = 4 // 4 rows per band
+  private[ops] val minhashCoeffs: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NumHashes)(
+      (rng.nextInt(Int.MaxValue - 1).toLong + 1, rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 3-word shingles of `text` as an array column (empty-safe). */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array(text))
+  }
+
+  /** Per-document MinHash signature columns sig_0..sig_k-1, computed map-side:
+    * fold min((a·h+b) mod p) over the shingle murmur3 hashes. */
+  private def withSignature(df: DataFrame): DataFrame = {
+    val hashed = df.withColumn("sh",
+      transform(shingles(col("text")), s => pmod(hash(s).cast("long"), lit(MinhashP))))
+    minhashCoeffs.zipWithIndex.foldLeft(hashed) { case (d, ((a, b), j)) =>
+      d.withColumn(s"sig_$j",
+        aggregate(col("sh"), lit(Long.MaxValue),
+          (acc, x) => least(acc, pmod(x * lit(a) + lit(b), lit(MinhashP)))))
+    }
+  }
+
+  /** q70_minhash_lsh — MinHash+LSH near-duplicate clustering: banded
+    * signatures bucket candidate duplicates; each document reports the
+    * minimum doc_id among its bucket-mates as its cluster representative
+    * (docs with no near-dup report themselves). Depends on murmur3 `hash()`,
+    * which no SQL oracle reproduces — correctness is covered by the ScalaTest
+    * suite (planted duplicates) and the driver's rows-only check. */
+  def q70MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val signed = withSignature(Tables.documents(spark, sfDir))
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * NumHashes / NumBands until (b + 1) * NumHashes / NumBands)
+          .map(j => col(s"sig_$j")): _*).as("sig"))
+    }
+    val buckets = signed
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val bucketMin = buckets.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("bucket_rep"))
+    buckets.join(bucketMin, Seq("band", "sig"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bucket_rep")).as("cluster_rep"))
+      .withColumn("is_duplicate", col("cluster_rep") < col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** q71_simhash — 64-bit SimHash per document: per-bit majority vote over
+    * xxhash64 of the tokens, reduced map-side to 64 counters. Docs within a
+    * small Hamming distance are near-duplicates. xxhash64 has no SQL-oracle
+    * twin — covered by ScalaTest (identical text ⇒ identical simhash; small
+    * edits ⇒ small Hamming distance) and the driver's rows-only check. */
+  def q71Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("th", xxhash64(col("tok")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v_$j")
+    }
+    val sim = (0 until 64).map { j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** q72_ngram_jaccard — exact 3-gram Jaccard similarity over a bounded
+    * candidate band (here: doc_id within 10 — in production the band comes
+    * from q70's LSH buckets, keeping the pair space near-linear). Pure
+    * set-arithmetic on exploded distinct grams; fully oracle-checkable. */
+  def q72NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val g1 = grams.toDF("d1", "gram1")
+    val g2 = grams.toDF("d2", "gram2")
+    val inter = g1.join(g2,
+        col("gram1") === col("gram2") &&
+        col("d2") > col("d1") && col("d2") <= col("d1") + 10)
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"), col("n_inter"),
+        (col("n_inter") / (col("n1") + col("n2") - col("n_inter")))
+          .as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q72Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT g1.doc_id AS d1, g2.doc_id AS d2, count(*) AS n_inter
+      |  FROM grams g1 JOIN grams g2
+      |    ON g1.gram = g2.gram
+      |   AND g2.doc_id > g1.doc_id AND g2.doc_id <= g1.doc_id + 10
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, n_inter,
+      |       n_inter / (s1.n + s2.n - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |ORDER BY d1, d2""".stripMargin
+}

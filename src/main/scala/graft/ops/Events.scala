@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-time windowing — SURVEY.md §2.8 (north-star tier X).
+  *
+  * The reference's "streaming" is an orchestrated monthly micro-batch
+  * (`save_nyc_data_to_s3.py:54-78`) with no event-time semantics; these
+  * operators add the real thing over the `events` fixture. They are written
+  * as batch queries on the same `window()`/`session_window()` expressions
+  * Structured Streaming uses, so the identical plan runs under `readStream`
+  * with a watermark (see the streaming suite in src/test).
+  *
+  * Scale: all three group by (window, key) — a single hash-aggregate shuffle
+  * whose cardinality is windows × keys, independent of input row count.
+  * Sliding windows multiply input by windows-per-event (4 here) BEFORE the
+  * map-side partial aggregate, so shuffle volume stays at group cardinality.
+  */
+object Events {
+
+  /** q60_window_tumbling — 1-hour tumbling count/sum per event type.
+    * `window(ts, "1 hour").start` is the epoch-aligned hour floor, exactly
+    * DuckDB's `date_trunc('hour', ts)`. */
+  def q60WindowTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q60Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** q61_window_sliding — 1-hour windows sliding every 15 minutes: each event
+    * lands in exactly 4 windows whose starts are the four 15-minute floors in
+    * (ts-60m, ts]. The oracle reconstructs the same windows with integer µs
+    * arithmetic (900_000_000 µs = 15 min). */
+  def q61WindowSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q61Sql: String =
+    """WITH expanded AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+      |                        - CAST(k AS BIGINT) * 900000000) AS window_start,
+      |         event_type
+      |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k))
+      |SELECT window_start, event_type, count(*) AS n_events
+      |FROM expanded
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** q62_sessionize — session windows with a 30-minute inactivity gap per
+    * user. Spark merges an event into the open session iff it starts strictly
+    * before prev_end = prev_ts + gap (the window is half-open), so the oracle
+    * starts a new session when the gap is >= 30 minutes. session_end follows
+    * Spark's definition: last event + gap. */
+  def q62Sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q62Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+      |                                 ORDER BY ts, event_id) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id
+      |                                      ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id,
+      |       min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing — north-star tier X (BASELINE.json): media
+  * payloads as opaque binary columns with typed metadata, plus a
+  * decode/feature-extract stage whose Spark-side plumbing (schema,
+  * partitioning, batch shape) is real while the codec itself is a
+  * clearly-marked deterministic STUB (no image/audio libraries ship in this
+  * environment).
+  *
+  * Scale design: media bytes stay in executor space end to end — the decode
+  * stage is mapPartitions over a typed Dataset (one iterator pass per
+  * partition, the Scala analogue of a Pandas-UDF `mapInPandas` batch), never
+  * a collect. Partition counts follow the input splits, so a 100 TB media
+  * corpus fans out across executors with no driver involvement. Metadata
+  * lives in ordinary columns so filters on it prune before any decode work.
+  */
+object Multimodal {
+
+  /** One media record: opaque payload + typed metadata (the schema a real
+    * image/audio table would carry; here synthesized from `documents`). */
+  final case class MediaRecord(
+      doc_id: Long, fmt: String, n_bytes: Long, payload: Array[Byte])
+
+  /** Extracted features (the output schema of the decode stage). */
+  final case class MediaFeatures(
+      doc_id: Long, fmt: String, n_bytes: Long, n_frames: Int,
+      mean_byte: Double, first_byte: Int)
+
+  /** `documents` re-materialized as a media table: payload = utf-8 bytes of
+    * the text (standing in for encoded media), fmt derived from the source
+    * column. This is the real plumbing a binary-column pipeline needs —
+    * binary type, metadata columns, partition-preserving map. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        concat(lit("fake/"), col("source")).as("fmt"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+
+  /** STUB decode: a real deployment would decode image/audio frames here
+    * (e.g. via a JNI codec); this environment has no media libraries, so the
+    * "decoder" derives deterministic fake features from the bytes. The
+    * iterator/batch shape is exactly what a real codec plugs into. */
+  private def decodeStub(r: MediaRecord): MediaFeatures = {
+    val frameSize = 256
+    val nFrames = ((r.n_bytes + frameSize - 1) / frameSize).toInt
+    val mean =
+      if (r.payload.isEmpty) 0.0
+      else r.payload.map(b => (b & 0xff).toLong).sum.toDouble / r.payload.length
+    val first = if (r.payload.isEmpty) -1 else r.payload(0) & 0xff
+    MediaFeatures(r.doc_id, r.fmt, r.n_bytes, nFrames, mean, first)
+  }
+
+  /** The decode/feature-extract stage: typed mapPartitions over the media
+    * table (one pass per partition — the batch shape a real codec needs). */
+  def extractFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
+    val s = spark
+    import s.implicits._
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("fmt"), col("n_bytes"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(decodeStub))
+  }
+
+  /** q80_multimodal — binary-column metadata pipeline, oracle-checked: byte
+    * length, header bytes (hex), frame count at 256 B/frame — all on the
+    * binary payload via built-in expressions (no decode needed, so filters
+    * like these prune before the expensive stage at scale). */
+  def q80Multimodal(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(
+        col("doc_id"), col("fmt"), col("n_bytes"),
+        hex(substring(col("payload"), 1, 4)).as("header_hex"),
+        expr("(n_bytes + 255) div 256").as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  val q80Sql: String =
+    """SELECT doc_id,
+      |       'fake/' || source AS fmt,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       substring(hex(encode(text)), 1, 8) AS header_hex,
+      |       (octet_length(encode(text)) + 255) // 256 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q81_media_features — the full decode pipeline (STUB codec, real
+    * plumbing). mean_byte is an exact integer-sum / count division, so the
+    * doubles are deterministic; no SQL oracle (driver rows-only check +
+    * ScalaTest), since the decode stage is intentionally outside SQL. */
+  def q81MediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(spark, sfDir).toDF().orderBy(col("doc_id"))
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` fixture + as-of join — north-star
+  * tier X (BASELINE.json).
+  *
+  * Scale design:
+  *  - The cosine kernel is pure higher-order-function arithmetic
+  *    (zip_with + aggregate) — codegen'd, no UDF, map-side only.
+  *  - Brute-force scoring broadcasts the (tiny) query set against the corpus:
+  *    linear scan, embarrassingly parallel — the right baseline at any scale.
+  *  - The ANN variant buckets vectors by signed random hyperplanes (LSH):
+  *    candidates shuffle on the bucket key only, so the per-query work drops
+  *    from O(N) to O(N / 2^bits) expected — the scale path when N is 10^9+.
+  *  - The as-of join avoids the classic per-row subquery (quadratic) by a
+  *    single union + partitioned window scan: one shuffle on the key,
+  *    last-non-null carry-forward — the standard scalable as-of shape.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in double.
+    * aggregate() folds in array order — deterministic on any partitioning. */
+  private[ops] def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    def dot(u: Column, v: Column) =
+      aggregate(zip_with(u, v, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def norm(u: Column) =
+      sqrt(aggregate(transform(u, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** q50_similarity — the exact cosine kernel, oracle-checked: similarity of
+    * vectors 1..200 to query vector 0, rounded to 4 dp (both engines sum the
+    * 64 components in array order; rounding absorbs any last-ulp drift). */
+  def q50Similarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    e.filter(col("vec_id") >= 1 && col("vec_id") <= 200)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q50Sql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |p AS (
+      |  SELECT e.vec_id, e.label,
+      |         unnest(e.embedding)::DOUBLE AS x,
+      |         unnest(q.qe)::DOUBLE AS y
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id BETWEEN 1 AND 200)
+      |SELECT vec_id, label,
+      |       round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+      |         AS cos_sim
+      |FROM p GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
+
+  /** q73_embedding_neardup — embedding-cosine near-dup scoring over a bounded
+    * candidate band (vec_id within 5), the same band-expansion trick as the
+    * range join: the band explodes into equi-join keys, never a nested loop. */
+  def q73EmbeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val left = e.select(col("vec_id").as("v1"), col("embedding").as("emb1"),
+      explode(sequence(col("vec_id") + 1, col("vec_id") + 5)).as("v2"))
+    val right = e.select(col("vec_id").as("v2"), col("embedding").as("emb2"))
+    left.join(right, Seq("v2"))
+      .select(col("v1"), col("v2"),
+        round(cosine(col("emb1"), col("emb2")), 4).as("cos_sim"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  val q73Sql: String =
+    """WITH p AS (
+      |  SELECT e1.vec_id AS v1, e2.vec_id AS v2,
+      |         unnest(e1.embedding)::DOUBLE AS x,
+      |         unnest(e2.embedding)::DOUBLE AS y
+      |  FROM embeddings e1 JOIN embeddings e2
+      |    ON e2.vec_id BETWEEN e1.vec_id + 1 AND e1.vec_id + 5)
+      |SELECT v1, v2,
+      |       round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+      |         AS cos_sim
+      |FROM p GROUP BY v1, v2 ORDER BY v1, v2""".stripMargin
+
+  /** Fixed random hyperplanes for LSH bucketing (seeded — stable across runs
+    * and partitionings). 4 planes → 16 buckets. */
+  private val NumPlanes = 4
+  private val Dim = 64
+  private[ops] val planes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(7)
+    Array.fill(NumPlanes, Dim)(rng.nextGaussian())
+  }
+
+  /** LSH bucket id of an embedding: sign bits of the dot products with the
+    * fixed hyperplanes. */
+  private[ops] def lshBucket(emb: Column): Column =
+    (0 until NumPlanes).map { j =>
+      val plane = array(planes(j).map(lit): _*)
+      val d = aggregate(zip_with(transform(emb, x => x.cast("double")), plane,
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** q74_ann_topk — approximate nearest neighbors: bucket the corpus by LSH
+    * hyperplane signs, then brute-force cosine only within each query's
+    * bucket; top-5 per query by rounded score. Approximation quality is
+    * covered by the ScalaTest recall test against the brute-force baseline
+    * (driver records a rows-only check — LSH bucketing has no SQL twin). */
+  def q74AnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", lshBucket(col("embedding")))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding"),
+      col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("cand_id"))
+    queries.join(cands, Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q16_asof — as-of join: for each purchase event, the most recent strictly
+    * earlier click by the same user. Implemented as union + window
+    * carry-forward (one shuffle on user_id), not a per-row subquery; at equal
+    * timestamps purchases sort before clicks so the match is strict. */
+  def q16Asof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_click", when(col("event_type") === "click", 1)
+        .otherwise(0))
+      .withColumn("click_ts", when(col("is_click") === 1, col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true)
+        .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+          .as("micros_since_click"))
+      .orderBy(col("event_id"))
+  }
+
+  val q16Sql: String =
+    """SELECT p.event_id, p.user_id, p.ts,
+      |       (SELECT max(c.ts) FROM events c
+      |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |          AND c.ts < p.ts) AS last_click_ts,
+      |       epoch_us(p.ts) -
+      |       epoch_us((SELECT max(c.ts) FROM events c
+      |                 WHERE c.user_id = p.user_id
+      |                   AND c.event_type = 'click'
+      |                   AND c.ts < p.ts)) AS micros_since_click
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
+}

@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis over `documents` — north-star tier X (BASELINE.json): term
+  * statistics, language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting.
+  *
+  * Scale: everything here is either pure map work (langid/quality/tokens/
+  * fingerprint are per-document expressions — zero shuffle, fully inside
+  * WholeStageCodegen) or a single explode→hash-aggregate (term stats), whose
+  * shuffle volume is bounded by vocabulary size after map-side combine, not
+  * corpus size. No UDFs anywhere — all built-in expressions.
+  *
+  * Oracle determinism: token counts and marker scores are exact integer
+  * arithmetic; ratios are single correctly-rounded IEEE divisions; the
+  * fingerprint is mod-arithmetic on BIGINT with bounds chosen so no
+  * intermediate exceeds 2^63 (ANSI-safe).
+  */
+object Text {
+
+  /** q51_textstats — tokenize + corpus term statistics: explode terms, count
+    * occurrences and document frequency per term. */
+  def q51Textstats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_occurrences"), col("term"))
+
+  val q51Sql: String =
+    """SELECT term, count(*) AS n_occurrences,
+      |       count(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |      FROM documents)
+      |WHERE term <> ''
+      |GROUP BY term ORDER BY n_occurrences DESC, term""".stripMargin
+
+  /** Occurrences of a literal marker inside text, via the replace trick —
+    * exact integer arithmetic, identical in any engine. */
+  private def occ(marker: String): Column =
+    (length(col("text")) - length(expr(s"replace(text, '$marker', '')"))) /
+      lit(marker.length)
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "er"),
+    "es" -> Seq("os", "ar", "la"),
+    "fr" -> Seq("le", "ou", "on"),
+    "de" -> Seq("ch", "ei", "en"),
+    "zh" -> Seq("sh", "ng", "wi"))
+
+  /** q52_langid — character-bigram language-ID heuristic: score each language
+    * by its signature-bigram occurrence count, pick the argmax with a fixed
+    * preference order for ties. (The fixture text is synthetic word soup, so
+    * the prediction needn't match the `lang` column — the operator is the
+    * deliverable, and the oracle checks the identical computation.) */
+  def q52Langid(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = langMarkers.foldLeft(Tables.documents(spark, sfDir)) {
+      case (df, (lang, ms)) =>
+        df.withColumn(s"score_$lang",
+          ms.map(occ).reduce(_ + _).cast("long"))
+    }
+    val best = langMarkers.map { case (l, _) => col(s"score_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = langMarkers.foldRight(lit("und"): Column) {
+      case ((l, _), acc) => when(col(s"score_$l") === best, lit(l))
+        .otherwise(acc)
+    }
+    // foldRight builds when(en)...when(zh) outermost-first, so earlier
+    // languages win ties — mirror the same CASE order in SQL.
+    scored
+      .select(col("doc_id") +: col("lang").as("actual_lang") +:
+        pred.as("pred_lang") +:
+        langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val q52Sql: String = {
+    val scoreExprs = langMarkers.map { case (l, ms) =>
+      val terms = ms.map(m =>
+        s"(length(text) - length(replace(text, '$m', ''))) / ${m.length}")
+      s"CAST(${terms.mkString(" + ")} AS BIGINT) AS score_$l"
+    }.mkString(",\n         ")
+    val greatest5 = langMarkers.map { case (l, _) => s"score_$l" }
+      .mkString("greatest(", ", ", ")")
+    val caseExpr = langMarkers.map { case (l, _) =>
+      s"WHEN score_$l = $greatest5 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS actual_lang,
+       |         $scoreExprs
+       |  FROM documents)
+       |SELECT doc_id, actual_lang, $caseExpr AS pred_lang,
+       |       score_en, score_es, score_fr, score_de, score_zh
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** q53_quality — document quality scoring: token count, average token
+    * length, stopword ratio, and a bounded composite score. All ratios are
+    * single IEEE divisions of exact integers; the composite uses one fixed
+    * expression tree so both engines produce identical bits. */
+  def q53Quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.groupBy(col("doc_id"), col("n_chars"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("sum_tok_len"),
+        sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
+          .as("n_stop"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("sum_tok_len") / col("n_tokens")).as("avg_tok_len"),
+        (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        (least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5)
+          + (col("n_stop") / col("n_tokens")) * lit(0.25)
+          + least((col("sum_tok_len") / col("n_tokens")) / lit(10.0),
+              lit(1.0)) * lit(0.25)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q53Sql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |         sum(length(tok)) AS sum_tok_len,
+       |         sum(CASE WHEN tok IN $stops THEN 1 ELSE 0 END) AS n_stop
+       |  FROM toks WHERE tok <> '' GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |       sum_tok_len / n_tokens AS avg_tok_len,
+       |       n_stop / n_tokens AS stop_ratio,
+       |       least(n_tokens / 100.0, 1.0) * 0.5
+       |         + (n_stop / n_tokens) * 0.25
+       |         + least((sum_tok_len / n_tokens) / 10.0, 1.0) * 0.25
+       |         AS quality_score
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** q54_tokens — token counting two ways: whitespace split and a BPE-ish
+    * regex pass (lowercase runs / digit runs / single other non-space chars —
+    * the pattern is RE2-and-Java-compatible by construction). */
+  def q54Tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
+        length(col("text")).as("text_chars"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val q54Sql: String =
+    """SELECT doc_id,
+      |       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+      |         AS re_tokens,
+      |       length(text) AS text_chars,
+      |       n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q55_fingerprint — position-weighted rolling-hash document fingerprint in
+    * exact BIGINT mod-arithmetic: fp = Σ tokval(t_i)·w(i) mod p, where
+    * w(i) = i·2654435761 mod p (Knuth multiplicative constant) and
+    * tokval = ascii(first)·131 + ascii(last) + 7·len. Bounds: tokval < 2^15,
+    * w < 2^30, per-term product < 2^45, row sums < 2^53 — no ANSI overflow.
+    * Equal documents always collide; position-weighting makes reorderings
+    * almost surely differ. */
+  def q55Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1000000007L
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val tokval = ascii(substring(col("tok"), 1, 1)) * lit(131L) +
+      ascii(col("tok").substr(length(col("tok")), lit(1))) +
+      length(col("tok")) * lit(7L)
+    val weight = pmod((col("pos") + 1) * lit(2654435761L), lit(p))
+    toks
+      .groupBy(col("doc_id"))
+      .agg(pmod(sum(tokval * weight), lit(p)).as("fingerprint"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q55Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos1
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(sum((ascii(substring(tok, 1, 1)) * 131
+      |                 + ascii(right(tok, 1)) + length(tok) * 7)
+      |                * ((pos1 * 2654435761) % 1000000007)) % 1000000007
+      |            AS BIGINT) AS fingerprint,
+      |       count(*) AS n_tokens
+      |FROM toks WHERE tok <> ''
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

@@ -27,6 +27,12 @@ def norm(v):
 
 
 def cmp_cell(a, b):
+    try:
+        import pandas as pd
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     a, b = norm(a), norm(b)
     if isinstance(a, float) and isinstance(b, float):
         if a == b:
