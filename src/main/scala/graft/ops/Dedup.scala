@@ -73,14 +73,12 @@ object Dedup {
     }
   }
 
-  /** q70_minhash_lsh — MinHash+LSH near-duplicate clustering: banded
-    * signatures bucket candidate duplicates; each document reports the
+  /** MinHash+LSH near-duplicate clustering over any (doc_id, text) frame:
+    * banded signatures bucket candidate duplicates; each document reports the
     * minimum doc_id among its bucket-mates as its cluster representative
-    * (docs with no near-dup report themselves). Depends on murmur3 `hash()`,
-    * which no SQL oracle reproduces — correctness is covered by the ScalaTest
-    * suite (planted duplicates) and the driver's rows-only check. */
-  def q70MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val signed = withSignature(Tables.documents(spark, sfDir))
+    * (docs with no near-dup report themselves). */
+  def minhashClusters(docs: DataFrame): DataFrame = {
+    val signed = withSignature(docs)
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         hash((b * NumHashes / NumBands until (b + 1) * NumHashes / NumBands)
@@ -98,15 +96,20 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q70_minhash_lsh — [[minhashClusters]] on the documents fixture. Depends
+    * on murmur3 `hash()`, which no SQL oracle reproduces — correctness is
+    * covered by the ScalaTest suite (planted duplicates) and the driver's
+    * rows-only check. */
+  def q70MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashClusters(Tables.documents(spark, sfDir))
+
   // ---------------------------------------------------------------- SimHash
 
-  /** q71_simhash — 64-bit SimHash per document: per-bit majority vote over
-    * xxhash64 of the tokens, reduced map-side to 64 counters. Docs within a
-    * small Hamming distance are near-duplicates. xxhash64 has no SQL-oracle
-    * twin — covered by ScalaTest (identical text ⇒ identical simhash; small
-    * edits ⇒ small Hamming distance) and the driver's rows-only check. */
-  def q71Simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+  /** 64-bit SimHash per document over any (doc_id, text) frame: per-bit
+    * majority vote over xxhash64 of the tokens, reduced map-side to 64
+    * counters. Docs within a small Hamming distance are near-duplicates. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("th", xxhash64(col("tok")))
@@ -122,6 +125,13 @@ object Dedup {
       .select(col("doc_id"), sim.as("simhash"))
       .orderBy(col("doc_id"))
   }
+
+  /** q71_simhash — [[simhash]] on the documents fixture. xxhash64 has no
+    * SQL-oracle twin — covered by ScalaTest (identical text ⇒ identical
+    * simhash; small edits ⇒ small Hamming distance) and the driver's
+    * rows-only check. */
+  def q71Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhash(Tables.documents(spark, sfDir))
 
   // ------------------------------------------------------- n-gram Jaccard
 

@@ -25,7 +25,7 @@ object Similarity {
 
   /** Cosine similarity between two float-array columns, computed in double.
     * aggregate() folds in array order — deterministic on any partitioning. */
-  private[ops] def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     def dot(u: Column, v: Column) =
@@ -88,42 +88,62 @@ object Similarity {
       |         AS cos_sim
       |FROM p GROUP BY v1, v2 ORDER BY v1, v2""".stripMargin
 
-  /** Fixed random hyperplanes for LSH bucketing (seeded — stable across runs
-    * and partitionings). 4 planes → 16 buckets. */
-  private val NumPlanes = 4
+  /** Multi-table random-hyperplane LSH (seeded — signatures are stable across
+    * runs and partitionings). OR-amplification across `NumTables` tables
+    * trades candidate-set size for recall: a true neighbor is found if ANY
+    * table buckets it with the query. Few bits/table + several tables suits
+    * the near-orthogonal fixture vectors; a clustered production corpus at
+    * 10^9+ vectors would raise BitsPerTable to shrink buckets. */
+  private val NumTables = 8
+  private val BitsPerTable = 2
   private val Dim = 64
-  private[ops] val planes: Array[Array[Double]] = {
-    val rng = new scala.util.Random(7)
-    Array.fill(NumPlanes, Dim)(rng.nextGaussian())
-  }
+  private[ops] val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(NumTables) { t =>
+      val rng = new scala.util.Random(7 + t)
+      Array.fill(BitsPerTable, Dim)(rng.nextGaussian())
+    }
 
-  /** LSH bucket id of an embedding: sign bits of the dot products with the
-    * fixed hyperplanes. */
-  private[ops] def lshBucket(emb: Column): Column =
-    (0 until NumPlanes).map { j =>
-      val plane = array(planes(j).map(lit): _*)
+  /** LSH bucket id of an embedding in table `t`: sign bits of the dot
+    * products with that table's fixed hyperplanes. */
+  private[ops] def lshBucket(emb: Column, t: Int): Column =
+    (0 until BitsPerTable).map { j =>
+      val plane = array(planes(t)(j).map(lit): _*)
       val d = aggregate(zip_with(transform(emb, x => x.cast("double")), plane,
         (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** q74_ann_topk — approximate nearest neighbors: bucket the corpus by LSH
-    * hyperplane signs, then brute-force cosine only within each query's
-    * bucket; top-5 per query by rounded score. Approximation quality is
-    * covered by the ScalaTest recall test against the brute-force baseline
-    * (driver records a rows-only check — LSH bucketing has no SQL twin). */
+  /** All (table, bucket) assignments of an embedding, as an array column. */
+  private def lshAssignments(emb: Column): Column =
+    array((0 until NumTables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(emb, t).as("bkt"))
+    }: _*)
+
+  /** q74_ann_topk — approximate nearest neighbors: bucket the corpus in each
+    * LSH table, union same-bucket candidates across tables (distinct), then
+    * brute-force cosine only on that candidate set; top-5 per query. The
+    * shuffle key is (table, bucket) — per-query work is O(candidates), not
+    * O(corpus). Approximation quality is covered by the ScalaTest recall test
+    * against the brute-force baseline (driver records a rows-only check —
+    * LSH bucketing has no SQL twin). */
   def q74AnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-      .withColumn("bucket", lshBucket(col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        explode(lshAssignments(col("embedding"))).as("a"))
+      .select(col("vec_id"), col("embedding"),
+        col("a.tbl").as("tbl"), col("a.bkt").as("bkt"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket"))
-    val cands = e.select(col("vec_id").as("cand_id"), col("embedding"),
-      col("bucket"))
+        col("tbl"), col("bkt"))
+    val cands = e.select(col("vec_id").as("cand_id"),
+      col("embedding"), col("tbl"), col("bkt"))
+    val pairs = queries.join(cands, Seq("tbl", "bkt"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("cand_id"), col("embedding"))
+      .dropDuplicates("query_id", "cand_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("cand_id"))
-    queries.join(cands, Seq("bucket"))
-      .filter(col("cand_id") =!= col("query_id"))
+    pairs
       .select(col("query_id"), col("cand_id"),
         round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
       .withColumn("rank", row_number().over(w))

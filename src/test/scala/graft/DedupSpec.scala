@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Near-dup detectors verified on planted duplicates (the fixture corpus has
+  * no exact dups, so these suites construct their own). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+  import spark.implicits._
+
+  private val base =
+    "spark group query row data slow small filter customer line table scan " +
+    "merge part window hash vector fast column order join stream agg key sort"
+  private val near = base.replace("slow", "quick") // 1-token edit
+  private val far =
+    "completely different words about weather mountains rivers oceans " +
+    "forests deserts valleys glaciers islands peninsulas archipelagos deltas"
+
+  private def corpus = Seq(
+    (0L, base), (1L, base), (2L, near), (3L, far), (4L, far + " extra tail"))
+    .toDF("doc_id", "text")
+
+  test("minhash LSH clusters exact duplicates together") {
+    val clusters = Dedup.minhashClusters(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) === 0L, "identical docs must share a cluster rep")
+    assert(clusters(0L) === 0L)
+    assert(clusters(3L) != 0L, "unrelated doc must not join the cluster")
+  }
+
+  test("minhash LSH catches the 1-token near-duplicate") {
+    val clusters = Dedup.minhashClusters(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(2L) === 0L,
+      "1-token edit of a 24-token doc shares 21/26 shingles; at least one " +
+      "of 4 bands should collide")
+  }
+
+  test("simhash: identical text ⇒ identical hash; near text ⇒ close hash") {
+    val hs = Dedup.simhash(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(0L) === hs(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0L), hs(2L)) <= 12,
+      s"near-dup hamming was ${hamming(hs(0L), hs(2L))}")
+    assert(hamming(hs(0L), hs(3L)) > 12,
+      s"unrelated hamming was ${hamming(hs(0L), hs(3L))}")
+  }
+
+  test("minhash clustering is stable across partitioning") {
+    val a = Dedup.minhashClusters(corpus).collect().toSeq
+    val b = Dedup.minhashClusters(corpus.repartition(13))
+      .collect().toSeq
+    assert(a === b)
+  }
+
+  test("ngram jaccard: q72 on fixture matches per-pair recomputation") {
+    val out = ops.Dedup.q72NgramJaccard(spark, SparkSuite.sf)
+    val row = out.head()
+    val (d1, d2) = (row.getLong(0), row.getLong(1))
+    val docs = Tables.documents(spark, SparkSuite.sf)
+      .filter(col("doc_id").isin(d1, d2))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def grams(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (g1, g2) = (grams(docs(d1)), grams(docs(d2)))
+    val expected = g1.intersect(g2).size.toDouble / g1.union(g2).size
+    assert(math.abs(row.getAs[Double]("jaccard") - expected) < 1e-12)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+
+  test("media table carries binary payloads with consistent metadata") {
+    val mt = Multimodal.mediaTable(spark, SparkSuite.sf)
+    assert(mt.schema("payload").dataType.typeName === "binary")
+    // n_bytes metadata must equal actual payload length for every row
+    assert(mt.filter(octet_length(col("payload")) =!= col("n_bytes"))
+      .count() === 0)
+  }
+
+  test("decode stage output matches a driver-side recomputation") {
+    val feats = Multimodal.extractFeatures(spark, SparkSuite.sf)
+      .filter(col("doc_id") < 5).collect().sortBy(_.doc_id)
+    val docs = Tables.documents(spark, SparkSuite.sf)
+      .filter(col("doc_id") < 5)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feats.foreach { f =>
+      val bytes = docs(f.doc_id).getBytes("UTF-8")
+      assert(f.n_bytes === bytes.length.toLong)
+      assert(f.n_frames === (bytes.length + 255) / 256)
+      val mean = bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+      assert(math.abs(f.mean_byte - mean) < 1e-12)
+      assert(f.first_byte === (bytes(0) & 0xff))
+    }
+  }
+
+  test("decode stage preserves partitioning (no repartition/shuffle)") {
+    val ds = Multimodal.extractFeatures(spark, SparkSuite.sf)
+    val plan = ds.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"decode stage should be shuffle-free, got:\n$plan")
+  }
+}

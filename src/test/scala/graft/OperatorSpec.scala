@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator sanity on sf0.001: every registered query executes, returns
+  * rows, and a handful of spot values match independently computed answers.
+  * (Exact value-level correctness versus DuckDB is the driver's t2 gate; the
+  * local mirror is tools/check.py.) */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+  private val sf = SparkSuite.sf
+
+  test("every registered query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql without query: $unknown")
+  }
+
+  test("entry() is non-empty (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 preserves row count and casts/renames") {
+    val li = Tables.lineitem(spark, sf)
+    val out = ops.Ingest.q01Ingest(spark, sf)
+    assert(out.count() === li.count())
+    val sch = out.schema
+    assert(sch("line_no").dataType.typeName === "long")
+    assert(sch("part_id").dataType.typeName === "integer")
+    assert(!sch.fieldNames.contains("l_partkey"))
+  }
+
+  test("q02 returns exactly the lineitem months absent from orders") {
+    val expected = spark.sql("""
+      SELECT count(DISTINCT date_trunc('month', l_shipdate)) FROM
+        parquet.`/root/testdata/sf0.001/lineitem.parquet`
+      WHERE date_trunc('month', l_shipdate) NOT IN
+        (SELECT date_trunc('month', o_orderdate)
+         FROM parquet.`/root/testdata/sf0.001/orders.parquet`)
+    """).head().getLong(0)
+    assert(ops.Ingest.q02Incremental(spark, sf).count() === expected)
+  }
+
+  test("q13 outer join covers every customer") {
+    assert(ops.Relational.q13JoinOuter(spark, sf).count()
+      === Tables.customer(spark, sf).count())
+  }
+
+  test("q15 band expansion equals the naive theta join") {
+    val naive = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf),
+        col("l_quantity").cast("int") >= col("p_size") - 2 &&
+        col("l_quantity").cast("int") <= col("p_size"))
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("c"))
+    val banded = ops.Relational.q15JoinRange(spark, sf)
+      .select(col("p_partkey"), col("line_count").as("c"))
+    assert(naive.exceptAll(banded).isEmpty && banded.exceptAll(naive).isEmpty)
+  }
+
+  test("q20 grouped sums reconcile with the global sum") {
+    val grouped = ops.Aggregates.q20AggGroup(spark, sf)
+      .agg(sum("count_order")).head().getLong(0)
+    assert(grouped === Tables.lineitem(spark, sf).count())
+  }
+
+  test("q23 HLL estimates within 5% of exact distinct counts") {
+    val approx = ops.Aggregates.q23AggHll(spark, sf)
+      .select("l_returnflag", "approx_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - n) / n < 0.05, s"flag $k: approx $a vs exact $n")
+    }
+  }
+
+  test("q24 rollup contains the grand total") {
+    val all = ops.Aggregates.q24AggRollup(spark, sf)
+      .filter(col("rf") === "ALL" && col("ls") === "ALL").collect()
+    assert(all.length === 1)
+    assert(all.head.getAs[Long]("n_rows")
+      === Tables.lineitem(spark, sf).count())
+  }
+
+  test("q30 emits exactly 3 rows per priority class") {
+    val counts = ops.Windows.q30WinRank(spark, sf)
+      .groupBy("o_orderpriority").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) === 3L))
+  }
+
+  test("q36 exact dedup is idempotent") {
+    val once = ops.Dedup.q36Dedup(spark, sf)
+    assert(once.count() === once.select("text").distinct().count())
+  }
+
+  test("q55 fingerprint is stable across repartitioning") {
+    val a = ops.Text.q55Fingerprint(spark, sf).collect().toSeq
+    val b = ops.Text.q55Fingerprint(spark, sf)
+      .repartition(17).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+  import spark.implicits._
+
+  test("cosine kernel: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 0f, 2f), Array(1f, 0f, 2f), 1.0),
+      (Array(1f, 0f, 0f), Array(0f, 3f, 0f), 0.0),
+      (Array(1f, 1f, 0f), Array(-1f, -1f, 0f), -1.0))
+      .toDF("a", "b", "expected")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"),
+      col("expected")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("ANN top-k achieves reasonable recall vs brute force within-bucket") {
+    val sfDir = SparkSuite.sf
+    val ann = ops.Similarity.q74AnnTopk(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // Brute-force top-5 over the whole corpus per query:
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("cand_id"))
+    val brute = q.crossJoin(
+        e.select(col("vec_id").as("cand_id"), col("embedding")))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        Similarity.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    // 8 tables × 2 bits: a true neighbor at cosine ≈ 0.25 (θ ≈ 75°) lands
+    // in the same 2-bit bucket with p ≈ (1 - θ/π)² ≈ 0.35 per table, so
+    // miss-all-8 ≈ 0.65^8 ≈ 3% — recall should be high even on this
+    // near-orthogonal random fixture.
+    assert(recall >= 0.6, s"recall $recall")
+    assert(ann.nonEmpty)
+  }
+
+  test("as-of join: every matched click precedes its purchase") {
+    val out = ops.Similarity.q16Asof(spark, SparkSuite.sf)
+      .filter(col("last_click_ts").isNotNull)
+    assert(out.filter(col("last_click_ts") >= col("ts")).count() === 0)
+    assert(out.filter(col("micros_since_click") <= 0).count() === 0)
+  }
+
+  test("as-of join matches a per-row scalar-subquery recomputation") {
+    val ev = Tables.events(spark, SparkSuite.sf)
+    ev.createOrReplaceTempView("ev_asof_check")
+    val expected = spark.sql("""
+      SELECT p.event_id,
+             (SELECT max(c.ts) FROM ev_asof_check c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts < p.ts) AS want
+      FROM ev_asof_check p WHERE p.event_type = 'purchase'
+    """)
+    val got = ops.Similarity.q16Asof(spark, SparkSuite.sf)
+      .select(col("event_id"), col("last_click_ts"))
+    val diff = got.join(expected, "event_id")
+      .filter(!(col("last_click_ts") <=> col("want")))
+    assert(diff.isEmpty)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming smoke tests — SURVEY.md §2.8: watermarked event-time
+  * windows over a MemoryStream, and exactly-once incremental file ingestion
+  * with Trigger.AvailableNow (the streaming-native form of the reference's
+  * head-object-then-skip idempotency branch,
+  * `/root/reference/data/airflow/dags/save_nyc_data_to_s3.py:58-78`). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling window aggregates late data correctly") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_smoke").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      // one late-but-within-watermark event lands in the 10:00 window
+      input.addData((ts("2024-01-01 10:30:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = sp.table("win_smoke")
+        .select(col("window.start").cast("string"), col("event_type"),
+          col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "click", 3L)))
+      assert(rows.contains(("2024-01-01 11:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session window assigns a gap-separated user to two sessions") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_smoke").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 09:00:00"), 7L),
+        (ts("2024-01-01 09:10:00"), 7L), // same session (gap 10m)
+        (ts("2024-01-01 10:00:00"), 7L)) // gap 50m → new session
+      q.processAllAvailable()
+      val n = sp.table("sess_smoke").count()
+      assert(n === 2, s"expected 2 sessions, got $n")
+    } finally q.stop()
+  }
+
+  test("AvailableNow file stream ingests each file exactly once") {
+    val sp = spark
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+
+    def runOnce(): Unit = {
+      val stream = sp.readStream
+        .schema(Tables.lineitem(sp, SparkSuite.sf).schema)
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sunk(): Long = sp.read.parquet(outDir).count()
+
+    Tables.lineitem(sp, SparkSuite.sf).limit(100)
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(sunk() === 100)
+
+    // re-run with no new files: checkpoint must suppress re-ingestion
+    runOnce()
+    assert(sunk() === 100)
+
+    // a second "month" arrives → only the delta is processed
+    Tables.lineitem(sp, SparkSuite.sf).limit(50)
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(sunk() === 150)
+  }
+}
