@@ -51,26 +51,44 @@ object Dedup {
       (rng.nextInt(Int.MaxValue - 1).toLong + 1, rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** 3-word shingles of `text` as an array column (empty-safe). */
-  private def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3))))
-      .otherwise(array(text))
+  /** 3-word shingles as rows (doc_id, gram), built with explode + window
+    * leads rather than array higher-order functions: HOF lambdas are not
+    * whole-stage-codegen'd and CollapseProject inlines (= recomputes) an
+    * array expression into every consumer — measured 8-19 s vs sub-second
+    * for this row-oriented form at sf0.1. One shuffle on doc_id; linear at
+    * any scale. Positions come from the raw split (empties included), mirror
+    * of the q72 oracle's string_split indexing. */
+  private[ops] def wordGrams(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .withColumn("t3", lead(col("tok"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t2"), col("t3")).as("gram"))
   }
 
-  /** Per-document MinHash signature columns sig_0..sig_k-1, computed map-side:
-    * fold min((a·h+b) mod p) over the shingle murmur3 hashes. */
-  private def withSignature(df: DataFrame): DataFrame = {
-    val hashed = df.withColumn("sh",
-      transform(shingles(col("text")), s => pmod(hash(s).cast("long"), lit(MinhashP))))
-    minhashCoeffs.zipWithIndex.foldLeft(hashed) { case (d, ((a, b), j)) =>
-      d.withColumn(s"sig_$j",
-        aggregate(col("sh"), lit(Long.MaxValue),
-          (acc, x) => least(acc, pmod(x * lit(a) + lit(b), lit(MinhashP)))))
+  /** [[wordGrams]] plus a whole-text fallback gram for docs shorter than 3
+    * tokens (so every document gets a MinHash signature). */
+  private def gramsWithFallback(docs: DataFrame): DataFrame =
+    wordGrams(docs).unionByName(
+      docs.filter(size(split(col("text"), " ")) < 3)
+        .select(col("doc_id"), col("text").as("gram")))
+
+  /** Per-document MinHash signatures sig_0..sig_k-1: min((a·h+b) mod p) over
+    * the gram murmur3 hashes — k plain `min` aggregates in one codegen'd
+    * hash-aggregate pass (partial map-side, final after one shuffle). */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val hashed = gramsWithFallback(docs)
+      .select(col("doc_id"),
+        pmod(hash(col("gram")).cast("long"), lit(MinhashP)).as("gh"))
+    val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("gh") * lit(a) + lit(b), lit(MinhashP))).as(s"sig_$j")
     }
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH near-duplicate clustering over any (doc_id, text) frame:
@@ -78,7 +96,7 @@ object Dedup {
     * minimum doc_id among its bucket-mates as its cluster representative
     * (docs with no near-dup report themselves). */
   def minhashClusters(docs: DataFrame): DataFrame = {
-    val signed = withSignature(docs)
+    val signed = signatures(docs)
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         hash((b * NumHashes / NumBands until (b + 1) * NumHashes / NumBands)
@@ -140,16 +158,24 @@ object Dedup {
     * from q70's LSH buckets, keeping the pair space near-linear). Pure
     * set-arithmetic on exploded distinct grams; fully oracle-checkable. */
   def q72NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
-      .distinct()
+    val W = 10L // candidate band width: pairs with 0 < d2 - d1 <= W
+    val grams = wordGrams(Tables.documents(spark, sfDir)).distinct()
     val sizes = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
-    val g1 = grams.toDF("d1", "gram1")
-    val g2 = grams.toDF("d2", "gram2")
+    // The band predicate is lifted into the equi-join key: d2 ∈ (d1, d1+W]
+    // implies d2 div W ∈ {d1 div W, d1 div W + 1}, so the left side emits
+    // two bucket keys and the join matches on (gram, bucket). Without this,
+    // a gram appearing in f documents produces f² candidate rows before the
+    // band filter — quadratic in corpus size for common grams; with it,
+    // pairs are bounded per (gram, bucket).
+    val g1 = grams.select(col("doc_id").as("d1"), col("gram").as("gram1"),
+      explode(array(expr(s"doc_id div $W"), expr(s"doc_id div $W + 1")))
+        .as("bk"))
+    val g2 = grams.select(col("doc_id").as("d2"), col("gram").as("gram2"),
+      expr(s"doc_id div $W").as("bk2"))
     val inter = g1.join(g2,
-        col("gram1") === col("gram2") &&
-        col("d2") > col("d1") && col("d2") <= col("d1") + 10)
+        col("gram1") === col("gram2") && col("bk") === col("bk2") &&
+        col("d2") > col("d1") && col("d2") <= col("d1") + W)
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_inter"))
     inter

@@ -168,21 +168,27 @@ object Relational {
       |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
       |ORDER BY o_orderkey""".stripMargin
 
-  /** q15_join_range — banded range join, scalable form: instead of a
-    * nested-loop theta join (O(|L|·|P|), ruinous at 100 TB), the small side
-    * explodes into one row per integer in its band [p_size-2, p_size] and the
-    * join becomes a broadcast equi-join on the banded key — linear in the
-    * fact side. Semantics: CAST(l_quantity AS INT) BETWEEN p_size-2 AND p_size.
+  /** q15_join_range — banded range join, scalable form. Two rewrites stack:
+    * (1) BAND EXPANSION — the dimension side explodes into one row per
+    * integer in its band [p_size-2, p_size], turning the theta join into an
+    * equi-join (no nested loop); (2) PRE-AGGREGATION — because the band key
+    * (integer quantity) has tiny cardinality (~50), the fact side collapses
+    * to per-key partial aggregates BEFORE the join, so the join touches ~50
+    * fact rows instead of fanning every fact row out to every matching part
+    * (measured 19.5 s → sub-second at sf0.1; at 100 TB the fan-out would be
+    * ~10^12 intermediate rows, the pre-aggregate stays at key-cardinality).
+    * Semantics: CAST(l_quantity AS INT) BETWEEN p_size-2 AND p_size.
     */
   def q15JoinRange(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .withColumn("qty_int", col("l_quantity").cast("int"))
+    val liByQty = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_quantity").cast("int").as("qty_int"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
     val bands = Tables.part(spark, sfDir)
       .select(col("p_partkey"),
         explode(sequence(col("p_size") - 2, col("p_size"))).as("qty_int"))
-    li.join(broadcast(bands), Seq("qty_int"))
+    bands.join(broadcast(liByQty), Seq("qty_int"))
       .groupBy(col("p_partkey"))
-      .agg(count(lit(1)).as("line_count"), sum(col("l_quantity")).as("sum_qty"))
+      .agg(sum(col("n")).as("line_count"), sum(col("q")).as("sum_qty"))
       .orderBy(col("p_partkey"))
   }
 
