@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Native Catalyst expression for cosine similarity over float/double array
+  * columns, with whole-stage codegen (`doGenCode` emits a single fused loop).
+  *
+  * This is the promotion path SURVEY.md §4 reserves for measured hot spots:
+  * the higher-order-function form ([[graft.ops.Similarity.cosineHof]]) is
+  * evaluated via interpreted lambdas per element, while this expression is
+  * one branch-free Java loop inside the surrounding WholeStageCodegen stage.
+  * Both fold strictly left-to-right in array order, so results are
+  * bit-identical to the HOF form and to the DuckDB oracle.
+  *
+  * Null semantics: NULL if either array is NULL (null-intolerant binary
+  * expression); array ELEMENTS are assumed non-null (embedding vectors).
+  * Zero-norm inputs yield NaN, matching the plain-SQL formulation.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_cosine"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(v: String, dt: DataType, i: String) = dt match {
+        case FloatType => s"(double) $v.getFloat($i)"
+        case _ => s"$v.getDouble($i)"
+      }
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = ${get(a, elemType(left), "i")};
+         |  double y = ${get(b, elemType(right), "i")};
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column API for the native expression. */
+  def vector_cosine(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  private val registryEntry = (
+    FunctionIdentifier("vector_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "vector_cosine"),
+    (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)): Expression)
+
+  /** Imperative registration (for sessions not built with the extensions). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      registryEntry._1, registryEntry._2, registryEntry._3)
+}
+
+/** SQL-side registration: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `SparkSession.builder.withExtensions`) makes `vector_cosine(a, b)`
+  * available to every SQL query in the session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier("vector_cosine"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "vector_cosine"),
+        (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+}

@@ -23,9 +23,19 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in double.
-    * aggregate() folds in array order — deterministic on any partitioning. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two float-array columns, computed in double —
+    * the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]). Folds in array order, so results
+    * are deterministic on any partitioning and bit-identical to
+    * [[cosineHof]] and the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vector_cosine(a, b)
+
+  /** The same kernel composed from built-in higher-order functions — kept as
+    * the reference implementation the native expression is cross-checked
+    * against (and the form SURVEY.md §4 ships first: compose built-ins,
+    * measure, then specialize). */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     def dot(u: Column, v: Column) =
