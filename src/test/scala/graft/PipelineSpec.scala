@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.WarehouseSink
+import graft.streaming.Streams
+
+/** Ingest-boundary contracts, sinks, and the custom stateful sessionizer. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+
+  test("Schemas.conform renames, casts, reorders, and fails on missing") {
+    val sp = spark
+    import sp.implicits._
+    val src = Seq(("HV0003", "B02764", 132L, 7L, 1.25))
+      .toDF("hvfhs_license_num", "dispatching_base_num", "PULocationID",
+        "DOLocationID", "tips")
+    val target = StructType(Seq(
+      StructField("hvfhs_license_num", StringType),
+      StructField("pu_location_id", IntegerType),
+      StructField("do_location_id", IntegerType),
+      StructField("tips", DoubleType)))
+    val out = Schemas.conform(src, target, Schemas.fhvhvRenames)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("hvfhs_license_num", "pu_location_id", "do_location_id", "tips"))
+    assert(out.schema("pu_location_id").dataType === IntegerType)
+    assert(out.head() === org.apache.spark.sql.Row("HV0003", 132, 7, 1.25))
+
+    val broken = src.drop("PULocationID")
+    val err = intercept[IllegalArgumentException] {
+      Schemas.conform(broken, target, Schemas.fhvhvRenames)
+    }
+    assert(err.getMessage.contains("pu_location_id"))
+  }
+
+  test("raw-zone writer produces a year-partitioned pruned layout") {
+    val root = Files.createTempDirectory("graft_rawzone").toString
+    val li = Tables.lineitem(spark, SparkSuite.sf)
+    WarehouseSink.rawZoneAppend(li, root, "l_shipdate")
+    // layout on disk is year=YYYY directories (the reference's raw/{year}/)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("year=")).sorted
+    assert(dirs.nonEmpty && dirs.head === "year=1995")
+    // read-side partition pruning: a year filter must scan only that dir
+    val pruned = spark.read.parquet(root).filter(col("year") === 1998)
+    val expected = li.filter(year(col("l_shipdate")) === 1998).count()
+    assert(pruned.count() === expected)
+    assert(dirs.length > 1) // multiple partitions exist, pruning is real
+  }
+
+  test("dedupAppend suppresses already-loaded keys (double-load hole)") {
+    val li = Tables.lineitem(spark, SparkSuite.sf).limit(1000)
+    val existing = li.limit(400)
+    val delta = WarehouseSink.dedupAppend(li, existing, Tables.lineitemKey)
+    assert(delta.count() === 600)
+    // re-appending the same batch yields nothing
+    assert(WarehouseSink.dedupAppend(existing, existing,
+      Tables.lineitemKey).count() === 0)
+  }
+
+  test("custom sessionizer: in-batch session split + timeout emission") {
+    val sp = spark
+    import sp.implicits._
+    implicit val session = sp
+    implicit val sqlCtx = sp.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val input = MemoryStream[Streams.Ev]
+    val sessions = Streams.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_custom").start()
+    try {
+      // user 7: two bursts separated by 50 min inside one batch → the first
+      // session closes inline
+      input.addData(
+        Streams.Ev(7L, ts("2024-01-01 09:00:00"), 1.0),
+        Streams.Ev(7L, ts("2024-01-01 09:10:00"), 2.0),
+        Streams.Ev(7L, ts("2024-01-01 10:00:00"), 4.0))
+      q.processAllAvailable()
+      // another user far in the future pushes the watermark → user 7's open
+      // session times out and is emitted
+      input.addData(Streams.Ev(8L, ts("2024-01-01 13:00:00"), 8.0))
+      q.processAllAvailable()
+      input.addData(Streams.Ev(9L, ts("2024-01-01 18:00:00"), 0.5))
+      q.processAllAvailable()
+
+      val rows = sp.table("sess_custom")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"),
+          col("sum_value"))
+        .as[(Long, String, String, Long, Double)].collect().toSet
+      assert(rows.contains(
+        (7L, "2024-01-01 09:00:00", "2024-01-01 09:40:00", 2L, 3.0)),
+        s"got $rows")
+      assert(rows.contains(
+        (7L, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 1L, 4.0)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming windowedCounts emits finalized windows under watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      window_ = "1 hour", watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wc_stream").start()
+    try {
+      input.addData((ts("2024-01-01 10:10:00"), "click", 2.0),
+        (ts("2024-01-01 10:20:00"), "click", 3.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = sp.table("wc_stream")
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 5.0)),
+        s"got $rows")
+    } finally q.stop()
+  }
+}
