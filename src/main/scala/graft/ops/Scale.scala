@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: skew mitigation and co-located joins — the two shuffle
+  * techniques SURVEY.md's 100 TB contract calls for beyond what AQE does
+  * automatically.
+  *
+  * AQE (on by default) already splits skewed SHUFFLE partitions for joins
+  * and adjusts partition counts at runtime; these helpers cover the cases it
+  * does not: a single group key so hot that one reducer's hash-map entry
+  * becomes the bottleneck (salted two-phase aggregation), and repeated
+  * fact-fact joins on a stable key (bucketed tables eliminate the shuffle
+  * entirely).
+  */
+object Scale {
+
+  /** Two-phase salted aggregation for skewed group keys: phase 1 aggregates
+    * on (key, salt) — spreading a hot key over `salts` reducers — phase 2
+    * merges the partials per key. `partials` maps each input-measure column
+    * to its partial aggregate; `merges` re-aggregates the partial columns.
+    * Exactness requires algebraic aggregates (sum/count/min/max — the
+    * decimal-sum pattern composes fine).
+    *
+    * saltedAggregate(df, Seq("k"), 32,
+    *   Seq(sum($"x").as("sx"), count(lit(1)).as("n")),
+    *   Seq(sum($"sx").as("sum_x"), sum($"n").as("n")))
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
+      partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+  }
+
+  /** Persist two frames as bucketed+sorted tables on their join key, so
+    * every subsequent equi-join on that key is exchange-free (bucket-local
+    * sort-merge). This is the "pre-shuffle once, join many times" pattern:
+    * at 100 TB the one-time bucketed write amortizes across every downstream
+    * join and aggregation on the same key. */
+  def bucketFor(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet")
+      .saveAsTable(table)
+}

@@ -147,15 +147,16 @@ object Similarity {
         col("tbl"), col("bkt"))
     val cands = e.select(col("vec_id").as("cand_id"),
       col("embedding"), col("tbl"), col("bkt"))
-    val pairs = queries.join(cands, Seq("tbl", "bkt"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("cand_id"), col("embedding"))
-      .dropDuplicates("query_id", "cand_id")
+    // Score BEFORE deduplicating pair collisions across tables: the kernel
+    // is cheap, the 64-float embedding arrays are not — dropping them here
+    // means the dedup + window shuffles move only (id, id, double) rows.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("cand_id"))
-    pairs
+    queries.join(cands, Seq("tbl", "bkt"))
+      .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+      .dropDuplicates("query_id", "cand_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .orderBy(col("query_id"), col("rank"))
