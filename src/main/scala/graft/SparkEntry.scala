@@ -37,6 +37,7 @@ object SparkEntry {
     "q24_agg_rollup"     -> (Aggregates.q24AggRollup _),
     "q25_agg_percentile" -> (Aggregates.q25AggPercentile _),
     "q26_agg_custom"     -> (Aggregates.q26AggCustom _),
+    "q27_agg_cube"       -> (Aggregates.q27AggCube _),
     "q30_win_rank"       -> (Windows.q30WinRank _),
     "q31_win_lag"        -> (Windows.q31WinLag _),
     "q32_win_frame"      -> (Windows.q32WinFrame _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q24_agg_rollup"     -> Aggregates.q24Sql,
     "q25_agg_percentile" -> Aggregates.q25Sql,
     "q26_agg_custom"     -> Aggregates.q26Sql,
+    "q27_agg_cube"       -> Aggregates.q27Sql,
     "q30_win_rank"       -> Windows.q30Sql,
     "q31_win_lag"        -> Windows.q31Sql,
     "q32_win_frame"      -> Windows.q32Sql,

@@ -130,6 +130,29 @@ object Aggregates {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  /** q27_agg_cube — CUBE over (returnflag, linestatus): all four grouping
+    * sets (both, each alone, grand total), NULL keys folded to a sentinel as
+    * in q24. grouping_id() disambiguates a real value from the sentinel. */
+  def q27AggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("n_rows"), col("sum_qty"))
+      .orderBy(col("gid"), col("rf"), col("ls"))
+
+  val q27Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |       COALESCE(l_linestatus, 'ALL') AS ls,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid,
+      |       count(*) AS n_rows, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, rf, ls""".stripMargin
+
   /** q25_agg_percentile — exact interpolated percentiles. Computed over the
     * integer-valued l_quantity so the interpolation arithmetic (quarter
     * fractions of integers — exact binary fractions) is bit-identical across

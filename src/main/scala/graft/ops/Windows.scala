@@ -56,8 +56,10 @@ object Windows {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, sfDir)
       .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+        datediff(col("o_orderdate"), col("prev_date")).as("gap_days"),
+        datediff(col("next_date"), col("o_orderdate")).as("days_to_next"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
@@ -66,7 +68,10 @@ object Windows {
       |       datediff('day',
       |                lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
       |                    ORDER BY o_orderdate, o_orderkey),
-      |                o_orderdate) AS gap_days
+      |                o_orderdate) AS gap_days,
+      |       datediff('day', o_orderdate,
+      |                lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |                    ORDER BY o_orderdate, o_orderkey)) AS days_to_next
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
