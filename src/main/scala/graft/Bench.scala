@@ -15,7 +15,9 @@ object Bench {
     // Untimed warmup: JVM/codegen/parquet-reader init would otherwise be
     // billed to whichever query happens to run first.
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -51,24 +51,26 @@ object Dedup {
       (rng.nextInt(Int.MaxValue - 1).toLong + 1, rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** 3-word shingles as rows (doc_id, gram), built with explode + window
-    * leads rather than array higher-order functions: HOF lambdas are not
-    * whole-stage-codegen'd and CollapseProject inlines (= recomputes) an
-    * array expression into every consumer — measured 8-19 s vs sub-second
-    * for this row-oriented form at sf0.1. One shuffle on doc_id; linear at
-    * any scale. Positions come from the raw split (empties included), mirror
-    * of the q72 oracle's string_split indexing. */
+  /** 3-word shingles as rows (doc_id, gram), built entirely map-side:
+    * zip the token array against its two shifted slices and explode — plain
+    * codegen'd expressions, zero shuffle, linear at any scale. (Array
+    * higher-order functions are deliberately avoided: HOF lambdas are not
+    * whole-stage-codegen'd and CollapseProject inlines/recomputes them per
+    * consumer — measured 8-19 s vs sub-second at sf0.1.) Slices index the
+    * raw split (empties included), mirroring the q72 oracle's string_split
+    * indexing; docs with <3 tokens produce no grams. */
   private[ops] def wordGrams(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val t = split(col("text"), " ")
+    val m = greatest(size(t) - 2, lit(0))
     docs
       .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("t2", lead(col("tok"), 1).over(w))
-      .withColumn("t3", lead(col("tok"), 2).over(w))
-      .filter(col("t3").isNotNull)
+        explode(arrays_zip(
+          slice(t, lit(1), m).as("a"),
+          slice(t, lit(2), m).as("b"),
+          slice(t, lit(3), m).as("c"))).as("z"))
       .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t2"), col("t3")).as("gram"))
+        concat_ws(" ", col("z").getField("a"), col("z").getField("b"),
+          col("z").getField("c")).as("gram"))
   }
 
   /** [[wordGrams]] plus a whole-text fallback gram for docs shorter than 3
@@ -159,7 +161,13 @@ object Dedup {
     * set-arithmetic on exploded distinct grams; fully oracle-checkable. */
   def q72NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val W = 10L // candidate band width: pairs with 0 < d2 - d1 <= W
-    val grams = wordGrams(Tables.documents(spark, sfDir)).distinct()
+    // Grams shrink to 64-bit hashes before the distinct/join shuffles —
+    // (id, long) rows instead of ~25-char strings. Collision odds at corpus
+    // vocabulary sizes are ~V²/2^65 (vanishing); intersection counts are
+    // otherwise identical to the string form the oracle computes.
+    val grams = wordGrams(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      .distinct()
     val sizes = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
     // The band predicate is lifted into the equi-join key: d2 ∈ (d1, d1+W]
