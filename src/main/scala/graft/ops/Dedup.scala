@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -13,14 +13,14 @@ import graft.Tables
   *  - Exact dedup is a hash-groupBy on the dedup key — one shuffle whose
   *    cardinality is the number of distinct keys. The canonical representative
   *    is min(doc_id), which is deterministic (dropDuplicates is not).
-  *  - MinHash signatures are computed entirely map-side with higher-order
-  *    functions (no explode of the shingle set, no UDFs): per document,
-  *    aggregate() folds each of the k permutations over the shingle-hash
-  *    array. Only the tiny (doc_id, band, signature) tuples shuffle — the LSH
-  *    bucket join never moves document text.
+  *  - MinHash signatures reduce to k plain `min` aggregates over map-side
+  *    gram hashes (partial aggregation shrinks the shuffle to one row per
+  *    doc per partition); the LSH bucket join moves only tiny
+  *    (doc_id, band, signature) tuples, never document text.
   *  - SimHash likewise reduces each doc to 64 bit-counters map-side.
-  *  - n-gram Jaccard joins on exploded distinct grams; the candidate space is
-  *    bounded (adjacent-id band here; in production, by the LSH buckets).
+  *  - n-gram Jaccard joins on exploded distinct gram hashes; the candidate
+  *    space is bounded by lifting the id-band predicate into the join key
+  *    (in production the band comes from q70's LSH buckets).
   */
 object Dedup {
 
