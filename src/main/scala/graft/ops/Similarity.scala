@@ -162,6 +162,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Production-path embedding near-dup detection over any
+    * (vec_id, embedding) frame: candidate pairs come from the multi-table
+    * LSH buckets (not an id band — that bound in q73 exists only for oracle
+    * checkability), scored with the native cosine kernel before the dedup
+    * shuffle, thresholded. Work is O(Σ bucket²) per table — at 10^9 vectors,
+    * BitsPerTable controls the bucket size / recall trade-off. */
+  def lshNearDups(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("embedding"),
+        explode(lshAssignments(col("embedding"))).as("a"))
+      .select(col("vec_id"), col("embedding"),
+        col("a.tbl").as("tbl"), col("a.bkt").as("bkt"))
+    val left = e.select(col("vec_id").as("v1"), col("embedding").as("emb1"),
+      col("tbl"), col("bkt"))
+    val right = e.select(col("vec_id").as("v2"), col("embedding").as("emb2"),
+      col("tbl"), col("bkt"))
+    left.join(right, Seq("tbl", "bkt"))
+      .filter(col("v2") > col("v1"))
+      .select(col("v1"), col("v2"),
+        cosine(col("emb1"), col("emb2")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .dropDuplicates("v1", "v2")
+      .orderBy(col("v1"), col("v2"))
+  }
+
   /** q16_asof — as-of join: for each purchase event, the most recent strictly
     * earlier click by the same user. Implemented as union + window
     * carry-forward (one shuffle on user_id), not a per-row subquery; at equal

@@ -47,6 +47,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("LSH near-dup finds planted near-identical vectors") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(123)
+    def randVec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val bases = (0 until 40).map(i => (i.toLong, randVec()))
+    // clones 100..109 of vectors 0..9 with tiny noise → cosine ≈ 1
+    val clones = (0 until 10).map { i =>
+      ((100 + i).toLong, bases(i)._2.map(x => x + 0.001f * rng.nextGaussian().toFloat))
+    }
+    val e = (bases ++ clones).toDF("vec_id", "embedding")
+    val pairs = ops.Similarity.lshNearDups(e, minCos = 0.98)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    // every planted clone pair must surface (clones share all sign bits
+    // with their original in virtually every table at this noise level)
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, (100 + i).toLong)),
+        s"missing planted pair ($i, ${100 + i}); got $pairs")
+    }
+    // and unrelated random pairs must not pass the 0.98 threshold
+    assert(pairs.size === 10, s"unexpected extra pairs: $pairs")
+  }
+
   test("as-of join: every matched click precedes its purchase") {
     val out = ops.Similarity.q16Asof(spark, SparkSuite.sf)
       .filter(col("last_click_ts").isNotNull)
