@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scaling probe: replicates the fact tables k× in memory (ids offset per
+  * copy so key cardinality scales too) and times representative operators,
+  * to check the plans scale linearly rather than quadratically before the
+  * driver's per-round bench. Usage: runMain graft.Soak [sfDir] [k]
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String): DataFrame = {
+      val span = df.agg(max(col(idCol))).head().getLong(0) + 1
+      (0 until k).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * span)))
+        .reduce(_.unionByName(_))
+    }
+
+    val li = replicate(Tables.lineitem(spark, sfDir), "l_orderkey")
+      .cache()
+    val o = replicate(Tables.orders(spark, sfDir), "o_orderkey").cache()
+    val docs = replicate(Tables.documents(spark, sfDir), "doc_id").cache()
+    println(s"rows: lineitem=${li.count()} orders=${o.count()} " +
+      s"documents=${docs.count()}")
+
+    def time(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+
+    time("agg_group") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))),
+          count(lit(1))).collect()
+    }
+    time("join_sortmerge") {
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1))).collect()
+    }
+    time("window_rank") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .collect()
+    }
+    time("minhash_lsh") {
+      graft.ops.Dedup.minhashClusters(docs).agg(count(lit(1))).collect()
+    }
+    time("ngram_jaccard") {
+      graft.ops.Dedup.ngramJaccard(docs, 10L).agg(count(lit(1))).collect()
+    }
+    spark.stop()
+  }
+}

@@ -155,17 +155,16 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** q72_ngram_jaccard — exact 3-gram Jaccard similarity over a bounded
-    * candidate band (here: doc_id within 10 — in production the band comes
-    * from q70's LSH buckets, keeping the pair space near-linear). Pure
-    * set-arithmetic on exploded distinct grams; fully oracle-checkable. */
-  def q72NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = 10L // candidate band width: pairs with 0 < d2 - d1 <= W
+  /** Exact 3-gram Jaccard similarity over a bounded candidate band
+    * (0 < d2 - d1 <= W — in production the band comes from q70's LSH
+    * buckets, keeping the pair space near-linear). Pure set-arithmetic on
+    * exploded distinct grams. */
+  def ngramJaccard(docs: DataFrame, W: Long): DataFrame = {
     // Grams shrink to 64-bit hashes before the distinct/join shuffles —
     // (id, long) rows instead of ~25-char strings. Collision odds at corpus
     // vocabulary sizes are ~V²/2^65 (vanishing); intersection counts are
     // otherwise identical to the string form the oracle computes.
-    val grams = wordGrams(Tables.documents(spark, sfDir))
+    val grams = wordGrams(docs)
       .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
       .distinct()
     val sizes = grams.groupBy(col("doc_id"))
@@ -194,6 +193,11 @@ object Dedup {
           .as("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** q72_ngram_jaccard — [[ngramJaccard]] (W=10) on the documents fixture;
+    * fully oracle-checkable. */
+  def q72NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccard(Tables.documents(spark, sfDir), 10L)
 
   val q72Sql: String =
     """WITH toks AS (
