@@ -67,6 +67,7 @@ object SparkEntry {
     "q74_ann_topk"       -> (Similarity.q74AnnTopk _),
     "q80_multimodal"     -> (Multimodal.q80Multimodal _),
     "q81_media_features" -> (Multimodal.q81MediaFeatures _),
+    "q82_frame_sample"   -> (Multimodal.q82FrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +115,6 @@ object SparkEntry {
     "q72_ngram_jaccard"  -> Dedup.q72Sql,
     "q73_embedding_neardup" -> Similarity.q73Sql,
     "q80_multimodal"     -> Multimodal.q80Sql,
+    "q82_frame_sample"   -> Multimodal.q82Sql,
   )
 }

@@ -94,4 +94,42 @@ object Multimodal {
     * ScalaTest), since the decode stage is intentionally outside SQL. */
   def q81MediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(spark, sfDir).toDF().orderBy(col("doc_id"))
+
+  /** q82_frame_sample — frame sampling as rows: each payload splits into
+    * 256-byte frames, every 4th frame is sampled (the decode-side stride a
+    * video pipeline would use), emitting (doc_id, frame_id, frame length,
+    * frame header). The frame slice goes through hex because the oracle
+    * cannot substring BLOBs; at scale the same sequence+explode shape feeds
+    * frame bytes straight into the decode stage of [[extractFeatures]].
+    * Map-side only — the explode multiplies rows before any shuffle. */
+  def q82FrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("n_bytes"), col("payload"),
+        explode(sequence(lit(0L),
+          expr("(n_bytes + 255) div 256 - 1"))).as("frame_id"))
+      .filter(col("frame_id") % 4 === 0)
+      .select(
+        col("doc_id"), col("frame_id"),
+        least(col("n_bytes") - col("frame_id") * 256, lit(256L))
+          .as("frame_bytes"),
+        expr("substring(hex(payload), frame_id * 512 + 1, 16)")
+          .as("frame_head_hex"))
+      .orderBy(col("doc_id"), col("frame_id"))
+
+  val q82Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS ph,
+      |         octet_length(encode(text)) AS nb
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, ph, nb,
+      |         unnest(range(0, (nb + 255) // 256)) AS frame_id
+      |  FROM m)
+      |SELECT doc_id, frame_id,
+      |       least(nb - frame_id * 256, 256) AS frame_bytes,
+      |       substring(ph, CAST(frame_id * 512 + 1 AS BIGINT), 16)
+      |         AS frame_head_hex
+      |FROM f
+      |WHERE frame_id % 4 = 0
+      |ORDER BY doc_id, frame_id""".stripMargin
 }
