@@ -38,6 +38,8 @@ object SparkEntry {
     "q25_agg_percentile" -> (Aggregates.q25AggPercentile _),
     "q26_agg_custom"     -> (Aggregates.q26AggCustom _),
     "q27_agg_cube"       -> (Aggregates.q27AggCube _),
+    "q28_pivot"          -> (Aggregates.q28Pivot _),
+    "q90_sql"            -> (SqlFrontend.q90SqlQuery _),
     "q30_win_rank"       -> (Windows.q30WinRank _),
     "q31_win_lag"        -> (Windows.q31WinLag _),
     "q32_win_frame"      -> (Windows.q32WinFrame _),
@@ -90,6 +92,8 @@ object SparkEntry {
     "q25_agg_percentile" -> Aggregates.q25Sql,
     "q26_agg_custom"     -> Aggregates.q26Sql,
     "q27_agg_cube"       -> Aggregates.q27Sql,
+    "q28_pivot"          -> Aggregates.q28Sql,
+    "q90_sql"            -> SqlFrontend.q90Sql,
     "q30_win_rank"       -> Windows.q30Sql,
     "q31_win_lag"        -> Windows.q31Sql,
     "q32_win_frame"      -> Windows.q32Sql,

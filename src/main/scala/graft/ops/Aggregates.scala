@@ -153,6 +153,32 @@ object Aggregates {
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY gid, rf, ls""".stripMargin
 
+  /** q28_pivot — PIVOT: one column per l_linestatus value, counts + decimal
+    * revenue sums per returnflag. The pivot values are listed explicitly so
+    * the output schema is static (at scale, an unlisted pivot would need a
+    * collect to discover values — never do that on a fact column). */
+  def q28Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("cnt"),
+        decSum(col("l_extendedprice"), 2).as("rev"))
+      // pivot leaves NULL in empty count cells where SQL's FILTER counts 0
+      .select(col("l_returnflag"),
+        coalesce(col("F_cnt"), lit(0L)).as("F_cnt"), col("F_rev"),
+        coalesce(col("O_cnt"), lit(0L)).as("O_cnt"), col("O_rev"))
+      .orderBy(col("l_returnflag"))
+
+  val q28Sql: String =
+    """SELECT l_returnflag,
+      |  count(*) FILTER (WHERE l_linestatus = 'F') AS "F_cnt",
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F_rev",
+      |  count(*) FILTER (WHERE l_linestatus = 'O') AS "O_cnt",
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |       FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O_rev"
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** q25_agg_percentile — exact interpolated percentiles. Computed over the
     * integer-valued l_quantity so the interpolation arithmetic (quarter
     * fractions of integers — exact binary fractions) is bit-identical across
