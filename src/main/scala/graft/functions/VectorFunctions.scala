@@ -23,6 +23,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * Null semantics: NULL if either array is NULL (null-intolerant binary
   * expression); array ELEMENTS are assumed non-null (embedding vectors).
   * Zero-norm inputs yield NaN, matching the plain-SQL formulation.
+  * Mismatched dimensions throw — corrupt embeddings must fail loudly, not
+  * score on a truncated prefix.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,7 +49,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch ($n vs ${b.numElements()})")
+    }
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -68,7 +74,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
         case _ => s"$v.getDouble($i)"
       }
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int n = $a.numElements();
+         |if ($b.numElements() != n) {
+         |  throw new IllegalArgumentException(
+         |    "vector_cosine: dimension mismatch (" + n + " vs " +
+         |    $b.numElements() + ")");
+         |}
          |double dot = 0.0, na = 0.0, nb = 0.0;
          |for (int i = 0; i < n; i++) {
          |  double x = ${get(a, elemType(left), "i")};

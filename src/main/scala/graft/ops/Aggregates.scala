@@ -24,9 +24,6 @@ import graft.Tables
   */
 object Aggregates {
 
-  private def decSum(c: Column, scale: Int) =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
-
   /** q20_agg_group — TPC-H Q1-shaped grouped aggregate over the fact table
     * (the revenue-measure columns mirror the reference's five FLOAT fee
     * columns, `setup.py:89-93`). */

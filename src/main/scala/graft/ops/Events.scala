@@ -29,8 +29,7 @@ object Events {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double")
-          .as("sum_value"))
+        decSum(col("value"), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -75,15 +74,14 @@ object Events {
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
         col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double")
-          .as("sum_value"))
+        decSum(col("value"), 2).as("sum_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
   val q62Sql: String =
     """WITH g AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, value, event_id,
       |         CASE WHEN lag(ts) OVER (PARTITION BY user_id
       |                                 ORDER BY ts, event_id) IS NULL
       |                OR ts - lag(ts) OVER (PARTITION BY user_id
@@ -92,7 +90,7 @@ object Events {
       |              THEN 1 ELSE 0 END AS new_s
       |  FROM events),
       |s AS (
-      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                             ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM g)
       |SELECT user_id,

@@ -104,6 +104,10 @@ object Multimodal {
     * Map-side only — the explode multiplies rows before any shuffle. */
   def q82FrameSample(spark: SparkSession, sfDir: String): DataFrame =
     mediaTable(spark, sfDir)
+      // n_bytes = 0 must yield NO frames: Spark's sequence(0, -1) counts
+      // DOWN to [0, -1] instead of being empty, so empty payloads are
+      // filtered out first (matching the oracle's empty range(0, 0)).
+      .filter(col("n_bytes") > 0)
       .select(col("doc_id"), col("n_bytes"), col("payload"),
         explode(sequence(lit(0L),
           expr("(n_bytes + 255) div 256 - 1"))).as("frame_id"))

@@ -31,9 +31,6 @@ import graft.Tables
   */
 object Relational {
 
-  private def decSum(c: org.apache.spark.sql.Column, scale: Int) =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
-
   /** q03_filter — date-range + predicate filter on the fact table (implied
     * warehouse row filters, SURVEY §2.2). Predicates reach the parquet scan
     * as PushedFilters.

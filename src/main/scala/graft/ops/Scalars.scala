@@ -139,8 +139,8 @@ object Scalars {
         count(lit(1)).as("n_rows"),
         count(col("disc_n")).as("n_disc_present"),
         (count(lit(1)) - count(col("disc_n"))).as("n_disc_null"),
-        sum(coalesce(col("disc_n"), lit(0.0)).cast(DecimalType(18, 2)))
-          .cast("double").as("sum_disc_coalesced"),
+        decSum(coalesce(col("disc_n"), lit(0.0)), 2)
+          .as("sum_disc_coalesced"),
         max(when(col("disc_n").isNull, col("l_quantity")))
           .as("max_qty_where_null"))
       .orderBy(col("l_returnflag"))

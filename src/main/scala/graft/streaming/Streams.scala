@@ -70,8 +70,16 @@ object Streams {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
 
-    def micros(t: Timestamp): Long = t.getTime * 1000L
-    def toTs(us: Long): Timestamp = new Timestamp(us / 1000L)
+    // Full µs precision: Timestamp.getTime only carries milliseconds; the
+    // sub-ms part lives in getNanos. Dropping it would make the streaming
+    // sessionizer disagree with the µs-exact batch q62 on near-gap events.
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
