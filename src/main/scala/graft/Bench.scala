@@ -23,16 +23,21 @@ object Bench {
     } catch { case _: Throwable => () }
     // noop sink executes the FULL physical plan (projections, sorts, the
     // lot); .count() would let Catalyst prune everything but the filter.
-    // A failed query is reported as -1 rather than silently timed.
+    // Each query runs twice and reports the min — first executions carry
+    // JIT/codegen noise that would otherwise dominate round-to-round
+    // variance. A failed query is reported as -1 rather than silently timed.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
