@@ -73,20 +73,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
         case FloatType => s"(double) $v.getFloat($i)"
         case _ => s"$v.getDouble($i)"
       }
+      // ctx.freshName for every local: two vector_cosine calls in one
+      // projection may be emitted into the same Java scope (nullSafeCodeGen
+      // only braces the block when a child is nullable) — fixed names would
+      // collide and kick the whole stage back to interpreted execution.
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
-         |int n = $a.numElements();
-         |if ($b.numElements() != n) {
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
          |  throw new IllegalArgumentException(
-         |    "vector_cosine: dimension mismatch (" + n + " vs " +
+         |    "vector_cosine: dimension mismatch (" + $n + " vs " +
          |    $b.numElements() + ")");
          |}
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = ${get(a, elemType(left), "i")};
-         |  double y = ${get(b, elemType(right), "i")};
-         |  dot += x * y; na += x * x; nb += y * y;
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${get(a, elemType(left), i)};
+         |  double $y = ${get(b, elemType(right), i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot /
+         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -110,7 +110,10 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.lastMicros + gapMicros) / 1000L)
+              // round UP to ms: flooring could fire the timeout up to 999 µs
+              // before the true session end and split a session the batch
+              // operator merges
+              state.setTimeoutTimestamp((s.lastMicros + gapMicros + 999L) / 1000L)
             }
             closed.reverseIterator
           }

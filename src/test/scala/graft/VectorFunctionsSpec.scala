@@ -49,6 +49,34 @@ class VectorFunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("two native calls in one projection codegen cleanly (freshName)") {
+    val sp = spark
+    import sp.implicits._
+    // non-nullable literal arrays emit the codegen UNBRACED — fixed local
+    // names would collide across the two calls and Janino would reject the
+    // generated class (falling back to interpreted execution)
+    val df = Seq((1, 2)).toDF("a", "b").select(
+      Similarity.cosine(
+        array(lit(1.0f), lit(0.0f)), array(lit(1.0f), lit(0.0f))).as("c1"),
+      Similarity.cosine(
+        array(lit(0.0f), lit(1.0f)), array(lit(1.0f), lit(0.0f))).as("c2"))
+    val row = df.head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(row.getDouble(1)) < 1e-12)
+  }
+
+  test("native kernel throws on dimension mismatch") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val e = intercept[Exception](df.collect())
+    def hasMismatch(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("dimension mismatch"))
+        || hasMismatch(t.getCause))
+    assert(hasMismatch(e), s"unexpected: $e")
+  }
+
   test("native kernel is at least as fast as the HOF form (micro)") {
     val e = Tables.embeddings(spark, SparkSuite.sf)
     // self-join fan-out to get a meaningful workload (~250k kernel evals)
