@@ -67,6 +67,7 @@ object SparkEntry {
     "q72_ngram_jaccard"  -> (Dedup.q72NgramJaccard _),
     "q73_embedding_neardup" -> (Similarity.q73EmbeddingNeardup _),
     "q74_ann_topk"       -> (Similarity.q74AnnTopk _),
+    "q75_brute_topk"     -> (Similarity.q75BruteTopk _),
     "q80_multimodal"     -> (Multimodal.q80Multimodal _),
     "q81_media_features" -> (Multimodal.q81MediaFeatures _),
     "q82_frame_sample"   -> (Multimodal.q82FrameSample _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q62_sessionize"     -> Events.q62Sql,
     "q72_ngram_jaccard"  -> Dedup.q72Sql,
     "q73_embedding_neardup" -> Similarity.q73Sql,
+    "q75_brute_topk"     -> Similarity.q75Sql,
     "q80_multimodal"     -> Multimodal.q80Sql,
     "q82_frame_sample"   -> Multimodal.q82Sql,
   )

@@ -26,10 +26,13 @@ object Multimodal {
   final case class MediaRecord(
       doc_id: Long, fmt: String, n_bytes: Long, payload: Array[Byte])
 
-  /** Extracted features (the output schema of the decode stage). */
+  /** Extracted features (the output schema of the decode stage).
+    * thumb_bytes/thumb_mean come from the "resize" step: a stride-4
+    * downsample of the payload (the byte-level stand-in for image resize). */
   final case class MediaFeatures(
       doc_id: Long, fmt: String, n_bytes: Long, n_frames: Int,
-      mean_byte: Double, first_byte: Int)
+      mean_byte: Double, first_byte: Int, thumb_bytes: Int,
+      thumb_mean: Double)
 
   /** `documents` re-materialized as a media table: payload = utf-8 bytes of
     * the text (standing in for encoded media), fmt derived from the source
@@ -54,7 +57,14 @@ object Multimodal {
       if (r.payload.isEmpty) 0.0
       else r.payload.map(b => (b & 0xff).toLong).sum.toDouble / r.payload.length
     val first = if (r.payload.isEmpty) -1 else r.payload(0) & 0xff
-    MediaFeatures(r.doc_id, r.fmt, r.n_bytes, nFrames, mean, first)
+    // "resize": stride-4 downsample (a real codec would rescale pixels here)
+    val thumb = r.payload.indices.collect {
+      case i if i % 4 == 0 => r.payload(i) & 0xff
+    }
+    val thumbMean =
+      if (thumb.isEmpty) 0.0 else thumb.map(_.toLong).sum.toDouble / thumb.length
+    MediaFeatures(r.doc_id, r.fmt, r.n_bytes, nFrames, mean, first,
+      thumb.length, thumbMean)
   }
 
   /** The decode/feature-extract stage: typed mapPartitions over the media

@@ -162,6 +162,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q75_brute_topk — the exact brute-force cosine top-k baseline the ANN
+    * variant (q74) approximates: every query vector scored against the whole
+    * corpus (broadcast query set → embarrassingly parallel linear scan), top
+    * 5 by rounded score with a total tie-break. Fully oracle-checked — this
+    * is the ground truth the ScalaTest recall measurement also uses. */
+  def q75BruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("cand_id"))
+    e.select(col("vec_id").as("cand_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q75Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qe
+      |  FROM embeddings WHERE vec_id < 5),
+      |p AS (
+      |  SELECT q.query_id, e.vec_id AS cand_id,
+      |         unnest(e.embedding)::DOUBLE AS x,
+      |         unnest(q.qe)::DOUBLE AS y
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |s AS (
+      |  SELECT query_id, cand_id,
+      |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+      |           AS cos_sim
+      |  FROM p GROUP BY query_id, cand_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cos_sim DESC, cand_id) AS rank
+      |  FROM s)
+      |SELECT query_id, cand_id, cos_sim, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Production-path embedding near-dup detection over any
     * (vec_id, embedding) frame: candidate pairs come from the multi-table
     * LSH buckets (not an id band — that bound in q73 exists only for oracle

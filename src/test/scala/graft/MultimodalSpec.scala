@@ -30,6 +30,11 @@ class MultimodalSpec extends AnyFunSuite {
       val mean = bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
       assert(math.abs(f.mean_byte - mean) < 1e-12)
       assert(f.first_byte === (bytes(0) & 0xff))
+      val thumb = bytes.indices.collect {
+        case i if i % 4 == 0 => (bytes(i) & 0xff).toLong
+      }
+      assert(f.thumb_bytes === thumb.length)
+      assert(math.abs(f.thumb_mean - thumb.sum.toDouble / thumb.length) < 1e-12)
     }
   }
 
