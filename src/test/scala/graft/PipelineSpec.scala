@@ -64,6 +64,36 @@ class PipelineSpec extends AnyFunSuite {
       Tables.lineitemKey).count() === 0)
   }
 
+  test("CSV and JSON round-trip lineitem losslessly through the readers") {
+    val li = Tables.lineitem(spark, SparkSuite.sf)
+    val csvDir = Files.createTempDirectory("graft_csv").toString + "/data"
+    val jsonDir = Files.createTempDirectory("graft_json").toString + "/data"
+    li.write.option("header", "true").csv(csvDir)
+    li.write.json(jsonDir)
+    val backCsv = graft.sources.Readers.csv(spark, csvDir, li.schema)
+    val backJson = graft.sources.Readers.jsonLines(spark, jsonDir, li.schema)
+    Seq(backCsv, backJson).foreach { back =>
+      assert(back.schema === li.schema)
+      assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    }
+  }
+
+  test("Readers.ingest conforms any format to the fixed target schema") {
+    val li = Tables.lineitem(spark, SparkSuite.sf)
+    val dir = Files.createTempDirectory("graft_ingest").toString + "/data"
+    li.write.option("header", "true").csv(dir)
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("order_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("l_quantity",
+        org.apache.spark.sql.types.IntegerType)))
+    val out = graft.sources.Readers.ingest(spark, dir, "csv", li.schema,
+      target, Map("l_orderkey" -> "order_id"))
+    assert(out.schema.fieldNames.toSeq === Seq("order_id", "l_quantity"))
+    assert(out.schema("l_quantity").dataType.typeName === "integer")
+    assert(out.count() === li.count())
+  }
+
   test("custom sessionizer: in-batch session split + timeout emission") {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests — the scale contract as assertions, not just
+  * Explain eyeballing: pushdown reaches the scan, dimensions broadcast,
+  * range joins never nest loops, scans are column-pruned. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+  private val sf = SparkSuite.sf
+
+  private def plan(df: DataFrame): String = {
+    // materialize so AQE settles on the final plan
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString()
+  }
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q03 pushes every filter into the parquet scan") {
+    val f = formatted(ops.Relational.q03Filter(spark, sf))
+    assert(f.contains("PushedFilters:"), f)
+    Seq("GreaterThan(l_discount,0.05)", "EqualTo(l_returnflag,R)",
+      "GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,")
+      .foreach(p => assert(f.contains(p), s"missing pushed filter $p in:\n$f"))
+  }
+
+  test("q10 broadcasts the dimension and prunes the fact scan to 3 columns") {
+    val f = formatted(ops.Relational.q10JoinBroadcast(spark, sf))
+    assert(f.contains("BroadcastHashJoin"), f)
+    assert(f.contains(
+      "ReadSchema: struct<l_partkey:bigint,l_extendedprice:double," +
+        "l_discount:double>"),
+      s"fact scan not pruned:\n$f")
+  }
+
+  test("q12 star join broadcasts all three dimension hops") {
+    val f = formatted(ops.Relational.q12JoinStar(spark, sf))
+    val n = "BroadcastHashJoin".r.findAllIn(f).length
+    assert(n >= 3, s"expected >=3 broadcast joins, got $n:\n$f")
+  }
+
+  test("banded range join never plans a nested loop or cartesian product") {
+    Seq(ops.Relational.q15JoinRange(spark, sf),
+      ops.Similarity.q73EmbeddingNeardup(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"range join degenerated to a nested loop:\n$p")
+    }
+  }
+
+  test("q01 ingest pipeline is shuffle-free up to the final ordering") {
+    // the only exchange allowed is the range partitioning for the orderBy
+    val p = plan(ops.Ingest.q01Ingest(spark, sf))
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected non-sort exchange in ingest plan:\n$p")
+  }
+
+  test("scalar queries stay inside whole-stage codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq(ops.Scalars.q42Math(spark, sf), ops.Scalars.q40String(spark, sf))
+        .foreach { df =>
+          val p = df.queryExecution.executedPlan.toString()
+          // "*(n) " prefixes mark WholeStageCodegen stages in the compact
+          // plan string; the projection must carry one
+          assert(p.linesIterator.exists(l =>
+            l.contains("*(") && l.contains("Project")),
+            s"projection outside codegen:\n$p")
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
