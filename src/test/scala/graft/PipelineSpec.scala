@@ -135,6 +135,44 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom sessionizer agrees with batch session_window on the fixture") {
+    val sp = spark
+    import sp.implicits._
+    implicit val session = sp
+    implicit val sqlCtx = sp.sqlContext
+    val ev = Tables.events(sp, SparkSuite.sf)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Streams.Ev].collect().toSeq
+
+    val input = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_parity").start()
+    try {
+      input.addData(ev)
+      q.processAllAvailable()
+      // sentinel far-future event flushes every open session via timeout
+      input.addData(Streams.Ev(-1L,
+        Timestamp.valueOf("2030-01-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val streamed = sp.table("sess_parity")
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      val batch = ops.Events.q62Sessionize(sp, SparkSuite.sf)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      val missing = batch -- streamed
+      val extra = streamed -- batch
+      assert(missing.isEmpty && extra.isEmpty,
+        s"missing=${missing.take(3)} extra=${extra.take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming windowedCounts emits finalized windows under watermark") {
     val sp = spark
     import sp.implicits._
