@@ -31,20 +31,38 @@ object Windows {
     Tables.orders(spark, sfDir)
       .withColumn("rn", row_number().over(byPrice))
       .withColumn("price_rank", rank().over(byPriceOnly))
+      .withColumn("price_dense", dense_rank().over(byPriceOnly))
+      .withColumn("quartile", ntile(4).over(byPrice))
+      .withColumn("pct_rank", percent_rank().over(byPriceOnly))
+      .withColumn("cume", cume_dist().over(byPriceOnly))
       .filter(col("rn") <= 3)
       .select(col("o_orderpriority"), col("rn"), col("price_rank"),
+        col("price_dense"), col("quartile"), col("pct_rank"), col("cume"),
         col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  // rank/dense_rank/percent_rank/cume_dist order by the value alone (their
+  // results are value-determined, hence tie-safe); row_number and ntile need
+  // the total (value, key) order to be deterministic. percent_rank and
+  // cume_dist are exact ratios of ints — identical doubles in both engines.
   val q30Sql: String =
-    """SELECT o_orderpriority, rn, price_rank, o_orderkey, o_totalprice
+    """SELECT o_orderpriority, rn, price_rank, price_dense, quartile,
+      |       pct_rank, cume, o_orderkey, o_totalprice
       |FROM (
       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
       |         row_number() OVER (PARTITION BY o_orderpriority
       |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
       |         rank() OVER (PARTITION BY o_orderpriority
-      |                      ORDER BY o_totalprice DESC) AS price_rank
+      |                      ORDER BY o_totalprice DESC) AS price_rank,
+      |         dense_rank() OVER (PARTITION BY o_orderpriority
+      |                      ORDER BY o_totalprice DESC) AS price_dense,
+      |         ntile(4) OVER (PARTITION BY o_orderpriority
+      |                        ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+      |         percent_rank() OVER (PARTITION BY o_orderpriority
+      |                      ORDER BY o_totalprice DESC) AS pct_rank,
+      |         cume_dist() OVER (PARTITION BY o_orderpriority
+      |                      ORDER BY o_totalprice DESC) AS cume
       |  FROM orders)
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin
