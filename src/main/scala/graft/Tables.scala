@@ -19,7 +19,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** All access routes through here so format quirks are handled once:
+    * `events` always arrives with its µs timestamp (see [[events]]) no
+    * matter which entry point a caller uses. */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir) else raw(spark, sfDir, name)
+
+  private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
@@ -39,13 +45,13 @@ object Tables {
     * ≈ 1.7e18 > 2^53).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.types.LongType
-    val raw = apply(s, d, "events")
-    raw.schema("ts").dataType match {
+    val df = raw(s, d, "events")
+    df.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

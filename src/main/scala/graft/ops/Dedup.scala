@@ -107,9 +107,13 @@ object Dedup {
     val buckets = signed
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val bucketMin = buckets.groupBy(col("band"), col("sig"))
-      .agg(min(col("doc_id")).as("bucket_rep"))
-    buckets.join(bucketMin, Seq("band", "sig"))
+    // whole-partition window min, NOT groupBy+join-back: the join form would
+    // execute the entire signature computation twice (once per branch); the
+    // window computes bucket minima in the same single shuffle by (band, sig)
+    val perBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("sig"))
+    buckets
+      .withColumn("bucket_rep", min(col("doc_id")).over(perBucket))
       .groupBy(col("doc_id"))
       .agg(min(col("bucket_rep")).as("cluster_rep"))
       .withColumn("is_duplicate", col("cluster_rep") < col("doc_id"))

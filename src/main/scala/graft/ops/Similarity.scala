@@ -129,6 +129,13 @@ object Similarity {
       struct(lit(t).as("tbl"), lshBucket(emb, t).as("bkt"))
     }: _*)
 
+  /** (vec_id, embedding, tbl, bkt) — one row per LSH table assignment. */
+  private def withLshBuckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        explode(lshAssignments(col("embedding"))).as("a"))
+      .select(col("vec_id"), col("embedding"),
+        col("a.tbl").as("tbl"), col("a.bkt").as("bkt"))
+
   /** q74_ann_topk — approximate nearest neighbors: bucket the corpus in each
     * LSH table, union same-bucket candidates across tables (distinct), then
     * brute-force cosine only on that candidate set; top-5 per query. The
@@ -137,11 +144,7 @@ object Similarity {
     * against the brute-force baseline (driver records a rows-only check —
     * LSH bucketing has no SQL twin). */
   def q74AnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        explode(lshAssignments(col("embedding"))).as("a"))
-      .select(col("vec_id"), col("embedding"),
-        col("a.tbl").as("tbl"), col("a.bkt").as("bkt"))
+    val e = withLshBuckets(Tables.embeddings(spark, sfDir))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bkt"))
@@ -211,11 +214,7 @@ object Similarity {
     * shuffle, thresholded. Work is O(Σ bucket²) per table — at 10^9 vectors,
     * BitsPerTable controls the bucket size / recall trade-off. */
   def lshNearDups(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val e = embeddings
-      .select(col("vec_id"), col("embedding"),
-        explode(lshAssignments(col("embedding"))).as("a"))
-      .select(col("vec_id"), col("embedding"),
-        col("a.tbl").as("tbl"), col("a.bkt").as("bkt"))
+    val e = withLshBuckets(embeddings)
     val left = e.select(col("vec_id").as("v1"), col("embedding").as("emb1"),
       col("tbl"), col("bkt"))
     val right = e.select(col("vec_id").as("v2"), col("embedding").as("emb2"),

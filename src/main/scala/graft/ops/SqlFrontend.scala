@@ -14,13 +14,8 @@ import graft.Tables
 object SqlFrontend {
 
   private def registerViews(spark: SparkSession, sfDir: String): Unit =
-    Tables.names.foreach {
-      // events must go through its loader: the raw read (nanosAsLong) would
-      // expose ts as BIGINT nanoseconds, not the µs timestamp SQL expects
-      case "events" =>
-        Tables.events(spark, sfDir).createOrReplaceTempView("events")
-      case n =>
-        Tables(spark, sfDir, n).createOrReplaceTempView(n)
+    Tables.names.foreach { n =>
+      Tables(spark, sfDir, n).createOrReplaceTempView(n)
     }
 
   /** The statement is shared verbatim by the Spark query and the DuckDB

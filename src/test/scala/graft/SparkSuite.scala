@@ -2,16 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local session for all suites (same configs as Verify/Bench). */
+/** One shared local session for all suites (same configs as Verify/Bench,
+  * via the shared [[graft.Sessions]] builder). */
 object SparkSuite {
-  lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val session: SparkSession = Sessions.local("4", "graft-test")
 
   val sf: String = "/root/testdata/sf0.001"
 }
