@@ -55,8 +55,10 @@ object Schemas {
       col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
-  /** Test-fixture schemas (FIXTURES.md §B), for streaming readers that
-    * cannot infer (readStream requires an explicit schema). */
+  /** Test-fixture ON-DISK schemas (FIXTURES.md §B), for streaming readers
+    * that cannot infer (readStream requires an explicit schema matching the
+    * files — for `events` that is the raw nanos-as-long BIGINT `ts`, not the
+    * converted timestamp the batch loader exposes). */
   def tableSchema(spark: SparkSession, sfDir: String, name: String): StructType =
-    Tables(spark, sfDir, name).schema
+    Tables.rawSchema(spark, sfDir, name)
 }

@@ -28,6 +28,14 @@ object Tables {
   private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The on-disk schema, BEFORE any loader conversion — what a
+    * `readStream.schema(...)` against the files themselves must use (for
+    * `events` under nanosAsLong that means `ts: BIGINT`, not the converted
+    * timestamp [[events]] exposes). */
+  def rawSchema(spark: SparkSession, sfDir: String,
+      name: String): org.apache.spark.sql.types.StructType =
+    raw(spark, sfDir, name).schema
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

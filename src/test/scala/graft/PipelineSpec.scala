@@ -94,6 +94,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count() === li.count())
   }
 
+  test("tableSchema(events) drives a readStream against the raw files") {
+    val sp = spark
+    val schema = Schemas.tableSchema(sp, SparkSuite.sf, "events")
+    assert(schema("ts").dataType.typeName === "long",
+      "readStream schema must match the on-disk nanos-as-long layout")
+    // and it must actually work as a streaming source schema (the file
+    // source requires a directory, so stage the fixture file into one)
+    val srcDir = Files.createTempDirectory("graft_ev_stream_src")
+    Files.copy(java.nio.file.Paths.get(s"${SparkSuite.sf}/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val outDir = Files.createTempDirectory("graft_ev_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_ev_stream_ckpt").toString
+    val q = sp.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sp.read.parquet(outDir).count() ===
+      Tables.events(sp, SparkSuite.sf).count())
+  }
+
   test("custom sessionizer: in-batch session split + timeout emission") {
     val sp = spark
     import sp.implicits._
