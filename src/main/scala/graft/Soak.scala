@@ -18,7 +18,9 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     def replicate(df: DataFrame, idCol: String): DataFrame = {
-      val span = df.agg(max(col(idCol))).head().getLong(0) + 1
+      val maxRow = df.agg(max(col(idCol)).cast("long")).head()
+      require(!maxRow.isNullAt(0), s"empty table, cannot replicate on $idCol")
+      val span = maxRow.getLong(0) + 1
       (0 until k).map(i =>
         df.withColumn(idCol, col(idCol) + lit(i * span)))
         .reduce(_.unionByName(_))

@@ -113,10 +113,19 @@ object VectorFunctions {
     GraftColumnBridge.column(CosineSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  private def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"vector_cosine expects exactly 2 arguments, got ${exprs.length}")
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   private val registryEntry = (
     FunctionIdentifier("vector_cosine"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "vector_cosine"),
-    (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)): Expression)
+    (exprs: Seq[Expression]) => build(exprs))
+
+  /** The (identifier, info, builder) triple both registration paths share. */
+  private[functions] def sqlFunction = registryEntry
 
   /** Imperative registration (for sessions not built with the extensions). */
   def register(spark: SparkSession): Unit =
@@ -129,8 +138,5 @@ object VectorFunctions {
   * available to every SQL query in the session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(
-      (FunctionIdentifier("vector_cosine"),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, "vector_cosine"),
-        (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction(VectorFunctions.sqlFunction)
 }

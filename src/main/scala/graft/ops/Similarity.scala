@@ -214,17 +214,29 @@ object Similarity {
     * shuffle, thresholded. Work is O(Σ bucket²) per table — at 10^9 vectors,
     * BitsPerTable controls the bucket size / recall trade-off. */
   def lshNearDups(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val e = withLshBuckets(embeddings)
-    val left = e.select(col("vec_id").as("v1"), col("embedding").as("emb1"),
-      col("tbl"), col("bkt"))
-    val right = e.select(col("vec_id").as("v2"), col("embedding").as("emb2"),
-      col("tbl"), col("bkt"))
-    left.join(right, Seq("tbl", "bkt"))
-      .filter(col("v2") > col("v1"))
+    // The hyperplane dot products are the expensive stage, and a self-join
+    // would execute them once per side (exchange reuse cannot canonicalize
+    // across HOF lambdas). So: materialize the NARROW assignment table
+    // (vec_id, tbl, bkt — ~3 longs × NumTables per vector) once, generate
+    // candidate id-pairs from it, dedup them BEFORE scoring (one kernel
+    // call per pair, not per bucket collision), then join the embeddings
+    // back just for the surviving candidates.
+    val assign = withLshBuckets(embeddings)
+      .select(col("vec_id"), col("tbl"), col("bkt"))
+      .persist()
+    val pairs = assign.as("l").join(assign.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
+        col("r.vec_id") > col("l.vec_id"))
+      .select(col("l.vec_id").as("v1"), col("r.vec_id").as("v2"))
+      .dropDuplicates("v1", "v2")
+    pairs
+      .join(embeddings.select(col("vec_id").as("v1"),
+        col("embedding").as("emb1")), "v1")
+      .join(embeddings.select(col("vec_id").as("v2"),
+        col("embedding").as("emb2")), "v2")
       .select(col("v1"), col("v2"),
         cosine(col("emb1"), col("emb2")).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
-      .dropDuplicates("v1", "v2")
       .orderBy(col("v1"), col("v2"))
   }
 

@@ -51,20 +51,28 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Input/state/output records for the custom sessionizer. */
+  /** Input/state/output records for the custom sessionizer. State holds ALL
+    * sessions not yet finalized by the watermark (late events within the
+    * allowed lateness may still extend or create earlier sessions). */
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastMicros: Long, n: Long,
       sum: Double)
+  final case class UserSessions(sessions: Seq[SessionState])
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, sum_value: Double)
 
-  /** Custom stateful sessionization via flatMapGroupsWithState: one state
-    * record per active user; a session closes (and emits) when event time
-    * passes last-event + gap, enforced with an event-time timeout against
-    * the watermark. This is the §2.8 custom-state path — session_window
-    * covers the declarative case ([[graft.ops.Events.q62Sessionize]]); this
-    * operator is the template for logic session_window cannot express
-    * (e.g. value-dependent gaps, per-session running features). */
+  /** Custom stateful sessionization via flatMapGroupsWithState. Semantics
+    * match batch session_window exactly for all events within the watermark
+    * lateness bound: state keeps every session whose end the watermark has
+    * not yet passed, so an out-of-order event can still open or extend an
+    * earlier session; sessions are emitted (and evicted) only once the
+    * watermark guarantees no merge can change them — the same retention rule
+    * Spark's own streaming session_window applies. Events at or before the
+    * watermark are dropped (they can no longer be placed correctly). This is
+    * the §2.8 custom-state path — session_window covers the declarative case
+    * ([[graft.ops.Events.q62Sessionize]]); this operator is the template for
+    * logic session_window cannot express (value-dependent gaps, per-session
+    * running features). */
   def sessionize(events: Dataset[Ev], gapMinutes: Long = 30)(
       implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
@@ -80,43 +88,46 @@ object Streams {
       t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
       t
     }
+    def out(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, toTs(s.start), toTs(s.lastMicros + gapMicros), s.n,
+        s.sum)
+    // two sessions merge iff their [start, last+gap) windows overlap
+    def merge(sorted: Seq[SessionState]): Seq[SessionState] =
+      sorted.foldLeft(List.empty[SessionState]) {
+        case (prev :: rest, s) if s.start < prev.lastMicros + gapMicros =>
+          prev.copy(lastMicros = math.max(prev.lastMicros, s.lastMicros),
+            n = prev.n + s.n, sum = prev.sum + s.sum) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
 
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[UserSessions, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(user, toTs(s.start),
-              toTs(s.lastMicros + gapMicros), s.n, s.sum))
-          } else {
-            val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.value))
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              cur match {
-                case Some(s) if t < s.lastMicros + gapMicros =>
-                  cur = Some(s.copy(lastMicros = math.max(s.lastMicros, t),
-                    n = s.n + 1, sum = s.sum + e.value))
-                case Some(s) =>
-                  closed ::= SessionOut(user, toTs(s.start),
-                    toTs(s.lastMicros + gapMicros), s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // round UP to ms: flooring could fire the timeout up to 999 µs
-              // before the true session end and split a session the batch
-              // operator merges
-              state.setTimeoutTimestamp((s.lastMicros + gapMicros + 999L) / 1000L)
-            }
-            closed.reverseIterator
+        (user: Long, evs: Iterator[Ev], state: GroupState[UserSessions]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+          // each fresh event is a unit session; too-late events are dropped
+          val fresh = evs
+            .map(e => (micros(e.ts), e.value))
+            .filter { case (t, _) => t >= wmMicros }
+            .map { case (t, v) => SessionState(t, t, 1, v) }
+            .toSeq
+          val merged = merge((existing ++ fresh)
+            .sortBy(s => (s.start, s.lastMicros, s.sum)))
+          // finalized = the watermark has passed the session end, so no
+          // in-lateness event can extend or merge it anymore
+          val (done, open) =
+            merged.partition(_.lastMicros + gapMicros <= wmMicros)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(UserSessions(open))
+            // round UP to ms (floor could fire 999 µs early); clamp above
+            // the watermark (setTimeoutTimestamp rejects earlier values)
+            val endMs = (open.map(_.lastMicros).min + gapMicros + 999L) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(endMs, state.getCurrentWatermarkMs() + 1L))
           }
+          done.map(out(user, _)).iterator
       }
   }
 }

@@ -195,6 +195,47 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom sessionizer handles out-of-order events across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val session = sp
+    implicit val sqlCtx = sp.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val input = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(
+      input.toDS().withWatermark("ts", "4 hours"), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    try {
+      // batch 1: an on-time event at 10:00
+      input.addData(Streams.Ev(7L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2: two LATE events — 09:00 opens a distinct earlier session,
+      // 09:50 arrives within gap of 10:00 and must extend that session's
+      // start downward (batch session_window semantics)
+      input.addData(
+        Streams.Ev(7L, ts("2024-01-01 09:00:00"), 2.0),
+        Streams.Ev(7L, ts("2024-01-01 09:50:00"), 4.0))
+      q.processAllAvailable()
+      // flush: far-future sentinel pushes the watermark past everything
+      input.addData(Streams.Ev(8L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Streams.Ev(9L, ts("2024-01-03 00:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val rows = sp.table("sess_late").filter(col("user_id") === 7L)
+        .select(col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"),
+          col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows === Set(
+        ("2024-01-01 09:00:00", "2024-01-01 09:30:00", 1L, 2.0),
+        ("2024-01-01 09:50:00", "2024-01-01 10:30:00", 2L, 5.0)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming windowedCounts emits finalized windows under watermark") {
     val sp = spark
     import sp.implicits._
