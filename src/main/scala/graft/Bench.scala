@@ -12,7 +12,7 @@ object Bench {
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("l_returnflag").count().collect()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () } // fatal JVM errors (OOM, linkage) must propagate
     // noop sink executes the FULL physical plan (projections, sorts, the
     // lot); .count() would let Catalyst prune everything but the filter.
     // Each query runs twice and reports the min — first executions carry

@@ -39,6 +39,7 @@ object SparkEntry {
     "q26_agg_custom"     -> (Aggregates.q26AggCustom _),
     "q27_agg_cube"       -> (Aggregates.q27AggCube _),
     "q28_pivot"          -> (Aggregates.q28Pivot _),
+    "q29_agg_gsets"      -> (Aggregates.q29AggGsets _),
     "q90_sql"            -> (SqlFrontend.q90SqlQuery _),
     "q30_win_rank"       -> (Windows.q30WinRank _),
     "q31_win_lag"        -> (Windows.q31WinLag _),
@@ -89,11 +90,13 @@ object SparkEntry {
     "q20_agg_group"      -> Aggregates.q20Sql,
     "q21_agg_global"     -> Aggregates.q21Sql,
     "q22_agg_distinct"   -> Aggregates.q22Sql,
+    "q23_agg_hll"        -> Aggregates.q23Sql,
     "q24_agg_rollup"     -> Aggregates.q24Sql,
     "q25_agg_percentile" -> Aggregates.q25Sql,
     "q26_agg_custom"     -> Aggregates.q26Sql,
     "q27_agg_cube"       -> Aggregates.q27Sql,
     "q28_pivot"          -> Aggregates.q28Sql,
+    "q29_agg_gsets"      -> Aggregates.q29Sql,
     "q90_sql"            -> SqlFrontend.q90Sql,
     "q30_win_rank"       -> Windows.q30Sql,
     "q31_win_lag"        -> Windows.q31Sql,
@@ -119,8 +122,10 @@ object SparkEntry {
     "q62_sessionize"     -> Events.q62Sql,
     "q72_ngram_jaccard"  -> Dedup.q72Sql,
     "q73_embedding_neardup" -> Similarity.q73Sql,
+    "q74_ann_topk"       -> Similarity.q74Sql,
     "q75_brute_topk"     -> Similarity.q75Sql,
     "q80_multimodal"     -> Multimodal.q80Sql,
+    "q81_media_features" -> Multimodal.q81Sql,
     "q82_frame_sample"   -> Multimodal.q82Sql,
   )
 }

@@ -94,17 +94,36 @@ object Aggregates {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q23_agg_hll — approximate distinct via HyperLogLog++ sketch: constant
-    * memory per group at any scale, mergeable across partitions. HLL
-    * implementations differ across engines, so there is deliberately no
-    * hash-matched oracle (SURVEY §7.4); the ScalaTest suite bounds the
-    * relative error against the exact count instead. */
-  def q23AggHll(spark: SparkSession, sfDir: String): DataFrame =
+    * memory per group at any scale, mergeable across partitions. HLL sketch
+    * values differ across engines (SURVEY §7.4), so the oracle checks what
+    * IS engine-independent: the exact distinct counts, and that each
+    * approximation lands within 3× the requested 2% rsd of the exact count
+    * (emitted as booleans the oracle pins to TRUE — an out-of-bounds sketch
+    * flips the bit and fails the hash compare). */
+  def q23AggHll(spark: SparkSession, sfDir: String): DataFrame = {
+    def withinRsd(approx: Column, exact: Column): Column =
+      abs(approx.cast("double") - exact.cast("double")) <=
+        exact.cast("double") * lit(0.06)
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        withinRsd(col("approx_parts"), col("exact_parts")).as("parts_in_bounds"),
+        withinRsd(col("approx_orders"), col("exact_orders")).as("orders_in_bounds"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val q23Sql: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS exact_parts,
+      |       count(DISTINCT l_orderkey) AS exact_orders,
+      |       TRUE AS parts_in_bounds,
+      |       TRUE AS orders_in_bounds
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q24_agg_rollup — ROLLUP grouping-set hierarchy with NULL group keys
     * folded to a sentinel so ordering is total and engine-independent. */
@@ -147,6 +166,35 @@ object Aggregates {
       |       count(*) AS n_rows, sum(l_quantity) AS sum_qty
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, rf, ls""".stripMargin
+
+  /** q29_agg_gsets — explicit GROUPING SETS (the third grouping-set form
+    * SURVEY §2.4 names, alongside ROLLUP q24 and CUBE q27): a hand-picked
+    * lattice {(rf, ls), (ls), ()} that neither rollup nor cube produces.
+    * Same single-pass Expand + partial/final hash-aggregate execution —
+    * shuffle volume is Σ|grouping-set cardinalities|, not fact rows. */
+  def q29AggGsets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("n_rows"), col("sum_qty"))
+      .orderBy(col("gid"), col("rf"), col("ls"))
+
+  val q29Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |       COALESCE(l_linestatus, 'ALL') AS ls,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid,
+      |       count(*) AS n_rows, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_linestatus), ())
       |ORDER BY gid, rf, ls""".stripMargin
 
   /** q28_pivot — PIVOT: one column per l_linestatus value, counts + decimal

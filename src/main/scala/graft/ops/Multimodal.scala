@@ -99,11 +99,42 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q81_media_features — the full decode pipeline (STUB codec, real
-    * plumbing). mean_byte is an exact integer-sum / count division, so the
-    * doubles are deterministic; no SQL oracle (driver rows-only check +
-    * ScalaTest), since the decode stage is intentionally outside SQL. */
+    * plumbing). Oracle-checked: the stub's features are pure byte arithmetic
+    * over `encode(text)`, which DuckDB reproduces by unpacking the hex dump
+    * into byte values (the q82 hex technique); mean_byte/thumb_mean are
+    * exact integer-sum / count divisions — single IEEE ops, deterministic. */
   def q81MediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(spark, sfDir).toDF().orderBy(col("doc_id"))
+
+  val q81Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, 'fake/' || source AS fmt, hex(encode(text)) AS ph,
+      |         octet_length(encode(text)) AS nb
+      |  FROM documents),
+      |ix AS (
+      |  SELECT doc_id, ph, unnest(range(0, nb)) AS i FROM m),
+      |v AS (
+      |  SELECT doc_id, i,
+      |         (strpos('0123456789ABCDEF',
+      |                 substr(ph, CAST(i*2+1 AS BIGINT), 1)) - 1) * 16
+      |         + (strpos('0123456789ABCDEF',
+      |                   substr(ph, CAST(i*2+2 AS BIGINT), 1)) - 1) AS byte
+      |  FROM ix),
+      |agg AS (
+      |  SELECT doc_id,
+      |         sum(byte) AS sum_b, count(*) AS n_b,
+      |         max(CASE WHEN i = 0 THEN byte END) AS first_b,
+      |         sum(CASE WHEN i % 4 = 0 THEN byte END) AS sum_t,
+      |         count(*) FILTER (WHERE i % 4 = 0) AS n_t
+      |  FROM v GROUP BY doc_id)
+      |SELECT m.doc_id, m.fmt, m.nb AS n_bytes,
+      |       (m.nb + 255) // 256 AS n_frames,
+      |       COALESCE(CAST(a.sum_b AS DOUBLE) / a.n_b, 0.0) AS mean_byte,
+      |       COALESCE(a.first_b, -1) AS first_byte,
+      |       COALESCE(a.n_t, 0) AS thumb_bytes,
+      |       COALESCE(CAST(a.sum_t AS DOUBLE) / a.n_t, 0.0) AS thumb_mean
+      |FROM m LEFT JOIN agg a ON a.doc_id = m.doc_id
+      |ORDER BY m.doc_id""".stripMargin
 
   /** q82_frame_sample — frame sampling as rows: each payload splits into
     * 256-byte frames, every 4th frame is sampled (the decode-side stride a

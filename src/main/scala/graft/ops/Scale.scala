@@ -29,8 +29,14 @@ object Scale {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
       partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    // The salt must be a pure function of row CONTENT: partition-id or
+    // monotonic ids change when a shuffle-fetch failure re-executes a task,
+    // which could route already-consumed rows to a different salt — a
+    // double-count/loss hazard. Content-hashed salts are retry-stable
+    // (identical rows share a salt, which only narrows the spread for
+    // exact duplicates — harmless for algebraic aggregates).
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)

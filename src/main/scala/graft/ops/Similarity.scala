@@ -165,6 +165,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Generated oracle SQL for q74: the LSH planes are fixed seeded doubles,
+    * so they embed as literals (shortest round-trip repr — DuckDB parses
+    * back the identical double). Both engines left-fold the dot product in
+    * array order (Spark's `aggregate` is a strict left fold; the SQL sum is
+    * an explicit left-associative term chain), so the sign bits — and hence
+    * the bucket assignments — are bit-identical. */
+  val q74Sql: String = {
+    def dlit(d: Double): String = s"(${java.lang.Double.toString(d)})"
+    def bktExpr(t: Int): String =
+      (0 until BitsPerTable).map { j =>
+        val dot = planes(t)(j).zipWithIndex
+          .map { case (p, i) => s"embedding[${i + 1}]*${dlit(p)}" }
+          .mkString(" + ")
+        s"(CASE WHEN ($dot) >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val bktCols = (0 until NumTables)
+      .map(t => s"${bktExpr(t)} AS bkt_$t").mkString(",\n         ")
+    val unpivot = (0 until NumTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, bkt_$t AS bkt FROM b")
+      .mkString("\n  UNION ALL ")
+    s"""WITH b AS (
+       |  SELECT vec_id,
+       |         $bktCols
+       |  FROM embeddings),
+       |a AS (
+       |  $unpivot),
+       |pr AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM a q JOIN a c ON q.tbl = c.tbl AND q.bkt = c.bkt
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |p AS (
+       |  SELECT pr.query_id, pr.cand_id,
+       |         unnest(e1.embedding)::DOUBLE AS x,
+       |         unnest(e2.embedding)::DOUBLE AS y
+       |  FROM pr JOIN embeddings e1 ON e1.vec_id = pr.query_id
+       |          JOIN embeddings e2 ON e2.vec_id = pr.cand_id),
+       |s AS (
+       |  SELECT query_id, cand_id,
+       |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+       |           AS cos_sim
+       |  FROM p GROUP BY query_id, cand_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos_sim DESC, cand_id) AS rank
+       |  FROM s)
+       |SELECT query_id, cand_id, cos_sim, rank FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q75_brute_topk — the exact brute-force cosine top-k baseline the ANN
     * variant (q74) approximates: every query vector scored against the whole
     * corpus (broadcast query set → embarrassingly parallel linear scan), top

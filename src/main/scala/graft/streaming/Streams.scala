@@ -67,8 +67,11 @@ object Streams {
     * not yet passed, so an out-of-order event can still open or extend an
     * earlier session; sessions are emitted (and evicted) only once the
     * watermark guarantees no merge can change them — the same retention rule
-    * Spark's own streaming session_window applies. Events at or before the
-    * watermark are dropped (they can no longer be placed correctly). This is
+    * Spark's own streaming session_window applies. Events strictly before
+    * the watermark are dropped (they can no longer be placed correctly); an
+    * event exactly AT the watermark is still accepted, the safer boundary
+    * since open sessions ending at the watermark have not been finalized
+    * yet. This is
     * the §2.8 custom-state path — session_window covers the declarative case
     * ([[graft.ops.Events.q62Sessionize]]); this operator is the template for
     * logic session_window cannot express (value-dependent gaps, per-session

@@ -70,17 +70,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(grouped === Tables.lineitem(spark, sf).count())
   }
 
-  test("q23 HLL estimates within 5% of exact distinct counts") {
-    val approx = ops.Aggregates.q23AggHll(spark, sf)
-      .select("l_returnflag", "approx_parts").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("q23 HLL estimates within bounds and exact counts reconcile") {
+    val rows = ops.Aggregates.q23AggHll(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("parts_in_bounds"),
+        s"flag ${r.getString(0)}: parts HLL out of bounds")
+      assert(r.getAs[Boolean]("orders_in_bounds"),
+        s"flag ${r.getString(0)}: orders HLL out of bounds")
+    }
     val exact = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k).toDouble
-      assert(math.abs(a - n) / n < 0.05, s"flag $k: approx $a vs exact $n")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_parts") === exact(r.getString(0)))
     }
+  }
+
+  test("q29 grouping sets contains the grand total and the ls-only sets") {
+    val gs = ops.Aggregates.q29AggGsets(spark, sf)
+    val total = gs.filter(col("rf") === "ALL" && col("ls") === "ALL").collect()
+    assert(total.length === 1)
+    assert(total.head.getAs[Long]("n_rows")
+      === Tables.lineitem(spark, sf).count())
+    // the (ls) set exists, the (rf)-only set must NOT (not in the lattice)
+    assert(gs.filter(col("rf") === "ALL" && col("ls") =!= "ALL").count() > 0)
+    assert(gs.filter(col("rf") =!= "ALL" && col("ls") === "ALL").count() === 0)
   }
 
   test("q24 rollup contains the grand total") {
