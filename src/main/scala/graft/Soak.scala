@@ -61,6 +61,24 @@ object Soak {
     time("ngram_jaccard") {
       graft.ops.Dedup.ngramJaccard(docs, 10L).agg(count(lit(1))).collect()
     }
+    // Candidate growth of the production LSH near-dup path must stay
+    // near-LINEAR in corpus size (the derived bucket geometry holds expected
+    // bucket population constant). Synthetic pseudo-random directions, not
+    // replicas — identical copies are true near-dups, whose pair count is
+    // quadratic by definition.
+    time("lsh_neardup_scaling") {
+      def synth(n: Int): DataFrame =
+        spark.range(n).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> CAST(sin(CAST(id * 64 + j AS DOUBLE)) AS FLOAT))")
+            .as("embedding"))
+      val c1 = graft.ops.Similarity.lshNearDups(synth(4000), -1.0).count()
+      val c2 = graft.ops.Similarity.lshNearDups(synth(8000), -1.0).count()
+      println(f"  candidate pairs: n=4000 -> $c1, n=8000 -> $c2 " +
+        f"(ratio ${c2.toDouble / c1}%.2f; quadratic would be ~4)")
+      require(c2.toDouble / c1 < 3.0,
+        s"candidate growth is super-linear: $c1 -> $c2")
+    }
     spark.stop()
   }
 }

@@ -23,6 +23,7 @@ object SparkEntry {
     "q01_ingest"         -> (Ingest.q01Ingest _),
     "q02_incremental"    -> (Ingest.q02Incremental _),
     "q03_filter"         -> (Relational.q03Filter _),
+    "q04_pipeline"       -> (Pipeline.q04Pipeline _),
     "q10_join_broadcast" -> (Relational.q10JoinBroadcast _),
     "q11_join_sortmerge" -> (Relational.q11JoinSortmerge _),
     "q12_join_star"      -> (Relational.q12JoinStar _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q01_ingest"         -> Ingest.q01Sql,
     "q02_incremental"    -> Ingest.q02Sql,
     "q03_filter"         -> Relational.q03Sql,
+    "q04_pipeline"       -> Pipeline.q04Sql,
     "q10_join_broadcast" -> Relational.q10Sql,
     "q11_join_sortmerge" -> Relational.q11Sql,
     "q12_join_star"      -> Relational.q12Sql,

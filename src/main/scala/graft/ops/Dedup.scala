@@ -104,16 +104,28 @@ object Dedup {
         hash((b * NumHashes / NumBands until (b + 1) * NumHashes / NumBands)
           .map(j => col(s"sig_$j")): _*).as("sig"))
     }
+    // Bucket minima via groupBy + join-back, NOT a whole-bucket window: a
+    // window partitioned by (band, sig) routes every row of a bucket to ONE
+    // task, so a mega-bucket (millions of identical boilerplate docs) becomes
+    // the stage straggler at 100 TB. The groupBy gets map-side partial
+    // combine — the hot bucket shrinks to one row per input partition before
+    // the shuffle — and the join-back spreads the bucket across tasks again.
+    // The narrow (doc_id, band, sig) frame is materialized ONCE via an eager
+    // localCheckpoint before fanning out to its two consumers: exchange
+    // reuse cannot fire here (the aggregate side pushes a partial-agg below
+    // its shuffle, so the two exchanges have different children), and a
+    // plain persist on a lazily-returned frame would leak cached blocks —
+    // checkpointed RDDs are reclaimed by the ContextCleaner once the plan
+    // is garbage-collected. ~16 bytes × bands per doc, spillable.
     val buckets = signed
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    // whole-partition window min, NOT groupBy+join-back: the join form would
-    // execute the entire signature computation twice (once per branch); the
-    // window computes bucket minima in the same single shuffle by (band, sig)
-    val perBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("sig"))
+      .localCheckpoint()
+    val minima = buckets
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("bucket_rep"))
     buckets
-      .withColumn("bucket_rep", min(col("doc_id")).over(perBucket))
+      .join(minima, Seq("band", "sig"))
       .groupBy(col("doc_id"))
       .agg(min(col("bucket_rep")).as("cluster_rep"))
       .withColumn("is_duplicate", col("cluster_rep") < col("doc_id"))

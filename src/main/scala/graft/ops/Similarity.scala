@@ -107,32 +107,44 @@ object Similarity {
   private val NumTables = 8
   private val BitsPerTable = 2
   private val Dim = 64
-  private[ops] val planes: Array[Array[Array[Double]]] =
-    Array.tabulate(NumTables) { t =>
+
+  /** Seeded Gaussian hyperplanes for `numTables` tables × `bits` planes each
+    * — stable across runs/partitionings for a given geometry. */
+  private[ops] def makePlanes(numTables: Int,
+      bits: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(numTables) { t =>
       val rng = new scala.util.Random(7 + t)
-      Array.fill(BitsPerTable, Dim)(rng.nextGaussian())
+      Array.fill(bits, Dim)(rng.nextGaussian())
     }
+
+  /** The fixed q74 geometry (8 tables × 2 bits — fixture-sized; the
+    * production path [[lshNearDups]] derives its own from corpus size). */
+  private[ops] val planes: Array[Array[Array[Double]]] =
+    makePlanes(NumTables, BitsPerTable)
 
   /** LSH bucket id of an embedding in table `t`: sign bits of the dot
     * products with that table's fixed hyperplanes. */
-  private[ops] def lshBucket(emb: Column, t: Int): Column =
-    (0 until BitsPerTable).map { j =>
-      val plane = array(planes(t)(j).map(lit): _*)
+  private[ops] def lshBucket(emb: Column, pl: Array[Array[Array[Double]]],
+      t: Int): Column =
+    pl(t).indices.map { j =>
+      val plane = array(pl(t)(j).map(lit): _*)
       val d = aggregate(zip_with(transform(emb, x => x.cast("double")), plane,
         (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** All (table, bucket) assignments of an embedding, as an array column. */
-  private def lshAssignments(emb: Column): Column =
-    array((0 until NumTables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(emb, t).as("bkt"))
+  private def lshAssignments(emb: Column,
+      pl: Array[Array[Array[Double]]]): Column =
+    array(pl.indices.map { t =>
+      struct(lit(t).as("tbl"), lshBucket(emb, pl, t).as("bkt"))
     }: _*)
 
   /** (vec_id, embedding, tbl, bkt) — one row per LSH table assignment. */
-  private def withLshBuckets(e: DataFrame): DataFrame =
+  private def withLshBuckets(e: DataFrame,
+      pl: Array[Array[Array[Double]]] = planes): DataFrame =
     e.select(col("vec_id"), col("embedding"),
-        explode(lshAssignments(col("embedding"))).as("a"))
+        explode(lshAssignments(col("embedding"), pl)).as("a"))
       .select(col("vec_id"), col("embedding"),
         col("a.tbl").as("tbl"), col("a.bkt").as("bkt"))
 
@@ -256,23 +268,48 @@ object Similarity {
       |SELECT query_id, cand_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Target expected bucket population the default LSH geometry aims for:
+    * candidate-join work is O(Σ bucket²) per table, so holding bucket size
+    * roughly constant keeps candidate growth near-LINEAR in corpus size
+    * (Soak's `lsh_neardup_scaling` probe asserts this). */
+  private val TargetBucketSize = 250L
+
+  /** bits ≈ log₂(N / target bucket size), clamped to [2, 24]. */
+  private[graft] def bitsForCorpus(n: Long): Int =
+    math.max(2, math.min(24,
+      math.ceil(math.log((math.max(n, 1L).toDouble / TargetBucketSize))
+        / math.log(2.0)).toInt))
+
   /** Production-path embedding near-dup detection over any
     * (vec_id, embedding) frame: candidate pairs come from the multi-table
     * LSH buckets (not an id band — that bound in q73 exists only for oracle
     * checkability), scored with the native cosine kernel before the dedup
-    * shuffle, thresholded. Work is O(Σ bucket²) per table — at 10^9 vectors,
-    * BitsPerTable controls the bucket size / recall trade-off. */
-  def lshNearDups(embeddings: DataFrame, minCos: Double): DataFrame = {
+    * shuffle, thresholded.
+    *
+    * Geometry is a parameter: `bitsPerTable < 0` (the default) derives it
+    * from the corpus size via [[bitsForCorpus]] (one count() job — cheap
+    * metadata-only on parquet sources), so buckets stay ~[[TargetBucketSize]]
+    * and the per-table self-join stays near-linear instead of the fixed
+    * 4-buckets-per-table N²/16 it would degenerate to at production N.
+    * More tables → higher recall (OR-amplification); more bits → smaller
+    * buckets, lower recall per table. */
+  def lshNearDups(embeddings: DataFrame, minCos: Double,
+      numTables: Int = 8, bitsPerTable: Int = -1): DataFrame = {
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else bitsForCorpus(embeddings.count())
     // The hyperplane dot products are the expensive stage, and a self-join
     // would execute them once per side (exchange reuse cannot canonicalize
     // across HOF lambdas). So: materialize the NARROW assignment table
-    // (vec_id, tbl, bkt — ~3 longs × NumTables per vector) once, generate
-    // candidate id-pairs from it, dedup them BEFORE scoring (one kernel
-    // call per pair, not per bucket collision), then join the embeddings
-    // back just for the surviving candidates.
-    val assign = withLshBuckets(embeddings)
+    // (vec_id, tbl, bkt — ~3 longs × numTables per vector) once via an
+    // eager localCheckpoint (reclaimed by the ContextCleaner when the plan
+    // is GC'd — a bare persist on a lazily-returned frame would leak),
+    // generate candidate id-pairs from it, dedup them BEFORE scoring (one
+    // kernel call per pair, not per bucket collision), then join the
+    // embeddings back just for the surviving candidates.
+    val assign = withLshBuckets(embeddings, makePlanes(numTables, bits))
       .select(col("vec_id"), col("tbl"), col("bkt"))
-      .persist()
+      .localCheckpoint()
     val pairs = assign.as("l").join(assign.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
         col("r.vec_id") > col("l.vec_id"))

@@ -39,6 +39,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("pu_location_id"))
   }
 
+  test("q04 assembled pipeline: conform contract, idempotent re-run, pruning") {
+    val root = Files.createTempDirectory("graft_q04_spec").toString
+    val conformed = ops.Pipeline.runTripPipeline(spark, SparkSuite.sf, root)
+    // conform enforced the 13-column DDL (noise column dropped, types cast;
+    // nullability is tighter where columns are literal-derived — fine)
+    assert(conformed.schema.map(f => (f.name, f.dataType)) ===
+      Schemas.fhvhvTripdata.map(f => (f.name, f.dataType)))
+    val n = conformed.count()
+    // the guarded second load appended ZERO rows — the warehouse holds
+    // exactly one copy
+    assert(spark.read.parquet(s"$root/warehouse").count() === n)
+    // and an explicit third replay is an empty delta
+    assert(WarehouseSink.dedupAppend(conformed,
+      spark.read.parquet(s"$root/warehouse"), ops.Pipeline.tripKey)
+      .count() === 0)
+    // raw zone landed year-partitioned; a year filter prunes to that year
+    val years = new java.io.File(s"$root/raw").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("year="))
+    assert(years.length > 1)
+    val y = years.head.stripPrefix("year=").toInt
+    val pruned = spark.read.parquet(s"$root/raw")
+      .filter(col("year") === y)
+    assert(pruned.count() ===
+      conformed.filter(year(col("pickup_datetime")) === y).count())
+  }
+
   test("raw-zone writer produces a year-partitioned pruned layout") {
     val root = Files.createTempDirectory("graft_rawzone").toString
     val li = Tables.lineitem(spark, SparkSuite.sf)

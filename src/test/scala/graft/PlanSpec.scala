@@ -60,6 +60,18 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected non-sort exchange in ingest plan:\n$p")
   }
 
+  test("q70 bucket minima avoid the whole-bucket window straggler") {
+    val df = ops.Dedup.q70MinhashLsh(spark, sf)
+    val p = plan(df)
+    // no Window over (band, sig): a mega-bucket would pin one task
+    assert(!p.contains("Window"), s"whole-bucket window back in the plan:\n$p")
+    // the narrow bucket frame is checkpoint-materialized and read back, so
+    // the signature pipeline is absent from (= computed outside) this plan
+    assert(p.contains("ExistingRDD"), s"bucket frame not materialized:\n$p")
+    assert(!p.contains("arrays_zip"),
+      s"signature computation re-runs inside the consumer plan:\n$p")
+  }
+
   test("scalar queries stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

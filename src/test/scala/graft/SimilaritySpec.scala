@@ -70,6 +70,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.size === 10, s"unexpected extra pairs: $pairs")
   }
 
+  test("lshNearDups geometry derives from corpus size and clamps") {
+    // 250-vector target bucket: small corpora stay at the 2-bit floor,
+    // 10^9 vectors get ~22 bits (4M buckets), petabyte corpora clamp at 24
+    assert(Similarity.bitsForCorpus(50) === 2)
+    assert(Similarity.bitsForCorpus(1000) === 2)
+    assert(Similarity.bitsForCorpus(256000) === 10)
+    assert(Similarity.bitsForCorpus(1000000000L) === 22)
+    assert(Similarity.bitsForCorpus(Long.MaxValue) === 24)
+    // explicit geometry overrides the derivation (planted pairs still found)
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(7)
+    def randVec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val bases = (0 until 20).map(i => (i.toLong, randVec()))
+    val clones = (0 until 5).map { i =>
+      ((100 + i).toLong,
+        bases(i)._2.map(x => x + 0.001f * rng.nextGaussian().toFloat))
+    }
+    val e = (bases ++ clones).toDF("vec_id", "embedding")
+    val pairs = ops.Similarity
+      .lshNearDups(e, minCos = 0.98, numTables = 4, bitsPerTable = 3)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, (100 + i).toLong)))
+    }
+  }
+
   test("as-of join: every matched click precedes its purchase") {
     val out = ops.Similarity.q16Asof(spark, SparkSuite.sf)
       .filter(col("last_click_ts").isNotNull)

@@ -1,0 +1,110 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Http, WarehouseSink}
+
+/** Out-of-engine source/sink edges: the HTTP fetch utility (against a local
+  * socket stub — zero egress) and the JDBC sink round-trip (embedded Derby,
+  * which ships in /opt/spark/jars). */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+
+  /** Serve `responses` (raw HTTP bytes) to consecutive connections on an
+    * ephemeral port, consuming each request's header block first. */
+  private def withStubServer(responses: Seq[String])(
+      body: Int => Unit): Unit = {
+    val server = new ServerSocket(0)
+    val thread = new Thread(() => {
+      responses.foreach { resp =>
+        val s = server.accept()
+        try {
+          val in = s.getInputStream
+          val seen = new ByteArrayOutputStream()
+          var c = in.read()
+          var done = c == -1
+          while (!done) {
+            seen.write(c)
+            if (seen.toString(US_ASCII).endsWith("\r\n\r\n")) done = true
+            else {
+              c = in.read()
+              done = c == -1
+            }
+          }
+          s.getOutputStream.write(resp.getBytes(US_ASCII))
+          s.getOutputStream.flush()
+        } finally s.close()
+      }
+    })
+    thread.setDaemon(true)
+    thread.start()
+    try body(server.getLocalPort)
+    finally server.close()
+  }
+
+  private def resp(code: String, bodyText: String): String =
+    s"HTTP/1.1 $code\r\nContent-Length: ${bodyText.length}\r\n" +
+      s"Connection: close\r\n\r\n$bodyText"
+
+  test("Http.fetchWithRetry recovers from a transient 500 on the retry") {
+    withStubServer(Seq(
+      resp("500 Internal Server Error", ""),
+      resp("200 OK", "trip-bytes"))) { port =>
+      val got = Http.fetchWithRetry(s"http://127.0.0.1:$port/data.parquet",
+        retries = 1, backoffMs = 10L)
+      assert(new String(got, US_ASCII) === "trip-bytes")
+    }
+  }
+
+  test("Http.fetchWithRetry fails fast on 404 (the skip branch, not retry)") {
+    withStubServer(Seq(resp("404 Not Found", ""))) { port =>
+      val e = intercept[IllegalArgumentException] {
+        Http.fetchWithRetry(s"http://127.0.0.1:$port/missing-month",
+          retries = 3, backoffMs = 10L)
+      }
+      assert(e.getMessage.contains("404"))
+      // and the URL (which may carry credentials) is not in the error
+      assert(!e.getMessage.contains("127.0.0.1"))
+    }
+  }
+
+  test("Http.fetchWithRetry exhausts retries and surfaces the IO error") {
+    withStubServer(Seq(
+      resp("503 Service Unavailable", ""),
+      resp("502 Bad Gateway", ""))) { port =>
+      val e = intercept[java.io.IOException] {
+        Http.fetchWithRetry(s"http://127.0.0.1:$port/flaky",
+          retries = 1, backoffMs = 10L)
+      }
+      assert(e.getMessage.contains("502"))
+    }
+  }
+
+  test("JDBC sink round-trips the conformed trip table through Derby") {
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftwh;create=true"
+    val trips = Schemas.conform(
+      ops.Pipeline.syntheticTripsRaw(spark, SparkSuite.sf),
+      Schemas.fhvhvTripdata, Schemas.fhvhvRenames)
+      .orderBy(col("dispatching_base_num")).limit(200)
+    WarehouseSink.jdbcAppend(trips, url, "trips", props).save()
+    def readBack = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "trips")
+      .option("driver", props("driver")).load()
+    val back = readBack
+    assert(back.count() === 200)
+    assert(back.columns.sorted === trips.columns.sorted)
+    assert(back.exceptAll(trips).isEmpty && trips.exceptAll(back).isEmpty)
+    // blind append is the reference's semantic (etl.py:53-55): a re-run
+    // doubles the rows — which is exactly why dedupAppend exists
+    WarehouseSink.jdbcAppend(trips, url, "trips", props).save()
+    assert(readBack.count() === 400)
+    assert(WarehouseSink.dedupAppend(trips, readBack,
+      ops.Pipeline.tripKey).count() === 0)
+  }
+}
