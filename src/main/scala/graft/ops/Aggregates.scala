@@ -104,13 +104,21 @@ object Aggregates {
     def withinRsd(approx: Column, exact: Column): Column =
       abs(approx.cast("double") - exact.cast("double")) <=
         exact.cast("double") * lit(0.06)
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
+    // Exact and approx run as SEPARATE grouped aggregates joined on the
+    // tiny group key: mixing multi-column DISTINCT with the imperative HLL
+    // buffer in one agg forces a sort-based aggregate over the Expand'd
+    // (3×) input — measured ~6× slower than these two codegen'd hash
+    // aggregates plus a 3-row broadcast join.
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    exact.join(approx, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         withinRsd(col("approx_parts"), col("exact_parts")).as("parts_in_bounds"),
         withinRsd(col("approx_orders"), col("exact_orders")).as("orders_in_bounds"))
