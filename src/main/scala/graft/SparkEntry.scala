@@ -53,6 +53,7 @@ object SparkEntry {
     "q42_math"           -> (Scalars.q42Math _),
     "q43_null"           -> (Scalars.q43Null _),
     "q44_json"           -> (Scalars.q44Json _),
+    "q45_links"          -> (Scalars.q45Links _),
     "q16_asof"           -> (Similarity.q16Asof _),
     "q36_dedup"          -> (Dedup.q36Dedup _),
     "q50_similarity"     -> (Similarity.q50Similarity _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q42_math"           -> Scalars.q42Sql,
     "q43_null"           -> Scalars.q43Sql,
     "q44_json"           -> Scalars.q44Sql,
+    "q45_links"          -> Scalars.q45Sql,
     "q16_asof"           -> Similarity.q16Sql,
     "q36_dedup"          -> Dedup.q36Sql,
     "q50_similarity"     -> Similarity.q50Sql,

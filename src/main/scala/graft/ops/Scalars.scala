@@ -64,6 +64,59 @@ object Scalars {
       |  length(o_orderpriority) AS prio_len
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q45_links — the reference's listing-page scrape as a real extraction
+    * operator, not just a predicate: its DAG xpath-scrapes every `<a>` href
+    * containing "fhvhv_tripdata_" from the TLC download page
+    * (`populate_s3.py:21`), then parses the year from the filename
+    * (`populate_s3.py:75-76`). Here: synthesize a page per order row (the
+    * fixtures carry no HTML), `regexp_extract_all` every href, explode to
+    * one row per link, keep tripdata links, recover year + filename. All
+    * map-side (pattern work inside codegen) — a 100 TB crawl of listing
+    * pages shuffles nothing until the links aggregate downstream. */
+  def q45Links(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val page = concat(
+      lit("<html><body><a href=\"/trip-data/fhvhv_tripdata_"),
+      year(col("o_orderdate")), lit("-0"), (col("o_orderkey") % 9 + 1),
+      lit(".parquet\">fhvhv</a><a href=\"/trip-data/green_tripdata_"),
+      year(col("o_orderdate")),
+      lit("-01.parquet\">green</a><a href=\"/about.html\">about</a>"),
+      lit("</body></html>"))
+    o.select(col("o_orderkey"), page.as("page"))
+      .select(col("o_orderkey"),
+        explode(regexp_extract_all(col("page"),
+          lit("href=\"([^\"]+)\""), lit(1))).as("href"))
+      .filter(col("href").contains("fhvhv_tripdata_"))
+      .select(
+        col("o_orderkey"), col("href"),
+        element_at(split(col("href"), "/"), -1).as("filename"),
+        regexp_extract(col("href"), "tripdata_(\\d{4})-", 1).cast("int")
+          .as("file_year"))
+      .orderBy(col("o_orderkey"), col("href"))
+  }
+
+  val q45Sql: String =
+    """WITH pages AS (
+      |  SELECT o_orderkey,
+      |         '<html><body><a href="/trip-data/fhvhv_tripdata_'
+      |         || year(o_orderdate) || '-0' || (o_orderkey % 9 + 1)
+      |         || '.parquet">fhvhv</a><a href="/trip-data/green_tripdata_'
+      |         || year(o_orderdate)
+      |         || '-01.parquet">green</a><a href="/about.html">about</a>'
+      |         || '</body></html>' AS page
+      |  FROM orders),
+      |links AS (
+      |  SELECT o_orderkey,
+      |         unnest(regexp_extract_all(page, 'href="([^"]+)"', 1)) AS href
+      |  FROM pages)
+      |SELECT o_orderkey, href,
+      |       string_split(href, '/')[-1] AS filename,
+      |       CAST(regexp_extract(href, 'tripdata_(\d{4})-', 1) AS INTEGER)
+      |         AS file_year
+      |FROM links
+      |WHERE contains(href, 'fhvhv_tripdata_')
+      |ORDER BY o_orderkey, href""".stripMargin
+
   /** q41_datetime — date-part extraction and month arithmetic (mirrors the
     * DAG's execution-date handling, `save_nyc_data_to_s3.py:62-64,84-86`, and
     * its monthly-schedule arithmetic `:54`). */
