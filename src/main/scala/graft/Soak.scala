@@ -67,10 +67,17 @@ object Soak {
     // replicas — identical copies are true near-dups, whose pair count is
     // quadratic by definition.
     time("lsh_neardup_scaling") {
+      // fract(sin(x)·43758.5453) per component (the classic shader hash):
+      // effectively iid uniform. A plain sin(id·64+j) is NOT usable —
+      // sin(64i+j) = sin(64i)cos(j)+cos(64i)sin(j) puts every vector on a
+      // circle in a 2-D subspace, where more LSH bits cannot shrink buckets
+      // and candidate growth is quadratic for any geometry.
       def synth(n: Int): DataFrame =
         spark.range(n).select(col("id").as("vec_id"),
           expr("transform(sequence(0, 63), " +
-            "j -> CAST(sin(CAST(id * 64 + j AS DOUBLE)) AS FLOAT))")
+            "j -> CAST(sin(CAST(id * 64 + j AS DOUBLE)) * 43758.5453 " +
+            "- floor(sin(CAST(id * 64 + j AS DOUBLE)) * 43758.5453) " +
+            "- 0.5 AS FLOAT))")
             .as("embedding"))
       val c1 = graft.ops.Similarity.lshNearDups(synth(4000), -1.0).count()
       val c2 = graft.ops.Similarity.lshNearDups(synth(8000), -1.0).count()
