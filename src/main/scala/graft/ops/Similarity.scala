@@ -280,6 +280,101 @@ object Similarity {
       math.ceil(math.log((math.max(n, 1L).toDouble / TargetBucketSize))
         / math.log(2.0)).toInt))
 
+  /** q76_ivf_topk — IVF-style ANN, the coarse-quantizer alternative to
+    * q74's LSH: vectors are assigned to their nearest centroid (inverted
+    * lists), queries probe only the top-`nprobe` closest lists and
+    * brute-force within them. Fully oracle-checked (the argmax is over
+    * 4-dp-rounded cosines with an id tie-break — engine-independent).
+    *
+    * Centroids here are a fixed slice of the corpus (vec_id < 8) so the
+    * oracle can reproduce them; production would seed k-means|| for a few
+    * rounds — the assignment/probe plan shapes are identical. Scale shape:
+    * assignment is one broadcast pass + a narrow (vec_id, cent_id, cs)
+    * hash-aggregate argmax (embeddings never shuffle); the probe join
+    * touches only `nprobe/k` of the corpus per query. */
+  def q76IvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // centroid similarities, narrow rows only (score drops the arrays)
+    val acs = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(cosine(col("embedding"), col("cent_emb")), 4).as("cs"))
+    // argmax as a single hash-aggregate on a lexicographic struct max
+    // (cs desc, then smallest cent_id): map-side combine, no window — the
+    // per-vector group never lands whole on one task
+    val assigned = acs
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cs"), (-col("cent_id")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("cent_id"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cs"), col("cent_id"))
+    val probes = acs.filter(col("vec_id") < 5)
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("cand_id"))
+    probes
+      .join(assigned.select(col("vec_id").as("cand_id"), col("cent_id")),
+        Seq("cent_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb")), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q76Sql: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_emb
+      |  FROM embeddings WHERE vec_id < 8),
+      |ap AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |         unnest(e.embedding)::DOUBLE AS x,
+      |         unnest(c.cent_emb)::DOUBLE AS y
+      |  FROM embeddings e, cents c),
+      |acs AS (
+      |  SELECT vec_id, cent_id,
+      |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) AS cs
+      |  FROM ap GROUP BY vec_id, cent_id),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY cs DESC, cent_id) AS rk
+      |    FROM acs) WHERE rk = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM (
+      |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY cs DESC, cent_id) AS rk
+      |    FROM acs WHERE vec_id < 5) WHERE rk <= 2),
+      |cands AS (
+      |  SELECT p.query_id, a.vec_id AS cand_id
+      |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+      |  WHERE a.vec_id <> p.query_id),
+      |sp AS (
+      |  SELECT cd.query_id, cd.cand_id,
+      |         unnest(qe.embedding)::DOUBLE AS x,
+      |         unnest(ce.embedding)::DOUBLE AS y
+      |  FROM cands cd JOIN embeddings qe ON qe.vec_id = cd.query_id
+      |                JOIN embeddings ce ON ce.vec_id = cd.cand_id),
+      |s AS (
+      |  SELECT query_id, cand_id,
+      |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+      |           AS cos_sim
+      |  FROM sp GROUP BY query_id, cand_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cos_sim DESC, cand_id) AS rank
+      |  FROM s)
+      |SELECT query_id, cand_id, cos_sim, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Production-path embedding near-dup detection over any
     * (vec_id, embedding) frame: candidate pairs come from the multi-table
     * LSH buckets (not an id band — that bound in q73 exists only for oracle

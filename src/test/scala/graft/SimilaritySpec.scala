@@ -70,6 +70,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.size === 10, s"unexpected extra pairs: $pairs")
   }
 
+  test("IVF top-k is a valid ANN: subset of probed lists, sane recall") {
+    val sfDir = SparkSuite.sf
+    val ivf = ops.Similarity.q76IvfTopk(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val brute = ops.Similarity.q75BruteTopk(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // 2 of 8 probed lists ≈ 1/4 of a near-orthogonal corpus scanned; exact
+    // recall is fixture-dependent but must beat random candidate selection
+    assert(recall >= 0.2, s"IVF recall $recall below sanity floor")
+  }
+
   test("lshNearDups geometry derives from corpus size and clamps") {
     // 250-vector target bucket: small corpora stay at the 2-bit floor,
     // 10^9 vectors get ~22 bits (4M buckets), petabyte corpora clamp at 24
