@@ -21,6 +21,10 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
+      if (n == "q04_pipeline")
+        println("NOTE: q04 constructs eagerly (runs its warehouse/raw-zone " +
+          "loads); the plan below is only the final read-back. Audit the " +
+          "pipeline stages via ops.Pipeline.runTripPipeline directly.")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()

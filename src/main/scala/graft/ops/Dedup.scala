@@ -116,7 +116,9 @@ object Dedup {
     // its shuffle, so the two exchanges have different children), and a
     // plain persist on a lazily-returned frame would leak cached blocks —
     // checkpointed RDDs are reclaimed by the ContextCleaner once the plan
-    // is garbage-collected. ~16 bytes × bands per doc, spillable.
+    // is garbage-collected. ~16 bytes × bands per doc, spillable. (Same
+    // executor-loss trade-off as lshNearDups — see Similarity.scala; a
+    // long-lived cluster job would use a reliable checkpoint dir.)
     val buckets = signed
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))

@@ -90,10 +90,22 @@ object Pipeline {
   /** q04_pipeline — the assembled pipeline, oracle-checked: runs the two
     * loads into a fresh scratch dir, then returns the warehouse read-back
     * in natural-key order. Row count (and hence the hash) proves the
-    * idempotency guard: a broken dedup yields 2× rows. */
+    * idempotency guard: a broken dedup yields 2× rows.
+    *
+    * NOTE: unlike every other registered query, construction is EAGER (the
+    * loads are actions) — plan-only consumers like [[graft.Explain]] see
+    * just the read-back scan. The scratch dir is removed on JVM exit, so
+    * repeated bench/verify invocations don't accumulate /tmp copies. */
   def q04Pipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft-q04").toString
-    runTripPipeline(spark, sfDir, root)
+    val root = Files.createTempDirectory("graft-q04")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    runTripPipeline(spark, sfDir, root.toString)
     spark.read.parquet(s"$root/warehouse")
       .orderBy(col("dispatching_base_num"))
   }

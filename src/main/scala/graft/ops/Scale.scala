@@ -32,9 +32,14 @@ object Scale {
     // The salt must be a pure function of row CONTENT: partition-id or
     // monotonic ids change when a shuffle-fetch failure re-executes a task,
     // which could route already-consumed rows to a different salt — a
-    // double-count/loss hazard. Content-hashed salts are retry-stable
-    // (identical rows share a salt, which only narrows the spread for
-    // exact duplicates — harmless for algebraic aggregates).
+    // double-count/loss hazard. Content-hashed salts are retry-stable.
+    // Identical rows share a salt, which narrows the spread for EXACT
+    // duplicates — harmless here because the algebraic-aggregate contract
+    // means map-side partial combine collapses duplicates per partition
+    // before the shuffle (a reducer sees ≤ #partitions rows per salt
+    // group). If a workload needs salting for non-combinable buffers over
+    // duplicate-heavy data, dedup first (q36) — a deterministic salt
+    // cannot split byte-identical rows.
     val salted = df.withColumn("__salt",
       pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)))
     val phase1 = salted

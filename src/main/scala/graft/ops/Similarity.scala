@@ -152,9 +152,10 @@ object Similarity {
     * LSH table, union same-bucket candidates across tables (distinct), then
     * brute-force cosine only on that candidate set; top-5 per query. The
     * shuffle key is (table, bucket) — per-query work is O(candidates), not
-    * O(corpus). Approximation quality is covered by the ScalaTest recall test
-    * against the brute-force baseline (driver records a rows-only check —
-    * LSH bucketing has no SQL twin). */
+    * O(corpus). Fully oracle-checked via [[q74Sql]] (generated SQL with the
+    * seeded plane constants inlined as literals); approximation quality is
+    * additionally covered by the ScalaTest recall test against the
+    * brute-force baseline. */
   def q74AnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val e = withLshBuckets(Tables.embeddings(spark, sfDir))
     val queries = e.filter(col("vec_id") < 5)
@@ -402,6 +403,13 @@ object Similarity {
     // generate candidate id-pairs from it, dedup them BEFORE scoring (one
     // kernel call per pair, not per bucket collision), then join the
     // embeddings back just for the surviving candidates.
+    // Trade-off: localCheckpoint truncates lineage and stores blocks
+    // unreplicated — an executor loss mid-job fails the job instead of
+    // recomputing. On a long-lived production cluster prefer a reliable
+    // checkpoint dir (sc.setCheckpointDir + .checkpoint()) or a
+    // caller-managed persist/unpersist around a materialization point;
+    // here the GC-managed lifecycle wins because this function returns a
+    // lazy frame and cannot know when to unpersist.
     val assign = withLshBuckets(embeddings, makePlanes(numTables, bits))
       .select(col("vec_id"), col("tbl"), col("bkt"))
       .localCheckpoint()

@@ -73,6 +73,57 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("Http.fetchWithRetry follows a redirect to the new location") {
+    // stub: 301 to /moved on the same socket, then the real payload
+    def respRedirect(port: Int): String =
+      s"HTTP/1.1 301 Moved Permanently\r\n" +
+        s"Location: http://127.0.0.1:$port/moved\r\n" +
+        "Content-Length: 0\r\nConnection: close\r\n\r\n"
+    val server = new ServerSocket(0)
+    try {
+      val port = server.getLocalPort
+      val thread = new Thread(() => {
+        Seq(respRedirect(port), resp("200 OK", "moved-bytes")).foreach { r =>
+          val s = server.accept()
+          try {
+            val in = s.getInputStream
+            val seen = new ByteArrayOutputStream()
+            var c = in.read()
+            var done = c == -1
+            while (!done) {
+              seen.write(c)
+              if (seen.toString(US_ASCII).endsWith("\r\n\r\n")) done = true
+              else { c = in.read(); done = c == -1 }
+            }
+            s.getOutputStream.write(r.getBytes(US_ASCII))
+            s.getOutputStream.flush()
+          } finally s.close()
+        }
+      })
+      thread.setDaemon(true)
+      thread.start()
+      val got = Http.fetchWithRetry(s"http://127.0.0.1:$port/old",
+        retries = 0, backoffMs = 10L)
+      assert(new String(got, US_ASCII) === "moved-bytes")
+    } finally server.close()
+  }
+
+  test("Http.fetchWithRetry redacts the URL from every error path") {
+    // malformed URL: URI.create's message embeds the raw input — must not
+    val bad = intercept[IllegalArgumentException] {
+      Http.fetchWithRetry("http://host/with space?X-Sig=SECRET", retries = 0)
+    }
+    assert(!bad.getMessage.contains("SECRET"))
+    // unresolvable host: UnknownHostException carries the hostname
+    val io = intercept[java.io.IOException] {
+      Http.fetchWithRetry("http://secret-host-name.invalid/x",
+        retries = 0, backoffMs = 1L, connectTimeoutMs = 500,
+        readTimeoutMs = 500)
+    }
+    assert(!io.getMessage.contains("secret-host-name"))
+    assert(io.getCause === null)
+  }
+
   test("Http.fetchWithRetry exhausts retries and surfaces the IO error") {
     withStubServer(Seq(
       resp("503 Service Unavailable", ""),
