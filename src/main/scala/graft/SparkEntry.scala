@@ -31,6 +31,7 @@ object SparkEntry {
     "q14_join_semi"      -> (Relational.q14JoinSemi _),
     "q15_join_range"     -> (Relational.q15JoinRange _),
     "q17_join_theta"     -> (Relational.q17JoinTheta _),
+    "q18_join_bucketed"  -> (sources.Bucketing.q18JoinBucketed _),
     "q20_agg_group"      -> (Aggregates.q20AggGroup _),
     "q21_agg_global"     -> (Aggregates.q21AggGlobal _),
     "q22_agg_distinct"   -> (Aggregates.q22AggDistinct _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "q14_join_semi"      -> Relational.q14Sql,
     "q15_join_range"     -> Relational.q15Sql,
     "q17_join_theta"     -> Relational.q17Sql,
+    "q18_join_bucketed"  -> sources.Bucketing.q18Sql,
     "q20_agg_group"      -> Aggregates.q20Sql,
     "q21_agg_global"     -> Aggregates.q21Sql,
     "q22_agg_distinct"   -> Aggregates.q22Sql,

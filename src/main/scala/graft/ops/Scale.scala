@@ -50,14 +50,8 @@ object Scale {
       .agg(merges.head, merges.tail: _*)
   }
 
-  /** Persist two frames as bucketed+sorted tables on their join key, so
-    * every subsequent equi-join on that key is exchange-free (bucket-local
-    * sort-merge). This is the "pre-shuffle once, join many times" pattern:
-    * at 100 TB the one-time bucketed write amortizes across every downstream
-    * join and aggregation on the same key. */
-  def bucketFor(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write.bucketBy(buckets, key).sortBy(key)
-      .mode("overwrite").format("parquet")
-      .saveAsTable(table)
+  // Bucketed co-located joins live in [[graft.sources.Bucketing]] — the
+  // "pre-shuffle once, join many times" pattern is a storage-layout
+  // concern (it needs a catalog-registered external path), exercised
+  // end-to-end by q18_join_bucketed + the PlanSpec exchange-free assertion.
 }

@@ -72,6 +72,33 @@ class PlanSpec extends AnyFunSuite {
       s"signature computation re-runs inside the consumer plan:\n$p")
   }
 
+  test("bucketed pair join is exchange-free; plain-read join is not") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bucket-plan")
+    // disable broadcast so the small sf fixture can't sidestep the shuffle
+    // question with a BHJ — at 100 TB neither side broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      sources.Bucketing.writeTripPair(spark, sf, root.toString, "plan_b")
+      val joined = sources.Bucketing.colocatedJoin(spark, "plan_b")
+        .select("o_orderkey", "l_linenumber")
+      assert(!plan(joined).contains("Exchange"),
+        s"bucketed join reinstated a shuffle:\n${plan(joined)}")
+      // control: the identical join over plain (unbucketed) reads MUST
+      // shuffle — proves the assertion above is observing the layout, not
+      // a planner quirk
+      val control = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+        .select("o_orderkey", "l_linenumber")
+      assert(plan(control).contains("Exchange"), plan(control))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("plan_b_orders", "plan_b_lineitem")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("scalar queries stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

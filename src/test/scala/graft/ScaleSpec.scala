@@ -21,31 +21,7 @@ class ScaleSpec extends AnyFunSuite {
     assert(direct.collect().toSeq === salted.collect().toSeq)
   }
 
-  test("bucketed tables join without an exchange") {
-    val sp = spark
-    Scale.bucketFor(Tables.lineitem(sp, SparkSuite.sf)
-      .select("l_orderkey", "l_quantity"), "li_bucketed", "l_orderkey", 8)
-    Scale.bucketFor(Tables.orders(sp, SparkSuite.sf)
-      .select("o_orderkey", "o_orderpriority"), "o_bucketed", "o_orderkey", 8)
-    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    sp.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val joined = sp.table("li_bucketed").join(sp.table("o_bucketed"),
-        col("l_orderkey") === col("o_orderkey"))
-      val plan = joined.queryExecution.executedPlan.toString()
-      assert(plan.contains("SortMergeJoin"), s"plan:\n$plan")
-      assert(!plan.contains("Exchange"),
-        s"bucketed join should be shuffle-free:\n$plan")
-      // and it still computes the right thing
-      val expected = Tables.lineitem(sp, SparkSuite.sf)
-        .join(Tables.orders(sp, SparkSuite.sf),
-          col("l_orderkey") === col("o_orderkey")).count()
-      assert(joined.count() === expected)
-    } finally {
-      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      sp.conf.set("spark.sql.adaptive.enabled", "true")
-      sp.sql("DROP TABLE IF EXISTS li_bucketed")
-      sp.sql("DROP TABLE IF EXISTS o_bucketed")
-    }
-  }
+  // The bucketed co-located join moved to sources.Bucketing: plan shape
+  // (exchange-free vs a shuffling control) is asserted in PlanSpec, and
+  // result correctness is the q18_join_bucketed oracle row.
 }
