@@ -51,6 +51,47 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming deduplication with BOUNDED state: drops duplicate keys that
+    * arrive within the watermark delay of each other, then evicts the key's
+    * state once the watermark passes it. The training-data-pipeline staple —
+    * upstream crawlers and retried producers emit the same record more than
+    * once, and plain `dropDuplicates` on a stream would keep every key ever
+    * seen (state O(distinct keys forever), an unbounded-memory design at
+    * 100 TB/day). This form keeps state O(keys per watermark horizon).
+    *
+    * Contract: exact dedup for duplicates that arrive within `watermark` of
+    * the first copy; a copy arriving later than that may be re-emitted —
+    * the standard at-scale trade (bounded state for a bounded dedup
+    * horizon). Downstream exact dedup (q36) covers the archival layer. */
+  def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked stream-stream interval join (click attribution shape):
+    * joins each click to its impression when the click lands within
+    * `maxDelaySeconds` of the impression. Expects `impressions(imp_id,
+    * imp_ts, …)` and `clicks(click_imp_id, click_ts, …)`.
+    *
+    * Both sides are watermarked and the join predicate carries the
+    * time-range bound, so Spark derives a state eviction horizon for BOTH
+    * buffers (impression state lives watermark + maxDelay, click state
+    * lives watermark) — without the range condition a stream-stream join
+    * must buffer one side forever. That predicate is the difference
+    * between a bounded-state operator and an OOM at production volume. */
+  def streamIntervalJoin(impressions: DataFrame, clicks: DataFrame,
+      maxDelaySeconds: Long = 3600L,
+      watermark: String = "2 hours"): DataFrame =
+    impressions.withWatermark("imp_ts", watermark)
+      .join(
+        clicks.withWatermark("click_ts", watermark),
+        expr(
+          s"""imp_id = click_imp_id
+             |AND click_ts >= imp_ts
+             |AND click_ts <= imp_ts + INTERVAL $maxDelaySeconds SECONDS
+             |""".stripMargin),
+        "inner")
+
   /** Input/state/output records for the custom sessionizer. State holds ALL
     * sessions not yet finalized by the watermark (late events within the
     * allowed lateness may still extend or create earlier sessions). */

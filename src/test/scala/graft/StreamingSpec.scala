@@ -69,6 +69,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-horizon duplicates and evicts expired state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = streaming.Streams.dedupStream(
+      input.toDF().toDF("doc_id", "ts", "payload"),
+      keys = Seq("doc_id"), tsCol = "ts", watermark = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      // same key twice in one batch + once more in the next batch, all
+      // within the watermark horizon → exactly one output row
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "a"),
+        (1L, ts("2024-01-01 10:00:30"), "a-dup-same-batch"),
+        (2L, ts("2024-01-01 10:01:00"), "b"))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:20:00"), "a-dup-next-batch"))
+      q.processAllAvailable()
+      assert(sp.table("dedup_stream").groupBy("doc_id").count()
+        .as[(Long, Long)].collect().toMap === Map(1L -> 1L, 2L -> 1L))
+
+      // advance event time far past the horizon: key 1's dedup state has
+      // been evicted, so a very late duplicate re-emits — the documented
+      // bounded-state trade, asserted so the contract can't drift silently
+      input.addData((9L, ts("2024-01-01 20:00:00"), "advance-watermark"))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 19:30:00"), "a-after-horizon"))
+      q.processAllAvailable()
+      assert(sp.table("dedup_stream").filter(col("doc_id") === 1L).count()
+        === 2)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes clicks within the window") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = streaming.Streams.streamIntervalJoin(
+      imps.toDF().toDF("imp_id", "imp_ts"),
+      clicks.toDF().toDF("click_imp_id", "click_ts"),
+      maxDelaySeconds = 3600L, watermark = "2 hours")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try {
+      imps.addData((10L, ts("2024-01-01 10:00:00")),
+        (11L, ts("2024-01-01 10:05:00")))
+      clicks.addData(
+        (10L, ts("2024-01-01 10:20:00")), // within 1h → attributed
+        (11L, ts("2024-01-01 11:30:00")), // 85m later → outside window
+        (12L, ts("2024-01-01 10:10:00"))) // no matching impression
+      q.processAllAvailable()
+      val got = sp.table("ssjoin").select("imp_id", "click_ts")
+        .as[(Long, Timestamp)].collect().toSet
+      assert(got === Set((10L, ts("2024-01-01 10:20:00"))))
+    } finally q.stop()
+  }
+
   test("AvailableNow file stream ingests each file exactly once") {
     val sp = spark
     val srcDir = Files.createTempDirectory("graft_stream_src").toString
