@@ -73,6 +73,7 @@ object SparkEntry {
     "q74_ann_topk"       -> (Similarity.q74AnnTopk _),
     "q75_brute_topk"     -> (Similarity.q75BruteTopk _),
     "q76_ivf_topk"       -> (Similarity.q76IvfTopk _),
+    "q77_corpus_clean"   -> (Corpus.q77CorpusClean _),
     "q80_multimodal"     -> (Multimodal.q80Multimodal _),
     "q81_media_features" -> (Multimodal.q81MediaFeatures _),
     "q82_frame_sample"   -> (Multimodal.q82FrameSample _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "q74_ann_topk"       -> Similarity.q74Sql,
     "q75_brute_topk"     -> Similarity.q75Sql,
     "q76_ivf_topk"       -> Similarity.q76Sql,
+    "q77_corpus_clean"   -> Corpus.q77Sql,
     "q80_multimodal"     -> Multimodal.q80Sql,
     "q81_media_features" -> Multimodal.q81Sql,
     "q82_frame_sample"   -> Multimodal.q82Sql,

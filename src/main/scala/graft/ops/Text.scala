@@ -47,7 +47,7 @@ object Text {
     (length(col("text")) - length(expr(s"replace(text, '$marker', '')"))) /
       lit(marker.length)
 
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[ops] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("th", "he", "er"),
     "es" -> Seq("os", "ar", "la"),
     "fr" -> Seq("le", "ou", "on"),
@@ -59,38 +59,54 @@ object Text {
     * preference order for ties. (The fixture text is synthetic word soup, so
     * the prediction needn't match the `lang` column — the operator is the
     * deliverable, and the oracle checks the identical computation.) */
-  def q52Langid(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = langMarkers.foldLeft(Tables.documents(spark, sfDir)) {
-      case (df, (lang, ms)) =>
-        df.withColumn(s"score_$lang",
+  /** Add one `score_<lang>` column per language — map-side, reusable by any
+    * frame carrying a `text` column (q52 and the q77 cleaning pipeline). */
+  private[ops] def withLangScores(df: DataFrame): DataFrame =
+    langMarkers.foldLeft(df) {
+      case (d, (lang, ms)) =>
+        d.withColumn(s"score_$lang",
           ms.map(occ).reduce(_ + _).cast("long"))
     }
+
+  /** Argmax over the `score_<lang>` columns with a fixed preference order
+    * for ties. foldRight builds when(en)...when(zh) outermost-first, so
+    * earlier languages win ties — mirror the same CASE order in SQL. */
+  private[ops] def langPredCol: Column = {
     val best = langMarkers.map { case (l, _) => col(s"score_$l") }
       .reduce((a, b) => greatest(a, b))
-    val pred = langMarkers.foldRight(lit("und"): Column) {
+    langMarkers.foldRight(lit("und"): Column) {
       case ((l, _), acc) => when(col(s"score_$l") === best, lit(l))
         .otherwise(acc)
     }
-    // foldRight builds when(en)...when(zh) outermost-first, so earlier
-    // languages win ties — mirror the same CASE order in SQL.
-    scored
-      .select(col("doc_id") +: col("lang").as("actual_lang") +:
-        pred.as("pred_lang") +:
-        langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
-      .orderBy(col("doc_id"))
   }
 
-  val q52Sql: String = {
-    val scoreExprs = langMarkers.map { case (l, ms) =>
+  def q52Langid(spark: SparkSession, sfDir: String): DataFrame =
+    withLangScores(Tables.documents(spark, sfDir))
+      .select(col("doc_id") +: col("lang").as("actual_lang") +:
+        langPredCol.as("pred_lang") +:
+        langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+      .orderBy(col("doc_id"))
+
+  /** SQL twins of [[withLangScores]]/[[langPredCol]], for oracle
+    * generation here and in the q77 pipeline. */
+  private[ops] val langScoreSqlExprs: String =
+    langMarkers.map { case (l, ms) =>
       val terms = ms.map(m =>
         s"(length(text) - length(replace(text, '$m', ''))) / ${m.length}")
       s"CAST(${terms.mkString(" + ")} AS BIGINT) AS score_$l"
     }.mkString(",\n         ")
+
+  private[ops] val langCaseSql: String = {
     val greatest5 = langMarkers.map { case (l, _) => s"score_$l" }
       .mkString("greatest(", ", ", ")")
-    val caseExpr = langMarkers.map { case (l, _) =>
+    langMarkers.map { case (l, _) =>
       s"WHEN score_$l = $greatest5 THEN '$l'"
     }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  val q52Sql: String = {
+    val scoreExprs = langScoreSqlExprs
+    val caseExpr = langCaseSql
     s"""WITH scored AS (
        |  SELECT doc_id, lang AS actual_lang,
        |         $scoreExprs
@@ -100,7 +116,24 @@ object Text {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[ops] val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Composite quality score over the per-doc token aggregates
+    * (n_tokens, sum_tok_len, n_stop). ONE fixed expression tree shared by
+    * q53 and the q77 pipeline — the oracle hash depends on these exact
+    * IEEE operations in this exact order. */
+  private[ops] def qualityScoreCol: Column =
+    least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5) +
+      (col("n_stop") / col("n_tokens")) * lit(0.25) +
+      least((col("sum_tok_len") / col("n_tokens")) / lit(10.0),
+        lit(1.0)) * lit(0.25)
+
+  /** The SQL twin of [[qualityScoreCol]]. */
+  private[ops] def qualityScoreSql(prefix: String = ""): String =
+    s"least(${prefix}n_tokens / 100.0, 1.0) * 0.5" +
+      s" + (${prefix}n_stop / ${prefix}n_tokens) * 0.25" +
+      s" + least((${prefix}sum_tok_len / ${prefix}n_tokens) / 10.0, 1.0)" +
+      " * 0.25"
 
   /** q53_quality — document quality scoring: token count, average token
     * length, stopword ratio, and a bounded composite score. All ratios are
@@ -121,10 +154,7 @@ object Text {
         col("doc_id"), col("n_tokens"),
         (col("sum_tok_len") / col("n_tokens")).as("avg_tok_len"),
         (col("n_stop") / col("n_tokens")).as("stop_ratio"),
-        (least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5)
-          + (col("n_stop") / col("n_tokens")) * lit(0.25)
-          + least((col("sum_tok_len") / col("n_tokens")) / lit(10.0),
-              lit(1.0)) * lit(0.25)).as("quality_score"))
+        qualityScoreCol.as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -141,10 +171,7 @@ object Text {
        |SELECT doc_id, n_tokens,
        |       sum_tok_len / n_tokens AS avg_tok_len,
        |       n_stop / n_tokens AS stop_ratio,
-       |       least(n_tokens / 100.0, 1.0) * 0.5
-       |         + (n_stop / n_tokens) * 0.25
-       |         + least((sum_tok_len / n_tokens) / 10.0, 1.0) * 0.25
-       |         AS quality_score
+       |       ${qualityScoreSql()} AS quality_score
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
