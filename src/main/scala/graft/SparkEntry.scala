@@ -74,6 +74,7 @@ object SparkEntry {
     "q75_brute_topk"     -> (Similarity.q75BruteTopk _),
     "q76_ivf_topk"       -> (Similarity.q76IvfTopk _),
     "q77_corpus_clean"   -> (Corpus.q77CorpusClean _),
+    "q78_quantized_topk" -> (Quantize.q78QuantizedTopk _),
     "q80_multimodal"     -> (Multimodal.q80Multimodal _),
     "q81_media_features" -> (Multimodal.q81MediaFeatures _),
     "q82_frame_sample"   -> (Multimodal.q82FrameSample _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "q75_brute_topk"     -> Similarity.q75Sql,
     "q76_ivf_topk"       -> Similarity.q76Sql,
     "q77_corpus_clean"   -> Corpus.q77Sql,
+    "q78_quantized_topk" -> Quantize.q78Sql,
     "q80_multimodal"     -> Multimodal.q80Sql,
     "q81_media_features" -> Multimodal.q81Sql,
     "q82_frame_sample"   -> Multimodal.q82Sql,

@@ -133,4 +133,46 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(!(col("last_click_ts") <=> col("want")))
     assert(diff.isEmpty)
   }
+
+  test("int8 quantization preserves cosine to ~1e-2 and top-5 ranking") {
+    val sfDir = SparkSuite.sf
+    val e = Tables.embeddings(spark, sfDir)
+    // per-pair error bound: quantized cosine within 0.02 of float cosine
+    // (127 levels/dim over 64 dims ⇒ relative error ≈ 1/127 per component)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+        ops.Quantize.quantizeInt(col("embedding")).as("qq"))
+    val err = e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+      .select(abs(
+        Similarity.cosine(col("embedding"), col("qe")) -
+          ops.Quantize.quantizedCosine(
+            ops.Quantize.quantizeInt(col("embedding")), col("qq")))
+        .as("err"))
+      .agg(max(col("err"))).as[Double].head()
+    assert(err < 0.02, s"quantization cosine error $err")
+
+    // ranking: quantized top-5 overlaps float top-5 heavily
+    val quant = ops.Quantize.q78QuantizedTopk(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val float5 = ops.Similarity.q75BruteTopk(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val agree = quant.intersect(float5).size.toDouble / float5.size
+    assert(agree >= 0.6, s"rank agreement $agree after quantization")
+  }
+
+  test("int8 storage form stays within tinyint range") {
+    val e = Tables.embeddings(spark, SparkSuite.sf)
+    val stats = e.select(explode(
+        ops.Quantize.quantizeInt8(col("embedding"))).as("b"))
+      .agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+      .as[(Byte, Byte)].head()
+    assert(stats._1 >= -127 && stats._2 <= 127, stats.toString)
+    // every vector's max-magnitude component must hit exactly ±127
+    // (that's what symmetric scaling means)
+    val hits = e.select(ops.Quantize.quantizeInt(col("embedding")).as("qv"))
+      .select(aggregate(transform(col("qv"), x => abs(x)), lit(0),
+        (a, x) => greatest(a, x)).as("m"))
+      .filter(col("m") =!= 127).count()
+    assert(hits === 0L, s"$hits vectors missing the ±127 anchor")
+  }
 }
