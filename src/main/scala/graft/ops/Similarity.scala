@@ -301,13 +301,19 @@ object Similarity {
     val acs = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         round(cosine(col("embedding"), col("cent_emb")), 4).as("cs"))
-    // argmax as a single hash-aggregate on a lexicographic struct max
-    // (cs desc, then smallest cent_id): map-side combine, no window — the
-    // per-vector group never lands whole on one task
+    // argmax as a plain LONG max — a struct max is not hash-aggregable
+    // (primitive-buffer limitation) and falls back to SortAggregate with
+    // two extra sorts; encoding the priority as one long keeps the argmax
+    // in HashAggregate with map-side partial combine and whole-stage
+    // codegen (asserted in PlanSpec). priority = round(cs·10⁴)·16 +
+    // (15 − cent_id): cs is already 4-dp rounded so the ×16 stride
+    // separates adjacent score levels (16 > k = 8 centroids), and the
+    // (15 − cent_id) term makes the SMALLEST cent_id win ties.
     val assigned = acs
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("cs"), (-col("cent_id")).as("neg"))).as("m"))
-      .select(col("vec_id"), (-col("m.neg")).as("cent_id"))
+      .agg(max(round(col("cs") * 10000).cast("long") * 16 +
+        (lit(15) - col("cent_id"))).as("m"))
+      .select(col("vec_id"), (lit(15) - pmod(col("m"), lit(16))).as("cent_id"))
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(desc("cs"), col("cent_id"))
     val probes = acs.filter(col("vec_id") < 5)

@@ -99,10 +99,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q76 IVF assignment argmax stays in hash aggregation") {
+    val p = plan(ops.Similarity.q76IvfTopk(spark, sf))
+    // the long-encoded priority max must not fall back to SortAggregate
+    // (a struct max would) — at 10^9 vectors × k centroids the assignment
+    // aggregate is the biggest stage and needs map-side partial combine
+    assert(!p.contains("SortAggregate"),
+      s"IVF argmax fell back to sort aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q77 corpus cleaning never shuffles text after the dedup") {
+    val f = formatted(ops.Corpus.q77CorpusClean(spark, sf))
+    // the token-metrics aggregate runs on exploded narrow rows via hash
+    // aggregation (map-side combine), and no window operator sneaks in
+    assert(f.contains("HashAggregate"), f)
+    assert(!f.contains("Window"), s"unexpected window in q77:\n$f")
+    // the scan reads only what the pipeline needs
+    assert(f.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned:\n$f")
+  }
+
+  test("q78 quantized top-k broadcasts the query set") {
+    val p = plan(ops.Quantize.q78QuantizedTopk(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scalar queries stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      Seq(ops.Scalars.q42Math(spark, sf), ops.Scalars.q40String(spark, sf))
+      Seq(ops.Scalars.q42Math(spark, sf), ops.Scalars.q40String(spark, sf),
+        ops.Scalars.q45Links(spark, sf))
         .foreach { df =>
           val p = df.queryExecution.executedPlan.toString()
           // "*(n) " prefixes mark WholeStageCodegen stages in the compact
