@@ -32,6 +32,7 @@ object SparkEntry {
     "q15_join_range"     -> (Relational.q15JoinRange _),
     "q17_join_theta"     -> (Relational.q17JoinTheta _),
     "q18_join_bucketed"  -> (sources.Bucketing.q18JoinBucketed _),
+    "q19_join_bloom"     -> (BloomJoin.q19JoinBloom _),
     "q20_agg_group"      -> (Aggregates.q20AggGroup _),
     "q21_agg_global"     -> (Aggregates.q21AggGlobal _),
     "q22_agg_distinct"   -> (Aggregates.q22AggDistinct _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "q15_join_range"     -> Relational.q15Sql,
     "q17_join_theta"     -> Relational.q17Sql,
     "q18_join_bucketed"  -> sources.Bucketing.q18Sql,
+    "q19_join_bloom"     -> BloomJoin.q19Sql,
     "q20_agg_group"      -> Aggregates.q20Sql,
     "q21_agg_global"     -> Aggregates.q21Sql,
     "q22_agg_distinct"   -> Aggregates.q22Sql,

@@ -123,4 +123,19 @@ class OperatorSpec extends AnyFunSuite {
       .repartition(17).orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("bloomPrune keeps every matching key (no false negatives) and prunes some rows") {
+    val fact = Tables.lineitem(spark, sf)
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val dimKeys = dim.select("o_orderkey")
+    val pruned = ops.BloomJoin.bloomPrune(fact, "l_orderkey", dim, "o_orderkey")
+    val wanted = fact
+      .join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val kept = pruned
+      .join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(kept === wanted, "bloom dropped matching fact rows")
+    assert(pruned.count() < fact.count(),
+      "bloom pruned nothing on a selective build side")
+  }
 }

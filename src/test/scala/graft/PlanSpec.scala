@@ -129,6 +129,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q19 bloom probe filters the fact side below the shuffled join") {
+    val p = plan(ops.BloomJoin.q19JoinBloom(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n$p")
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+    // the probe must sit on the scan side of the exchange, not above the join
+    val probeLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = p.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    assert(probeLine > joinLine,
+      s"bloom probe not below the join in the operator tree:\n$p")
+  }
+
   test("scalar queries stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
