@@ -50,6 +50,7 @@ object SparkEntry {
     "q33_topk"           -> (Relational.q33Topk _),
     "q34_union"          -> (Relational.q34Union _),
     "q35_setops"         -> (Relational.q35Setops _),
+    "q37_sample"         -> (Sampling.q37Sample _),
     "q40_string"         -> (Scalars.q40String _),
     "q41_datetime"       -> (Scalars.q41Datetime _),
     "q42_math"           -> (Scalars.q42Math _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "q33_topk"           -> Relational.q33Sql,
     "q34_union"          -> Relational.q34Sql,
     "q35_setops"         -> Relational.q35Sql,
+    "q37_sample"         -> Sampling.q37Sql,
     "q40_string"         -> Scalars.q40Sql,
     "q41_datetime"       -> Scalars.q41Sql,
     "q42_math"           -> Scalars.q42Sql,

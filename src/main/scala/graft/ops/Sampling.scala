@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic sampling / split assignment — the train/valid/test and
+  * corpus-subsampling stages every LLM data pipeline runs ahead of training
+  * (the reference's warehouse feeds exactly such consumers; SURVEY §2.2's
+  * row-filter family generalized to probabilistic filters).
+  *
+  * Everything here is a pure map-side projection + filter:
+  *  - NO shuffle, NO RNG state: membership is a deterministic LCG hash of the
+  *    row id, so the same row lands in the same split on every run, every
+  *    cluster size, and every retry (task re-execution yields identical
+  *    output — the property `rand()`-based sampling loses on retries, and a
+  *    shuffle-fetch retry at 100 TB WILL re-execute tasks).
+  *  - Strata never co-locate: a per-stratum Bernoulli sample needs no
+  *    per-group window, so a 90%-English corpus costs the same as a uniform
+  *    one (contrast a `row_number` top-k per stratum, which funnels each
+  *    stratum through one task).
+  *
+  * The two LCG multipliers are classic public constants (Knuth's 2654435761,
+  * glibc's 22695477); the two hashes are independent so split assignment and
+  * sample membership don't correlate.
+  */
+object Sampling {
+
+  private val Mod = 1000000007L // prime; doc_id * mult stays far below 2^63 (ANSI-safe)
+
+  /** Deterministic uniform hash of a non-negative integral id into [0, Mod). */
+  def idHash(id: Column, mult: Long, inc: Long): Column =
+    pmod(id * lit(mult) + lit(inc), lit(Mod))
+
+  /** Adds a `split` column: 80/10/10 train/valid/test, keyed only on the id. */
+  def assignSplit(df: DataFrame, idCol: String): DataFrame = {
+    val h = idHash(col(idCol), 2654435761L, 1013904223L)
+    df.withColumn("split",
+      when(pmod(h, lit(100)) < 80, lit("train"))
+        .when(pmod(h, lit(100)) < 90, lit("valid"))
+        .otherwise(lit("test")))
+  }
+
+  /** Keeps a deterministic `fracPerMille`/1000 Bernoulli sample, independent
+    * of [[assignSplit]]'s hash. Map-side only. */
+  def sampleByHash(df: DataFrame, idCol: String, fracPerMille: Int): DataFrame = {
+    val h = idHash(col(idCol), 22695477L, 1L)
+    df.filter(pmod(h, lit(1000)) < fracPerMille)
+  }
+
+  /** q37_sample — 20% deterministic corpus sample, split 80/10/10, audited
+    * per (lang, split): doc count + exact char volume. The audit aggregate is
+    * what a pipeline operator actually looks at before launching training. */
+  def q37Sample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sampled = sampleByHash(assignSplit(docs, "doc_id"), "doc_id", 200)
+    sampled
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val q37Sql: String =
+    """WITH h AS (
+      |  SELECT lang, n_chars, doc_id,
+      |         (doc_id * 2654435761 + 1013904223) % 1000000007 AS h1,
+      |         (doc_id * 22695477 + 1) % 1000000007 AS h2
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, n_chars, doc_id,
+      |         CASE WHEN h1 % 100 < 80 THEN 'train'
+      |              WHEN h1 % 100 < 90 THEN 'valid'
+      |              ELSE 'test' END AS split
+      |  FROM h WHERE h2 % 1000 < 200)
+      |SELECT lang, split,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+}

@@ -124,6 +124,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("hash sampling is retry-stable and split proportions hold") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = ops.Sampling.sampleByHash(docs, "doc_id", 200)
+    val s2 = ops.Sampling.sampleByHash(docs.repartition(13), "doc_id", 200)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted
+      === s2.select("doc_id").collect().map(_.getLong(0)).sorted,
+      "sample membership changed under repartitioning")
+    val frac = s1.count().toDouble / docs.count().toDouble
+    assert(frac > 0.1 && frac < 0.3, s"20% sample came back at $frac")
+    val splits = ops.Sampling.assignSplit(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet === Set("train", "valid", "test"))
+    assert(splits("train") > splits("valid") + splits("test"),
+      s"80/10/10 proportions off: $splits")
+  }
+
   test("bloomPrune keeps every matching key (no false negatives) and prunes some rows") {
     val fact = Tables.lineitem(spark, sf)
     val dim = Tables.orders(spark, sf)
