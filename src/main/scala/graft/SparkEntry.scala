@@ -65,6 +65,7 @@ object SparkEntry {
     "q53_quality"        -> (Text.q53Quality _),
     "q54_tokens"         -> (Text.q54Tokens _),
     "q55_fingerprint"    -> (Text.q55Fingerprint _),
+    "q56_tfidf"          -> (Tfidf.q56Tfidf _),
     "q60_window_tumbling" -> (Events.q60WindowTumbling _),
     "q61_window_sliding" -> (Events.q61WindowSliding _),
     "q62_sessionize"     -> (Events.q62Sessionize _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q53_quality"        -> Text.q53Sql,
     "q54_tokens"         -> Text.q54Sql,
     "q55_fingerprint"    -> Text.q55Sql,
+    "q56_tfidf"          -> Tfidf.q56Sql,
     "q60_window_tumbling" -> Events.q60Sql,
     "q61_window_sliding" -> Events.q61Sql,
     "q62_sessionize"     -> Events.q62Sql,
