@@ -99,4 +99,58 @@ object Events {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
+
+  /** q63_gapfill — per-user hourly resample with forward fill: densify each
+    * user's observed span onto an hourly grid, mark gap hours, and carry the
+    * last observed hourly sum forward (the standard time-series
+    * regularization step ahead of feature extraction).
+    *
+    * Scale: the grid generates from one row per user (`sequence` + `explode`
+    * is map-side expansion bounded by span-hours, never by event count); the
+    * hourly aggregate shuffles at (user, hour) cardinality with map-side
+    * combine; the fill window partitions per user — millions of small
+    * partitions, not one. */
+  def q63Gapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+        col("value"))
+    val hourly = ev.groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value"), 2).as("sum_value"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hr"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value").isNull.as("is_gap"),
+        last(col("sum_value"), ignoreNulls = true).over(fill)
+          .as("filled_value"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  val q63Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events),
+      |hourly AS (
+      |  SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM ev GROUP BY user_id, hr),
+      |grid AS (
+      |  SELECT user_id,
+      |         unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+      |  FROM ev GROUP BY user_id)
+      |SELECT g.user_id, g.hr,
+      |       coalesce(h.n_events, 0) AS n_events,
+      |       h.sum_value IS NULL AS is_gap,
+      |       last_value(h.sum_value IGNORE NULLS)
+      |         OVER (PARTITION BY g.user_id ORDER BY g.hr
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS filled_value
+      |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+      |ORDER BY g.user_id, g.hr""".stripMargin
 }
