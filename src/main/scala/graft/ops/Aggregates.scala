@@ -283,4 +283,78 @@ object Aggregates {
     """SELECT l_returnflag, sum(l_quantity * l_quantity) AS sum_sq_qty,
       |       count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q46_stats — the second-moment statistics family (variance, stddev,
+    * covariance, correlation) computed from DECIMAL-exact raw moments.
+    *
+    * Spark's built-in `var_samp`/`corr` merge partial co-moments in partition
+    * order, so their low bits differ run-to-run on a cluster; here the five
+    * sums Σx, Σy, Σx², Σy², Σxy accumulate as decimals (exact, associative,
+    * order-independent) and the moments derive in double afterwards — the
+    * SAME bits on 1 partition, 32, or 1000 executors, which is also what
+    * makes the DuckDB hash-match possible. One hash-aggregate shuffle at
+    * group-key cardinality; the built-in `corr`/`stddev_samp` ride along and
+    * are pinned within 1e-6 relative as oracle booleans.
+    *
+    * Decimal precision: y ≤ ~105k with 2dp → y² needs 4dp and ≲ 1.2e10;
+    * DECIMAL(30,4) holds Σy² beyond 1e15 rows per group. */
+  def q46Stats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column, scale: Int): Column =
+      sum(c.cast(DecimalType(30, scale))).cast("double")
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val base = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(x, 1).as("sx"), dsum(y, 2).as("sy"),
+        dsum(x * x, 2).as("sxx"), dsum(y * y, 4).as("syy"),
+        dsum(x * y, 3).as("sxy"),
+        corr(x, y).as("corr_builtin"),
+        stddev_samp(x).as("std_builtin"))
+    val vx = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    val vy = (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)
+    val cov = (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)
+    base
+      .withColumn("mean_x", col("sx") / col("n"))
+      .withColumn("mean_y", col("sy") / col("n"))
+      .withColumn("var_x", vx)
+      .withColumn("std_x", sqrt(vx))
+      .withColumn("cov_xy", cov)
+      .withColumn("corr_xy", cov / sqrt(vx * vy))
+      .withColumn("builtin_corr_ok",
+        abs(col("corr_builtin") - col("corr_xy")) <=
+          abs(col("corr_xy")) * 1e-6 + 1e-9)
+      .withColumn("builtin_std_ok",
+        abs(col("std_builtin") - col("std_x")) <=
+          abs(col("std_x")) * 1e-6 + 1e-9)
+      .select(col("l_returnflag"), col("n"), col("mean_x"), col("mean_y"),
+        col("var_x"), col("std_x"), col("cov_xy"), col("corr_xy"),
+        col("builtin_corr_ok"), col("builtin_std_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q46Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(30,1))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+      |         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,3))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |         sx / n AS mean_x, sy / n AS mean_y,
+      |         (sxx - sx * sx / n) / (n - 1) AS var_x,
+      |         (syy - sy * sy / n) / (n - 1) AS var_y,
+      |         (sxy - sx * sy / n) / (n - 1) AS cov_xy
+      |  FROM m)
+      |SELECT l_returnflag, n, mean_x, mean_y, var_x,
+      |       sqrt(var_x) AS std_x, cov_xy,
+      |       cov_xy / sqrt(var_x * var_y) AS corr_xy,
+      |       TRUE AS builtin_corr_ok, TRUE AS builtin_std_ok
+      |FROM d ORDER BY l_returnflag""".stripMargin
 }
