@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Upsert / MERGE semantics (SCD type 1) as a full-outer coalesce — the
+  * warehouse-maintenance operation behind the reference's idempotent append
+  * contract (`/root/reference/data/emr/etl.py:41-55` dedupes on re-run; a
+  * MERGE is the general form when rows can also CHANGE, not just repeat).
+  *
+  * Scale: one full-outer shuffle join on the merge key — the same plan a
+  * Delta/Iceberg MERGE lowers to when every file matches. Both sides
+  * partition on the key, so AQE's skew split handles a hot key; the action
+  * classification and audit aggregate are map-side on the join output.
+  */
+object Merge {
+
+  /** Apply `updates` to `base` on `key`: update on match, insert on
+    * no-match, keep otherwise; `action` records the per-row outcome. */
+  def upsert(base: DataFrame, updates: DataFrame, key: String,
+      payload: String): DataFrame = {
+    val b = base.as("b")
+    val u = updates.as("u")
+    b.join(u, col(s"b.$key") === col(s"u.$key"), "full_outer")
+      .select(
+        coalesce(col(s"b.$key"), col(s"u.$key")).as(key),
+        coalesce(col(s"u.$payload"), col(s"b.$payload")).as(payload),
+        when(col(s"b.$key").isNotNull && col(s"u.$key").isNotNull,
+          lit("updated"))
+          .when(col(s"b.$key").isNull, lit("inserted"))
+          .otherwise(lit("kept")).as("action"))
+  }
+
+  /** q38_upsert — merge a synthesized change set into orders (repriced rows
+    * on keys ≡3 mod 10; brand-new keys from ≡7 mod 100 shifted past the key
+    * space) and audit the outcome per action. */
+  def q38Upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val upd = base.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 100.0).as("o_totalprice"))
+    val ins = base.filter(col("o_orderkey") % 100 === 7)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        (col("o_totalprice") * 0.5).as("o_totalprice"))
+    upsert(base, upd.unionByName(ins), "o_orderkey", "o_totalprice")
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_rows"),
+        // scale 3, not 2: inserted prices are halved, so they carry a
+        // half-cent digit; rounding that digit away sits ON the rounding
+        // boundary where engines disagree
+        decSum(col("o_totalprice"), 3).as("sum_price"))
+      .orderBy(col("action"))
+  }
+
+  val q38Sql: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_totalprice + 100.0 AS p
+      |  FROM orders WHERE o_orderkey % 10 = 3),
+      |ins AS (
+      |  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice * 0.5 AS p
+      |  FROM orders WHERE o_orderkey % 100 = 7),
+      |u AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |m AS (
+      |  SELECT coalesce(u.p, b.o_totalprice) AS price,
+      |         CASE WHEN b.o_orderkey IS NOT NULL AND u.o_orderkey IS NOT NULL
+      |                THEN 'updated'
+      |              WHEN b.o_orderkey IS NULL THEN 'inserted'
+      |              ELSE 'kept' END AS action
+      |  FROM orders b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey)
+      |SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(price AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+      |FROM m GROUP BY action ORDER BY action""".stripMargin
+}
