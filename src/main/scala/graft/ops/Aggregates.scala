@@ -299,9 +299,7 @@ object Aggregates {
     * Decimal precision: y ≤ ~105k with 2dp → y² needs 4dp and ≲ 1.2e10;
     * DECIMAL(30,4) holds Σy² beyond 1e15 rows per group. */
   def q46Stats(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def dsum(c: Column, scale: Int): Column =
-      sum(c.cast(DecimalType(30, scale))).cast("double")
+    def dsum(c: Column, scale: Int): Column = decSum(c, scale, precision = 30)
     val x = col("l_quantity")
     val y = col("l_extendedprice")
     val base = Tables.lineitem(spark, sfDir)

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -24,7 +23,11 @@ import graft.Tables
   * The squared-norm re-aggregation reuses the tiny centroid frame via
   * `localCheckpoint` (|labels|·dim rows): computed once, no cache leak
   * (ContextCleaner reclaims it), instead of re-running the explode+agg
-  * subtree for the second consumer.
+  * subtree for the second consumer. Trade-off: local checkpoint blocks are
+  * executor-local and unreplicated, so losing an executor mid-job fails the
+  * job rather than recomputing — acceptable for this frame (re-running the
+  * job is cheap at |labels|·dim); a long-lived cluster pipeline would use
+  * `checkpoint()` to reliable storage instead.
   */
 object Centroids {
 
@@ -41,9 +44,12 @@ object Centroids {
         (sum(q).cast("double") / (count(lit(1)) * lit(1048576.0)))
           .as("cval"))
       .localCheckpoint()
+    // same exact-integer trick as the component sums: a double→decimal cast
+    // of cval² would re-open the cross-engine rounding gap the quantization
+    // just closed. cval² ≤ 1 → Σ⌊cval²·2^40⌋ ≤ dim·2^40, exact in BIGINT.
     val norm = cent.groupBy(col("label"))
-      .agg(sum((col("cval") * col("cval")).cast(DecimalType(38, 20)))
-        .cast("double").as("sq"))
+      .agg((sum(floor(col("cval") * col("cval") * lit(1099511627776.0)))
+        .cast("double") / lit(1099511627776.0)).as("sq"))
     cent.join(norm, "label")
       .select(col("label"), col("pos"), col("n_vecs"), col("cval"),
         (col("cval") / sqrt(col("sq"))).as("cval_unit"))
@@ -62,7 +68,8 @@ object Centroids {
       |  FROM pe GROUP BY label, pos),
       |norm AS (
       |  SELECT label,
-      |         CAST(sum(CAST(cval * cval AS DECIMAL(38,20))) AS DOUBLE) AS sq
+      |         CAST(sum(CAST(floor(cval * cval * 1099511627776.0) AS BIGINT))
+      |              AS DOUBLE) / 1099511627776.0 AS sq
       |  FROM cent GROUP BY label)
       |SELECT c.label, c.pos, c.n_vecs, c.cval, c.cval / sqrt(n.sq) AS cval_unit
       |FROM cent c JOIN norm n ON c.label = n.label

@@ -127,7 +127,9 @@ object Events {
     grid.join(hourly, Seq("user_id", "hr"), "left")
       .select(col("user_id"), col("hr"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("sum_value").isNull.as("is_gap"),
+        // gap = the grid hour had NO events (join miss); keying this on the
+        // nullable sum would mislabel an hour whose events all carry NULL
+        col("n_events").isNull.as("is_gap"),
         last(col("sum_value"), ignoreNulls = true).over(fill)
           .as("filled_value"))
       .orderBy(col("user_id"), col("hr"))
@@ -146,7 +148,7 @@ object Events {
       |  FROM ev GROUP BY user_id)
       |SELECT g.user_id, g.hr,
       |       coalesce(h.n_events, 0) AS n_events,
-      |       h.sum_value IS NULL AS is_gap,
+      |       h.n_events IS NULL AS is_gap,
       |       last_value(h.sum_value IGNORE NULLS)
       |         OVER (PARTITION BY g.user_id ORDER BY g.hr
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

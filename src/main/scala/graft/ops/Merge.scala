@@ -17,19 +17,22 @@ import graft.Tables
   */
 object Merge {
 
-  /** Apply `updates` to `base` on `key`: update on match, insert on
-    * no-match, keep otherwise; `action` records the per-row outcome. */
+  /** Apply `updates` to `base` on `key`: update on match (a matched NULL
+    * payload IS written — MERGE semantics, not coalesce), insert when the
+    * key exists only in `updates`, keep otherwise. A NULL-keyed base row
+    * never matches and is kept. `action` records the per-row outcome. */
   def upsert(base: DataFrame, updates: DataFrame, key: String,
       payload: String): DataFrame = {
     val b = base.as("b")
     val u = updates.as("u")
+    val matched = col(s"u.$key").isNotNull
     b.join(u, col(s"b.$key") === col(s"u.$key"), "full_outer")
       .select(
         coalesce(col(s"b.$key"), col(s"u.$key")).as(key),
-        coalesce(col(s"u.$payload"), col(s"b.$payload")).as(payload),
-        when(col(s"b.$key").isNotNull && col(s"u.$key").isNotNull,
-          lit("updated"))
-          .when(col(s"b.$key").isNull, lit("inserted"))
+        when(matched, col(s"u.$payload"))
+          .otherwise(col(s"b.$payload")).as(payload),
+        when(matched && col(s"b.$key").isNotNull, lit("updated"))
+          .when(matched, lit("inserted"))
           .otherwise(lit("kept")).as("action"))
   }
 

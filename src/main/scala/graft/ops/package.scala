@@ -11,6 +11,6 @@ package object ops {
     * in the DuckDB oracle. Single definition — the scale/precision choice
     * must change in lockstep with every oracle SQL's CAST, so keep it here.
     */
-  private[graft] def decSum(c: Column, scale: Int): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private[graft] def decSum(c: Column, scale: Int, precision: Int = 18): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast("double")
 }
