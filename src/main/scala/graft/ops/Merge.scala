@@ -58,6 +58,37 @@ object Merge {
       .orderBy(col("action"))
   }
 
+  /** q39_schema_evo — by-name union across two feed vintages with different
+    * column sets (`unionByName(allowMissingColumns)`): the schema-evolution
+    * splice every long-lived ingest eventually needs when a field is added
+    * upstream. Missing columns null-fill; the audit groups on the evolved
+    * column with an explicit UNKNOWN bucket for pre-evolution rows.
+    * Map-side concatenation — a union shuffles nothing. */
+  def q39SchemaEvo(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val oldFeed = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newFeed = orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    oldFeed.unionByName(newFeed, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("UNKNOWN")).as("priority"))
+      .agg(count(lit(1)).as("n_rows"),
+        decSum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("priority"))
+  }
+
+  val q39Sql: String =
+    """WITH old_feed AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+      |new_feed AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 1),
+      |u AS (SELECT * FROM old_feed UNION ALL BY NAME SELECT * FROM new_feed)
+      |SELECT coalesce(o_orderpriority, 'UNKNOWN') AS priority,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q38Sql: String =
     """WITH upd AS (
       |  SELECT o_orderkey, o_totalprice + 100.0 AS p

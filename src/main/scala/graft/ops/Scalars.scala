@@ -229,4 +229,26 @@ object Scalars {
       |       CAST(props->>'$.k' AS INTEGER) AS k_val,
       |       event_type
       |FROM events ORDER BY event_id""".stripMargin
+
+  /** q49_regex — the regex scalar family: extract / replace-all / count /
+    * boolean match, all codegen'd built-ins over the documents table.
+    * Dialect note: Spark `regexp_replace` replaces ALL occurrences; DuckDB
+    * needs the explicit 'g' flag for the same semantics. */
+  def q49Regex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("masked"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_words"),
+        col("text").rlike("the").as("has_the"))
+      .orderBy(col("doc_id"))
+
+  val q49Sql: String =
+    """SELECT doc_id,
+      |       regexp_extract(text, '[0-9]+') AS first_num,
+      |       regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_words,
+      |       regexp_matches(text, 'the') AS has_the
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

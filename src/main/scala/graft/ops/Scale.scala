@@ -1,7 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
 
 /** Scale utilities: skew mitigation and co-located joins — the two shuffle
   * techniques SURVEY.md's 100 TB contract calls for beyond what AQE does
@@ -54,4 +57,35 @@ object Scale {
   // "pre-shuffle once, join many times" pattern is a storage-layout
   // concern (it needs a catalog-registered external path), exercised
   // end-to-end by q18_join_bucketed + the PlanSpec exchange-free assertion.
+
+  /** q48_salted — the salted two-phase aggregate against the WORST group-key
+    * skew lineitem offers: 3 distinct return flags, so an unsalted plan
+    * funnels the whole table into 3 reducers no matter how many executors
+    * exist. Salting spreads each flag over 32 (key, salt) partials first.
+    *
+    * Exactness across the extra phase: partials stay DECIMAL (never cast to
+    * double between phases — decimal addition is associative, double
+    * addition is not), so the merged result is bit-identical to the plain
+    * single-phase aggregate, which is exactly what the oracle runs. */
+  def q48Salted(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    saltedAggregate(li, Seq("l_returnflag"), salts = 32,
+      partials = Seq(
+        sum(col("l_quantity").cast(DecimalType(18, 1))).as("pq"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("pr"),
+        count(lit(1)).as("pn")),
+      merges = Seq(
+        sum(col("pq")).cast("double").as("sum_qty"),
+        sum(col("pr")).cast("double").as("revenue"),
+        sum(col("pn")).as("line_count")))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q48Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS line_count
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

@@ -140,6 +140,15 @@ class PlanSpec extends AnyFunSuite {
       s"bloom probe not below the join in the operator tree:\n$p")
   }
 
+  test("q48 salted aggregate keys phase 1 on (key, salt)") {
+    val p = plan(ops.Scale.q48Salted(spark, sf))
+    assert(p.contains("__salt"), s"salt column absent from the plan:\n$p")
+    // two aggregate levels: (key, salt) partials then per-key merge
+    val aggs = p.linesIterator.count(l => l.contains("HashAggregate") &&
+      l.contains("l_returnflag"))
+    assert(aggs >= 4, s"expected partial+final aggs at both phases:\n$p")
+  }
+
   test("scalar queries stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
