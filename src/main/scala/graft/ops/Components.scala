@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed connected components over a near-duplicate pair graph —
+  * the step after pairwise detection in every production dedup pipeline:
+  * pairwise similarity (q70/q72/q73) gives EDGES, but "keep one copy per
+  * duplicate group" needs the transitive closure (a~b, b~c ⇒ {a,b,c} is one
+  * group even when a and c share nothing directly). The reference's ELT
+  * tier has no equivalent; this is north-star dedup machinery
+  * (BASELINE.json tier X).
+  *
+  * Algorithm: iterative hash-min label propagation with path-halving —
+  * each round every node pulls the minimum label among itself and its
+  * neighbors (one shuffle join + hash aggregate), then compresses
+  * label := label(label) (a second self-join). Halving makes convergence
+  * O(log diameter) rounds instead of O(diameter), the practical difference
+  * between 5 and 50 Spark jobs on a chain-shaped cluster. This is the
+  * two-phase shape of the MapReduce CC literature (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — their
+  * large-star/small-star alternates the same min-propagate/compress moves).
+  *
+  * Scale design:
+  *  - State per round is two narrow long columns (id, component) plus the
+  *    symmetrized edge list — never document text or embeddings.
+  *  - Every round's labels are `localCheckpoint`ed: iterative self-joins
+  *    otherwise double the lineage each round and the planner chokes by
+  *    round ~10; checkpointed RDDs are reclaimed by the ContextCleaner as
+  *    prior rounds' plans are garbage-collected (a long-lived cluster job
+  *    would use a reliable checkpoint dir instead — executor-loss
+  *    trade-off as in [[Dedup.minhashClusters]]).
+  *  - The min-label pull is a groupBy aggregate, so map-side partial
+  *    combine collapses high-degree hub nodes before the shuffle — no
+  *    whole-bucket-on-one-task straggler.
+  *  - Convergence is detected with a changed-label count per round (a
+  *    cheap action over the narrow checkpointed frames), bounded by
+  *    `maxIter` as a runaway guard.
+  */
+object Components {
+
+  /** Connected components of the undirected graph (`nodes`: column `id`;
+    * `edges`: columns `src`, `dst`, either orientation, self-loops and
+    * duplicates tolerated). Returns (id, component) where component is the
+    * minimum node id reachable from `id` — deterministic on any
+    * partitioning and any iteration schedule, because the min-label
+    * fixpoint is unique. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Pull phase: min label over the neighborhood (plus self, via the
+      // left join below — isolated nodes keep their own label).
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val pulled = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      // Compress phase (path-halving): component := component(component).
+      // Labels are node ids, so the pulled frame doubles as the mapping.
+      val halved = pulled
+        .join(pulled.select(col("id").as("p_id"), col("component").as("p_comp")),
+          col("component") === col("p_id"), "left")
+        .select(col("id"),
+          coalesce(col("p_comp"), col("component")).as("component"))
+        .localCheckpoint()
+      val changed = halved
+        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
+        .filter(col("component") =!= col("prev"))
+        .count()
+      labels = halved
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
+  /** q83_dup_groups — duplicate-group labeling over `documents`: edges are
+    * the banded shared-3-gram candidate pairs ([[Dedup.bandedGramPairs]],
+    * W=10 — in production the band comes from q70's LSH buckets), groups
+    * are their transitive closure. Emits each document's group id (min
+    * doc_id in the group), the group size, and whether the doc is the
+    * canonical representative — integers/booleans only, so the recursive
+    * oracle hash-matches exactly. */
+  def q83DupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val edges = Dedup.bandedGramPairs(Dedup.hashedGrams(docs), 10L)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val comp =
+      connectedComponents(docs.select(col("doc_id").as("id")), edges)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("n_members"),
+        (col("id") === col("component")).as("is_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB computes the same fixpoint declaratively: the recursive CTE
+    * enumerates every (node, reachable-node) pair and takes the min — the
+    * engines agree because the min-reachable-label fixpoint is unique. */
+  val q83Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT g1.doc_id AS d1, g2.doc_id AS d2
+      |  FROM grams g1 JOIN grams g2
+      |    ON g1.gram = g2.gram
+      |   AND g2.doc_id > g1.doc_id AND g2.doc_id <= g1.doc_id + 10
+      |  GROUP BY 1, 2),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |walk(id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.id),
+      |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY 1),
+      |sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+      |SELECT c.id AS doc_id, c.component, s.n_members,
+      |       (c.id = c.component) AS is_rep
+      |FROM comp c JOIN sizes s USING (component)
+      |ORDER BY doc_id""".stripMargin
+}

@@ -173,37 +173,44 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** Exact 3-gram Jaccard similarity over a bounded candidate band
-    * (0 < d2 - d1 <= W — in production the band comes from q70's LSH
-    * buckets, keeping the pair space near-linear). Pure set-arithmetic on
-    * exploded distinct grams. */
-  def ngramJaccard(docs: DataFrame, W: Long): DataFrame = {
-    // Grams shrink to 64-bit hashes before the distinct/join shuffles —
-    // (id, long) rows instead of ~25-char strings. Collision odds at corpus
-    // vocabulary sizes are ~V²/2^65 (vanishing); intersection counts are
-    // otherwise identical to the string form the oracle computes.
-    val grams = wordGrams(docs)
+  /** Per-document distinct 3-gram sets, shrunk to 64-bit hashes before any
+    * shuffle — (id, long) rows instead of ~25-char strings. Collision odds
+    * at corpus vocabulary sizes are ~V²/2^65 (vanishing); intersection
+    * counts are otherwise identical to the string form the oracles compute. */
+  private[ops] def hashedGrams(docs: DataFrame): DataFrame =
+    wordGrams(docs)
       .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
       .distinct()
-    val sizes = grams.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"))
-    // The band predicate is lifted into the equi-join key: d2 ∈ (d1, d1+W]
-    // implies d2 div W ∈ {d1 div W, d1 div W + 1}, so the left side emits
-    // two bucket keys and the join matches on (gram, bucket). Without this,
-    // a gram appearing in f documents produces f² candidate rows before the
-    // band filter — quadratic in corpus size for common grams; with it,
-    // pairs are bounded per (gram, bucket).
+
+  /** Candidate pairs (d1 < d2 <= d1+W) sharing ≥1 gram, with the shared-gram
+    * count. The band predicate is lifted into the equi-join key: d2 ∈
+    * (d1, d1+W] implies d2 div W ∈ {d1 div W, d1 div W + 1}, so the left
+    * side emits two bucket keys and the join matches on (gram, bucket).
+    * Without this, a gram appearing in f documents produces f² candidate
+    * rows before the band filter — quadratic in corpus size for common
+    * grams; with it, pairs are bounded per (gram, bucket). */
+  private[ops] def bandedGramPairs(grams: DataFrame, W: Long): DataFrame = {
     val g1 = grams.select(col("doc_id").as("d1"), col("gram").as("gram1"),
       explode(array(expr(s"doc_id div $W"), expr(s"doc_id div $W + 1")))
         .as("bk"))
     val g2 = grams.select(col("doc_id").as("d2"), col("gram").as("gram2"),
       expr(s"doc_id div $W").as("bk2"))
-    val inter = g1.join(g2,
+    g1.join(g2,
         col("gram1") === col("gram2") && col("bk") === col("bk2") &&
         col("d2") > col("d1") && col("d2") <= col("d1") + W)
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+  }
+
+  /** Exact 3-gram Jaccard similarity over a bounded candidate band
+    * (0 < d2 - d1 <= W — in production the band comes from q70's LSH
+    * buckets, keeping the pair space near-linear). Pure set-arithmetic on
+    * exploded distinct grams. */
+  def ngramJaccard(docs: DataFrame, W: Long): DataFrame = {
+    val grams = hashedGrams(docs)
+    val sizes = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    bandedGramPairs(grams, W)
       .join(sizes.toDF("d1", "n1"), "d1")
       .join(sizes.toDF("d2", "n2"), "d2")
       .select(col("d1"), col("d2"), col("n_inter"),
