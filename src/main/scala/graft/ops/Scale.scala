@@ -58,6 +58,27 @@ object Scale {
   // concern (it needs a catalog-registered external path), exercised
   // end-to-end by q18_join_bucketed + the PlanSpec exchange-free assertion.
 
+  /** Salted skew equi-join: the fact side gets a content-derived salt (same
+    * retry-stability rationale as [[saltedAggregate]]); the dimension side
+    * is exploded ×`salts` so every (key, salt) bucket finds its match. The
+    * fact shuffle then spreads each hot key over `salts` partitions instead
+    * of funneling it into one.
+    *
+    * When to reach for it: the dimension is too big to broadcast AND the
+    * fact side's key histogram has a head so hot that AQE's skew splitting
+    * can't help — AQE splits a skewed MAP-side partition, but all rows of
+    * one key still hash to ONE reduce partition; salting is the only way to
+    * spread a single key. Replication cost is |dim| × salts rows — keep
+    * `salts` ~ (hot-key rows / target partition rows), not in the hundreds. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts.toLong)))
+    val expDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedFact.join(expDim, keys :+ "__salt").drop("__salt")
+  }
+
   /** q48_salted — the salted two-phase aggregate against the WORST group-key
     * skew lineitem offers: 3 distinct return flags, so an unsalted plan
     * funnels the whole table into 3 reducers no matter how many executors
@@ -88,4 +109,35 @@ object Scale {
       |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |       count(*) AS line_count
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q84_salted_join — [[saltedJoin]] against maximal key skew: lineitem
+    * joined to a 3-row derived flag dimension on l_returnflag, so an
+    * unsalted shuffle join lands the whole table on 3 reducers. The merge
+    * hint forces the shuffle path the technique exists for (at fixture
+    * scale Spark would otherwise just broadcast the 3 rows — the 100 TB
+    * case this models is a dimension past the broadcast threshold). The
+    * post-join aggregate proves every fact row matched exactly once with
+    * the right label: any join loss, duplication, or mislabel shifts the
+    * exact decimal sums/counts the oracle's plain join computes. */
+  def q84SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val dim = li.select(col("l_returnflag")).distinct()
+      .select(col("l_returnflag"),
+        concat(lit("flag_"), col("l_returnflag")).as("flag_label"))
+    saltedJoin(li, dim.hint("merge"), Seq("l_returnflag"), salts = 16)
+      .groupBy(col("flag_label"))
+      .agg(decSum(col("l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("flag_label"))
+  }
+
+  val q84Sql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS flag_label
+      |  FROM lineitem)
+      |SELECT flag_label,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS line_count
+      |FROM lineitem JOIN dim USING (l_returnflag)
+      |GROUP BY flag_label ORDER BY flag_label""".stripMargin
 }

@@ -149,6 +149,14 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected partial+final aggs at both phases:\n$p")
   }
 
+  test("q84 salted join shuffles on (key, salt), not broadcast") {
+    val p = plan(ops.Scale.q84SaltedJoin(spark, sf))
+    assert(p.contains("SortMergeJoin") && p.contains("__salt"),
+      s"expected a sort-merge join keyed on the salt:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"dimension was broadcast — the salted shuffle path never ran:\n$p")
+  }
+
   test("scalar queries stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

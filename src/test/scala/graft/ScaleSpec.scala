@@ -24,4 +24,17 @@ class ScaleSpec extends AnyFunSuite {
   // The bucketed co-located join moved to sources.Bucketing: plan shape
   // (exchange-free vs a shuffling control) is asserted in PlanSpec, and
   // result correctness is the q18_join_bucketed oracle row.
+
+  test("salted join equals the plain join on rows and labels") {
+    val li = Tables.lineitem(spark, SparkSuite.sf)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    val dim = li.select(col("l_returnflag")).distinct()
+      .withColumn("label", concat(lit("f_"), col("l_returnflag")))
+    val plain = li.join(dim, Seq("l_returnflag"))
+    val salted = Scale.saltedJoin(li, dim, Seq("l_returnflag"), 8)
+      .select(plain.columns.map(col).toSeq: _*)
+    // multiset equality — (l_orderkey, l_linenumber) is not unique in the
+    // synthetic fixture, so no column sort is total here
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
 }
