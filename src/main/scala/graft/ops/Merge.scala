@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -88,6 +89,62 @@ object Merge {
       |       CAST(count(*) AS BIGINT) AS n_rows,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SCD type 2 dimension construction from a change log: collapse
+    * consecutive no-op changes (gaps-and-islands), then derive each
+    * version's validity interval [effective_from, effective_to) with a
+    * lead, a version ordinal, and the is_current flag. The companion to
+    * [[upsert]]: SCD1 overwrites history, SCD2 keeps it queryable — the
+    * as-of join (q16) is the read side of this table shape.
+    *
+    * Scale: one shuffle on the dimension key; both windows and the
+    * change-collapse filter run inside that partitioning (Catalyst plans a
+    * single Exchange for all three), and per-key state is the key's own
+    * history — no whole-table window, no skew beyond the hottest entity's
+    * changelog. */
+  def scd2(changes: DataFrame, key: String, at: String, tieBreak: String,
+      attr: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(at), col(tieBreak))
+    val collapsed = changes
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+    // recompute over the collapsed frame: leads must skip dropped no-ops
+    val w2 = Window.partitionBy(key).orderBy(col(at), col(tieBreak))
+    collapsed.select(
+      col(key), col(attr), col(at).as("effective_from"),
+      lead(col(at), 1).over(w2).as("effective_to"),
+      row_number().over(w2).as("version"),
+      lead(col(at), 1).over(w2).isNull.as("is_current"))
+  }
+
+  /** q85_scd2 — [[scd2]] over orders read as a changelog of each customer's
+    * order priority: (custkey, orderdate, priority) ordered by date with
+    * the orderkey as the same-date tie-break. Output is the versioned
+    * dimension a warehouse would serve point-in-time lookups from. */
+  def q85Scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("custkey"), col("o_orderdate").as("chg_at"),
+      col("o_orderkey").as("ok"), col("o_orderpriority").as("priority"))
+    scd2(log, "custkey", "chg_at", "ok", "priority")
+      .orderBy(col("custkey"), col("version"))
+  }
+
+  val q85Sql: String =
+    """WITH log AS (
+      |  SELECT o_custkey AS custkey, o_orderdate AS chg_at, o_orderkey AS ok,
+      |         o_orderpriority AS priority,
+      |         lag(o_orderpriority) OVER
+      |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |           AS prev
+      |  FROM orders),
+      |chg AS (SELECT * FROM log WHERE prev IS NULL OR prev <> priority)
+      |SELECT custkey, priority, chg_at AS effective_from,
+      |       lead(chg_at) OVER w AS effective_to,
+      |       CAST(row_number() OVER w AS INT) AS version,
+      |       (lead(chg_at) OVER w IS NULL) AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY custkey ORDER BY chg_at, ok)
+      |ORDER BY custkey, version""".stripMargin
 
   val q38Sql: String =
     """WITH upd AS (

@@ -92,6 +92,21 @@ object Streams {
              |""".stripMargin),
         "inner")
 
+  /** Stream-static dimension enrichment: every micro-batch joins against
+    * the static frame — the streaming read side of the warehouse dim tables
+    * ([[graft.ops.Relational.q10JoinBroadcast]]'s streaming twin). Left
+    * join so unmatched facts flow through (dropping them silently in an
+    * ingest path loses data).
+    *
+    * Scale: keeps NO streaming state — the static side is re-planned per
+    * batch, and the explicit broadcast keeps the fact micro-batch from
+    * shuffling (a shuffled stream-static join would re-partition every
+    * batch forever). A dimension past broadcast size belongs in a
+    * stream-stream join with a slowly-refreshed changelog instead. */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Input/state/output records for the custom sessionizer. State holds ALL
     * sessions not yet finalized by the watermark (late events within the
     * allowed lateness may still extend or create earlier sessions). */

@@ -141,6 +141,27 @@ class OperatorSpec extends AnyFunSuite {
       s"80/10/10 proportions off: $splits")
   }
 
+  test("scd2 collapses no-op changes and versions the rest") {
+    import spark.implicits._
+    // key 1: A@t1, A@t2 (no-op, collapsed), B@t3, B@t3 tie (kept: ordered
+    // by tie-break, the second B collapses against the first) — versions
+    // A[t1,t3) then B[t3,∞); key 2: single row, current from the start.
+    val log = Seq(
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"),
+      (1L, 30L, 102L, "B"), (1L, 30L, 103L, "B"),
+      (2L, 5L, 104L, "X"))
+      .toDF("k", "at", "tie", "v")
+    val out = ops.Merge.scd2(log, "k", "at", "tie", "v")
+      .orderBy(col("k"), col("version"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.toString), r.getInt(4), r.getBoolean(5)))
+    assert(out === Seq(
+      (1L, "A", 10L, Some("30"), 1, false),
+      (1L, "B", 30L, None, 2, true),
+      (2L, "X", 5L, None, 1, true)))
+  }
+
   test("bloomPrune keeps every matching key (no false negatives) and prunes some rows") {
     val fact = Tables.lineitem(spark, sf)
     val dim = Tables.orders(spark, sf)

@@ -158,4 +158,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(WarehouseSink.dedupAppend(trips, readBack,
       ops.Pipeline.tripKey).count() === 0)
   }
+
+  test("z-order buckets confine both keys to one 16-wide rectangle") {
+    import graft.sources.ZOrder
+    val rows = ZOrder.q86Zorder(spark, SparkSuite.sf).collect()
+    assert(rows.length > 1, "degenerate single-bucket layout proves nothing")
+    rows.foreach { r =>
+      val (minPk, maxPk) = (r.getLong(2), r.getLong(3))
+      val (minSk, maxSk) = (r.getLong(4), r.getLong(5))
+      assert(maxPk - minPk < 16 && maxSk - minSk < 16,
+        s"z bucket ${r.getLong(0)} spans a wider key rectangle than the " +
+          s"Morton top-bits guarantee: pk [$minPk,$maxPk] sk [$minSk,$maxSk]")
+      // and the fixed top-4-bits form of the same statement
+      assert(minPk >> 4 === maxPk >> 4)
+      assert(minSk >> 4 === maxSk >> 4)
+    }
+  }
+
+  test("morton interleave round-trips hand-computed codes") {
+    import graft.sources.ZOrder
+    import spark.implicits._
+    // interleave(0b101, 0b011) with 3 bits: a bits at even positions
+    // (1,0,1 -> 1,4,16 taken where set: 1 + 16), b at odd (1,1,0 -> 2+8)
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.mortonInterleave(col("a"), col("b"), 3).as("z"))
+      .head().getLong(0)
+    assert(got === (1L | 16L | 2L | 8L))
+  }
 }

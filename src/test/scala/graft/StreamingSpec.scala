@@ -130,6 +130,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each batch to the dimension") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val facts = MemoryStream[(Long, String)]
+    val dim = Seq(("click", "interactive"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val enriched = streaming.Streams.streamStaticEnrich(
+      facts.toDF().toDF("event_id", "event_type"), dim, "event_type")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("ssenrich").start()
+    try {
+      facts.addData((1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      facts.addData((3L, "scroll")) // no dim row → left join passes it through
+      q.processAllAvailable()
+      val got = sp.table("ssenrich")
+        .select("event_id", "category")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toSet
+      assert(got === Set(1L -> Some("interactive"), 2L -> Some("passive"),
+        3L -> None))
+    } finally q.stop()
+  }
+
   test("AvailableNow file stream ingests each file exactly once") {
     val sp = spark
     val srcDir = Files.createTempDirectory("graft_stream_src").toString
