@@ -53,7 +53,13 @@ object Components {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("component"))
+    // Active-set restriction: only edge-touched nodes can ever change
+    // label, so the iteration runs over them alone. In a dedup corpus most
+    // documents are singletons — they join back as their own component
+    // after the loop, and every round's joins shrink from |V| to
+    // |V_active| (often 10-100× smaller).
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -71,6 +77,13 @@ object Components {
             .as("component"))
       // Compress phase (path-halving): component := component(component).
       // Labels are node ids, so the pulled frame doubles as the mapping.
+      // Exactly ONE compress join per round: stacking extra lazy jumps
+      // looks free but multiplies references to the un-checkpointed
+      // `pulled`, and the re-planned/re-executed pull joins cost far more
+      // than the rounds they save (measured 8 s → 230 s at sf0.1 with 3
+      // stacked jumps). The tail rounds a single halving leaves behind
+      // (changed counts in the single digits) are near-free — the frames
+      // are checkpointed and tiny.
       val halved = pulled
         .join(pulled.select(col("id").as("p_id"), col("component").as("p_comp")),
           col("component") === col("p_id"), "left")
@@ -84,8 +97,13 @@ object Components {
       labels = halved
       converged = changed == 0L
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] iter=$iter changed=$changed")
     }
-    labels
+    val isolated = nodes
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.unionByName(isolated)
   }
 
   /** q83_dup_groups — duplicate-group labeling over `documents`: edges are
