@@ -86,6 +86,15 @@ object Soak {
       require(c2.toDouble / c1 < 3.0,
         s"candidate growth is super-linear: $c1 -> $c2")
     }
+    // Connected components must scale with the ACTIVE set (edge-touched
+    // nodes), not the corpus: replication multiplies singletons and
+    // in-band clusters alike while leaving component diameters unchanged
+    // (the id offsets keep copies out of each other's bands), so runtime
+    // grows ~linearly in k and the round count stays flat.
+    time("dup_groups_cc") {
+      graft.ops.Components.dupGroups(docs)
+        .agg(count(lit(1))).collect()
+    }
     spark.stop()
   }
 }

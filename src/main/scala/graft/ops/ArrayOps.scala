@@ -65,4 +65,41 @@ object ArrayOps {
       |       coalesce(even.even_toks, '') AS even_toks
       |FROM t LEFT JOIN even ON t.doc_id = even.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** q89_maps — MapType round-trip: per-order flag→count maps built with
+    * `map_from_entries` over a sorted entry list, then consumed back
+    * through `map_keys` / `element_at` / `size`. The map is an INTERNAL
+    * shape (outputs are plain columns, so the oracle is plain relational
+    * SQL) — the point is exercising Spark's map machinery on a
+    * deterministic entry order.
+    *
+    * Scale: entries pre-aggregate to (orderkey, flag, cnt) cardinality
+    * before any collection builds, so the map construction is a bounded
+    * per-key fold (≤3 flags), not a row-level collect. */
+  def q89Maps(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val counts = li.groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("l_orderkey"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("l_returnflag"), col("cnt")))))
+        .as("m"))
+      .select(col("l_orderkey"),
+        size(col("m")).as("n_flags"),
+        array_join(map_keys(col("m")), ",").as("flags_csv"),
+        coalesce(element_at(col("m"), "A"), lit(0L)).as("a_cnt"),
+        coalesce(element_at(col("m"), "N"), lit(0L)).as("n_cnt"),
+        coalesce(element_at(col("m"), "R"), lit(0L)).as("r_cnt"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val q89Sql: String =
+    """SELECT l_orderkey,
+      |       CAST(count(DISTINCT l_returnflag) AS INT) AS n_flags,
+      |       string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag)
+      |         AS flags_csv,
+      |       count(*) FILTER (l_returnflag = 'A') AS a_cnt,
+      |       count(*) FILTER (l_returnflag = 'N') AS n_cnt,
+      |       count(*) FILTER (l_returnflag = 'R') AS r_cnt
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 }

@@ -113,9 +113,9 @@ object Components {
     * doc_id in the group), the group size, and whether the doc is the
     * canonical representative — integers/booleans only, so the recursive
     * oracle hash-matches exactly. */
-  def q83DupGroups(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val edges = Dedup.bandedGramPairs(Dedup.hashedGrams(docs), 10L)
+  /** [[q83DupGroups]]'s core over any (doc_id, text) frame. */
+  def dupGroups(docs: DataFrame, W: Long = 10L): DataFrame = {
+    val edges = Dedup.bandedGramPairs(Dedup.hashedGrams(docs), W)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val comp =
       connectedComponents(docs.select(col("doc_id").as("id")), edges)
@@ -126,6 +126,9 @@ object Components {
         (col("id") === col("component")).as("is_rep"))
       .orderBy(col("doc_id"))
   }
+
+  def q83DupGroups(spark: SparkSession, sfDir: String): DataFrame =
+    dupGroups(Tables.documents(spark, sfDir))
 
   /** DuckDB computes the same fixpoint declaratively: the recursive CTE
     * enumerates every (node, reachable-node) pair and takes the min — the
