@@ -63,6 +63,12 @@ object Components {
       .localCheckpoint()
     var converged = false
     var iter = 0
+    // Convergence probe: labels decrease monotonically per node, so the
+    // label-sum strictly decreases until the fixpoint — comparing two longs
+    // replaces a per-round join-and-count with a shuffle-free aggregate
+    // over the checkpointed frame. (Exact: long sum of node ids, no
+    // overflow below ~3·10⁹ nodes.)
+    var prevSum = Long.MaxValue
     while (!converged && iter < maxIter) {
       // Pull phase: min label over the neighborhood (plus self, via the
       // left join below — isolated nodes keep their own label).
@@ -90,15 +96,13 @@ object Components {
         .select(col("id"),
           coalesce(col("p_comp"), col("component")).as("component"))
         .localCheckpoint()
-      val changed = halved
-        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
-        .filter(col("component") =!= col("prev"))
-        .count()
+      val labelSum = halved.agg(sum(col("component"))).head().getLong(0)
       labels = halved
-      converged = changed == 0L
+      converged = labelSum == prevSum
+      prevSum = labelSum
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] iter=$iter changed=$changed")
+        println(s"[cc] iter=$iter labelSum=$labelSum")
     }
     val isolated = nodes
       .join(labels.select(col("id")), Seq("id"), "left_anti")

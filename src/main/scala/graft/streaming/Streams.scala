@@ -92,6 +92,53 @@ object Streams {
              |""".stripMargin),
         "inner")
 
+  /** Streaming MERGE: maintain a keyed parquet snapshot from a change
+    * stream via foreachBatch + [[graft.ops.Merge.upsert]] — the
+    * micro-batch loop every streaming warehouse sink runs (Delta's
+    * streaming MERGE is this exact shape with a transactional commit).
+    * Each batch folds into the snapshot keyed by `key`; within a batch the
+    * highest `tsCol` row per key wins, so replays and out-of-order
+    * duplicates converge to the same snapshot (idempotent against
+    * micro-batch re-execution — Spark may re-run a batch after a failure,
+    * and a blind append would double rows where this MERGE cannot).
+    *
+    * Scale: one full-outer join per batch between the snapshot and a
+    * batch-sized change set; the snapshot rewrite is the cost of
+    * file-format simplicity (a table format with row-level merge amortizes
+    * it — the operator shape is unchanged). */
+  def upsertStream(changes: DataFrame, key: String, payload: String,
+      tsCol: String, snapshotDir: String, checkpoint: String): StreamingQuery = {
+    val q = changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val latest = batch
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(key).orderBy(col(tsCol).desc)))
+          .filter(col("__rn") === 1)
+          .select(key, payload)
+        val base =
+          try spark.read.parquet(snapshotDir).select(key, payload)
+          catch { case _: Exception => latest.limit(0) } // first batch
+        graft.ops.Merge.upsert(base, latest, key, payload)
+          .select(key, payload)
+          .write.mode("overwrite").parquet(snapshotDir + "_next")
+        // atomic-enough swap for a local demo; a real deployment writes a
+        // table format with transactional commit instead
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(snapshotDir + "_next"), dst)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Stream-static dimension enrichment: every micro-batch joins against
     * the static frame — the streaming read side of the warehouse dim tables
     * ([[graft.ops.Relational.q10JoinBroadcast]]'s streaming twin). Left

@@ -154,6 +154,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert folds change batches into a converging snapshot") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = Files.createTempDirectory("graft-upsert-").toString
+    val changes = MemoryStream[(Long, String, Timestamp)]
+    def run(): Unit = streaming.Streams.upsertStream(
+      changes.toDF().toDF("k", "v", "ts"), "k", "v", "ts",
+      s"$dir/snapshot", s"$dir/ckpt")
+    def snapshot(): Map[Long, String] =
+      sp.read.parquet(s"$dir/snapshot")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    changes.addData((1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "b", ts("2024-01-01 10:01:00")))
+    run()
+    assert(snapshot() === Map(1L -> "a", 2L -> "b"))
+    // second drain: an update for k=1 plus an OLDER duplicate that must
+    // lose the within-batch latest-wins tie, and a brand-new key
+    changes.addData(
+      (1L, "a2", ts("2024-01-01 11:00:00")),
+      (1L, "stale", ts("2024-01-01 09:00:00")),
+      (3L, "c", ts("2024-01-01 11:05:00")))
+    run()
+    assert(snapshot() === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
   test("AvailableNow file stream ingests each file exactly once") {
     val sp = spark
     val srcDir = Files.createTempDirectory("graft_stream_src").toString
