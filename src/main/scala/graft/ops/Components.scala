@@ -96,7 +96,10 @@ object Components {
         .select(col("id"),
           coalesce(col("p_comp"), col("component")).as("component"))
         .localCheckpoint()
-      val labelSum = halved.agg(sum(col("component"))).head().getLong(0)
+      // sum over an empty active set is NULL (no edges at all) — that is
+      // already the fixpoint
+      val sumRow = halved.agg(sum(col("component"))).head()
+      val labelSum = if (sumRow.isNullAt(0)) Long.MaxValue else sumRow.getLong(0)
       labels = halved
       converged = labelSum == prevSum
       prevSum = labelSum
@@ -110,14 +113,12 @@ object Components {
     labels.unionByName(isolated)
   }
 
-  /** q83_dup_groups — duplicate-group labeling over `documents`: edges are
-    * the banded shared-3-gram candidate pairs ([[Dedup.bandedGramPairs]],
-    * W=10 — in production the band comes from q70's LSH buckets), groups
-    * are their transitive closure. Emits each document's group id (min
-    * doc_id in the group), the group size, and whether the doc is the
-    * canonical representative — integers/booleans only, so the recursive
-    * oracle hash-matches exactly. */
-  /** [[q83DupGroups]]'s core over any (doc_id, text) frame. */
+  /** Duplicate-group labeling over any (doc_id, text) frame: edges are the
+    * banded shared-3-gram candidate pairs ([[Dedup.bandedGramPairs]] — in
+    * production the band comes from q70's LSH buckets), groups are their
+    * transitive closure. Emits each document's group id (min doc_id in the
+    * group), the group size, and whether the doc is the canonical
+    * representative. */
   def dupGroups(docs: DataFrame, W: Long = 10L): DataFrame = {
     val edges = Dedup.bandedGramPairs(Dedup.hashedGrams(docs), W)
       .select(col("d1").as("src"), col("d2").as("dst"))
@@ -131,6 +132,9 @@ object Components {
       .orderBy(col("doc_id"))
   }
 
+  /** q83_dup_groups — [[dupGroups]] (W=10) on the documents fixture. The
+    * output is integers/booleans only, so the recursive oracle
+    * hash-matches exactly. */
   def q83DupGroups(spark: SparkSession, sfDir: String): DataFrame =
     dupGroups(Tables.documents(spark, sfDir))
 

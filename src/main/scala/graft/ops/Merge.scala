@@ -104,17 +104,18 @@ object Merge {
     * changelog. */
   def scd2(changes: DataFrame, key: String, at: String, tieBreak: String,
       attr: String): DataFrame = {
+    // one window SPEC serves both passes — specs are frame-independent
+    // descriptors; the leads still skip dropped no-ops because the second
+    // pass evaluates over the collapsed frame
     val w = Window.partitionBy(key).orderBy(col(at), col(tieBreak))
     val collapsed = changes
       .withColumn("__prev", lag(col(attr), 1).over(w))
       .filter(col("__prev").isNull || col("__prev") =!= col(attr))
-    // recompute over the collapsed frame: leads must skip dropped no-ops
-    val w2 = Window.partitionBy(key).orderBy(col(at), col(tieBreak))
     collapsed.select(
       col(key), col(attr), col(at).as("effective_from"),
-      lead(col(at), 1).over(w2).as("effective_to"),
-      row_number().over(w2).as("version"),
-      lead(col(at), 1).over(w2).isNull.as("is_current"))
+      lead(col(at), 1).over(w).as("effective_to"),
+      row_number().over(w).as("version"),
+      lead(col(at), 1).over(w).isNull.as("is_current"))
   }
 
   /** q85_scd2 — [[scd2]] over orders read as a changelog of each customer's

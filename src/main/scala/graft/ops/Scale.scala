@@ -58,11 +58,20 @@ object Scale {
   // concern (it needs a catalog-registered external path), exercised
   // end-to-end by q18_join_bucketed + the PlanSpec exchange-free assertion.
 
-  /** Salted skew equi-join: the fact side gets a content-derived salt (same
-    * retry-stability rationale as [[saltedAggregate]]); the dimension side
-    * is exploded ×`salts` so every (key, salt) bucket finds its match. The
-    * fact shuffle then spreads each hot key over `salts` partitions instead
-    * of funneling it into one.
+  /** Salted skew equi-join: the fact side gets a content-derived salt
+    * (retry-stable, like [[saltedAggregate]] — an unstable salt changes the
+    * row→reducer mapping when a shuffle-fetch failure re-executes a map
+    * task, the classic nondeterministic-repartition loss/duplication
+    * hazard); the dimension side is exploded ×`salts` so every (key, salt)
+    * bucket finds its match. The fact shuffle then spreads each hot key
+    * over `salts` partitions instead of funneling it into one.
+    *
+    * Caveat the aggregate form doesn't share: there is no map-side combine
+    * in a join, so BYTE-IDENTICAL duplicate fact rows (same content ⇒ same
+    * salt) still land on one reducer. If a key's skew comes from repeated
+    * identical rows rather than many distinct ones, dedup first (q36) or
+    * carry a stable discriminator column into the hash — a deterministic
+    * salt cannot split byte-identical rows.
     *
     * When to reach for it: the dimension is too big to broadcast AND the
     * fact side's key histogram has a head so hot that AQE's skew splitting

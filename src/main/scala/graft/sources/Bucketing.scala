@@ -86,7 +86,12 @@ object Bucketing {
     * separately in PlanSpec. */
   def q18JoinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     synchronized {
-      if (!writtenFor.contains(sfDir)) {
+      // the cache is only valid if THIS session's catalog still has the
+      // tables — a new SparkSession in the same JVM starts empty
+      val cached = writtenFor.contains(sfDir) &&
+        spark.catalog.tableExists("graft_b_orders") &&
+        spark.catalog.tableExists("graft_b_lineitem")
+      if (!cached) {
         val root = Files.createTempDirectory("graft-q18")
         Runtime.getRuntime.addShutdownHook(new Thread(() => {
           def rm(f: java.io.File): Unit = {

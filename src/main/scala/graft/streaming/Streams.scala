@@ -114,24 +114,35 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
+        // latest-wins needs a TOTAL order: ties on tsCol break on the
+        // payload, or a re-executed batch could pick a different winner
+        // and the replayed snapshot would diverge
         val latest = batch
           .withColumn("__rn", row_number().over(
-            Window.partitionBy(key).orderBy(col(tsCol).desc)))
+            Window.partitionBy(key).orderBy(col(tsCol).desc, col(payload).desc)))
           .filter(col("__rn") === 1)
           .select(key, payload)
-        val base =
-          try spark.read.parquet(snapshotDir).select(key, payload)
-          catch { case _: Exception => latest.limit(0) } // first batch
-        graft.ops.Merge.upsert(base, latest, key, payload)
-          .select(key, payload)
-          .write.mode("overwrite").parquet(snapshotDir + "_next")
-        // atomic-enough swap for a local demo; a real deployment writes a
-        // table format with transactional commit instead
+        // Only a verified-absent snapshot means "first batch" — a blanket
+        // catch would turn any transient read failure (or a crash between
+        // the delete and rename below) into a silent snapshot wipe.
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+        val next = new org.apache.hadoop.fs.Path(snapshotDir + "_next")
+        // complete an interrupted swap (crash between delete and rename):
+        // the merged result of the interrupted batch lives in _next
+        if (!fs.exists(dst) && fs.exists(next)) fs.rename(next, dst): Unit
+        val base =
+          if (fs.exists(dst)) spark.read.parquet(snapshotDir).select(key, payload)
+          else latest.limit(0)
+        graft.ops.Merge.upsert(base, latest, key, payload)
+          .select(key, payload)
+          .write.mode("overwrite").parquet(snapshotDir + "_next")
+        // swap for a local demo — the delete→rename window is the
+        // non-atomic residue a table format's transactional commit removes
+        // (recovered above by completing the rename on restart)
         fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(snapshotDir + "_next"), dst)
+        fs.rename(next, dst)
         ()
       }
       .start()

@@ -35,6 +35,11 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.size === 64 && out.values.forall(_ == 0L))
   }
 
+  test("an empty edge set yields all-singleton components") {
+    val out = components(Seq(1L, 2L, 3L), Seq.empty)
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("q83 representative invariant holds on the fixture") {
     val rows = Components.q83DupGroups(spark, SparkSuite.sf).collect()
     val comp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
