@@ -133,6 +133,50 @@ object Aggregates {
       |       TRUE AS orders_in_bounds
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q92_cms — count-min sketch frequency estimation over event types: the
+    * OTHER classic mergeable sketch next to q23's HLL (frequencies, not
+    * cardinalities). The sketch is built distributed (one codegen'd
+    * aggregate pass, counters merge associatively across partitions — at
+    * 100 TB the shuffle carries one eps⁻¹×depth counter grid per partition,
+    * not rows); estimates are then read on the consumer side, which is how
+    * a sketch is used in production (ship the summary, query it cheaply).
+    * The ≤6 estimate lookups against the group keys are driver-side by
+    * design — the sketch IS the reduced data.
+    *
+    * Oracle form: exact counts hash-check; the sketch's guarantees pin as
+    * booleans — CMS never underestimates (hard guarantee), and with
+    * eps=0.01 overestimates by at most eps·N with prob ≥ confidence
+    * (deterministic here: fixed seed, associative counters). */
+  def q92Cms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_count"))
+    val skBytes = ev.agg(
+        count_min_sketch(col("event_type"), lit(0.01), lit(0.99), lit(42))
+          .as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val spark2 = spark
+    import spark2.implicits._
+    val types = exact.select(col("event_type")).collect().map(_.getString(0))
+    val total = cms.totalCount() // N: items inserted — the eps·N bound's N
+    val est = types.toSeq.map(t => (t, cms.estimateCount(t)))
+      .toDF("event_type", "cms_estimate")
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("exact_count"),
+        (col("cms_estimate") >= col("exact_count")).as("never_underestimates"),
+        (col("cms_estimate") <= col("exact_count") +
+          ceil(lit(0.01) * lit(total))).as("within_eps_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  val q92Sql: String =
+    """SELECT event_type, count(*) AS exact_count,
+      |       TRUE AS never_underestimates,
+      |       TRUE AS within_eps_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q24_agg_rollup — ROLLUP grouping-set hierarchy with NULL group keys
     * folded to a sentinel so ordering is total and engine-independent. */
   def q24AggRollup(spark: SparkSession, sfDir: String): DataFrame =

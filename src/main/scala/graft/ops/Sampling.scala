@@ -65,6 +65,45 @@ object Sampling {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Per-stratum deterministic Bernoulli rates — the class-rebalancing
+    * sampler (downweight the dominant language / source, keep the tail):
+    * same map-side LCG membership as [[sampleByHash]], with the keep rate
+    * selected per stratum. Still zero shuffle and retry-stable; the rate
+    * lookup is a codegen'd CASE chain, so strata never co-locate. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int): DataFrame = {
+    val h = idHash(col(idCol), 22695477L, 7L) // inc differs from sampleByHash
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille): Column) {
+      case (acc, (s, r)) => when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(h, lit(1000)) < rate)
+  }
+
+  /** q91_stratified — rebalance the corpus: keep 25% of the dominant
+    * English stratum and 90% of every other language, audited per lang.
+    * The audit shows the rebalanced histogram a curation pipeline checks
+    * before training. */
+  def q91Stratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    stratifiedSample(docs, "doc_id", "lang", Map("en" -> 250), 900)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val q91Sql: String =
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents
+      |WHERE (doc_id * 22695477 + 7) % 1000000007 % 1000
+      |      < CASE WHEN lang = 'en' THEN 250 ELSE 900 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val q37Sql: String =
     """WITH h AS (
       |  SELECT lang, n_chars, doc_id,

@@ -141,6 +141,25 @@ class OperatorSpec extends AnyFunSuite {
       s"80/10/10 proportions off: $splits")
   }
 
+  test("stratified sampling rebalances strata at their own rates") {
+    val docs = Tables.documents(spark, sf)
+    val kept = ops.Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 250), 900)
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = after("en").toDouble / base("en")
+    assert(enRate > 0.1 && enRate < 0.4, s"en keep rate $enRate !~ 0.25")
+    (base.keySet - "en").foreach { l =>
+      val r = after.getOrElse(l, 0L).toDouble / base(l)
+      assert(r > 0.75, s"$l keep rate $r !~ 0.9")
+    }
+    // retry-stability: a second evaluation keeps the identical rows
+    assert(kept.agg(sum("doc_id")).head().getLong(0) ===
+      kept.agg(sum("doc_id")).head().getLong(0))
+  }
+
   test("scd2 collapses no-op changes and versions the rest") {
     import spark.implicits._
     // key 1: A@t1, A@t2 (no-op, collapsed), B@t3, B@t3 tie (kept: ordered
