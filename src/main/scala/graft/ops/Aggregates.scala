@@ -299,6 +299,39 @@ object Aggregates {
       |       max(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q93_approx_percentile — the sketch-percentile companion to q25's
+    * exact form, completing the approx-aggregate family (HLL q23, CMS q92):
+    * `approx_percentile` keeps a bounded Greenwald-Khanna summary per
+    * partition and merges them — at 100 TB the shuffle carries fixed-size
+    * summaries, where exact `percentile` must materialize every value per
+    * group. Oracle form mirrors q23: exact percentiles hash-check, the
+    * approx values pin as within-tolerance booleans (accuracy 10⁴ on an
+    * integer-valued measure ⇒ ≤1 quantity unit of slack). */
+  def q93ApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    def within(approx: Column, exact: Column): Column =
+      abs(approx.cast("double") - exact) <= lit(1.0)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+        expr("percentile(l_quantity, 0.9)").as("exact_p90"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("a90"))
+    exact.join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p90"),
+        within(col("a50"), col("exact_p50")).as("p50_within_1"),
+        within(col("a90"), col("exact_p90")).as("p90_within_1"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q93Sql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS exact_p50,
+      |       quantile_cont(l_quantity, 0.9) AS exact_p90,
+      |       TRUE AS p50_within_1,
+      |       TRUE AS p90_within_1
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Typed custom aggregator: sum of squares. Demonstrates the
     * `Aggregator[IN, BUF, OUT]` API (mergeable buffer → scales as a normal
     * partial/final aggregate). Inputs are integer-valued doubles, so the sum

@@ -80,6 +80,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(dirs.length > 1) // multiple partitions exist, pruning is real
   }
 
+  test("dynamic partition pruning fires on a year-partitioned fact join") {
+    // the 100 TB path: a dim filter known only at runtime prunes the
+    // partitioned fact scan via a DPP subquery — without it every year
+    // directory is read
+    val root = Files.createTempDirectory("graft_dpp").toString
+    WarehouseSink.rawZoneAppend(Tables.lineitem(spark, SparkSuite.sf),
+      root, "l_shipdate")
+    val fact = spark.read.parquet(root)
+    val dim = Tables.orders(spark, SparkSuite.sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(year(col("o_orderdate")).as("year")).distinct()
+    val joined = fact.join(dim, Seq("year"))
+      .groupBy(col("year")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"expected a DPP subquery in the partition filters:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("dedupAppend suppresses already-loaded keys (double-load hole)") {
     val li = Tables.lineitem(spark, SparkSuite.sf).limit(1000)
     val existing = li.limit(400)
