@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Dedup
+import graft.ops.{Components, Dedup}
 
 /** Property tests (SURVEY.md §5): algebraic laws of the dedup/set operators
   * on ScalaCheck-generated corpora, sampled with fixed seeds so runs are
@@ -63,6 +63,34 @@ class PropertySpec extends AnyFunSuite {
         assert(clusters((i + n).toLong) === clusters(i.toLong),
           s"clone ${i + n} not clustered with original $i in $texts")
       }
+    }
+  }
+
+  test("connected components agree with a reference union-find on random graphs") {
+    val sp = spark
+    import sp.implicits._
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(0, 40)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    samples(graphGen, 8).foreach { case (n, edges) =>
+      // reference: plain union-find with min-label normalization
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected =
+        (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Components.connectedComponents(
+          (0 until n).map(_.toLong).toDF("id"),
+          edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"n=$n edges=$edges")
     }
   }
 }
