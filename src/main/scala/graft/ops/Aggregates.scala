@@ -149,25 +149,31 @@ object Aggregates {
     * (deterministic here: fixed seed, associative counters). */
   def q92Cms(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
-    val ev = Tables.events(spark, sfDir)
-    val exact = ev.groupBy(col("event_type"))
+    // NULL keys are excluded on BOTH sides: the sketch aggregate skips NULL
+    // inputs, so a NULL group would break the ≥-exact guarantee (and
+    // estimateCount(null) throws)
+    val ev = Tables.events(spark, sfDir).filter(col("event_type").isNotNull)
+    // one grouped aggregate, collected once (≤ |event types| rows) — the
+    // estimates and the output frame both derive from it
+    val exactRows = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("exact_count"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val skBytes = ev.agg(
         count_min_sketch(col("event_type"), lit(0.01), lit(0.99), lit(42))
           .as("sk"))
       .head().getAs[Array[Byte]](0)
     val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val total = cms.totalCount() // N: items inserted — the eps·N bound's N
     val spark2 = spark
     import spark2.implicits._
-    val types = exact.select(col("event_type")).collect().map(_.getString(0))
-    val total = cms.totalCount() // N: items inserted — the eps·N bound's N
-    val est = types.toSeq.map(t => (t, cms.estimateCount(t)))
-      .toDF("event_type", "cms_estimate")
-    exact.join(est, Seq("event_type"))
-      .select(col("event_type"), col("exact_count"),
-        (col("cms_estimate") >= col("exact_count")).as("never_underestimates"),
-        (col("cms_estimate") <= col("exact_count") +
-          ceil(lit(0.01) * lit(total))).as("within_eps_bound"))
+    exactRows.toSeq
+      .map { case (t, exact) =>
+        val est = cms.estimateCount(t)
+        (t, exact, est >= exact,
+          est <= exact + math.ceil(0.01 * total).toLong)
+      }
+      .toDF("event_type", "exact_count", "never_underestimates",
+        "within_eps_bound")
       .orderBy(col("event_type"))
   }
 
@@ -175,7 +181,8 @@ object Aggregates {
     """SELECT event_type, count(*) AS exact_count,
       |       TRUE AS never_underestimates,
       |       TRUE AS within_eps_bound
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM events WHERE event_type IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q24_agg_rollup — ROLLUP grouping-set hierarchy with NULL group keys
     * folded to a sentinel so ordering is total and engine-independent. */
@@ -306,30 +313,34 @@ object Aggregates {
     * summaries, where exact `percentile` must materialize every value per
     * group. Oracle form mirrors q23: exact percentiles hash-check, the
     * approx values pin as within-tolerance booleans (accuracy 10⁴ on an
-    * integer-valued measure ⇒ ≤1 quantity unit of slack). */
+    * integer-valued measure ⇒ ≤1 quantity unit of slack). Fractions stay
+    * on q25's dyadic set (0.5, 0.75): a non-dyadic fraction like 0.9 makes
+    * the interpolation weight inexact in binary, and Spark's
+    * (1−d)·a + d·b vs DuckDB's a + d·(b−a) can then differ in the last
+    * ulp whenever the rank straddles two distinct values. */
   def q93ApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     def within(approx: Column, exact: Column): Column =
       abs(approx.cast("double") - exact) <= lit(1.0)
     val exact = li.groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_quantity, 0.5)").as("exact_p50"),
-        expr("percentile(l_quantity, 0.9)").as("exact_p90"))
+        expr("percentile(l_quantity, 0.75)").as("exact_p75"))
     val approx = li.groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("a50"),
-        expr("approx_percentile(l_quantity, 0.9, 10000)").as("a90"))
+        expr("approx_percentile(l_quantity, 0.75, 10000)").as("a75"))
     exact.join(approx, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("exact_p50"), col("exact_p90"),
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p75"),
         within(col("a50"), col("exact_p50")).as("p50_within_1"),
-        within(col("a90"), col("exact_p90")).as("p90_within_1"))
+        within(col("a75"), col("exact_p75")).as("p75_within_1"))
       .orderBy(col("l_returnflag"))
   }
 
   val q93Sql: String =
     """SELECT l_returnflag,
       |       quantile_cont(l_quantity, 0.5) AS exact_p50,
-      |       quantile_cont(l_quantity, 0.9) AS exact_p90,
+      |       quantile_cont(l_quantity, 0.75) AS exact_p75,
       |       TRUE AS p50_within_1,
-      |       TRUE AS p90_within_1
+      |       TRUE AS p75_within_1
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Typed custom aggregator: sum of squares. Demonstrates the

@@ -92,10 +92,12 @@ object Pipeline {
     * in natural-key order. Row count (and hence the hash) proves the
     * idempotency guard: a broken dedup yields 2× rows.
     *
-    * NOTE: unlike every other registered query, construction is EAGER (the
-    * loads are actions) — plan-only consumers like [[graft.Explain]] see
-    * just the read-back scan. The scratch dir is removed on JVM exit, so
-    * repeated bench/verify invocations don't accumulate /tmp copies. */
+    * NOTE: construction is EAGER (the loads are actions) — plan-only
+    * consumers like [[graft.Explain]] see just the read-back scan. q18
+    * (bucketed write) and q92 (sketch collect) share this property; every
+    * other registered query is a pure lazy plan. The scratch dir is
+    * removed on JVM exit, so repeated bench/verify invocations don't
+    * accumulate /tmp copies. */
   def q04Pipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val root = Files.createTempDirectory("graft-q04")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {

@@ -21,9 +21,10 @@ import graft.Tables
   *    one (contrast a `row_number` top-k per stratum, which funnels each
   *    stratum through one task).
   *
-  * The two LCG multipliers are classic public constants (Knuth's 2654435761,
-  * glibc's 22695477); the two hashes are independent so split assignment and
-  * sample membership don't correlate.
+  * The three LCG multipliers are classic public constants (Knuth's
+  * 2654435761, Borland's 22695477, glibc's 1103515245) — one per sampler,
+  * because hashes sharing a multiplier are a constant shift apart and
+  * would correlate membership when samplers compose.
   */
 object Sampling {
 
@@ -69,10 +70,15 @@ object Sampling {
     * sampler (downweight the dominant language / source, keep the tail):
     * same map-side LCG membership as [[sampleByHash]], with the keep rate
     * selected per stratum. Still zero shuffle and retry-stable; the rate
-    * lookup is a codegen'd CASE chain, so strata never co-locate. */
+    * lookup is a codegen'd CASE chain, so strata never co-locate.
+    *
+    * The MULTIPLIER (glibc's 1103515245) differs from both other samplers —
+    * independence requires it: same-multiplier hashes differing only in
+    * the increment are a constant shift apart, so composing them keeps
+    * nearly the same rows instead of sampling independently. */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       ratesPerMille: Map[String, Int], defaultPerMille: Int): DataFrame = {
-    val h = idHash(col(idCol), 22695477L, 7L) // inc differs from sampleByHash
+    val h = idHash(col(idCol), 1103515245L, 12345L)
     val rate = ratesPerMille.foldLeft(lit(defaultPerMille): Column) {
       case (acc, (s, r)) => when(col(stratumCol) === s, lit(r)).otherwise(acc)
     }
@@ -100,7 +106,7 @@ object Sampling {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM documents
-      |WHERE (doc_id * 22695477 + 7) % 1000000007 % 1000
+      |WHERE (doc_id * 1103515245 + 12345) % 1000000007 % 1000
       |      < CASE WHEN lang = 'en' THEN 250 ELSE 900 END
       |GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -130,8 +130,13 @@ object Streams {
         val dst = new org.apache.hadoop.fs.Path(snapshotDir)
         val next = new org.apache.hadoop.fs.Path(snapshotDir + "_next")
         // complete an interrupted swap (crash between delete and rename):
-        // the merged result of the interrupted batch lives in _next
-        if (!fs.exists(dst) && fs.exists(next)) fs.rename(next, dst): Unit
+        // the merged result of the interrupted batch lives in _next. The
+        // rename result MUST be checked — on filesystems that return false
+        // instead of throwing, ignoring it would fall through to the
+        // empty-base branch and overwrite the only surviving copy.
+        if (!fs.exists(dst) && fs.exists(next))
+          require(fs.rename(next, dst),
+            s"failed to promote interrupted snapshot swap")
         val base =
           if (fs.exists(dst)) spark.read.parquet(snapshotDir).select(key, payload)
           else latest.limit(0)
@@ -140,9 +145,11 @@ object Streams {
           .write.mode("overwrite").parquet(snapshotDir + "_next")
         // swap for a local demo — the delete→rename window is the
         // non-atomic residue a table format's transactional commit removes
-        // (recovered above by completing the rename on restart)
+        // (recovered above by completing the rename on restart). A false
+        // return fails the batch: the data is safe in _next and the retry
+        // takes the recovery path.
         fs.delete(dst, true)
-        fs.rename(next, dst)
+        require(fs.rename(next, dst), "snapshot swap rename failed")
         ()
       }
       .start()

@@ -155,9 +155,22 @@ class OperatorSpec extends AnyFunSuite {
       val r = after.getOrElse(l, 0L).toDouble / base(l)
       assert(r > 0.75, s"$l keep rate $r !~ 0.9")
     }
-    // retry-stability: a second evaluation keeps the identical rows
+    // retry-stability: an independently REBUILT plan keeps identical rows
+    // (evaluating one plan twice would pass even for seeded rand())
+    val rebuilt = ops.Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 250), 900)
     assert(kept.agg(sum("doc_id")).head().getLong(0) ===
-      kept.agg(sum("doc_id")).head().getLong(0))
+      rebuilt.agg(sum("doc_id")).head().getLong(0))
+    // independence: composing with the 20% Bernoulli sampler keeps ~25%
+    // of the en stratum OF THE SAMPLE — a correlated hash would keep ~100%
+    val composed = ops.Sampling.stratifiedSample(
+      ops.Sampling.sampleByHash(docs, "doc_id", 200),
+      "doc_id", "lang", Map("en" -> 250), 900)
+    val sampledEn = ops.Sampling.sampleByHash(docs, "doc_id", 200)
+      .filter(col("lang") === "en").count()
+    val composedEn = composed.filter(col("lang") === "en").count()
+    val compRate = composedEn.toDouble / sampledEn
+    assert(compRate < 0.6, s"composed en keep rate $compRate — samplers correlate")
   }
 
   test("scd2 collapses no-op changes and versions the rest") {
