@@ -137,6 +137,8 @@ object VectorFunctions {
   * (or `SparkSession.builder.withExtensions`) makes `vector_cosine(a, b)`
   * available to every SQL query in the session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.sqlFunction)
+    graft.plans.GroupedTopK.inject(ext)
+  }
 }
