@@ -48,6 +48,9 @@ object GroupedTopK {
       ordering: Seq[SortOrder], k: Int, child: LogicalPlan)
       extends UnaryNode {
     require(k > 0, s"k must be positive, got $k")
+    require(groupExprs.nonEmpty,
+      "grouped top-k needs group columns — global top-k is orderBy().limit(k)" +
+        " (TakeOrderedAndProject), see q33")
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(
         newChild: LogicalPlan): GroupedTopKPlan = copy(child = newChild)
@@ -82,8 +85,17 @@ object GroupedTopK {
         val heaps =
           mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
         iter.foreach { row =>
-          val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-            mutable.PriorityQueue.empty[InternalRow])
+          // keyProj reuses one buffer — probe with it, copy ONLY on first
+          // insert (a per-row key copy would allocate O(rows) garbage on
+          // exactly the billion-row path this operator exists for)
+          val probe = keyProj(row)
+          val heap = heaps.get(probe) match {
+            case Some(h) => h
+            case None =>
+              val h = mutable.PriorityQueue.empty[InternalRow]
+              heaps.put(probe.copy(), h)
+              h
+          }
           if (heap.size < kLocal) heap += row.copy()
           else if (ord.compare(row, heap.head) < 0) {
             heap.dequeue()

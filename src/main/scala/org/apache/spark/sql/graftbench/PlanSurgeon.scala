@@ -2,12 +2,12 @@ package org.apache.spark.sql.graftbench
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.Sort
-import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.graftplans.PlanBridge
 
-/** Bench-only plan surgery. Lives under `org.apache.spark.sql` solely to
-  * reach the `private[sql]` `Dataset.ofRows` — the supported way to wrap a
-  * modified logical plan back into a DataFrame. Nothing here runs in query
-  * paths; see [[graft.Bench]].
+/** Bench-only plan surgery; the one `private[sql]` touchpoint
+  * (`Dataset.ofRows`) is shared through
+  * [[org.apache.spark.sql.graftplans.PlanBridge]]. Nothing here runs in
+  * query paths; see [[graft.Bench]].
   */
 object PlanSurgeon {
 
@@ -20,8 +20,7 @@ object PlanSurgeon {
   def withoutTopSort(df: DataFrame): Option[DataFrame] =
     df.queryExecution.analyzed match {
       case s: Sort if s.global =>
-        Some(Dataset.ofRows(
-          df.sparkSession.asInstanceOf[SparkSession], s.child))
+        Some(PlanBridge.ofRows(df.sparkSession, s.child))
       case _ => None
     }
 }
