@@ -95,6 +95,21 @@ object Soak {
       graft.ops.Components.dupGroups(docs)
         .agg(count(lit(1))).collect()
     }
+    // The custom heap operator vs the window form it replaces, on the
+    // replicated table: the window sorts every partition of the full
+    // table, the heap keeps k rows per group — the gap widens with k×SF.
+    time("grouped_topk_window") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .drop("rn").agg(count(lit(1))).collect()
+    }
+    time("grouped_topk_custom") {
+      graft.plans.GroupedTopK.topKPerKey(o, Seq("o_orderpriority"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+        .agg(count(lit(1))).collect()
+    }
     spark.stop()
   }
 }
