@@ -21,8 +21,10 @@ import graft.Tables
   *    vocabulary-bound, never corpus-bound.
   *  - The corpus size joins in as a broadcast 1-row aggregate, not a driver
   *    constant — no action at plan-build time.
-  *  - Top-k per document windows on doc_id: millions of small partitions
-  *    (perfectly parallel), never one giant one.
+  *  - Top-k per document runs on the custom bounded-heap operator
+  *    ([[graft.plans.GroupedTopK]]): the partial stage prunes to ≤3 rows
+  *    per (partition, doc) BEFORE the shuffle, and the rank window then
+  *    sorts 3-row groups, not the scored table.
   *  - The tf ⋈ df join shuffles on the term key; when the vocabulary fits
   *    (it usually does — Heaps' law), `broadcast(dfreq)` turns it map-side.
   */
@@ -45,11 +47,17 @@ object Tfidf {
       .withColumn("score",
         col("tf").cast("double") *
           (col("n_docs").cast("double") / col("df").cast("double")))
+    // heap-prune to the top 3 per doc (identical total order to the rank
+    // window below, so the retained set is exactly the rnk<=3 rows), THEN
+    // rank — the window sorts 3-row partitions instead of the full table
+    val top = graft.plans.GroupedTopK.topKPerKey(
+      scored.select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score")),
+      Seq("doc_id"), Seq("score" -> true, "tok" -> false), 3)
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
-    scored
+    top
       .withColumn("rnk", row_number().over(byDoc))
-      .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"),
         col("score"))
       .orderBy(col("doc_id"), col("rnk"))
