@@ -125,4 +125,35 @@ object Windows {
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** q95_range_frame — time-RANGE frames, the form q32's ROWS frames can't
+    * express: each event's frame is every event of the same user in the
+    * trailing hour BY TIMESTAMP, regardless of how many rows that is.
+    * Ordering is epoch MICROSECONDS (exact integers in both engines), so
+    * the frame bound is the integer 3600000000-1 and tied timestamps are
+    * peers in both engines by the same RANGE rule. Per-user partitions,
+    * single pass — the batch twin of the q61 sliding stream window (which
+    * aggregates per bucket; this scores per EVENT). */
+  def q95RangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("ep"))
+    val hour = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+      .rangeBetween(-3599999999L, 0L)
+    ev.select(
+        col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(hour).as("n_hour"),
+        sum(col("value").cast(DecimalType(18, 2))).over(hour)
+          .cast("double").as("sum_hour"))
+      .orderBy(col("user_id"), col("ep"), col("event_id"))
+  }
+
+  val q95Sql: String =
+    """SELECT user_id, event_id, ts,
+      |  count(*) OVER w AS n_hour,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin
 }
