@@ -155,4 +155,58 @@ object Events {
       |         AS filled_value
       |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
       |ORDER BY g.user_id, g.hr""".stripMargin
+
+  /** q96_funnel — conversion-funnel analysis: for every `view`, did the
+    * same user `click` within the following hour? Daily view counts,
+    * conversions, and the conversion rate — the product-analytics staple
+    * over an event stream.
+    *
+    * Scale: the candidate join is EQUI on user_id with the hour band as a
+    * residual predicate — per-user event counts bound the pair space, so
+    * no all-pairs blowup; timestamps compare as exact epoch-µs integers
+    * (cross-engine determinism, same device as q95); the per-view min and
+    * the daily rollup are both partial-aggregating hash aggregates. */
+  def q96Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ep"), col("event_type"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"), col("ep").as("view_ep"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ep").as("click_ep"))
+    val conv = views.join(clicks, Seq("user_id"))
+      .where(col("click_ep") > col("view_ep") &&
+        col("click_ep") <= col("view_ep") + lit(3600000000L))
+      .groupBy(col("view_id"))
+      .agg(min(col("click_ep")).as("first_click_ep"))
+    views.join(conv, Seq("view_id"), "left")
+      .groupBy(date_trunc("day", col("view_ts")).as("day"))
+      .agg(count(lit(1)).as("n_views"),
+        count(col("first_click_ep")).as("n_converted"))
+      .withColumn("conversion",
+        col("n_converted").cast("double") / col("n_views").cast("double"))
+      .orderBy(col("day"))
+  }
+
+  val q96Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, ts, epoch_us(ts) AS ep, event_type
+      |  FROM events),
+      |views AS (
+      |  SELECT event_id AS view_id, user_id, ts AS view_ts, ep AS view_ep
+      |  FROM ev WHERE event_type = 'view'),
+      |clicks AS (
+      |  SELECT user_id, ep AS click_ep FROM ev WHERE event_type = 'click'),
+      |conv AS (
+      |  SELECT view_id, min(click_ep) AS first_click_ep
+      |  FROM views JOIN clicks USING (user_id)
+      |  WHERE click_ep > view_ep AND click_ep <= view_ep + 3600000000
+      |  GROUP BY view_id)
+      |SELECT date_trunc('day', view_ts) AS day,
+      |       CAST(count(*) AS BIGINT) AS n_views,
+      |       CAST(count(first_click_ep) AS BIGINT) AS n_converted,
+      |       CAST(count(first_click_ep) AS DOUBLE) / count(*) AS conversion
+      |FROM views LEFT JOIN conv USING (view_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
