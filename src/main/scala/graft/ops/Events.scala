@@ -209,4 +209,62 @@ object Events {
       |       CAST(count(first_click_ep) AS DOUBLE) / count(*) AS conversion
       |FROM views LEFT JOIN conv USING (view_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q97_cohort — weekly retention matrix: users cohorted by first-signup
+    * week, retention = fraction of the cohort active in each later week.
+    * The other product-analytics staple next to the funnel (q96).
+    *
+    * Scale: the signup anchor is a per-user min (hash aggregate); the
+    * activity join is equi on user_id; the matrix aggregate is
+    * count-distinct at (cohort, offset) cardinality. Week offsets derive
+    * from exact epoch-µs integer division of `date_trunc('week')` values,
+    * so the bucketing is engine-exact. */
+  def q97Cohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(date_trunc("week", col("ts"))))
+        .as("cohort_ep"))
+    val weekMicros = 7L * 86400L * 1000000L
+    val active = ev.select(col("user_id"),
+      unix_micros(date_trunc("week", col("ts"))).as("week_ep"))
+    signups.join(active, Seq("user_id"))
+      .filter(col("week_ep") >= col("cohort_ep"))
+      .select(col("user_id"),
+        timestamp_micros(col("cohort_ep")).as("cohort_week"),
+        ((col("week_ep") - col("cohort_ep")) / lit(weekMicros))
+          .cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cohort_week"))))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q97Sql: String =
+    """WITH signups AS (
+      |  SELECT user_id,
+      |         min(epoch_us(date_trunc('week', ts))) AS cohort_ep
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |active AS (
+      |  SELECT user_id, epoch_us(date_trunc('week', ts)) AS week_ep
+      |  FROM events),
+      |cells AS (
+      |  SELECT make_timestamp(cohort_ep) AS cohort_week,
+      |         (week_ep - cohort_ep) // 604800000000 AS week_offset,
+      |         count(DISTINCT s.user_id) AS n_active
+      |  FROM signups s JOIN active a ON s.user_id = a.user_id
+      |  WHERE week_ep >= cohort_ep
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_active,
+      |       max(CASE WHEN week_offset = 0 THEN n_active END)
+      |         OVER (PARTITION BY cohort_week) AS cohort_size,
+      |       CAST(n_active AS DOUBLE) /
+      |         max(CASE WHEN week_offset = 0 THEN n_active END)
+      |           OVER (PARTITION BY cohort_week) AS retention
+      |FROM cells ORDER BY cohort_week, week_offset""".stripMargin
 }
