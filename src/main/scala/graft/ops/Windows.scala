@@ -156,4 +156,60 @@ object Windows {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin
+
+  /** q98_pareto — ABC/Pareto classification: parts ranked by revenue, each
+    * carrying its cumulative share of the total, bucketed A (first 70% of
+    * revenue) / B (to 90%) / C (tail). The contribution-analysis staple
+    * behind "which 20% of parts make 80% of revenue".
+    *
+    * Determinism: the cumulative sum runs over DECIMAL partials in a total
+    * order (revenue desc, partkey), and the share divides two decimal-
+    * derived doubles — both engines see identical operands. The unbounded
+    * cumulative window is a single global sort — acceptable because the
+    * frame is the AGGREGATED part table (|parts| rows, not |lineitem|);
+    * the heavy input reduces in a hash aggregate first. */
+  def q98Pareto(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPart = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        .as("revenue_dec"))
+    val ord = Window.orderBy(col("revenue_dec").desc, col("l_partkey"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byPart
+      .withColumn("cum_dec", sum(col("revenue_dec")).over(cum))
+      .withColumn("total_dec",
+        sum(col("revenue_dec")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("l_partkey"),
+        col("revenue_dec").cast("double").as("revenue"),
+        (col("cum_dec").cast("double") / col("total_dec").cast("double"))
+          .as("cum_share"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.7, "A")
+          .when(col("cum_share") <= 0.9, "B").otherwise("C"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+  }
+
+  val q98Sql: String =
+    """WITH by_part AS (
+      |  SELECT l_partkey,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue_dec
+      |  FROM lineitem GROUP BY l_partkey),
+      |cum AS (
+      |  SELECT l_partkey, revenue_dec,
+      |         sum(revenue_dec) OVER (ORDER BY revenue_dec DESC, l_partkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum_dec,
+      |         sum(revenue_dec) OVER () AS total_dec
+      |  FROM by_part)
+      |SELECT l_partkey, CAST(revenue_dec AS DOUBLE) AS revenue,
+      |       CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)
+      |         AS cum_share,
+      |       CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)
+      |                  <= 0.7 THEN 'A'
+      |            WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)
+      |                  <= 0.9 THEN 'B'
+      |            ELSE 'C' END AS abc_class
+      |FROM cum ORDER BY revenue DESC, l_partkey""".stripMargin
 }
