@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Oracle-reproducible string hashing.
+  *
+  * Spark's built-in `hash`/`xxhash64` (murmur3 / xxHash) have no DuckDB
+  * twin, so any operator whose OUTPUT includes hash-derived values cannot
+  * be hash-checked against the SQL oracle. This char-level polynomial
+  * rolling hash is the bridge: exact BIGINT mod-arithmetic that both
+  * engines evaluate identically —
+  *
+  *   h = fold(chars)(acc = 0)((acc, c) => (acc·base + codepoint(c)) mod p)
+  *
+  * DuckDB form (the oracle side):
+  *   list_reduce(list_transform(string_split(s, ''), c -> ascii(c)::BIGINT),
+  *               (acc, x) -> (acc * base + x) % p)
+  * (list_reduce seeds from the first element, which equals the fold's first
+  * step since 0·base + a₁ = a₁ < p.)
+  *
+  * Bounds: acc < p < 2³¹, base ≤ 137 ⇒ acc·base + 127 < 2³⁹ — no overflow
+  * in either engine. It is Java-string-hash-style mixing: not
+  * collision-resistant against adversaries, but uniform enough for MinHash /
+  * SimHash over natural-language corpora, and — unlike murmur3 — provably
+  * identical across engines, which is what the correctness gate needs.
+  *
+  * Scale note: `aggregate` is a higher-order function, outside whole-stage
+  * codegen. Keep the hash in a projection that is consumed via an attribute
+  * reference (an Aggregate or a Generate boundary) so CollapseProject cannot
+  * duplicate the fold per consumer — the measured 8-19 s HOF-inlining trap.
+  * Cost is O(chars) per row, embarrassingly parallel, no shuffle.
+  */
+object StableHash {
+
+  /** 2³¹−1, the 8th Mersenne prime — primary modulus. */
+  val P1: Long = 2147483647L
+  /** Largest prime below 2³¹−1 — independent second modulus for 62-bit
+    * composition. */
+  val P2: Long = 2147483629L
+
+  /** Char-polynomial rolling hash of `s` in [0, p). */
+  def charPoly(s: Column, base: Long, p: Long): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(base) + ascii(ch), lit(p)))
+
+  /** 62-bit composition of two independent 31-bit char hashes:
+    * h₁(base 131 mod P1) << 31 | h₂(base 137 mod P2). Always ≥ 0 (bit 63
+    * and 62 clear), so BIGINT arithmetic matches across engines. */
+  def charPoly62(s: Column): Column =
+    shiftleft(charPoly(s, 131L, P1), 31) + charPoly(s, 137L, P2)
+}

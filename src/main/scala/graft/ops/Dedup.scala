@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.StableHash
 
 /** Deduplication operators — north-star tier X (BASELINE.json): exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection over
@@ -81,12 +82,18 @@ object Dedup {
         .select(col("doc_id"), col("text").as("gram")))
 
   /** Per-document MinHash signatures sig_0..sig_k-1: min((a·h+b) mod p) over
-    * the gram murmur3 hashes — k plain `min` aggregates in one codegen'd
-    * hash-aggregate pass (partial map-side, final after one shuffle). */
+    * the gram hashes — k plain `min` aggregates in one hash-aggregate pass
+    * (partial map-side, final after one shuffle). The gram hash is
+    * [[StableHash.charPoly]] rather than murmur3 so the WHOLE pipeline —
+    * signatures, band keys, cluster representatives — is reproducible by the
+    * DuckDB oracle ([[q70Sql]]) in exact BIGINT arithmetic. The hash is
+    * computed in its own projection and consumed only through the aggregate
+    * boundary, so the non-codegen fold runs once per gram. Bounds:
+    * a < 2³¹, gh < 2³¹ ⇒ a·gh + b < 2⁶² — overflow-free in both engines. */
   private def signatures(docs: DataFrame): DataFrame = {
     val hashed = gramsWithFallback(docs)
       .select(col("doc_id"),
-        pmod(hash(col("gram")).cast("long"), lit(MinhashP)).as("gh"))
+        StableHash.charPoly(col("gram"), 131L, MinhashP).as("gh"))
     val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("gh") * lit(a) + lit(b), lit(MinhashP))).as(s"sig_$j")
     }
@@ -99,10 +106,15 @@ object Dedup {
     * (docs with no near-dup report themselves). */
   def minhashClusters(docs: DataFrame): DataFrame = {
     val signed = signatures(docs)
+    // Band key = polynomial fold of the band's signature rows mod p (not
+    // murmur3 `hash`), so the oracle can recompute it: acc ← (acc·65599 +
+    // sig_j) mod p. Bounds: acc < 2³¹, ·65599 < 2⁴⁸ — overflow-free.
     val bandCols = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-        hash((b * NumHashes / NumBands until (b + 1) * NumHashes / NumBands)
-          .map(j => col(s"sig_$j")): _*).as("sig"))
+      val fold = (b * NumHashes / NumBands until (b + 1) * NumHashes / NumBands)
+        .map(j => col(s"sig_$j"))
+        .foldLeft(lit(0L): org.apache.spark.sql.Column)(
+          (acc, s) => pmod(acc * lit(65599L) + s, lit(MinhashP)))
+      struct(lit(b).as("band"), fold.as("sig"))
     }
     // Bucket minima via groupBy + join-back, NOT a whole-bucket window: a
     // window partitioned by (band, sig) routes every row of a bucket to ONE
@@ -134,28 +146,84 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** q70_minhash_lsh — [[minhashClusters]] on the documents fixture. Depends
-    * on murmur3 `hash()`, which no SQL oracle reproduces — correctness is
-    * covered by the ScalaTest suite (planted duplicates) and the driver's
-    * rows-only check. */
+  /** q70_minhash_lsh — [[minhashClusters]] on the documents fixture. Fully
+    * oracle-checked: every stage (gram hash, 16 affine permutations, band
+    * fold, bucket minima, cluster representative) is exact BIGINT
+    * mod-arithmetic that [[q70Sql]] replays in DuckDB with the permutation
+    * constants inlined as literals. */
   def q70MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashClusters(Tables.documents(spark, sfDir))
 
+  /** Generated oracle for q70: the MinHash permutation constants
+    * ([[minhashCoeffs]], fixed seed) are embedded as literals — the q52Sql
+    * generator pattern. Mirrors [[wordGrams]] indexing (raw split, empties
+    * kept) and [[gramsWithFallback]]'s whole-text gram for <3-token docs. */
+  val q70Sql: String = {
+    val p = MinhashP
+    val sigCols = minhashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"min((gh * $a + $b) % $p) AS sig_$j"
+    }.mkString(",\n         ")
+    val bands = (0 until NumBands).map { b =>
+      val fold = (b * NumHashes / NumBands until (b + 1) * NumHashes / NumBands)
+        .map(j => s"sig_$j")
+        .foldLeft("CAST(0 AS BIGINT)")((acc, s) => s"(($acc) * 65599 + $s) % $p")
+      s"SELECT doc_id, $b AS band, $fold AS sig FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+       |  FROM toks WHERE len(t) >= 3
+       |  UNION ALL
+       |  SELECT doc_id, text AS gram FROM documents
+       |  WHERE len(string_split(text, ' ')) < 3),
+       |gh AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_transform(string_split(gram, ''),
+       |                     c -> CAST(ascii(c) AS BIGINT)),
+       |                     (acc, x) -> (acc * 131 + x) % $p) AS gh
+       |  FROM grams),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM gh GROUP BY doc_id),
+       |buckets AS (
+       |  $bands),
+       |minima AS (SELECT band, sig, min(doc_id) AS bucket_rep
+       |           FROM buckets GROUP BY 1, 2),
+       |reps AS (
+       |  SELECT b.doc_id, min(m.bucket_rep) AS cluster_rep
+       |  FROM buckets b JOIN minima m ON b.band = m.band AND b.sig = m.sig
+       |  GROUP BY b.doc_id)
+       |SELECT doc_id, cluster_rep, cluster_rep < doc_id AS is_duplicate
+       |FROM reps ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per document over any (doc_id, text) frame: per-bit
-    * majority vote over xxhash64 of the tokens, reduced map-side to 64
-    * counters. Docs within a small Hamming distance are near-duplicates. */
+  /** SimHash bit width: two independent 31-bit char-polynomial hashes
+    * composed ([[StableHash.charPoly62]]) — 62 bits instead of xxhash64's
+    * 64, in exchange for a hash the SQL oracle can replay exactly. Hamming
+    * geometry is unchanged for near-dup detection. */
+  val SimhashBits = 62
+
+  /** 62-bit SimHash per document over any (doc_id, text) frame: per-bit
+    * majority vote over the token hashes, reduced map-side to 62 counters
+    * (one hash-aggregate, partial combine before the shuffle). Docs within
+    * a small Hamming distance are near-duplicates. The token hash is
+    * computed once per token in its own projection; the 62 vote sums
+    * consume it as an attribute, so the fold is never duplicated. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("th", xxhash64(col("tok")))
-    val votes = (0 until 64).map { j =>
+      .select(col("doc_id"), StableHash.charPoly62(col("tok")).as("th"))
+    val votes = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v_$j")
     }
-    val sim = (0 until 64).map { j =>
+    val sim = (0 until SimhashBits).map { j =>
       when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     toks.groupBy(col("doc_id"))
@@ -164,12 +232,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** q71_simhash — [[simhash]] on the documents fixture. xxhash64 has no
-    * SQL-oracle twin — covered by ScalaTest (identical text ⇒ identical
-    * simhash; small edits ⇒ small Hamming distance) and the driver's
-    * rows-only check. */
+  /** q71_simhash — [[simhash]] on the documents fixture. Fully
+    * oracle-checked: [[q71Sql]] replays the token hash and the per-bit
+    * majority votes in DuckDB. */
   def q71Simhash(spark: SparkSession, sfDir: String): DataFrame =
     simhash(Tables.documents(spark, sfDir))
+
+  /** Generated oracle for q71. The bit loop is a lateral range(0, 62) join
+    * rather than 62 generated CASE columns — same votes, compact SQL. */
+  val q71Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_transform(string_split(tok, ''),
+       |                     c -> CAST(ascii(c) AS BIGINT)),
+       |                     (acc, x) -> (acc * 131 + x) % ${StableHash.P1})
+       |           * 2147483648
+       |       + list_reduce(list_transform(string_split(tok, ''),
+       |                     c -> CAST(ascii(c) AS BIGINT)),
+       |                     (acc, x) -> (acc * 137 + x) % ${StableHash.P2})
+       |           AS th
+       |  FROM toks WHERE tok <> ''),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1
+       |                  THEN 1 ELSE -1 END) AS v
+       |  FROM th, range(0, $SimhashBits) r(j)
+       |  GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << CAST(j AS INT)
+       |                     ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- n-gram Jaccard
 

@@ -23,6 +23,19 @@ class DedupSpec extends AnyFunSuite {
     (0L, base), (1L, base), (2L, near), (3L, far), (4L, far + " extra tail"))
     .toDF("doc_id", "text")
 
+  test("charPoly matches the DuckDB list_reduce fold (pinned value)") {
+    // Pinned against DuckDB: list_reduce(list_transform(string_split(
+    // 'the quick brown',''), c -> ascii(c)::BIGINT),
+    // (acc,x) -> (acc*131+x) % 2147483647) = 1349133910. If Spark's
+    // split(s, "") or ascii ever diverges from DuckDB's char semantics,
+    // q70/q71's oracle parity breaks here first.
+    val v = Seq("the quick brown").toDF("s")
+      .select(graft.functions.StableHash.charPoly(col("s"), 131L, 2147483647L)
+        .as("h"))
+      .head().getLong(0)
+    assert(v === 1349133910L)
+  }
+
   test("minhash LSH clusters exact duplicates together") {
     val clusters = Dedup.minhashClusters(corpus)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
