@@ -32,7 +32,14 @@ object Bench {
       }
       if (times.nonEmpty) times.min else -1.0
     }
+    // optional trailing args: bench only these queries (local iteration
+    // aid, mirroring Verify; the driver passes no args → full run)
+    val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
     val results = sorted.map { case (name, fn) =>
       name -> timeQuery(() => fn(spark, sfDir), name)
     }

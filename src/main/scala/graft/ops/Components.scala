@@ -46,13 +46,57 @@ object Components {
     * duplicates tolerated). Returns (id, component) where component is the
     * minimum node id reachable from `id` — deterministic on any
     * partitioning and any iteration schedule, because the min-label
-    * fixpoint is unique. */
+    * fixpoint is unique.
+    *
+    * Hybrid solve: when the symmetrized edge list fits comfortably in one
+    * task (≤ `localSolveMax` rows — the count is free, the frame is already
+    * checkpointed), the closure runs as a single-task union-find instead of
+    * the O(log d)-round join loop. A dedup pair graph is tiny relative to
+    * its corpus (pairs are band-bounded), so even 100 TB corpora often land
+    * here after candidate generation; the iterative path remains the scale
+    * fallback and both compute the identical min-label fixpoint
+    * (union-by-min root = min reachable id; property-tested against each
+    * other). Set `localSolveMax = 0` to force the iterative path. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, localSolveMax: Long = 2000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    if (sym.count() <= localSolveMax) {
+      // Single-task union-find with iterative path compression. Union
+      // attaches the larger root under the smaller, so each final root is
+      // the minimum id of its component — the same fixpoint the loop
+      // computes. Runs on an executor (mapPartitions over coalesce(1)),
+      // not the driver; state is one long→long entry per edge-touched node.
+      val solved = sym
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (c != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+          val ks = parent.keys.toArray
+          ks.iterator.map(k => (k, find(k)))
+        }
+        .toDF("id", "component")
+      return finishWithIsolated(nodes, solved)
+    }
     // Active-set restriction: only edge-touched nodes can ever change
     // label, so the iteration runs over them alone. In a dedup corpus most
     // documents are singletons — they join back as their own component
@@ -107,6 +151,12 @@ object Components {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] iter=$iter labelSum=$labelSum")
     }
+    finishWithIsolated(nodes, labels)
+  }
+
+  /** Edge-untouched nodes are their own component; union them back onto the
+    * solved active set. */
+  private def finishWithIsolated(nodes: DataFrame, labels: DataFrame): DataFrame = {
     val isolated = nodes
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))

@@ -81,19 +81,46 @@ object Dedup {
       docs.filter(size(split(col("text"), " ")) < 3)
         .select(col("doc_id"), col("text").as("gram")))
 
+  /** 3-gram HASHES as rows (doc_id, gh), composed from per-token hashes:
+    * each token is char-poly-hashed ONCE (the only non-codegen fold, linear
+    * in text length), then each gram hash is a 3-long polynomial combine of
+    * adjacent token hashes — the zip-slices-explode shape of [[wordGrams]]
+    * over the hash array instead of re-folding every gram's ~20 chars
+    * (a ~3× reduction in interpreted fold work; gram strings are never
+    * materialized). Whole-text fallback hash for <3-token docs. The token
+    * hash array lives in its own projection consumed across a Generate
+    * boundary, so CollapseProject cannot triplicate the fold. Bounds:
+    * th < 2³¹, ·65599 < 2⁴⁸ — overflow-free in both engines. */
+  private[ops] def gramHashes(docs: DataFrame): DataFrame = {
+    val th = transform(split(col("text"), " "),
+      tok => StableHash.charPoly(tok, 131L, MinhashP))
+    val hashed = docs.select(col("doc_id"), th.as("th"))
+    val m = greatest(size(col("th")) - 2, lit(0))
+    val combined = hashed
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("th"), lit(1), m).as("a"),
+          slice(col("th"), lit(2), m).as("b"),
+          slice(col("th"), lit(3), m).as("c"))).as("z"))
+      .select(col("doc_id"),
+        pmod(pmod(col("z.a") * lit(65599L) + col("z.b"), lit(MinhashP))
+          * lit(65599L) + col("z.c"), lit(MinhashP)).as("gh"))
+    combined.unionByName(
+      docs.filter(size(split(col("text"), " ")) < 3)
+        .select(col("doc_id"),
+          StableHash.charPoly(col("text"), 131L, MinhashP).as("gh")))
+  }
+
   /** Per-document MinHash signatures sig_0..sig_k-1: min((a·h+b) mod p) over
     * the gram hashes — k plain `min` aggregates in one hash-aggregate pass
-    * (partial map-side, final after one shuffle). The gram hash is
-    * [[StableHash.charPoly]] rather than murmur3 so the WHOLE pipeline —
-    * signatures, band keys, cluster representatives — is reproducible by the
-    * DuckDB oracle ([[q70Sql]]) in exact BIGINT arithmetic. The hash is
-    * computed in its own projection and consumed only through the aggregate
-    * boundary, so the non-codegen fold runs once per gram. Bounds:
-    * a < 2³¹, gh < 2³¹ ⇒ a·gh + b < 2⁶² — overflow-free in both engines. */
+    * (partial map-side, final after one shuffle). The gram hash comes from
+    * [[gramHashes]] (char-poly token hashes composed per gram) rather than
+    * murmur3, so the WHOLE pipeline — signatures, band keys, cluster
+    * representatives — is reproducible by the DuckDB oracle ([[q70Sql]]) in
+    * exact BIGINT arithmetic. Bounds: a < 2³¹, gh < 2³¹ ⇒ a·gh + b < 2⁶² —
+    * overflow-free in both engines. */
   private def signatures(docs: DataFrame): DataFrame = {
-    val hashed = gramsWithFallback(docs)
-      .select(col("doc_id"),
-        StableHash.charPoly(col("gram"), 131L, MinhashP).as("gh"))
+    val hashed = gramHashes(docs)
     val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("gh") * lit(a) + lit(b), lit(MinhashP))).as(s"sig_$j")
     }
@@ -169,21 +196,25 @@ object Dedup {
         .foldLeft("CAST(0 AS BIGINT)")((acc, s) => s"(($acc) * 65599 + $s) % $p")
       s"SELECT doc_id, $b AS band, $fold AS sig FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |grams AS (
+    s"""WITH toks AS (
        |  SELECT doc_id,
-       |         unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
-       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
-       |  FROM toks WHERE len(t) >= 3
-       |  UNION ALL
-       |  SELECT doc_id, text AS gram FROM documents
-       |  WHERE len(string_split(text, ' ')) < 3),
+       |         list_transform(string_split(text, ' '),
+       |           tok -> list_reduce(list_transform(string_split(tok, ''),
+       |                  c -> CAST(ascii(c) AS BIGINT)),
+       |                  (acc, x) -> (acc * 131 + x) % $p)) AS th
+       |  FROM documents),
        |gh AS (
        |  SELECT doc_id,
-       |         list_reduce(list_transform(string_split(gram, ''),
+       |         unnest(list_transform(range(1, greatest(len(th) - 1, 2)),
+       |                i -> (((th[i] * 65599 + th[i+1]) % $p) * 65599
+       |                      + th[i+2]) % $p)) AS gh
+       |  FROM toks WHERE len(th) >= 3
+       |  UNION ALL
+       |  SELECT doc_id,
+       |         list_reduce(list_transform(string_split(text, ''),
        |                     c -> CAST(ascii(c) AS BIGINT)),
        |                     (acc, x) -> (acc * 131 + x) % $p) AS gh
-       |  FROM grams),
+       |  FROM documents WHERE len(string_split(text, ' ')) < 3),
        |sigs AS (
        |  SELECT doc_id,
        |         $sigCols

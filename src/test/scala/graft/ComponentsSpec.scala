@@ -12,9 +12,9 @@ class ComponentsSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def components(nodes: Seq[Long], edges: Seq[(Long, Long)],
-      maxIter: Int = 30): Map[Long, Long] =
+      maxIter: Int = 30, localSolveMax: Long = 2000000L): Map[Long, Long] =
     Components.connectedComponents(
-        nodes.toDF("id"), edges.toDF("src", "dst"), maxIter)
+        nodes.toDF("id"), edges.toDF("src", "dst"), maxIter, localSolveMax)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("transitive closure merges chains; isolated nodes stay singleton") {
@@ -30,8 +30,10 @@ class ComponentsSpec extends AnyFunSuite {
     // A 64-node chain has diameter 63; plain hash-min needs 63 rounds.
     // With halving every node must reach label 0 within 10 iterations.
     val n = 64L
+    // localSolveMax = 0 forces the iterative join loop — this test is about
+    // halving convergence, which the single-task path would bypass
     val out = components(0L until n, (0L until n - 1).map(i => (i, i + 1)),
-      maxIter = 10)
+      maxIter = 10, localSolveMax = 0L)
     assert(out.size === 64 && out.values.forall(_ == 0L))
   }
 

@@ -11,9 +11,15 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.session
   import spark.implicits._
 
+  // Long enough that a 1-token edit keeps Jaccard ~0.9 — comfortably above
+  // the 4-band×4-row LSH threshold (~0.71), so the planted near-dup is
+  // caught with margin rather than sitting on the probabilistic knife edge
+  // (with fixed hash constants the outcome is deterministic either way).
   private val base =
     "spark group query row data slow small filter customer line table scan " +
-    "merge part window hash vector fast column order join stream agg key sort"
+    "merge part window hash vector fast column order join stream agg key sort " +
+    "batch shuffle executor driver stage task codegen parquet schema broadcast " +
+    "bucket salt skew spill cache lineage plan rule cost metric gauge trace span"
   private val near = base.replace("slow", "quick") // 1-token edit
   private val far =
     "completely different words about weather mountains rivers oceans " +

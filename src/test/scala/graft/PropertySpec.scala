@@ -86,11 +86,21 @@ class PropertySpec extends AnyFunSuite {
       }
       val expected =
         (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      // localSolveMax = 0 forces the iterative join loop — otherwise this
+      // property would compare the single-task union-find path against a
+      // driver-side union-find, which proves nothing about the loop
       val got = Components.connectedComponents(
+          (0 until n).map(_.toLong).toDF("id"),
+          edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst"),
+          maxIter = 30, localSolveMax = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"n=$n edges=$edges")
+      // and the local path must agree with the loop on the same graph
+      val local = Components.connectedComponents(
           (0 until n).map(_.toLong).toDF("id"),
           edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"n=$n edges=$edges")
+      assert(local === expected, s"local solve diverged: n=$n edges=$edges")
     }
   }
 }
