@@ -1,0 +1,336 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators for training-data pipelines — the steps a
+  * 100 TB pretraining corpus goes through between raw crawl and tokenizer:
+  * benchmark decontamination, repetition-quality filtering (Gopher-style),
+  * domain mixture control, sequence packing, and cross-document novelty.
+  * The reference's ELT tier has no equivalent; these are north-star tier X
+  * (BASELINE.json) alongside the dedup family in [[Dedup]]/[[Components]].
+  *
+  * Scale design notes per operator are on each method; the common rules:
+  * gram streams are hashed to 64-bit longs before any shuffle, benchmark /
+  * per-domain side tables are broadcast, window work is partitioned by a
+  * parallel key (source), and all output arithmetic is exact integers or
+  * single IEEE divisions of exact integers so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  */
+object Curation {
+
+  // ------------------------------------------------------------ shared
+
+  /** n-token shingles as rows (doc_id, gram) — [[Dedup.wordGrams]]
+    * generalized: zip the token array against n−1 shifted slices and
+    * explode. Map-side only, codegen'd, zero shuffle. Raw-split indexing
+    * (empties kept) mirrors the oracles' string_split. */
+  private[ops] def nGrams(docs: DataFrame, n: Int): DataFrame = {
+    val t = split(col("text"), " ")
+    val m = greatest(size(t) - (n - 1), lit(0))
+    val parts = (1 to n).map(i => slice(t, lit(i), m).as(s"w$i"))
+    docs
+      .select(col("doc_id"), explode(arrays_zip(parts: _*)).as("z"))
+      .select(col("doc_id"),
+        concat_ws(" ", (1 to n).map(i => col(s"z.w$i")): _*).as("gram"))
+  }
+
+  /** DuckDB twin of [[nGrams]] as a CTE body over `documents`. */
+  private def nGramsSql(n: Int): String = {
+    val concat = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - ${n - 2}, 2)),
+       |                i -> $concat)) AS gram
+       |  FROM toks WHERE len(t) >= $n""".stripMargin
+  }
+
+  // ---------------------------------------------------- decontamination
+
+  /** Benchmark membership predicate: a held-out eval slice planted inside
+    * the corpus (every 20th doc). In production this side is a separate
+    * tiny table of eval-set grams; the semantics are identical. */
+  private val BenchMod = 20L
+  private val BenchRem = 7L
+  private val DecontamN = 5
+
+  /** q57_decontaminate — benchmark decontamination: flag training documents
+    * sharing at least one 5-gram with the held-out benchmark slice, with
+    * the shared-gram count and fraction (the n-gram-overlap rule used to
+    * scrub eval leakage from pretraining corpora; 5 tokens ≈ the 8-13-gram
+    * rules at web scale, scaled to the fixture's ~54-token docs).
+    *
+    * Scale: train grams are (id, long-hash) rows; the benchmark gram set is
+    * DISTINCT + broadcast (eval suites are KB-to-MB against a 100 TB
+    * corpus — never shuffle the corpus for them). One hash aggregate per
+    * doc after the broadcast semi-ish join; no corpus self-join. */
+  def q57Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isBench = pmod(col("doc_id"), lit(BenchMod)) === lit(BenchRem)
+    val grams = nGrams(docs, DecontamN)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val benchGrams = grams.filter(pmod(col("doc_id"), lit(BenchMod)) === lit(BenchRem))
+      .select(col("gh")).distinct()
+    val trainGrams = grams.filter(!(pmod(col("doc_id"), lit(BenchMod)) === lit(BenchRem)))
+    val sizes = trainGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val shared = trainGrams
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared.join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        (col("n_shared") / col("n_grams")).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q57Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |  ${nGramsSql(DecontamN)})),
+       |bench AS (
+       |  SELECT DISTINCT gram FROM grams WHERE doc_id % $BenchMod = $BenchRem),
+       |train AS (SELECT * FROM grams WHERE doc_id % $BenchMod <> $BenchRem),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1),
+       |shared AS (
+       |  SELECT t.doc_id, count(*) AS n_shared
+       |  FROM train t JOIN bench b ON t.gram = b.gram GROUP BY 1)
+       |SELECT s.doc_id, s.n_shared, z.n_grams,
+       |       s.n_shared / z.n_grams AS shared_frac
+       |FROM shared s JOIN sizes z USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- repetition quality
+
+  /** q58_repetition — Gopher-style repetition signals per document:
+    * distinct-token ratio, most-frequent-2-gram fraction, and the fraction
+    * of 3-gram occurrences belonging to a repeated 3-gram, plus the
+    * combined keep/flag decision (thresholds after Rae et al. 2021 §A1.1,
+    * adapted to short fixture docs). Boilerplate and template spam show up
+    * as high top2/dup3 long before exact dedup can catch them.
+    *
+    * Scale: three per-document hash aggregates over map-side gram streams,
+    * joined on doc_id — each shuffle carries one row per (doc, gram),
+    * partial-combined. Ratios are single IEEE divisions of exact counts. */
+  def q58Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tokStats = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+    val top2 = nGrams(docs, 2)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top2_count"), sum(col("c")).as("n_2grams"))
+    val dup3 = nGrams(docs, 3)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup3_count"),
+        sum(col("c")).as("n_3grams"))
+    tokStats.join(top2, Seq("doc_id")).join(dup3, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct") / col("n_tokens")).as("distinct_ratio"),
+        (col("top2_count") / col("n_2grams")).as("top2_frac"),
+        (col("dup3_count") / col("n_3grams")).as("dup3_frac"),
+        (col("n_distinct") / col("n_tokens") < 0.3 ||
+          col("top2_count") / col("n_2grams") > 0.2 ||
+          col("dup3_count") / col("n_3grams") > 0.4).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(t) AS tok FROM toks),
+       |tokstats AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |         count(DISTINCT tok) AS n_distinct
+       |  FROM tok WHERE tok <> '' GROUP BY 1),
+       |g2 AS (SELECT doc_id, gram, count(*) AS c FROM (
+       |  ${nGramsSql(2)}) GROUP BY 1, 2),
+       |top2 AS (
+       |  SELECT doc_id, max(c) AS top2_count, sum(c) AS n_2grams
+       |  FROM g2 GROUP BY 1),
+       |g3 AS (SELECT doc_id, gram, count(*) AS c FROM (
+       |  ${nGramsSql(3)}) GROUP BY 1, 2),
+       |dup3 AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3_count,
+       |         sum(c) AS n_3grams
+       |  FROM g3 GROUP BY 1)
+       |SELECT t.doc_id, t.n_tokens,
+       |       t.n_distinct / t.n_tokens AS distinct_ratio,
+       |       p.top2_count / p.n_2grams AS top2_frac,
+       |       d.dup3_count / d.n_3grams AS dup3_frac,
+       |       (t.n_distinct / t.n_tokens < 0.3
+       |        OR p.top2_count / p.n_2grams > 0.2
+       |        OR d.dup3_count / d.n_3grams > 0.4) AS flagged
+       |FROM tokstats t JOIN top2 p USING (doc_id) JOIN dup3 d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- domain mixture
+
+  /** Knuth multiplicative constant — the deterministic per-doc "random"
+    * rank key for quota sampling (stable across runs and partitionings,
+    * unlike rand()). */
+  private val MixHashA = 2654435761L
+  private val MixHashP = 1000000007L
+
+  /** q59_domain_mix — per-domain quota sampling: cap each source at
+    * quota = 60% of the mean docs-per-source, keeping a deterministic
+    * pseudo-random subset (rank by hashed doc_id). This is the
+    * crawl-domain rebalancing step of corpus assembly — cap the
+    * over-crawled domains, keep the rest whole — with exact quota
+    * satisfaction, not rate-approximate keep/drop.
+    *
+    * Output is the per-source audit row: docs seen, quota, docs kept, and
+    * an exact checksum (sum of kept doc_ids) proving BOTH engines selected
+    * the identical documents, not merely the same count.
+    *
+    * Scale: the rank window partitions by source — thousands of domains ⇒
+    * thousands of independent partitions; a mega-domain is one task but
+    * only over ITS rows (and the rank can fall back to approximate
+    * per-partition quotas when one domain outgrows a task). Counts and
+    * checksums are algebraic aggregates with map-side combine. */
+  def q59DomainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count() // tiny action on a counted parquet footer
+    val nSources = docs.select(col("source")).distinct().count()
+    val quota = (6L * (total / nSources)) / 10L
+    val h = pmod(col("doc_id") * lit(MixHashA), lit(MixHashP))
+    val ranked = docs
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))))
+    ranked
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= quota, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= quota, col("doc_id")).otherwise(0L))
+          .as("kept_checksum"))
+      .withColumn("quota", lit(quota))
+      .select(col("source"), col("n_docs"), col("quota"), col("n_kept"),
+        col("kept_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val q59Sql: String =
+    s"""WITH params AS (
+       |  SELECT (6 * ((SELECT count(*) FROM documents)
+       |               // (SELECT count(DISTINCT source) FROM documents))) // 10
+       |         AS quota),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY (doc_id * $MixHashA) % $MixHashP, doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       (SELECT quota FROM params) AS quota,
+       |       sum(CASE WHEN rk <= (SELECT quota FROM params)
+       |                THEN 1 ELSE 0 END) AS n_kept,
+       |       sum(CASE WHEN rk <= (SELECT quota FROM params)
+       |                THEN doc_id ELSE 0 END) AS kept_checksum
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- sequence packing
+
+  private val PackChunk = 512L
+
+  /** q64_packing — sequence packing: concatenate each source's documents in
+    * doc_id order and chop the token stream into fixed 512-token training
+    * chunks; emit each document's offset bookkeeping — start offset,
+    * first/last chunk ids, and whether it straddles a chunk boundary (the
+    * concat-then-chop packing used to build pretraining batches; per-source
+    * streams mirror per-shard packing).
+    *
+    * Scale: the running offset is a window sum partitioned by source — each
+    * shard packs independently and in parallel, which is exactly how the
+    * production job shards (a global single-stream pack would serialize
+    * into one task; sharded packing is the standard answer). Integer
+    * arithmetic throughout. */
+  def q64Packing(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOff = docs
+      .select(col("doc_id"), col("source"), n.as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+    withOff
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $PackChunk").as("first_chunk"),
+        expr(s"(end_off - 1) div $PackChunk").as("last_chunk"))
+      .withColumn("crosses_chunk", col("first_chunk") =!= col("last_chunk"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q64Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS end_off
+       |  FROM sized)
+       |SELECT doc_id, source, n_tokens,
+       |       end_off - n_tokens AS start_off,
+       |       (end_off - n_tokens) // $PackChunk AS first_chunk,
+       |       (end_off - 1) // $PackChunk AS last_chunk,
+       |       ((end_off - n_tokens) // $PackChunk
+       |         <> (end_off - 1) // $PackChunk) AS crosses_chunk
+       |FROM offs ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- novelty
+
+  /** q65_novelty — cross-document novelty scoring: for each document, the
+    * fraction of its distinct 3-grams whose FIRST corpus occurrence (by
+    * doc_id order) is this document. Late boilerplate scores near 0, fresh
+    * content near 1 — the global-diversity counterpart to q58's
+    * within-document repetition (novelty-based filtering/weighting in
+    * data-curation pipelines).
+    *
+    * Scale: one shuffle keyed by gram hash for the global min (map-side
+    * partial min collapses hot grams — no mega-bucket task), then a
+    * doc-keyed count-if aggregate. Gram text never shuffles, only 64-bit
+    * hashes. */
+  def q65Novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = nGrams(Tables.documents(spark, sfDir), 3)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val first = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel") / col("n_grams")).as("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q65Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |  ${nGramsSql(3)})),
+       |first AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |       sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |         AS n_novel,
+       |       sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |         / count(*) AS novelty_frac
+       |FROM grams g JOIN first f USING (gram)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Curation
+
+/** Curation operators on the fixture — the oracle rows prove engine parity;
+  * these prove the semantics mean what the Scaladoc claims. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+
+  test("q57: every flagged doc is a train doc with real benchmark overlap") {
+    val rows = Curation.q57Decontaminate(spark, SparkSuite.sf).collect()
+    assert(rows.nonEmpty, "fixture must surface at least one contamination")
+    rows.foreach { r =>
+      val (id, shared, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(id % 20 != 7, "benchmark docs must not appear on the train side")
+      assert(shared >= 1 && shared <= total)
+      assert(math.abs(r.getDouble(3) - shared.toDouble / total) < 1e-15)
+    }
+  }
+
+  test("q58: fixture docs mostly pass; template spam would trip the threshold") {
+    import org.apache.spark.sql.functions.col
+    val out = Curation.q58Repetition(spark, SparkSuite.sf)
+      .select(col("doc_id"), col("flagged")).collect()
+    val flaggedFrac = out.count(_.getBoolean(1)).toDouble / out.length
+    assert(flaggedFrac < 0.5, "most fixture docs should pass quality")
+    // a doc that is one 4-gram repeated 20x must exceed the top2 threshold
+    // the query applies (same arithmetic, computed directly)
+    val spam = ("buy now limited offer " * 20).trim
+    val g2 = spam.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    val spamTop2 = g2.groupBy(identity).values.map(_.size).max.toDouble / g2.size
+    assert(spamTop2 > 0.2, "the planted spam construction must exceed the threshold")
+  }
+
+  test("q59: quotas are satisfied exactly and checksums identify the kept set") {
+    val rows = Curation.q59DomainMix(spark, SparkSuite.sf).collect()
+    rows.foreach { r =>
+      val (n, quota, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept === math.min(n, quota),
+        s"source ${r.getString(0)}: kept $kept of $n with quota $quota")
+      assert(r.getLong(4) > 0, "checksum must reflect a non-empty kept set")
+    }
+  }
+
+  test("q64: offsets are contiguous per source and chunk spans are consistent") {
+    val rows = Curation.q64Packing(spark, SparkSuite.sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    rows.groupBy(_._1).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case (prev, next) =>
+        assert(prev._4 + prev._3 === next._4,
+          "next doc must start where the previous ended")
+      }
+      sorted.foreach { case (_, _, n, start, first, last, crosses) =>
+        assert(first === start / 512)
+        assert(last === (start + n - 1) / 512)
+        assert(crosses === (first != last))
+      }
+    }
+  }
+
+  test("q65: doc 0 is fully novel; novelty fractions are consistent") {
+    val rows = Curation.q65Novelty(spark, SparkSuite.sf).collect()
+    val first = rows.find(_.getLong(0) == 0L).get
+    assert(first.getLong(1) === first.getLong(2),
+      "the first document's grams are all first occurrences")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(
+        r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-15)
+    }
+  }
+}
