@@ -56,6 +56,104 @@ object Centroids {
       .orderBy(col("label"), col("pos"))
   }
 
+  /** Number of clusters for q66 (seeded from the first k vectors). */
+  private val KmeansK = 8
+  /** Quantization scale 2²⁰ and the non-negativity offset: q = ⌊v·2²⁰⌋ +
+    * 2²⁰ ≥ 0 for |v| ≤ 1. Distances are offset-invariant; means stay in
+    * offset space so BOTH engines divide non-negative integers — Spark's
+    * `div` truncates toward zero, DuckDB's `//` floors, and the two only
+    * agree on non-negative operands. */
+  private val KmeansScale = 1048576L
+
+  /** q66_kmeans_step — one exact Lloyd iteration over the embedding corpus:
+    * seed centroids are the first k vectors, every vector is assigned to
+    * its nearest centroid by squared L2 distance, and the per-cluster audit
+    * row reports membership, inertia, and how far the recomputed mean moved
+    * (the convergence signal a driver loop would test). K-means over
+    * embeddings is the diversity-sampling / corpus-mapping workhorse
+    * (cluster-then-sample keeps rare content a random sample would drown).
+    *
+    * Scale: vectors explode to (vec_id, pos, q) rows once; the seed
+    * centroid frame (k·dim rows) is broadcast, so assignment is a
+    * broadcast equi-join on pos + one hash aggregate to (vec_id, cid) —
+    * shuffle cardinality N·k, never N·k·dim, and no whole-vector arrays
+    * cross the wire. The argmin is a per-vector window over k rows with a
+    * total (dist, cid) order. All arithmetic is BIGINT on quantized
+    * components — distances ≤ 2⁴², inertia sums < 2⁵⁷ — so the oracle
+    * matches bit-for-bit ([[Centroids]] scale rationale). A full k-means
+    * would re-broadcast the new centroids and loop this step. */
+  def q66KmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        (floor(col("v").cast("double") * lit(KmeansScale.toDouble))
+          .cast("long") + lit(KmeansScale)).as("q"))
+    val cent = qv.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+    val dists = qv
+      .join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
+    val members = dists
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), col("dist"))
+    val newc = members.join(qv, Seq("vec_id"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("sum(q) div count(1)").as("ncq"))
+    val shifts = newc.join(broadcast(cent), Seq("cid", "pos"))
+      .groupBy(col("cid"))
+      .agg(sum(abs(col("ncq") - lit(KmeansScale))).as("centroid_l1"),
+        sum(abs(col("ncq") - col("cq"))).as("shift_l1"))
+    val stats = members.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+    stats.join(shifts, Seq("cid"))
+      .select(col("cid"), col("n_members"), col("inertia"),
+        col("centroid_l1"), col("shift_l1"))
+      .orderBy(col("cid"))
+  }
+
+  val q66Sql: String =
+    s"""WITH pe AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, pos,
+       |         CAST(floor(CAST(v AS DOUBLE) * $KmeansScale.0) AS BIGINT)
+       |           + $KmeansScale AS q
+       |  FROM pe),
+       |cent AS (
+       |  SELECT vec_id AS cid, pos, q AS cq FROM qv WHERE vec_id < $KmeansK),
+       |dists AS (
+       |  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+       |  FROM qv v JOIN cent c ON v.pos = c.pos
+       |  GROUP BY 1, 2),
+       |members AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY dist, cid) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |newc AS (
+       |  SELECT m.cid, q.pos, sum(q.q) // count(*) AS ncq
+       |  FROM members m JOIN qv q ON q.vec_id = m.vec_id
+       |  GROUP BY 1, 2),
+       |shifts AS (
+       |  SELECT n.cid,
+       |         sum(abs(n.ncq - $KmeansScale)) AS centroid_l1,
+       |         sum(abs(n.ncq - c.cq)) AS shift_l1
+       |  FROM newc n JOIN cent c ON c.cid = n.cid AND c.pos = n.pos
+       |  GROUP BY 1),
+       |stats AS (
+       |  SELECT cid, count(*) AS n_members, sum(dist) AS inertia
+       |  FROM members GROUP BY 1)
+       |SELECT s.cid, s.n_members, s.inertia, h.centroid_l1, h.shift_l1
+       |FROM stats s JOIN shifts h USING (cid)
+       |ORDER BY s.cid""".stripMargin
+
   val q79Sql: String =
     """WITH pe AS (
       |  SELECT label, unnest(embedding) AS v,

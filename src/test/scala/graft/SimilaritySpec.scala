@@ -70,6 +70,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.size === 10, s"unexpected extra pairs: $pairs")
   }
 
+  test("q66 kmeans step: partition of the corpus, self-assigned seeds") {
+    val out = ops.Centroids.q66KmeansStep(spark, SparkSuite.sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L until 8L))
+    // every vector lands in exactly one cluster
+    assert(out.map(_.getLong(1)).sum === 500L)
+    // each seed vector is distance 0 from its own centroid, so every
+    // cluster is non-empty and inertia is non-negative
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L && r.getLong(4) >= 0L)
+    }
+  }
+
   test("IVF top-k is a valid ANN: subset of probed lists, sane recall") {
     val sfDir = SparkSuite.sf
     val ivf = ops.Similarity.q76IvfTopk(spark, sfDir)
