@@ -83,4 +83,29 @@ object Ingest {
       |      (SELECT DISTINCT date_trunc('month', o_orderdate) FROM orders)
       |GROUP BY 1
       |ORDER BY ym""".stripMargin
+
+  /** q05_source — aggregate over the custom DataSource V2 generator
+    * ([[graft.sources.SyntheticSource]]): the id-range filter is absorbed
+    * into the scan (generation starts at the bound — no generate-then-drop)
+    * and only the referenced columns are materialized; the oracle
+    * re-derives the same rows from DuckDB's `range`. Columns are pure
+    * integer functions of id, so the grouped sums are exact. */
+  def q05Source(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 100000L).option("partitions", 16).load()
+      .filter(col("id") >= 60000L && col("id") < 90000L)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("val")).as("sum_val"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+
+  val q05Sql: String =
+    """SELECT ((id * 2654435761) % 1000000007) % 100 AS bucket,
+      |       count(*) AS n,
+      |       CAST(sum((id * 31 + 7) % 997) AS BIGINT) AS sum_val,
+      |       min(id) AS min_id, max(id) AS max_id
+      |FROM (SELECT range AS id FROM range(60000, 90000))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

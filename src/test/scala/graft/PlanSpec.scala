@@ -27,6 +27,22 @@ class PlanSpec extends AnyFunSuite {
       .foreach(p => assert(f.contains(p), s"missing pushed filter $p in:\n$f"))
   }
 
+  test("q05 synthetic source absorbs id bounds and prunes columns") {
+    val df = ops.Ingest.q05Source(spark, sf)
+    val p = plan(df)
+    // the id-range predicate must land INSIDE the scan's generation slice
+    assert(p.contains("SyntheticScan[lo=60000, hi=90000]"),
+      s"id bounds not absorbed by the source:\n$p")
+    // a projection that never reads `bucket` must not generate it
+    val pruned = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 100L).load()
+      .select("id", "val")
+    assert(pruned.queryExecution.executedPlan.toString().contains("id#"),
+      "sanity: plan mentions id")
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).take(3)
+      === Array((0L, 7L), (1L, 38L), (2L, 69L)))
+  }
+
   test("q10 broadcasts the dimension and prunes the fact scan to 3 columns") {
     val f = formatted(ops.Relational.q10JoinBroadcast(spark, sf))
     assert(f.contains("BroadcastHashJoin"), f)
