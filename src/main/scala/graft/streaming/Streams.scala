@@ -254,4 +254,54 @@ object Streams {
           done.map(out(user, _)).iterator
       }
   }
+
+  /** Per-batch quota audit row emitted by [[quotaEnforce]]. */
+  case class QuotaUpdate(key: Long, arrived: Long, accepted: Long,
+      dropped: Long, total: Long)
+
+  /** Per-key ingestion quota enforcement on the Spark 4 `transformWithState`
+    * API (the arbitrary-state successor to flatMapGroupsWithState, RocksDB
+    * state store): each key may contribute at most `quota` rows over the
+    * stream's lifetime; the processor keeps one ValueState[Long] per key
+    * and reports, per batch, how many rows arrived, were accepted, and were
+    * dropped. This is the streaming face of corpus quota control
+    * ([[graft.ops.Curation.q59DomainMix]] is the batch face): a hot crawl
+    * domain cannot flood the corpus past its cap no matter how long the
+    * stream runs.
+    *
+    * Scale: state is ONE long per key ever seen (bounded by key
+    * cardinality, not stream length; add a TTLConfig for keys that should
+    * forget), updates are local to the key's shuffle partition, and the
+    * emitted audit rows are one per (key, batch). */
+  class QuotaProcessor(quota: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), QuotaUpdate] {
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[QuotaUpdate] = {
+      val before = if (total.exists()) total.get() else 0L
+      var arrived = 0L
+      while (rows.hasNext) { rows.next(); arrived += 1 }
+      val accepted = math.min(arrived, math.max(quota - before, 0L))
+      val after = before + accepted
+      total.update(after)
+      Iterator.single(QuotaUpdate(key, arrived, accepted, arrived - accepted, after))
+    }
+  }
+
+  /** [[QuotaProcessor]] applied to a (key, value) stream. */
+  def quotaEnforce(events: Dataset[(Long, Double)],
+      quota: Long): Dataset[QuotaUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new QuotaProcessor(quota),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

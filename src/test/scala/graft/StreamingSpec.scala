@@ -47,6 +47,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState quota: per-key cap holds across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider switch to this query and restore the session default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("tws_quota").toString
+    val input = MemoryStream[(Long, Double)]
+    val out = graft.streaming.Streams.quotaEnforce(input.toDS(), quota = 3L)
+    val q = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("tws_quota").start()
+    try {
+      input.addData((1L, 1.0), (1L, 1.0), (2L, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, 1.0), (1L, 1.0), (2L, 1.0))
+      q.processAllAvailable()
+      val rows = sp.table("tws_quota")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // batch 1: both keys under quota; batch 2: key 1 hits the cap and
+      // drops the overflow, key 2 still accumulating
+      assert(rows === Set(
+        (1L, 2L, 2L, 0L, 2L), (2L, 1L, 1L, 0L, 1L),
+        (1L, 2L, 1L, 1L, 3L), (2L, 1L, 1L, 0L, 2L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None    => sp.conf.unset(key)
+      }
+    }
+  }
+
   test("session window assigns a gap-separated user to two sessions") {
     val sp = spark
     import sp.implicits._
