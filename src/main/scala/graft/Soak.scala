@@ -110,6 +110,38 @@ object Soak {
         Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
         .agg(count(lit(1))).collect()
     }
+    // Replication multiplies gram multiplicity per hash (copies share
+    // grams), so the novelty min-agg and the decontamination broadcast join
+    // both hit their hot-key paths — runtime must stay ~linear in k because
+    // both collapse hot grams map-side before the shuffle.
+    time("curation_novelty") {
+      graft.ops.Curation.novelty(docs).agg(count(lit(1))).collect()
+    }
+    time("curation_decontaminate") {
+      graft.ops.Curation.decontaminate(docs,
+        pmod(col("doc_id"), lit(20L)) === lit(7L))
+        .agg(count(lit(1))).collect()
+    }
+    // K-means assignment is N·k rows post-aggregation; doubling N must
+    // ~double runtime (broadcast centroids keep the join shuffle-free).
+    time("kmeans_scaling") {
+      def synth(n: Int): DataFrame =
+        spark.range(n).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> CAST(sin(CAST(id * 64 + j AS DOUBLE)) * 43758.5453 " +
+            "- floor(sin(CAST(id * 64 + j AS DOUBLE)) * 43758.5453) " +
+            "- 0.5 AS FLOAT))")
+            .as("embedding"))
+      def t(n: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.ops.Centroids.kmeansStep(synth(n), 8)
+          .agg(count(lit(1))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (t1, t2) = (t(20000), t(40000))
+      println(f"  kmeans step: n=20k ${t1}%.2fs, n=40k ${t2}%.2fs " +
+        f"(ratio ${t2 / t1}%.2f; quadratic would be ~4)")
+    }
     spark.stop()
   }
 }

@@ -82,13 +82,18 @@ object Centroids {
     * components — distances ≤ 2⁴², inertia sums < 2⁵⁷ — so the oracle
     * matches bit-for-bit ([[Centroids]] scale rationale). A full k-means
     * would re-broadcast the new centroids and loop this step. */
-  def q66KmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
-    val qv = Tables.embeddings(spark, sfDir)
+  def q66KmeansStep(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansStep(Tables.embeddings(spark, sfDir), KmeansK)
+
+  /** The Lloyd-step core over any (vec_id, embedding) frame — see
+    * [[q66KmeansStep]] for semantics and scale rationale. */
+  def kmeansStep(embeddings: DataFrame, k: Int): DataFrame = {
+    val qv = embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"),
         (floor(col("v").cast("double") * lit(KmeansScale.toDouble))
           .cast("long") + lit(KmeansScale)).as("q"))
-    val cent = qv.filter(col("vec_id") < KmeansK)
+    val cent = qv.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
     val dists = qv
       .join(broadcast(cent), Seq("pos"))

@@ -66,15 +66,22 @@ object Curation {
     * DISTINCT + broadcast (eval suites are KB-to-MB against a 100 TB
     * corpus — never shuffle the corpus for them). One hash aggregate per
     * doc after the broadcast semi-ish join; no corpus self-join. */
-  def q57Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val isBench = pmod(col("doc_id"), lit(BenchMod)) === lit(BenchRem)
+  def q57Decontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminate(Tables.documents(spark, sfDir),
+      pmod(col("doc_id"), lit(BenchMod)) === lit(BenchRem))
+      .orderBy(col("doc_id"))
+
+  /** The decontamination core over any (doc_id, text) frame: rows where
+    * `benchPred` holds are the benchmark slice; returns the contaminated
+    * TRAIN docs with overlap counts. See [[q57Decontaminate]]. */
+  def decontaminate(docs: DataFrame, benchPred: Column): DataFrame = {
     val grams = nGrams(docs, DecontamN)
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .distinct()
-    val benchGrams = grams.filter(pmod(col("doc_id"), lit(BenchMod)) === lit(BenchRem))
+    val benchIds = docs.filter(benchPred).select(col("doc_id"))
+    val benchGrams = grams.join(broadcast(benchIds), Seq("doc_id"))
       .select(col("gh")).distinct()
-    val trainGrams = grams.filter(!(pmod(col("doc_id"), lit(BenchMod)) === lit(BenchRem)))
+    val trainGrams = grams.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
     val sizes = trainGrams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
     val shared = trainGrams
@@ -84,7 +91,6 @@ object Curation {
     shared.join(sizes, Seq("doc_id"))
       .select(col("doc_id"), col("n_shared"), col("n_grams"),
         (col("n_shared") / col("n_grams")).as("shared_frac"))
-      .orderBy(col("doc_id"))
   }
 
   val q57Sql: String =
@@ -304,8 +310,12 @@ object Curation {
     * partial min collapses hot grams — no mega-bucket task), then a
     * doc-keyed count-if aggregate. Gram text never shuffles, only 64-bit
     * hashes. */
-  def q65Novelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = nGrams(Tables.documents(spark, sfDir), 3)
+  def q65Novelty(spark: SparkSession, sfDir: String): DataFrame =
+    novelty(Tables.documents(spark, sfDir))
+
+  /** The novelty core over any (doc_id, text) frame — see [[q65Novelty]]. */
+  def novelty(docs: DataFrame): DataFrame = {
+    val grams = nGrams(docs, 3)
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .distinct()
     val first = grams.groupBy(col("gh"))
