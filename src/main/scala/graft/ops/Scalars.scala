@@ -230,6 +230,39 @@ object Scalars {
       |       event_type
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q67_variant — the Spark 4 VARIANT path over the same JSON props q44
+    * reads as strings: `parse_json` builds the binary variant ONCE per row,
+    * typed `variant_get` extracts without re-parsing, and
+    * `schema_of_variant` audits the inferred shape (drift in upstream
+    * producers shows up as a new schema group, not a silent NULL column).
+    * Versus per-field get_json_object, the variant parse cost is paid once
+    * regardless of how many fields a wide pipeline extracts — the
+    * semi-structured answer at 100 TB. Oracle: DuckDB extracts the same
+    * typed value from the JSON text; the schema string is deterministic. */
+  def q67Variant(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = parse_json(col("props"))
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        variant_get(v, "$.k", "bigint").as("k"),
+        schema_of_variant(v).as("vschema"))
+      .groupBy(col("event_type"), col("vschema"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("vschema"))
+  }
+
+  val q67Sql: String =
+    """SELECT event_type,
+      |       'OBJECT<k: BIGINT>' AS vschema,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type, vschema""".stripMargin
+
   /** q49_regex — the regex scalar family: extract / replace-all / count /
     * boolean match, all codegen'd built-ins over the documents table.
     * Dialect note: Spark `regexp_replace` replaces ALL occurrences; DuckDB

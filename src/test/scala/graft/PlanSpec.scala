@@ -43,6 +43,27 @@ class PlanSpec extends AnyFunSuite {
       === Array((0L, 7L), (1L, 38L), (2L, 69L)))
   }
 
+  test("q57 broadcasts the benchmark gram set — the corpus never shuffles for it") {
+    val p = plan(ops.Curation.q57Decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$p")
+  }
+
+  test("q66 kmeans assignment joins broadcast centroids, no sort-merge") {
+    val p = plan(ops.Centroids.q66KmeansStep(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
+  }
+
+  test("q64 packing windows stay partition-parallel (no single-partition funnel before the window)") {
+    val df = ops.Curation.q64Packing(spark, sf)
+    // the physical window must partition by source; only the final
+    // determinism orderBy may range-exchange
+    val p = df.queryExecution.executedPlan.toString()
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx >= 0, p)
+    assert(!p.substring(windowIdx).contains("SinglePartition"),
+      s"running-offset window funneled to one partition:\n$p")
+  }
+
   test("q10 broadcasts the dimension and prunes the fact scan to 3 columns") {
     val f = formatted(ops.Relational.q10JoinBroadcast(spark, sf))
     assert(f.contains("BroadcastHashJoin"), f)
