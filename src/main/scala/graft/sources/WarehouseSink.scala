@@ -47,4 +47,59 @@ object WarehouseSink {
   def dedupAppend(df: DataFrame, existing: DataFrame,
       keys: Seq[String]): DataFrame =
     df.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** One partition's compaction verdict from [[compactionPlan]]. */
+  case class CompactionEntry(partition: String, n_files: Long,
+      bytes: Long, target_files: Int, compact: Boolean)
+
+  /** Small-file compaction for the year-partitioned raw zone — the
+    * maintenance job every append-mode lake layout eventually needs: a
+    * monthly append run ([[rawZoneAppend]]) leaves one small file per
+    * micro-batch per partition, and scan planning degrades with file count
+    * (driver-side listing, per-file open cost, tiny row groups defeating
+    * the columnar reader). This is the OPTIMIZE/bin-packing shape of the
+    * table-format world expressed on plain parquet.
+    *
+    * [[compactionPlan]] lists partition directories via the Hadoop
+    * FileSystem API (driver-side metadata only — file COUNTS and sizes,
+    * never data) and flags partitions where files-per-partition exceeds
+    * what `targetBytes` sizing requires. [[compactPartition]] rewrites one
+    * flagged partition with `repartition(targetFiles)` into a temp dir and
+    * atomically swaps it in — rewrite cost is one partition's data, not the
+    * table, and partitions compact independently (schedule them as
+    * separate parallel jobs at scale). */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession, root: String,
+      targetBytes: Long): Seq[CompactionEntry] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    parts.map { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      CompactionEntry(p.getPath.getName, files.length.toLong, bytes, target,
+        compact = files.length > target)
+    }.toSeq.sortBy(_.partition)
+  }
+
+  /** Rewrite one partition directory into `targetFiles` files. The swap is
+    * rename-based: write to `<dir>.compact.tmp`, move the old dir aside,
+    * move the new one in, delete the old — the window where readers see a
+    * missing dir is two renames (a table format's metadata commit removes
+    * even that; this is the plain-parquet approximation). */
+  def compactPartition(spark: org.apache.spark.sql.SparkSession, root: String,
+      partition: String, targetFiles: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root, partition)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, partition + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(root, partition + ".compact.old")
+    spark.read.parquet(dir.toString)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(dir, old), s"could not move $dir aside")
+    require(fs.rename(tmp, dir), s"could not move compacted files into $dir")
+    fs.delete(old, true): Unit
+  }
 }

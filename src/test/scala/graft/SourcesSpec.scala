@@ -159,6 +159,33 @@ class SourcesSpec extends AnyFunSuite {
       ops.Pipeline.tripKey).count() === 0)
   }
 
+  test("raw-zone compaction shrinks file counts without changing data") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    // six small appends → six files per year partition
+    (1 to 6).foreach { i =>
+      WarehouseSink.rawZoneAppend(
+        Seq((i.toLong, java.sql.Timestamp.valueOf(s"2023-0$i-01 00:00:00")),
+          (100L + i, java.sql.Timestamp.valueOf(s"2024-0$i-01 00:00:00")))
+          .toDF("id", "ts"),
+        root, "ts")
+    }
+    val before = spark.read.parquet(root)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val plan1 = WarehouseSink.compactionPlan(spark, root, targetBytes = 128L * 1024 * 1024)
+    assert(plan1.map(_.partition).toSet === Set("year=2023", "year=2024"))
+    plan1.foreach { e =>
+      assert(e.n_files === 6 && e.target_files === 1 && e.compact)
+    }
+    plan1.filter(_.compact).foreach(e =>
+      WarehouseSink.compactPartition(spark, root, e.partition, e.target_files))
+    val plan2 = WarehouseSink.compactionPlan(spark, root, targetBytes = 128L * 1024 * 1024)
+    plan2.foreach(e => assert(e.n_files === 1 && !e.compact, e.toString))
+    val after = spark.read.parquet(root)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(after === before, "compaction must be a pure layout change")
+  }
+
   test("z-order buckets confine both keys to one 16-wide rectangle") {
     import graft.sources.ZOrder
     val rows = ZOrder.q86Zorder(spark, SparkSuite.sf).collect()
