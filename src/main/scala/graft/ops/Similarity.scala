@@ -98,6 +98,60 @@ object Similarity {
       |         AS cos_sim
       |FROM p GROUP BY v1, v2 ORDER BY v1, v2""".stripMargin
 
+  /** q68_semantic_groups — semantic deduplication end-to-end: the banded
+    * cosine pairs (q73's candidate generation) thresholded into an edge
+    * list, closed transitively by [[Components.connectedComponents]], and
+    * labeled with group size and a min-id representative — "keep one of
+    * each meaning" where q83 is "keep one of each wording". The composition
+    * is the point: pairwise similarity, graph closure, and group labeling
+    * are the same three stages at 100 TB, each already scale-shaped
+    * (banded candidate join, hybrid union-find/hash-min closure, map-side
+    * combined aggregates). The DuckDB oracle recomputes the identical
+    * fixpoint with a recursive CTE over the same thresholded pairs —
+    * thresholding happens on the ROUNDED cosine both engines agree on
+    * bit-for-bit, so no boundary flicker. */
+  def q68SemanticGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val edges = q73EmbeddingNeardup(spark, sfDir)
+      .filter(col("cos_sim") >= 0.3)
+      .select(col("v1").as("src"), col("v2").as("dst"))
+    val comp = Components.connectedComponents(
+      e.select(col("vec_id").as("id")), edges)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, Seq("component"))
+      .select(col("id").as("vec_id"), col("component").as("group_id"),
+        col("n_members"), (col("id") === col("component")).as("is_rep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q68Sql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT e1.vec_id AS v1, e2.vec_id AS v2,
+      |         unnest(e1.embedding)::DOUBLE AS x,
+      |         unnest(e2.embedding)::DOUBLE AS y
+      |  FROM embeddings e1 JOIN embeddings e2
+      |    ON e2.vec_id BETWEEN e1.vec_id + 1 AND e1.vec_id + 5),
+      |sim AS (
+      |  SELECT v1, v2,
+      |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+      |           AS cos_sim
+      |  FROM p GROUP BY v1, v2),
+      |edges AS (
+      |  SELECT v1 AS src, v2 AS dst FROM sim WHERE cos_sim >= 0.3
+      |  UNION ALL
+      |  SELECT v2, v1 FROM sim WHERE cos_sim >= 0.3),
+      |walk(id, label) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.id),
+      |comp AS (SELECT id, min(label) AS group_id FROM walk GROUP BY 1),
+      |sizes AS (SELECT group_id, count(*) AS n_members FROM comp GROUP BY 1)
+      |SELECT c.id AS vec_id, c.group_id, s.n_members,
+      |       (c.id = c.group_id) AS is_rep
+      |FROM comp c JOIN sizes s USING (group_id)
+      |ORDER BY vec_id""".stripMargin
+
   /** Multi-table random-hyperplane LSH (seeded — signatures are stable across
     * runs and partitionings). OR-amplification across `NumTables` tables
     * trades candidate-set size for recall: a true neighbor is found if ANY
