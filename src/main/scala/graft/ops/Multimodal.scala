@@ -177,4 +177,44 @@ object Multimodal {
       |FROM f
       |WHERE frame_id % 4 = 0
       |ORDER BY doc_id, frame_id""".stripMargin
+
+  /** q101_media_dedup — content-hash deduplication of binary media: an exact
+    * full-payload hash (sha256) plus a "perceptual" thumbnail hash (md5 of
+    * the first 40 payload bytes — the deterministic stand-in for a real
+    * pHash over a decoded thumbnail; the fixture's texts collide on this
+    * prefix, giving genuine near-dup groups). One row per thumbnail-hash
+    * group: copy count, representative (min doc_id), how many DISTINCT full
+    * payloads share the thumbnail, and total bytes the group pins.
+    *
+    * Scale: hashing is map-side; the shuffle carries (hash, doc_id, n_bytes,
+    * full-hash) — never the payload bytes — and aggregates with map-side
+    * combine. This is the q36-exact-dedup shape applied to binary columns;
+    * a 100 TB media corpus dedups at the cost of one hash-keyed exchange of
+    * ~50-byte rows. */
+  def q101MediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("n_bytes"),
+        md5(expr("substring(payload, 1, 40)")).as("thumb_md5"),
+        sha2(col("payload"), 256).as("payload_sha256"))
+      .groupBy(col("thumb_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("rep_doc_id"),
+        countDistinct(col("payload_sha256")).as("n_distinct_payloads"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("thumb_md5"))
+
+  val q101Sql: String =
+    // the payload is utf-8 text, so hashing the 40-char string prefix
+    // equals hashing the first 40 payload bytes (ascii fixture text);
+    // DuckDB cannot substring BLOBs, hence the string form here.
+    """WITH h AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |         md5(substr(text, 1, 40)) AS thumb_md5,
+      |         sha256(text) AS payload_sha256
+      |  FROM documents)
+      |SELECT thumb_md5, count(*) AS n_copies, min(doc_id) AS rep_doc_id,
+      |       count(DISTINCT payload_sha256) AS n_distinct_payloads,
+      |       sum(n_bytes) AS total_bytes
+      |FROM h GROUP BY thumb_md5 ORDER BY thumb_md5""".stripMargin
 }

@@ -236,4 +236,77 @@ object Text {
       |       count(*) AS n_tokens
       |FROM toks WHERE tok <> ''
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Boilerplate-removal doc-frequency threshold: a term present in more
+    * than this percentage of documents is corpus boilerplate (the
+    * cross-document analogue of navigation chrome / license headers in web
+    * scrapes). 78 is fixture-tuned so roughly half the synthetic vocabulary
+    * trips it — real corpora use 90+. */
+  val boilerplateDocPct = 78
+
+  /** Corpus-driven boilerplate removal core: drop every token whose
+    * document frequency exceeds `docPct`% of the corpus, preserving the
+    * original token order of what survives.
+    *
+    * Scale: one explode→hash-aggregate bounded by vocabulary size builds the
+    * doc-frequency table; the boilerplate set (vocabulary-sized, tiny) is
+    * broadcast into an anti-join against the exploded positions; the
+    * re-assembly shuffle is keyed by doc_id with map-side combine on
+    * collect_list partials. No whole-corpus self-join anywhere.
+    */
+  def removeBoilerplate(docs: DataFrame, docPct: Int): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val total = docs.agg(count(lit(1)).as("n_total_docs"))
+    val common = pos
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_docs") * 100 > col("n_total_docs") * docPct)
+      .select(col("term"))
+    val cleaned = pos
+      .join(broadcast(common), Seq("term"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        // order-preserving re-assembly: sort the (pos, term) pairs, then
+        // project the terms — pos is unique per doc, so the order is total
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          x => x("term"))).as("clean_text"))
+    // left join back so fully-boilerplate documents still appear (empty)
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_total"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** q99_boilerplate — corpus boilerplate removal over `documents`. */
+  def q99Boilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    removeBoilerplate(Tables.documents(spark, sfDir), boilerplateDocPct)
+      .orderBy(col("doc_id"))
+
+  val q99Sql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id,
+       |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+       |         unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |common AS (
+       |  SELECT term FROM pos GROUP BY term
+       |  HAVING count(DISTINCT doc_id) * 100 >
+       |         $boilerplateDocPct * (SELECT count(*) FROM documents)),
+       |cleaned AS (
+       |  SELECT p.doc_id, count(*) AS n_kept,
+       |         string_agg(p.term, ' ' ORDER BY p.pos) AS clean_text
+       |  FROM pos p ANTI JOIN common c ON p.term = c.term
+       |  GROUP BY p.doc_id)
+       |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_total,
+       |       coalesce(c.n_kept, 0) AS n_kept,
+       |       coalesce(c.clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN cleaned c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Chunking, Privacy, Reshape, Text}
+
+/** Semantics of the round-3 pipeline operators: PII redaction, boilerplate
+  * removal, chunking, unpivot/histogram, media dedup. (Value-level parity
+  * vs DuckDB is the driver's t2 gate; these tests pin the operator
+  * contracts on tiny known inputs.) */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+  import spark.implicits._
+  private val sf = SparkSuite.sf
+
+  test("q69: redaction removes every planted PII match") {
+    val out = Privacy.q69PiiRedact(spark, sf).cache()
+    try {
+      // each doc plants exactly one email, one ID-shaped number, one IPv4
+      val bad = out.filter(
+        col("n_emails") =!= 1 || col("n_ids") =!= 1 || col("n_ips") =!= 1)
+      assert(bad.count() === 0)
+      // and after redaction no pattern matches anything anymore
+      val residual = Privacy.piiPatterns.map { case (_, pat, _) =>
+        out.filter(Privacy.matchCount(col("redacted"), pat) > 0).count()
+      }.sum
+      assert(residual === 0L)
+    } finally out.unpersist()
+  }
+
+  test("q99: boilerplate terms are exactly the high-DF ones, order kept") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "the end")).toDF("doc_id", "text")
+    // "the" is in 3/3 docs -> df 100% > 50% threshold; everything else 1/3
+    val out = Text.removeBoilerplate(docs, 50)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(3)).toSeq ===
+      Seq("cat sat", "dog ran", "end"))
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 2L, 1L))
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 3L, 2L))
+  }
+
+  test("q99: fully-boilerplate documents survive as empty rows") {
+    val docs = Seq((1L, "x x"), (2L, "x"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Text.removeBoilerplate(docs, 60).orderBy("doc_id").collect()
+    // "x" in 3/3 docs; "y" in 1/3
+    assert(out.length === 3)
+    assert(out.map(_.getString(3)).toSeq === Seq("", "", "y"))
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L, 1L))
+  }
+
+  test("q100: chunk boundaries and overlap on a known doc") {
+    val docs = Seq((7L, "a b c d e")).toDF("doc_id", "text")
+    val out = Chunking.chunkTokens(docs, "text", size = 2, stride = 1)
+      .orderBy("chunk_start").collect()
+    assert(out.map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq ===
+      Seq((0L, "a b", 2L), (1L, "b c", 2L), (2L, "c d", 2L),
+        (3L, "d e", 2L), (4L, "e", 1L)))
+  }
+
+  test("q100: stride >= size tiles the doc without overlap") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val out = Chunking.chunkTokens(docs, "text", size = 2, stride = 2)
+      .orderBy("chunk_start").collect()
+    assert(out.map(_.getString(2)).mkString(" ") === "a b c d e")
+  }
+
+  test("q06: melted sums equal the per-column aggregates") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.agg(
+      sum(col("l_quantity").cast("decimal(18,4)")).cast("double"),
+      sum(col("l_discount").cast("decimal(18,4)")).cast("double"))
+      .collect()(0)
+    val melted = Reshape.q06Unpivot(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(melted("l_quantity") === direct.getDouble(0))
+    assert(melted("l_discount") === direct.getDouble(1))
+    assert(melted.keySet === Reshape.measures.toSet)
+    // each measure contributes exactly |lineitem| rows
+    val n = li.count()
+    Reshape.q06Unpivot(spark, sf).collect()
+      .foreach(r => assert(r.getLong(1) === n))
+  }
+
+  test("q07: histogram partitions the table exactly") {
+    val out = Reshape.q07Histogram(spark, sf).collect()
+    val n = Tables.lineitem(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum === n)
+    assert(out.forall { r =>
+      r.getLong(0) >= 0 && r.getLong(0) < Reshape.nBuckets
+    })
+  }
+
+  test("q101: media dup groups cover the corpus; reps belong to groups") {
+    val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === nDocs)
+    assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(1)))
+  }
+}
