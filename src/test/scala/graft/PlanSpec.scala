@@ -194,6 +194,32 @@ class PlanSpec extends AnyFunSuite {
       s"dimension was broadcast — the salted shuffle path never ran:\n$p")
   }
 
+  test("q69/q100 are pure map work: only the determinism sort exchanges") {
+    Seq(ops.Privacy.q69PiiRedact(spark, sf),
+      ops.Chunking.q100Chunks(spark, sf)).foreach { df =>
+      val p = plan(df)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1,
+        s"redaction/chunking must not shuffle before the final sort:\n$p")
+    }
+  }
+
+  test("q99 boilerplate set broadcasts into the anti-join") {
+    val p = plan(ops.Text.q99Boilerplate(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"common-term set should broadcast-anti-join, not shuffle:\n$p")
+  }
+
+  test("q07 histogram broadcasts the 1-row bounds, no fact-side nested loop") {
+    val p = plan(ops.Reshape.q07Histogram(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"bounds row should broadcast:\n$p")
+    // the fact table itself must never range-exchange except the final sort
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"expected partial+final aggs for bounds+buckets:\n$p")
+  }
+
   test("scalar queries stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
