@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Fuzzy (edit-distance) joins with blocking — the entity-resolution /
+  * record-linkage staple: match dirty strings back to a clean catalog
+  * without a quadratic cross join.
+  *
+  * The scale-safe shape: a cheap BLOCKING key that provably co-locates
+  * every true match goes into the equi-join (so Spark plans an ordinary
+  * hash/sort-merge join), and the expensive `levenshtein` runs only as a
+  * residual filter on within-block candidate pairs. An unblocked fuzzy
+  * join is a cartesian product — at 100 TB the blocking key IS the
+  * operator.
+  */
+object Fuzzy {
+
+  /** Max edit distance accepted by q103. */
+  val maxDistance = 2
+
+  /** Fuzzy-match `dirty` rows to `clean` rows: equi-join on `blockKey`
+    * applied to both sides, residual-filter on edit distance ≤ maxDist.
+    * The caller guarantees the blocking function is match-complete (a true
+    * match never lands in a different block). */
+  def fuzzyJoin(dirty: DataFrame, clean: DataFrame, dirtyText: String,
+      cleanText: String, blockKey: Column => Column,
+      maxDist: Int): DataFrame =
+    dirty.withColumn("__block", blockKey(col(dirtyText)))
+      .join(clean.withColumn("__block", blockKey(col(cleanText))), "__block")
+      .withColumn("distance", levenshtein(col(dirtyText), col(cleanText)))
+      .filter(col("distance") <= maxDist)
+      .drop("__block")
+
+  /** q103_fuzzy_join — corrupt every part name deterministically (replace
+    * the 4th char with 'x'), then link the dirty names back to the clean
+    * catalog. Two scale decisions:
+    *
+    *  1. Match DISTINCT NAMES, not rows. Catalog names repeat heavily, and
+    *     identical values explode quadratically inside any block (the
+    *     fuzzy-join face of the mega-bucket problem); each side therefore
+    *     collapses to (name, min key as representative, row count) BEFORE
+    *     the pair join — rows rejoin the name-level verdicts cheaply if
+    *     key-level output is needed.
+    *  2. The corruption is a single substitution preserving length and the
+    *     first three characters, so (first 2 chars, length) is a
+    *     match-COMPLETE blocking key: every true (dirty, clean-twin) pair
+    *     shares it by construction. */
+  def q103FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+    val clean = part.groupBy(col("p_name").as("clean_name"))
+      .agg(min(col("p_partkey")).as("clean_rep"),
+        count(lit(1)).as("n_clean_rows"))
+    val dirty = part
+      .select(col("p_partkey"),
+        concat(substring(col("p_name"), 1, 3), lit("x"),
+          expr("substring(p_name, 5)")).as("dirty_name"))
+      .groupBy(col("dirty_name"))
+      .agg(min(col("p_partkey")).as("dirty_rep"),
+        count(lit(1)).as("n_dirty_rows"))
+    val block = (c: Column) =>
+      concat(substring(c, 1, 2), lit("|"), length(c).cast("string"))
+    fuzzyJoin(dirty, clean, "dirty_name", "clean_name", block, maxDistance)
+      .select(col("dirty_name"), col("clean_name"),
+        col("distance").cast("long").as("distance"),
+        col("dirty_rep"), col("n_dirty_rows"),
+        col("clean_rep"), col("n_clean_rows"))
+      .orderBy(col("dirty_name"), col("clean_name"))
+  }
+
+  val q103Sql: String =
+    s"""WITH clean AS (
+       |  SELECT p_name AS clean_name, min(p_partkey) AS clean_rep,
+       |         count(*) AS n_clean_rows,
+       |         substr(p_name, 1, 2) || '|' || length(p_name) AS block
+       |  FROM part GROUP BY p_name),
+       |dirty AS (
+       |  SELECT dirty_name, min(p_partkey) AS dirty_rep,
+       |         count(*) AS n_dirty_rows,
+       |         substr(dirty_name, 1, 2) || '|' || length(dirty_name) AS block
+       |  FROM (SELECT p_partkey,
+       |               substr(p_name, 1, 3) || 'x' || substr(p_name, 5)
+       |                 AS dirty_name
+       |        FROM part)
+       |  GROUP BY dirty_name)
+       |SELECT d.dirty_name, c.clean_name,
+       |       CAST(levenshtein(d.dirty_name, c.clean_name) AS BIGINT)
+       |         AS distance,
+       |       d.dirty_rep, d.n_dirty_rows, c.clean_rep, c.n_clean_rows
+       |FROM dirty d JOIN clean c ON d.block = c.block
+       |WHERE levenshtein(d.dirty_name, c.clean_name) <= $maxDistance
+       |ORDER BY d.dirty_name, c.clean_name""".stripMargin
+}

@@ -95,6 +95,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("q102: collocations respect support cutoff and lift ordering") {
+    val res = ops.Collocations.q102Collocations(spark, sf).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getLong(2) >= ops.Collocations.minSupport))
+    assert(res.map(_.getDouble(3)).toSeq ===
+      res.map(_.getDouble(3)).sortBy(-_).toSeq, "must be lift-descending")
+  }
+
+  test("q103: every dirty name links back to its clean twin at distance 1") {
+    val out = ops.Fuzzy.q103FuzzyJoin(spark, sf).cache()
+    try {
+      val nNames = Tables.part(spark, sf).select("p_name").distinct().count()
+      // twin pair = the dirty name IS the corruption of that clean name
+      val twins = out.filter(
+        concat(substring(col("clean_name"), 1, 3), lit("x"),
+          expr("substring(clean_name, 5)")) === col("dirty_name"))
+      assert(twins.count() === nNames, "a twin match is lost")
+      assert(twins.filter(col("distance") =!= 1).count() === 0)
+      assert(out.filter(col("distance") > ops.Fuzzy.maxDistance).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("q101: media dup groups cover the corpus; reps belong to groups") {
     val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
