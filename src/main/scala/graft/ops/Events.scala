@@ -267,4 +267,101 @@ object Events {
       |         max(CASE WHEN week_offset = 0 THEN n_active END)
       |           OVER (PARTITION BY cohort_week) AS retention
       |FROM cells ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** q104_interpolate — LINEAR interpolation over the q63 hourly grid: gap
+    * hours get prev + (next − prev) · Δt/Δspan instead of a flat forward
+    * fill (the resampling mode a feature-extraction pipeline usually wants
+    * for continuous measures). Endpoints degrade gracefully: a gap before
+    * the first / after the last observation takes the nearest observed
+    * value.
+    *
+    * Scale: identical shape to q63 — map-side grid expansion, one
+    * (user, hour) aggregate, per-user window partitions. The interpolation
+    * itself is two ignore-nulls window lookups (carry value+timestamp
+    * forward and backward) plus pure double arithmetic, arranged
+    * identically in both engines so the IEEE results match bitwise. */
+  def q104Interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+        col("value"))
+    val hourly = ev.groupBy(col("user_id"), col("hr"))
+      .agg(decSum(col("value"), 2).as("sum_value"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hr"))
+    val back = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ep = col("hr").cast("long")
+    val joined = grid.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("prev_v", last(col("sum_value"), ignoreNulls = true).over(back))
+      .withColumn("prev_t",
+        last(when(col("sum_value").isNotNull, ep), ignoreNulls = true).over(back))
+      .withColumn("next_v", first(col("sum_value"), ignoreNulls = true).over(fwd))
+      .withColumn("next_t",
+        first(when(col("sum_value").isNotNull, ep), ignoreNulls = true).over(fwd))
+    val frac = (ep - col("prev_t")).cast("double") /
+      (col("next_t") - col("prev_t")).cast("double")
+    joined
+      // NO round() here: interpolation makes .xxxx5 midpoints routinely, and
+      // Spark (decimal HALF_UP) vs DuckDB (float-multiply) round() disagree
+      // exactly there. The raw doubles ARE bit-identical — every op is a
+      // correctly-rounded IEEE +,-,*,/ in the same order in both engines.
+      .select(col("user_id"), col("hr"), col("sum_value").isNull.as("is_gap"),
+        when(col("sum_value").isNotNull, col("sum_value"))
+          .when(col("prev_v").isNull, col("next_v"))
+          .when(col("next_v").isNull, col("prev_v"))
+          .otherwise(col("prev_v") +
+            (col("next_v") - col("prev_v")) * frac)
+          .as("interp_value"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  val q104Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events),
+      |hourly AS (
+      |  SELECT user_id, hr,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM ev GROUP BY user_id, hr),
+      |grid AS (
+      |  SELECT user_id,
+      |         unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+      |  FROM ev GROUP BY user_id),
+      |j AS (
+      |  SELECT g.user_id, g.hr, h.sum_value, epoch(g.hr) AS ep,
+      |         last_value(h.sum_value IGNORE NULLS)
+      |           OVER (PARTITION BY g.user_id ORDER BY g.hr
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS prev_v,
+      |         last_value(CASE WHEN h.sum_value IS NOT NULL
+      |                         THEN epoch(g.hr) END IGNORE NULLS)
+      |           OVER (PARTITION BY g.user_id ORDER BY g.hr
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS prev_t,
+      |         first_value(h.sum_value IGNORE NULLS)
+      |           OVER (PARTITION BY g.user_id ORDER BY g.hr
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |           AS next_v,
+      |         first_value(CASE WHEN h.sum_value IS NOT NULL
+      |                          THEN epoch(g.hr) END IGNORE NULLS)
+      |           OVER (PARTITION BY g.user_id ORDER BY g.hr
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |           AS next_t
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON g.user_id = h.user_id AND g.hr = h.hr)
+      |SELECT user_id, hr, sum_value IS NULL AS is_gap,
+      |       CASE
+      |         WHEN sum_value IS NOT NULL THEN sum_value
+      |         WHEN prev_v IS NULL THEN next_v
+      |         WHEN next_v IS NULL THEN prev_v
+      |         ELSE prev_v + (next_v - prev_v) *
+      |              (CAST(ep - prev_t AS DOUBLE) /
+      |               CAST(next_t - prev_t AS DOUBLE))
+      |       END AS interp_value
+      |FROM j ORDER BY user_id, hr""".stripMargin
 }

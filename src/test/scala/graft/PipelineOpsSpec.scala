@@ -117,6 +117,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q104: interpolated gaps sit between their endpoints") {
+    val out = ops.Events.q104Interpolate(spark, sf)
+    val gaps = out.filter(col("is_gap"))
+    // every gap value must lie within [min, max] of the user's observed
+    // hourly sums (linear interpolation never extrapolates outside them)
+    val bounds = out.filter(!col("is_gap"))
+      .groupBy("user_id")
+      .agg(min("interp_value").as("lo"), max("interp_value").as("hi"))
+    val outside = gaps.join(bounds, "user_id")
+      .filter(col("interp_value") < col("lo") - 1e-9 ||
+        col("interp_value") > col("hi") + 1e-9)
+    assert(outside.count() === 0)
+    assert(gaps.filter(col("interp_value").isNull).count() === 0,
+      "every grid hour between first and last observation interpolates")
+  }
+
   test("q101: media dup groups cover the corpus; reps belong to groups") {
     val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
