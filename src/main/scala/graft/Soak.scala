@@ -142,6 +142,46 @@ object Soak {
       println(f"  kmeans step: n=20k ${t1}%.2fs, n=40k ${t2}%.2fs " +
         f"(ratio ${t2 / t1}%.2f; quadratic would be ~4)")
     }
+    // Boilerplate removal: replication multiplies every term's document
+    // frequency AND the corpus size by k, so the >pct% threshold decides
+    // identically — runtime must stay linear (vocab-bounded DF aggregate +
+    // broadcast anti-join; no corpus self-join to go quadratic).
+    time("boilerplate_removal") {
+      graft.ops.Text.removeBoilerplate(docs, graft.ops.Text.boilerplateDocPct)
+        .agg(count(lit(1))).collect()
+    }
+    // Chunking is pure map expansion: rows out ≈ k × rows out at k=1.
+    time("chunking") {
+      graft.ops.Chunking.chunkTokens(
+        docs.select(col("doc_id"), col("text")), "text", 32, 24)
+        .agg(count(lit(1))).collect()
+    }
+    // Fuzzy join under replication: the dirty/clean NAME sets are
+    // unchanged (copies repeat the same names), so the levenshtein pair
+    // count must stay FLAT — only the two distinct-aggregates grow with k.
+    // This is the probe that fails if someone reverts to row-level pairs
+    // (pair count would grow k², the fuzzy-join mega-bucket bug).
+    time("fuzzy_join_flat_pairs") {
+      val parts = replicate(Tables.part(spark, sfDir), "p_partkey")
+      val base = graft.ops.Fuzzy.q103FuzzyJoin(spark, sfDir).count()
+      // rebuild the same query over the replicated frame
+      val clean = parts.groupBy(col("p_name").as("clean_name"))
+        .agg(min(col("p_partkey")).as("clean_rep"),
+          count(lit(1)).as("n_clean_rows"))
+      val dirty = parts.select(col("p_partkey"),
+          concat(substring(col("p_name"), 1, 3), lit("x"),
+            expr("substring(p_name, 5)")).as("dirty_name"))
+        .groupBy(col("dirty_name"))
+        .agg(min(col("p_partkey")).as("dirty_rep"),
+          count(lit(1)).as("n_dirty_rows"))
+      val block = (c: org.apache.spark.sql.Column) =>
+        concat(substring(c, 1, 2), lit("|"), length(c).cast("string"))
+      val repl = graft.ops.Fuzzy.fuzzyJoin(dirty, clean, "dirty_name",
+        "clean_name", block, graft.ops.Fuzzy.maxDistance).count()
+      println(s"  name-level pairs: base=$base, ${k}x replicated=$repl")
+      require(repl == base,
+        s"pair count grew under replication: $base -> $repl")
+    }
     spark.stop()
   }
 }
