@@ -157,6 +157,76 @@ object Windows {
       |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin
 
+  /** q105_rolling_zscore — rolling anomaly detection: each event's value is
+    * scored against the mean/stddev of its user's trailing 8 events (itself
+    * included), flagging |z| > 2 as outliers. The moments come from exact
+    * DECIMAL rolling sums (Σv, Σv²) over a ROWS frame — the q46 technique
+    * applied per-window — so both engines feed identical operands into the
+    * final double arithmetic; +,-,*,/ and sqrt are all correctly-rounded
+    * IEEE ops, making the z-scores bit-identical without rounding tricks.
+    *
+    * Scale: one window pass partitioned by user (millions of small
+    * partitions), frame state is two running decimals — no second scan, no
+    * self-join, and the 8-row frame caps per-row work. */
+  def q105RollingZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    val sumD = sum(col("value").cast(DecimalType(18, 2))).over(w)
+      .cast("double")
+    val sumSq = sum((col("value") * col("value")).cast(DecimalType(18, 4)))
+      .over(w).cast("double")
+    val n = count(lit(1)).over(w)
+    val mean = sumD / n
+    val variance = (sumSq - sumD * sumD / n) / (n - lit(1))
+    val z = (col("value") - mean) / sqrt(variance)
+    ev.select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        n.as("n_window"), mean.as("mean_w"),
+        when(n > 1 && variance > 0, z).as("zscore"))
+      .withColumn("is_outlier",
+        when(col("zscore").isNotNull, abs(col("zscore")) > 2.0))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val q105Sql: String =
+    """SELECT user_id, event_id, ts, value,
+      |  count(*) OVER w AS n_window,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / count(*) OVER w AS mean_w,
+      |  CASE WHEN count(*) OVER w > 1 AND
+      |            (CAST(sum(CAST(value * value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |             - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |               * CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |               / count(*) OVER w)
+      |            / (count(*) OVER w - 1) > 0
+      |       THEN (value - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |                     / count(*) OVER w)
+      |            / sqrt((CAST(sum(CAST(value * value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |                    - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |                      * CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |                      / count(*) OVER w)
+      |                   / (count(*) OVER w - 1))
+      |  END AS zscore,
+      |  CASE WHEN count(*) OVER w > 1 AND
+      |            (CAST(sum(CAST(value * value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |             - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |               * CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |               / count(*) OVER w)
+      |            / (count(*) OVER w - 1) > 0
+      |       THEN abs((value - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |                         / count(*) OVER w)
+      |                / sqrt((CAST(sum(CAST(value * value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |                        - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |                          * CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |                          / count(*) OVER w)
+      |                       / (count(*) OVER w - 1))) > 2.0
+      |  END AS is_outlier
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   /** q98_pareto — ABC/Pareto classification: parts ranked by revenue, each
     * carrying its cumulative share of the total, bucketed A (first 70% of
     * revenue) / B (to 90%) / C (tail). The contribution-analysis staple

@@ -133,6 +133,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       "every grid hour between first and last observation interpolates")
   }
 
+  test("q105: z-scores are null exactly when the window lacks variance") {
+    val out = ops.Windows.q105RollingZscore(spark, sf).cache()
+    try {
+      // first event of each user: n_window = 1 -> no z
+      assert(out.filter(col("n_window") === 1 && col("zscore").isNotNull)
+        .count() === 0)
+      // every non-null z has a matching outlier verdict
+      assert(out.filter(col("zscore").isNotNull)
+        .filter(col("is_outlier") =!= (abs(col("zscore")) > 2.0))
+        .count() === 0)
+      // mean over the window stays within the window's value range: spot
+      // check via global bounds
+      val b = Tables.events(spark, sf)
+        .agg(min("value"), max("value")).collect()(0)
+      assert(out.filter(col("mean_w") < b.getDouble(0) - 1e-9 ||
+        col("mean_w") > b.getDouble(1) + 1e-9).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("q101: media dup groups cover the corpus; reps belong to groups") {
     val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
