@@ -157,6 +157,45 @@ object Windows {
       |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin
 
+  /** q107_mom_growth — period-over-period analytics: monthly revenue per
+    * return flag with month-over-month absolute and relative growth. The
+    * warehouse reporting staple built from a calendar truncation, one
+    * cardinality-bounded aggregate (months × flags), and a lag window over
+    * the tiny aggregated frame. Relative growth divides two decimal-derived
+    * doubles — exact operands, single IEEE division, no rounding needed. */
+  def q107MomGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        .as("rev_dec"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("month"))
+    monthly
+      .withColumn("rev", col("rev_dec").cast("double"))
+      .withColumn("prev_rev", lag(col("rev_dec"), 1).over(w).cast("double"))
+      .select(col("l_returnflag"), col("month"), col("rev"),
+        col("prev_rev"),
+        (col("rev") - col("prev_rev")).as("abs_growth"),
+        ((col("rev") - col("prev_rev")) / col("prev_rev")).as("rel_growth"))
+      .orderBy(col("l_returnflag"), col("month"))
+  }
+
+  val q107Sql: String =
+    """WITH monthly AS (
+      |  SELECT l_returnflag, date_trunc('month', l_shipdate) AS month,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM lineitem GROUP BY l_returnflag, date_trunc('month', l_shipdate))
+      |SELECT l_returnflag, month,
+      |       CAST(rev_dec AS DOUBLE) AS rev,
+      |       CAST(lag(rev_dec, 1) OVER w AS DOUBLE) AS prev_rev,
+      |       CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec, 1) OVER w AS DOUBLE)
+      |         AS abs_growth,
+      |       (CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec, 1) OVER w AS DOUBLE))
+      |         / CAST(lag(rev_dec, 1) OVER w AS DOUBLE) AS rel_growth
+      |FROM monthly
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY month)
+      |ORDER BY l_returnflag, month""".stripMargin
+
   /** q105_rolling_zscore — rolling anomaly detection: each event's value is
     * scored against the mean/stddev of its user's trailing 8 events (itself
     * included), flagging |z| > 2 as outliers. The moments come from exact

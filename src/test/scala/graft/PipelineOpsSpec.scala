@@ -152,6 +152,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q106: incremental merge equals full recompute for any cutoff") {
+    val li = Tables.lineitem(spark, sf)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val full = ops.Incremental.partialState(li, keys)
+    // three-way split (not just the query's two) must still merge exactly
+    val thirds = Seq(
+      li.filter(col("l_orderkey") % 3 === 0),
+      li.filter(col("l_orderkey") % 3 === 1),
+      li.filter(col("l_orderkey") % 3 === 2))
+      .map(ops.Incremental.partialState(_, keys))
+    val merged = ops.Incremental.mergeStates(thirds, keys)
+    assert(merged.orderBy(keys.map(col): _*).collect().toSeq ===
+      full.orderBy(keys.map(col): _*).collect().toSeq)
+  }
+
+  test("q107: growth columns are consistent with the lag") {
+    val out = ops.Windows.q107MomGrowth(spark, sf).collect()
+    out.filter(!_.isNullAt(3)).foreach { r =>
+      assert(math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3)))
+        < 1e-9)
+    }
+    // first month per flag has no predecessor
+    val flags = out.map(_.getString(0)).distinct.length
+    assert(out.count(_.isNullAt(3)) === flags)
+  }
+
   test("q101: media dup groups cover the corpus; reps belong to groups") {
     val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
