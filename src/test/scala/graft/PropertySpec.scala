@@ -100,7 +100,48 @@ class PropertySpec extends AnyFunSuite {
           (0 until n).map(_.toLong).toDF("id"),
           edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(local === expected, s"local solve diverged: n=$n edges=$edges")
+      assert(local === expected, s"local solve diverged: n=$n edges=$expected")
+    }
+  }
+
+  test("chunking reconstructs the document: strided prefixes + last chunk") {
+    val sp = spark
+    import sp.implicits._
+    val size = 5; val stride = 3
+    samples(textGen, 15).foreach { text =>
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = graft.ops.Chunking
+        .chunkTokens(docs, "text", size, stride)
+        .orderBy("chunk_start").collect()
+        .map(r => (r.getLong(1), r.getString(2)))
+      // take the first `stride` tokens of every chunk except the last,
+      // then the whole last chunk — must equal the original token stream
+      val rebuilt = (chunks.dropRight(1).flatMap {
+        case (_, t) => t.split(" ").take(stride)
+      } ++ chunks.last._2.split(" ")).mkString(" ")
+      assert(rebuilt === text, s"reconstruction failed for: $text")
+      // starts are exactly 0, stride, 2·stride, … < n_tokens
+      val n = text.split(" ").length
+      assert(chunks.map(_._1).toSeq ===
+        (0 until n by stride).map(_.toLong))
+    }
+  }
+
+  test("PII redaction is exact: clean text is untouched, planted PII dies") {
+    val sp = spark
+    import sp.implicits._
+    samples(textGen, 15).foreach { text =>
+      val planted = s"$text mail to a.b-c_9@test-site.org now 123-45-6789 " +
+        s"at 192.168.0.1 end"
+      val df = Seq((text, planted)).toDF("clean", "dirty")
+        .select(
+          graft.ops.Privacy.redact(col("clean")).as("clean_out"),
+          graft.ops.Privacy.redact(col("dirty")).as("dirty_out"))
+      val r = df.collect()(0)
+      // fixture vocabulary contains no PII shapes: redaction is identity
+      assert(r.getString(0) === text)
+      assert(r.getString(1) ===
+        s"$text mail to <EMAIL> now <ID> at <IP> end")
     }
   }
 }
