@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality operators — the warehouse-operations layer every pipeline
+  * needs around its facts: a per-column profiling report (the "describe
+  * table" a new dataset gets on arrival) and declarative expectation checks
+  * (the dbt-test / expectations pattern: rules in, violation counts out).
+  *
+  * Scale: the profiler melts k columns into k×n rows map-side and
+  * aggregates at column/value cardinality with map-side combine — one scan,
+  * no self-joins. The expectations run as ONE conditional aggregate per
+  * table plus one anti-join for the FK rule — adding rules does not add
+  * scans.
+  *
+  * Cross-engine canonicalization: every value profiles as a string — ints
+  * and timestamps cast directly, doubles through DECIMAL(18,2) first —
+  * because both engines render those identically ("123.50",
+  * "1996-01-02 00:00:00"), where raw double→string formatting would not
+  * match.
+  */
+object DataQuality {
+
+  /** The orders columns q108 profiles, with their canonicalizing casts. */
+  private def orderProfileCols: Seq[(String, Column)] = Seq(
+    "o_custkey" -> col("o_custkey").cast("string"),
+    "o_orderdate" -> col("o_orderdate").cast("string"),
+    "o_orderkey" -> col("o_orderkey").cast("string"),
+    "o_orderpriority" -> col("o_orderpriority"),
+    "o_orderstatus" -> col("o_orderstatus"),
+    "o_totalprice" -> col("o_totalprice").cast("decimal(18,2)").cast("string"))
+
+  /** q108_profile — per-column profile of `orders`: row/null/distinct
+    * counts, min/max, and the modal value (ties broken by value). */
+  def q108Profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val melted = Tables.orders(spark, sfDir)
+      .select(explode(array(orderProfileCols.map { case (n, c) =>
+        struct(lit(n).as("column_name"), c.as("val"))
+      }: _*)).as("kv"))
+      .select(col("kv.column_name").as("column_name"), col("kv.val").as("val"))
+    val stats = melted.groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("val").isNull, 1)).as("n_nulls"),
+        countDistinct(col("val")).as("n_distinct"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"))
+    val mode = melted.filter(col("val").isNotNull)
+      .groupBy(col("column_name"), col("val"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("column_name"))
+          .orderBy(desc("n"), col("val"))))
+      .filter(col("rn") === 1)
+      .select(col("column_name"), col("val").as("top_value"),
+        col("n").as("top_count"))
+    stats.join(mode, Seq("column_name"), "left")
+      .orderBy(col("column_name"))
+  }
+
+  val q108Sql: String = {
+    val arms = Seq(
+      ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+      ("o_orderdate", "CAST(o_orderdate AS VARCHAR)"),
+      ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+      ("o_orderpriority", "o_orderpriority"),
+      ("o_orderstatus", "o_orderstatus"),
+      ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"))
+      .map { case (n, e) =>
+        s"SELECT '$n' AS column_name, $e AS val FROM orders"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH melted AS (
+       |  $arms),
+       |stats AS (
+       |  SELECT column_name, count(*) AS n_rows,
+       |         count(CASE WHEN val IS NULL THEN 1 END) AS n_nulls,
+       |         count(DISTINCT val) AS n_distinct,
+       |         min(val) AS min_val, max(val) AS max_val
+       |  FROM melted GROUP BY column_name),
+       |mode AS (
+       |  SELECT column_name, val AS top_value, n AS top_count
+       |  FROM (SELECT column_name, val, count(*) AS n,
+       |               row_number() OVER (PARTITION BY column_name
+       |                 ORDER BY count(*) DESC, val) AS rn
+       |        FROM melted WHERE val IS NOT NULL
+       |        GROUP BY column_name, val)
+       |  WHERE rn = 1)
+       |SELECT s.column_name, s.n_rows, s.n_nulls, s.n_distinct,
+       |       s.min_val, s.max_val, m.top_value, m.top_count
+       |FROM stats s LEFT JOIN mode m ON s.column_name = m.column_name
+       |ORDER BY s.column_name""".stripMargin
+  }
+
+  /** q109_expectations — declarative constraint validation: one row per
+    * rule with checked/violation counts and a pass verdict. All lineitem
+    * rules fold into ONE conditional aggregate pass; the FK rule is the
+    * only join. */
+  def q109Expectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val liAgg = li.agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_quantity") <= 0, 1)).as("v_qty"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+        .as("v_disc"),
+      count(when(col("l_shipdate").isNull, 1)).as("v_ship"))
+    val oAgg = o.agg(
+      count(lit(1)).as("n"),
+      count(when(col("o_totalprice") <= 0, 1)).as("v_price"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"))
+    val fkViol = li.join(o, col("l_orderkey") === col("o_orderkey"),
+      "left_anti").agg(count(lit(1)).as("v_fk"))
+    def rule(name: String, checked: Column, viol: Column): Column =
+      struct(lit(name).as("rule"), checked.as("n_checked"),
+        viol.as("n_violations"))
+    liAgg.crossJoin(oAgg.withColumnRenamed("n", "n_o"))
+      .crossJoin(fkViol)
+      .select(explode(array(
+        rule("fk_lineitem_orderkey_in_orders", col("n"), col("v_fk")),
+        rule("lineitem_discount_in_unit_range", col("n"), col("v_disc")),
+        rule("lineitem_quantity_positive", col("n"), col("v_qty")),
+        rule("lineitem_shipdate_not_null", col("n"), col("v_ship")),
+        rule("orders_orderkey_unique", col("n_o"), col("v_unique")),
+        rule("orders_totalprice_positive", col("n_o"), col("v_price"))))
+        .as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"),
+        (col("r.n_violations") === 0).as("passed"))
+      .orderBy(col("rule"))
+  }
+
+  val q109Sql: String =
+    """WITH li AS (
+      |  SELECT count(*) AS n,
+      |         count(CASE WHEN l_quantity <= 0 THEN 1 END) AS v_qty,
+      |         count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+      |           AS v_disc,
+      |         count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS v_ship
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT count(*) AS n_o,
+      |         count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS v_price,
+      |         count(*) - count(DISTINCT o_orderkey) AS v_unique
+      |  FROM orders),
+      |fk AS (
+      |  SELECT count(*) AS v_fk FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |rules AS (
+      |  SELECT 'fk_lineitem_orderkey_in_orders' AS rule,
+      |         li.n AS n_checked, fk.v_fk AS n_violations FROM li, fk
+      |  UNION ALL SELECT 'lineitem_discount_in_unit_range', n, v_disc FROM li
+      |  UNION ALL SELECT 'lineitem_quantity_positive', n, v_qty FROM li
+      |  UNION ALL SELECT 'lineitem_shipdate_not_null', n, v_ship FROM li
+      |  UNION ALL SELECT 'orders_orderkey_unique', n_o, v_unique FROM o
+      |  UNION ALL SELECT 'orders_totalprice_positive', n_o, v_price FROM o)
+      |SELECT rule, n_checked, n_violations,
+      |       n_violations = 0 AS passed
+      |FROM rules ORDER BY rule""".stripMargin
+}

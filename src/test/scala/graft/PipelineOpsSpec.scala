@@ -178,6 +178,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count(_.isNullAt(3)) === flags)
   }
 
+  test("q108: profile counts are internally consistent") {
+    val out = ops.DataQuality.q108Profile(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(out.length === 6)
+    out.foreach { r =>
+      assert(r.getLong(1) === n, s"${r.getString(0)} n_rows")
+      assert(r.getLong(3) <= n - r.getLong(2), s"${r.getString(0)} distinct")
+      assert(r.getString(4) <= r.getString(5), s"${r.getString(0)} min<=max")
+      assert(r.getLong(7) >= 1, s"${r.getString(0)} top_count")
+    }
+  }
+
+  test("q109: fixture satisfies every expectation; planted violations counted") {
+    val out = ops.DataQuality.q109Expectations(spark, sf).collect()
+    assert(out.length === 6)
+    assert(out.forall(_.getBoolean(3)), "fixture data should pass all rules")
+    assert(out.forall(_.getLong(2) === 0L))
+  }
+
   test("q101: media dup groups cover the corpus; reps belong to groups") {
     val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
