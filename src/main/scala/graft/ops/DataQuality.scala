@@ -12,10 +12,12 @@ import graft.Tables
   * (the dbt-test / expectations pattern: rules in, violation counts out).
   *
   * Scale: the profiler melts k columns into k×n rows map-side and
-  * aggregates at column/value cardinality with map-side combine — one scan,
-  * no self-joins. The expectations run as ONE conditional aggregate per
-  * table plus one anti-join for the FK rule — adding rules does not add
-  * scans.
+  * aggregates at column/value cardinality with map-side combine — two
+  * column-pruned scans (overall stats + modal values; re-scanning beats
+  * persisting a k×n melted frame at fact-table scale), no self-joins, and
+  * Spark 4's WindowGroupLimit bounds the mode's top-1-per-column pick.
+  * The expectations run as ONE conditional aggregate per table plus one
+  * anti-join for the FK rule — adding rules does not add scans.
   *
   * Cross-engine canonicalization: every value profiles as a string — ints
   * and timestamps cast directly, doubles through DECIMAL(18,2) first —
