@@ -197,6 +197,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) === 0L))
   }
 
+  test("q110: composed pipeline — no PII, no boilerplate, chunk contract") {
+    val out = ops.TrainingPipeline.preprocess(
+      Tables.documents(spark, sf)).cache()
+    try {
+      assert(out.count() > 0)
+      // no chunk may contain a redaction marker (boilerplate stage strips
+      // them) or any raw PII shape
+      assert(out.filter(col("chunk_text").contains("<EMAIL>") ||
+        col("chunk_text").contains("<ID>") ||
+        col("chunk_text").contains("<IP>") ||
+        col("chunk_text").contains("@example.com")).count() === 0)
+      ops.Privacy.piiPatterns.foreach { case (name, pat, _) =>
+        assert(out.filter(
+          ops.Privacy.matchCount(col("chunk_text"), pat) > 0).count() === 0,
+          s"residual $name in chunks")
+      }
+      // every surviving doc meets the gate and chunks tile n_kept
+      assert(out.filter(col("n_kept") <
+        ops.TrainingPipeline.MinKeptTokens).count() === 0)
+      val perDoc = out.groupBy("keep_id")
+        .agg(max(col("chunk_start") + col("n_tokens")).as("covered"),
+          max("n_kept").as("nk"))
+      assert(perDoc.filter(col("covered") =!= col("nk")).count() === 0,
+        "chunks must cover exactly n_kept tokens")
+    } finally out.unpersist()
+  }
+
   test("q101: media dup groups cover the corpus; reps belong to groups") {
     val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
