@@ -127,6 +127,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy join blocking is match-complete for single substitutions") {
+    val sp = spark
+    import sp.implicits._
+    val nameGen = Gen.chooseNum(5, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val catalogGen = Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, nameGen)).map(_.distinct)
+    samples(catalogGen, 10).foreach { names =>
+      val clean = names.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("k", "clean_name")
+      val dirty = names.zipWithIndex
+        .map { case (s, i) => (i.toLong, s.updated(3, 'x')) }
+        .toDF("k2", "dirty_name")
+      val block = (c: org.apache.spark.sql.Column) =>
+        concat(substring(c, 1, 2), lit("|"), length(c).cast("string"))
+      val out = graft.ops.Fuzzy.fuzzyJoin(dirty, clean, "dirty_name",
+        "clean_name", block, maxDist = 1).collect()
+      // every corrupted name must find its original (distance 0 if the
+      // char at index 3 was already 'x', else 1)
+      val matched = out.map(r =>
+        (r.getAs[Long]("k2"), r.getAs[Long]("k"))).toSet
+      names.indices.foreach { i =>
+        assert(matched.contains((i.toLong, i.toLong)),
+          s"lost twin for ${names(i)}")
+      }
+    }
+  }
+
   test("PII redaction is exact: clean text is untouched, planted PII dies") {
     val sp = spark
     import sp.implicits._
