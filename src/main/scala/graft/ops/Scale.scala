@@ -149,4 +149,78 @@ object Scale {
       |       count(*) AS line_count
       |FROM lineitem JOIN dim USING (l_returnflag)
       |GROUP BY flag_label ORDER BY flag_label""".stripMargin
+
+  /** The lineitem key columns q111 diagnoses (cast to string so one melted
+    * frame covers them all). */
+  private def skewKeys: Seq[String] =
+    Seq("l_orderkey", "l_partkey", "l_returnflag", "l_suppkey")
+
+  /** q111_skew_report — the diagnostic that decides WHEN to reach for the
+    * salting utilities above: per candidate join/group key, its cardinality,
+    * the hottest value's row count and share, and the skew factor
+    * (hottest-key count over the mean per-key count — 1.0 is uniform; a
+    * shuffle on a key with factor ≫ 1 funnels that key's rows into one
+    * reducer, the q48/q84 problem).
+    *
+    * Scale: one scan melted to (key_name, key_val) map-side; the first
+    * aggregate shuffles at Σ per-key cardinality with map-side combine, the
+    * second at |keys| rows. Spark 4's WindowGroupLimit bounds the
+    * hottest-value pick. */
+  def q111SkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val melted = Tables.lineitem(spark, sfDir)
+      .select(explode(array(skewKeys.map { k =>
+        struct(lit(k).as("key_name"), col(k).cast("string").as("key_val"))
+      }: _*)).as("kv"))
+      .select(col("kv.key_name").as("key_name"), col("kv.key_val").as("key_val"))
+    val perVal = melted.groupBy(col("key_name"), col("key_val"))
+      .agg(count(lit(1)).as("cnt"))
+    val hottest = perVal
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key_name"))
+          .orderBy(desc("cnt"), col("key_val"))))
+      .filter(col("rn") === 1)
+      .select(col("key_name"), col("key_val").as("top_key"),
+        col("cnt").as("top_count"))
+    perVal.groupBy(col("key_name"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_distinct"))
+      .join(hottest, "key_name")
+      .select(col("key_name"), col("n_rows"), col("n_distinct"),
+        col("top_key"), col("top_count"),
+        (col("top_count").cast("double") / col("n_rows")).as("top_share"),
+        (col("top_count").cast("double") * col("n_distinct") / col("n_rows"))
+          .as("skew_factor"))
+      .orderBy(col("key_name"))
+  }
+
+  val q111Sql: String = {
+    val arms = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_suppkey")
+      .map { k =>
+        s"SELECT '$k' AS key_name, CAST($k AS VARCHAR) AS key_val FROM lineitem"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH melted AS (
+       |  $arms),
+       |per_val AS (
+       |  SELECT key_name, key_val, count(*) AS cnt
+       |  FROM melted GROUP BY key_name, key_val),
+       |hottest AS (
+       |  SELECT key_name, key_val AS top_key, cnt AS top_count
+       |  FROM (SELECT key_name, key_val, cnt,
+       |               row_number() OVER (PARTITION BY key_name
+       |                 ORDER BY cnt DESC, key_val) AS rn
+       |        FROM per_val)
+       |  WHERE rn = 1),
+       |stats AS (
+       |  -- CAST: DuckDB sums BIGINT into HUGEINT; Spark stays BIGINT
+       |  SELECT key_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |         count(*) AS n_distinct
+       |  FROM per_val GROUP BY key_name)
+       |SELECT s.key_name, s.n_rows, s.n_distinct, h.top_key, h.top_count,
+       |       CAST(h.top_count AS DOUBLE) / s.n_rows AS top_share,
+       |       CAST(h.top_count AS DOUBLE) * s.n_distinct / s.n_rows
+       |         AS skew_factor
+       |FROM stats s JOIN hottest h ON s.key_name = h.key_name
+       |ORDER BY s.key_name""".stripMargin
+  }
 }

@@ -224,6 +224,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q111: skew metrics are internally consistent") {
+    val out = ops.Scale.q111SkewReport(spark, sf).collect()
+    val n = Tables.lineitem(spark, sf).count()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getLong(1) === n, s"${r.getString(0)} n_rows")
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= n)
+      assert(r.getDouble(6) >= 1.0 - 1e-9,
+        s"${r.getString(0)} skew_factor below uniform")
+    }
+    // the 3-value flag column concentrates the most rows on one key
+    val byShare = out.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(byShare("l_returnflag") === byShare.values.max)
+  }
+
   test("q101: media dup groups cover the corpus; reps belong to groups") {
     val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
