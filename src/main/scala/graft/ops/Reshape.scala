@@ -85,6 +85,86 @@ object Reshape {
       .orderBy(col("bucket"))
   }
 
+  /** q112_winsorize — robust-statistics clipping: per group, find the p5 /
+    * p95 thresholds and clip the measure into [p5, p95], reporting raw vs
+    * clipped sums and how many rows each tail clipped. The feature-
+    * engineering staple that tames heavy-tailed measures before training.
+    *
+    * Determinism: thresholds are DISCRETE order statistics (the value at
+    * rank ⌈p·n⌉, picked by row_number), NOT interpolated percentiles —
+    * engines associate the interpolation arithmetic differently, and a
+    * last-ulp threshold difference could flip a clip decision. Ranks use
+    * integer ceiling ((n·p + 99) div 100), so both engines select the
+    * identical data value; everything after is exact decimal sums.
+    *
+    * Scale: one window pass per group for ranks (same shuffle as the
+    * aggregate), a groups-sized threshold frame broadcast back, map-side
+    * clipping. No full sort of the fact table. */
+  def q112Winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+    val ranked = li.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("l_returnflag"))))
+    val thresholds = ranked
+      .filter(col("rn") === expr("(n * 5 + 99) div 100") ||
+        col("rn") === expr("(n * 95 + 99) div 100"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("rn") === expr("(n * 5 + 99) div 100"),
+          col("l_extendedprice"))).as("p05"),
+        min(when(col("rn") === expr("(n * 95 + 99) div 100"),
+          col("l_extendedprice"))).as("p95"))
+    li.join(broadcast(thresholds), "l_returnflag")
+      .withColumn("clipped",
+        least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+        count(when(col("l_extendedprice") < col("p05"), 1))
+          .as("n_clipped_low"),
+        count(when(col("l_extendedprice") > col("p95"), 1))
+          .as("n_clipped_high"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_raw"),
+        sum(col("clipped").cast("decimal(18,4)")).cast("double")
+          .as("sum_clipped"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q112Sql: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY l_extendedprice) AS rn,
+      |         count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |thresholds AS (
+      |  SELECT l_returnflag,
+      |         min(CASE WHEN rn = (n * 5 + 99) // 100
+      |                  THEN l_extendedprice END) AS p05,
+      |         min(CASE WHEN rn = (n * 95 + 99) // 100
+      |                  THEN l_extendedprice END) AS p95
+      |  FROM ranked
+      |  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+      |  GROUP BY l_returnflag)
+      |SELECT li.l_returnflag, count(*) AS n_rows,
+      |       min(t.p05) AS p05, min(t.p95) AS p95,
+      |       count(CASE WHEN li.l_extendedprice < t.p05 THEN 1 END)
+      |         AS n_clipped_low,
+      |       count(CASE WHEN li.l_extendedprice > t.p95 THEN 1 END)
+      |         AS n_clipped_high,
+      |       CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |         AS sum_raw,
+      |       CAST(sum(CAST(least(greatest(li.l_extendedprice, t.p05), t.p95)
+      |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_clipped
+      |FROM lineitem li JOIN thresholds t ON li.l_returnflag = t.l_returnflag
+      |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin
+
   val q07Sql: String =
     s"""WITH bounds AS (
        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi

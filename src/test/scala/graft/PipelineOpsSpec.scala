@@ -239,6 +239,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byShare("l_returnflag") === byShare.values.max)
   }
 
+  test("q112: winsorization clips ~5% per tail and shrinks the sum spread") {
+    val out = ops.Reshape.q112Winsorize(spark, sf).collect()
+    out.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(r.getDouble(2) <= r.getDouble(3), "p05 <= p95")
+      // each tail clips strictly less than the target percentile count
+      assert(lo <= n * 5 / 100 && hi <= n * 5 / 100,
+        s"tail clipped too much: $lo/$hi of $n")
+      // clipping pulls the sum toward the middle but preserves the count
+      assert((r.getDouble(7) != r.getDouble(6)) || (lo == 0 && hi == 0))
+    }
+  }
+
   test("q101: media dup groups cover the corpus; reps belong to groups") {
     val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
