@@ -164,20 +164,11 @@ object Soak {
     time("fuzzy_join_flat_pairs") {
       val parts = replicate(Tables.part(spark, sfDir), "p_partkey")
       val base = graft.ops.Fuzzy.q103FuzzyJoin(spark, sfDir).count()
-      // rebuild the same query over the replicated frame
-      val clean = parts.groupBy(col("p_name").as("clean_name"))
-        .agg(min(col("p_partkey")).as("clean_rep"),
-          count(lit(1)).as("n_clean_rows"))
-      val dirty = parts.select(col("p_partkey"),
-          concat(substring(col("p_name"), 1, 3), lit("x"),
-            expr("substring(p_name, 5)")).as("dirty_name"))
-        .groupBy(col("dirty_name"))
-        .agg(min(col("p_partkey")).as("dirty_rep"),
-          count(lit(1)).as("n_dirty_rows"))
-      val block = (c: org.apache.spark.sql.Column) =>
-        concat(substring(c, 1, 2), lit("|"), length(c).cast("string"))
+      // the same query over the replicated frame, via the SHARED builders
+      val (dirty, clean) = graft.ops.Fuzzy.nameLevelFrames(parts)
       val repl = graft.ops.Fuzzy.fuzzyJoin(dirty, clean, "dirty_name",
-        "clean_name", block, graft.ops.Fuzzy.maxDistance).count()
+        "clean_name", graft.ops.Fuzzy.prefixLengthBlock,
+        graft.ops.Fuzzy.maxDistance).count()
       println(s"  name-level pairs: base=$base, ${k}x replicated=$repl")
       require(repl == base,
         s"pair count grew under replication: $base -> $repl")

@@ -21,6 +21,32 @@ object Fuzzy {
   /** Max edit distance accepted by q103. */
   val maxDistance = 2
 
+  /** Deterministic single-substitution corruption (4th char → 'x') —
+    * preserves length and the first three characters, which is what makes
+    * [[prefixLengthBlock]] match-complete. Shared by q103 and the Soak
+    * flat-pairs probe so they can never measure different queries. */
+  def corruptName(c: Column): Column =
+    concat(substring(c, 1, 3), lit("x"), c.substr(lit(5), length(c)))
+
+  /** The match-complete blocking key for single substitutions. */
+  def prefixLengthBlock(c: Column): Column =
+    concat(substring(c, 1, 2), lit("|"), length(c).cast("string"))
+
+  /** Name-level (dirty, clean) frames for a part catalog: DISTINCT names
+    * with min-key representatives and row counts — the dedup-before-pair-
+    * work shape q103 and the Soak probe both join. */
+  def nameLevelFrames(part: DataFrame): (DataFrame, DataFrame) = {
+    val clean = part.groupBy(col("p_name").as("clean_name"))
+      .agg(min(col("p_partkey")).as("clean_rep"),
+        count(lit(1)).as("n_clean_rows"))
+    val dirty = part
+      .select(col("p_partkey"), corruptName(col("p_name")).as("dirty_name"))
+      .groupBy(col("dirty_name"))
+      .agg(min(col("p_partkey")).as("dirty_rep"),
+        count(lit(1)).as("n_dirty_rows"))
+    (dirty, clean)
+  }
+
   /** Fuzzy-match `dirty` rows to `clean` rows: equi-join on `blockKey`
     * applied to both sides, residual-filter on edit distance ≤ maxDist.
     * The caller guarantees the blocking function is match-complete (a true
@@ -49,20 +75,9 @@ object Fuzzy {
     *     match-COMPLETE blocking key: every true (dirty, clean-twin) pair
     *     shares it by construction. */
   def q103FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val part = Tables.part(spark, sfDir)
-    val clean = part.groupBy(col("p_name").as("clean_name"))
-      .agg(min(col("p_partkey")).as("clean_rep"),
-        count(lit(1)).as("n_clean_rows"))
-    val dirty = part
-      .select(col("p_partkey"),
-        concat(substring(col("p_name"), 1, 3), lit("x"),
-          expr("substring(p_name, 5)")).as("dirty_name"))
-      .groupBy(col("dirty_name"))
-      .agg(min(col("p_partkey")).as("dirty_rep"),
-        count(lit(1)).as("n_dirty_rows"))
-    val block = (c: Column) =>
-      concat(substring(c, 1, 2), lit("|"), length(c).cast("string"))
-    fuzzyJoin(dirty, clean, "dirty_name", "clean_name", block, maxDistance)
+    val (dirty, clean) = nameLevelFrames(Tables.part(spark, sfDir))
+    fuzzyJoin(dirty, clean, "dirty_name", "clean_name", prefixLengthBlock,
+      maxDistance)
       .select(col("dirty_name"), col("clean_name"),
         col("distance").cast("long").as("distance"),
         col("dirty_rep"), col("n_dirty_rows"),

@@ -40,23 +40,36 @@ object Privacy {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
-  /** The fixture text is clean word soup, so the query plants deterministic
-    * PII derived from doc_id — same arithmetic in the oracle — and then
-    * proves the scrubber removes exactly what was planted. */
-  private def withPlantedPii(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+  /** The fixture text is clean word soup, so the queries plant
+    * deterministic PII derived from an id column — same arithmetic in
+    * their oracles — and then prove the scrubber removes exactly what was
+    * planted. Shared by q69 (keyed by doc_id) and the q110 composed
+    * pipeline (keyed by the dedup representative id): one definition, so
+    * the two oracles can never drift apart. */
+  def plantPii(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    docs.select(id,
       concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
+        lit(" contact user"), id.cast("string"),
         lit("@example.com or "),
-        (lit(100) + col("doc_id") % 900).cast("string"), lit("-"),
-        (lit(10) + col("doc_id") % 90).cast("string"), lit("-"),
-        (lit(1000) + col("doc_id") % 9000).cast("string"),
-        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
-        lit(".0."), ((col("doc_id") * 7) % 256).cast("string")).as("text"))
+        (lit(100) + id % 900).cast("string"), lit("-"),
+        (lit(10) + id % 90).cast("string"), lit("-"),
+        (lit(1000) + id % 9000).cast("string"),
+        lit(" ip 10."), (id % 256).cast("string"),
+        lit(".0."), ((id * 7) % 256).cast("string")).as("text"))
+  }
+
+  /** The SQL twin of [[plantPii]] (oracle side), parameterized the same
+    * way. */
+  def plantPiiSql(idCol: String): String =
+    s"text || ' contact user' || $idCol || '@example.com or ' ||\n" +
+      s"         (100 + $idCol % 900) || '-' || (10 + $idCol % 90) || '-' ||\n" +
+      s"         (1000 + $idCol % 9000) || ' ip 10.' || $idCol % 256 ||\n" +
+      s"         '.0.' || ($idCol * 7) % 256"
 
   /** q69_pii_redact — plant PII, count matches per category, redact. */
   def q69PiiRedact(spark: SparkSession, sfDir: String): DataFrame =
-    withPlantedPii(Tables.documents(spark, sfDir))
+    plantPii(Tables.documents(spark, sfDir), "doc_id")
       .select(col("doc_id"),
         matchCount(col("text"), piiPatterns(0)._2).as("n_emails"),
         matchCount(col("text"), piiPatterns(1)._2).as("n_ids"),
@@ -70,10 +83,7 @@ object Privacy {
     // globally by default); patterns are shared verbatim.
     s"""WITH pii AS (
        |  SELECT doc_id,
-       |         text || ' contact user' || doc_id || '@example.com or ' ||
-       |         (100 + doc_id % 900) || '-' || (10 + doc_id % 90) || '-' ||
-       |         (1000 + doc_id % 9000) || ' ip 10.' || doc_id % 256 ||
-       |         '.0.' || (doc_id * 7) % 256 AS text
+       |         ${plantPiiSql("doc_id")} AS text
        |  FROM documents)
        |SELECT doc_id,
        |  len(regexp_extract_all(text, '$email')) AS n_emails,

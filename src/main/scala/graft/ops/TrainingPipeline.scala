@@ -38,16 +38,9 @@ object TrainingPipeline {
     val rep = docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("keep_id"))
     // 2. plant deterministic PII off the rep id (the fixture corpus is
-    //    clean word soup), then redact — identical arithmetic to q69
-    val planted = rep.select(col("keep_id"),
-      concat(col("text"),
-        lit(" contact user"), col("keep_id").cast("string"),
-        lit("@example.com or "),
-        (lit(100) + col("keep_id") % 900).cast("string"), lit("-"),
-        (lit(10) + col("keep_id") % 90).cast("string"), lit("-"),
-        (lit(1000) + col("keep_id") % 9000).cast("string"),
-        lit(" ip 10."), (col("keep_id") % 256).cast("string"),
-        lit(".0."), ((col("keep_id") * 7) % 256).cast("string")).as("text"))
+    //    clean word soup), then redact — THE SAME builder as q69, so the
+    //    two oracles cannot drift apart
+    val planted = Privacy.plantPii(rep, "keep_id")
     val redacted = planted.select(col("keep_id").as("doc_id"),
       Privacy.redact(col("text")).as("text"))
     // 3. corpus boilerplate removal (includes the redaction markers, which
@@ -72,10 +65,7 @@ object TrainingPipeline {
        |  SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text),
        |planted AS (
        |  SELECT keep_id,
-       |         text || ' contact user' || keep_id || '@example.com or ' ||
-       |         (100 + keep_id % 900) || '-' || (10 + keep_id % 90) || '-' ||
-       |         (1000 + keep_id % 9000) || ' ip 10.' || keep_id % 256 ||
-       |         '.0.' || (keep_id * 7) % 256 AS text
+       |         ${Privacy.plantPiiSql("keep_id")} AS text
        |  FROM rep),
        |red AS (
        |  SELECT keep_id,
