@@ -252,4 +252,41 @@ class StreamingSpec extends AnyFunSuite {
     runOnce()
     assert(sunk() === 150)
   }
+
+  test("stateless preprocessing stages (redact + chunk) run on a stream") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // PII redaction and chunking are pure map work, so the SAME operator
+    // code runs unchanged in a streaming plan (the corpus-statistics stages
+    // — dedup, boilerplate — are batch-scoped by design)
+    val input = MemoryStream[(Long, String)]
+    val chunked = ops.Chunking.chunkTokens(
+      input.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"), ops.Privacy.redact(col("text")).as("text")),
+      "text", size = 3, stride = 2)
+    val q = chunked.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream").start()
+    try {
+      input.addData((1L, "a b c d e contact bob@mail.com now"),
+        (2L, "x y z"))
+      q.processAllAvailable()
+      val rows = sp.table("chunk_stream").collect()
+      // doc 1: 8 tokens after redaction -> starts 0,2,4,6; doc 2: starts 0,2
+      assert(rows.length === 6)
+      val doc1 = rows.filter(_.getLong(0) == 1L)
+        .map(_.getString(2)).mkString(" ")
+      assert(doc1.contains("<EMAIL>") && !doc1.contains("bob@mail.com"))
+      // batch parity: identical input through the identical operators
+      val batch = ops.Chunking.chunkTokens(
+        Seq((1L, "a b c d e contact bob@mail.com now"), (2L, "x y z"))
+          .toDF("doc_id", "text")
+          .select(col("doc_id"), ops.Privacy.redact(col("text")).as("text")),
+        "text", size = 3, stride = 2).collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2)).toSeq ===
+        batch.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          .sortBy(t => (t._1, t._2)).toSeq)
+    } finally q.stop()
+  }
 }
