@@ -23,6 +23,13 @@ import graft.Tables
   *  4. The quality gate is a residual predicate on the survivor manifest.
   *  5. Chunking is map-side expansion; output rows carry provenance
   *     (representative id, chunk offset) for audit and joinback.
+  *
+  * The physical plan re-scans the (doc_id, text)-pruned corpus four times
+  * (dedup agg, position explode, term-frequency path, total count) rather
+  * than materializing shared intermediates — deliberate: the exploded
+  * position frame is larger than the corpus itself, so at scale a pruned
+  * parquet re-scan is cheaper than persisting it, and each scan feeds a
+  * different aggregation shape Catalyst cannot fuse anyway.
   */
 object TrainingPipeline {
 
