@@ -56,8 +56,14 @@ object Fuzzy {
       maxDist: Int): DataFrame =
     dirty.withColumn("__block", blockKey(col(dirtyText)))
       .join(clean.withColumn("__block", blockKey(col(cleanText))), "__block")
-      .withColumn("distance", levenshtein(col(dirtyText), col(cleanText)))
-      .filter(col("distance") <= maxDist)
+      // thresholded levenshtein (Spark 3.5+) runs a banded DP that aborts
+      // as soon as the distance must exceed the bound — O(d·min(m,n))
+      // instead of O(m·n) on the (majority) non-matching candidate pairs;
+      // it returns -1 past the bound, hence the >= 0 guard. Kept rows
+      // carry the exact distance, so the plain-levenshtein oracle matches.
+      .withColumn("distance",
+        levenshtein(col(dirtyText), col(cleanText), maxDist))
+      .filter(col("distance") >= 0 && col("distance") <= maxDist)
       .drop("__block")
 
   /** q103_fuzzy_join — corrupt every part name deterministically (replace

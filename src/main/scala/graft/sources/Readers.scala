@@ -41,6 +41,9 @@ object Readers {
       renames: Map[String, String] = Map.empty): DataFrame = {
     val raw = format match {
       case "parquet" => spark.read.parquet(path)
+      // ORC ships with Spark and keeps its own schema like parquet —
+      // no declared read schema needed, conform() enforces the contract
+      case "orc"     => spark.read.orc(path)
       case "csv"     => csv(spark, path, sourceSchema)
       case "json"    => jsonLines(spark, path, sourceSchema)
       case other     => throw new IllegalArgumentException(

@@ -7,7 +7,7 @@ import java.nio.charset.StandardCharsets.US_ASCII
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{Http, WarehouseSink}
+import graft.sources.{Http, Readers, WarehouseSink}
 
 /** Out-of-engine source/sink edges: the HTTP fetch utility (against a local
   * socket stub — zero egress) and the JDBC sink round-trip (embedded Derby,
@@ -211,5 +211,19 @@ class SourcesSpec extends AnyFunSuite {
       .select(ZOrder.mortonInterleave(col("a"), col("b"), 3).as("z"))
       .head().getLong(0)
     assert(got === (1L | 16L | 2L | 8L))
+  }
+
+  test("ORC round-trips lineitem losslessly through the ingest boundary") {
+    val sp = SparkSuite.session
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc")
+      .toString + "/li"
+    val li = Tables.lineitem(sp, SparkSuite.sf).limit(200)
+    li.write.orc(dir)
+    val back = Readers.ingest(sp, dir, "orc",
+      sourceSchema = li.schema, target = li.schema)
+    assert(back.schema === li.schema)
+    val key = Seq("l_orderkey", "l_linenumber").map(col)
+    assert(back.orderBy(key: _*).collect().toSeq ===
+      li.orderBy(key: _*).collect().toSeq)
   }
 }
