@@ -450,4 +450,45 @@ object Aggregates {
       |       cov_xy / sqrt(var_x * var_y) AS corr_xy,
       |       TRUE AS builtin_corr_ok, TRUE AS builtin_std_ok
       |FROM d ORDER BY l_returnflag""".stripMargin
+  /** q118_argmax — MAX_BY/MIN_BY (arg-extremum) aggregates: which event
+    * carried each type's extreme value. Determinism contract: the `by` key
+    * must be UNIQUE per group or both engines are free to pick different
+    * ties, so the ordering key packs (value, event_id) into one BIGINT —
+    * value has two fixed decimals, so `floor(value·100 + 0.5)` recovers the
+    * exact cent count (never lands on the float-repr .5 boundary; README
+    * determinism notes), and event_id disambiguates duplicates. DuckDB's
+    * `arg_max/arg_min` take the same scalar key.
+    *
+    * Scale: arg-extremum is algebraic — partial (key, arg) pairs merge
+    * map-side like any min/max, one hash aggregate on the group key, no
+    * window and no second pass over the fact table. */
+  def q118Argmax(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("ord",
+        floor(col("value") * 100 + 0.5).cast("long") * 10000000L
+          + col("event_id"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        max_by(col("event_id"), col("ord")).as("hi_event_id"),
+        max(col("value")).as("hi_value"),
+        min_by(col("event_id"), col("ord")).as("lo_event_id"),
+        min(col("value")).as("lo_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q118Sql: String =
+    """WITH keyed AS (
+      |  SELECT event_type, event_id, value,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000000
+      |           + event_id AS ord
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_rows,
+      |       arg_max(event_id, ord) AS hi_event_id,
+      |       max(value) AS hi_value,
+      |       arg_min(event_id, ord) AS lo_event_id,
+      |       min(value) AS lo_value
+      |FROM keyed
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

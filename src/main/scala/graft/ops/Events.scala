@@ -370,4 +370,51 @@ object Events {
       |               CAST(next_t - prev_t AS DOUBLE))
       |       END AS interp_value
       |FROM j ORDER BY user_id, hr""".stripMargin
+  /** q117_markov — first-order Markov transition matrix over each user's
+    * event stream: order by (ts, event_id) — a provably total order since
+    * event_id is unique — lag one step, count (prev → cur) transitions,
+    * and divide by the source state's outflow for the transition
+    * probability (one int/int IEEE division, identical in both engines).
+    * The training-data cousin is session-shape modeling for bot/quality
+    * filtering.
+    *
+    * Scale: one shuffle on user_id for the lag window, then a hash
+    * aggregate on state-pair cardinality (|states|² keys, tiny); the
+    * probability join adds a broadcast of the |states|-row outflow frame.
+    */
+  def q117Markov(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("prev", lag(col("cur"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("n"))
+    val outflow = trans.groupBy(col("prev"))
+      .agg(sum(col("n")).as("out_n"))
+    trans.join(broadcast(outflow), "prev")
+      .select(col("prev"), col("cur"), col("n"), col("out_n"),
+        (col("n").cast("double") / col("out_n").cast("double")).as("p"))
+      .orderBy(col("prev"), col("cur"))
+  }
+
+  val q117Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS cur,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |trans AS (
+      |  SELECT prev, cur, count(*) AS n
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur),
+      |outflow AS (
+      |  SELECT prev, CAST(sum(n) AS BIGINT) AS out_n
+      |  FROM trans GROUP BY prev)
+      |SELECT t.prev, t.cur, t.n, o.out_n,
+      |       CAST(t.n AS DOUBLE) / CAST(o.out_n AS DOUBLE) AS p
+      |FROM trans t JOIN outflow o ON t.prev = o.prev
+      |ORDER BY t.prev, t.cur""".stripMargin
 }

@@ -223,4 +223,38 @@ object Scale {
        |FROM stats s JOIN hottest h ON s.key_name = h.key_name
        |ORDER BY s.key_name""".stripMargin
   }
+
+  /** Distributed exact global rank (0-based, dense input order) over a total
+    * order — the scalable replacement for a global-window `row_number()`,
+    * which Spark executes in ONE partition. Three phases, all distributed:
+    * range-partition + sort locally on `order`; per-partition row_number
+    * (windows partitioned by `spark_partition_id` — parallel); then add each
+    * partition's start offset, computed from the tiny per-partition count
+    * frame (≤ #partitions rows — its single-partition cumulative window is
+    * over that frame, not the data). The rank values are independent of
+    * where the sampled range boundaries fall: ranges are ordered and
+    * contiguous, and offsets are derived from actual partition counts, so
+    * the result is deterministic even though the partitioning isn't.
+    *
+    * `order` must be a provably total order (include a unique tiebreaker) or
+    * ranks are nondeterministic — same contract as the oracle sort. */
+  def globalRank(df: DataFrame, order: Seq[Column],
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sorted = df.repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val offsets = sorted.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset",
+        coalesce(sum(col("_cnt")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    val within = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    sorted.withColumn("_rn", row_number().over(within).cast("long"))
+      .join(broadcast(offsets), "_pid")
+      .withColumn("rank_idx", col("_offset") + col("_rn") - 1L)
+      .drop("_pid", "_rn", "_offset")
+  }
 }

@@ -304,4 +304,78 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+  /** Watermarked stream-stream interval join: for every `view` event, the
+    * `purchase` events by the same user within (view_ts, view_ts + horizon].
+    * Both sides carry a watermark and the join condition time-bounds the
+    * match window, so each side's state store holds only `horizon` +
+    * watermark-delay worth of rows per key — the unbounded-state hazard of
+    * a naive stream-stream join is engineered out. Inner join: results
+    * emit as soon as both sides arrive; the watermark only gates state
+    * eviction.
+    *
+    * Scale: state is bounded by (event rate × horizon), partitioned by
+    * user_id across executors; at 100 TB/day this is the attribution-join
+    * shape (RocksDB state store, same plan). */
+  def intervalJoin(views: DataFrame, buys: DataFrame,
+      horizonMinutes: Int, delay: String = "60 minutes"): DataFrame = {
+    val v = views.withWatermark("view_ts", delay)
+    val b = buys.withWatermark("buy_ts", delay)
+    v.join(b, v("user_id") === b("user_id") &&
+      col("buy_ts") > col("view_ts") &&
+      col("buy_ts") <= col("view_ts") +
+        expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(v("user_id"), col("view_id"), col("buy_id"),
+        (unix_micros(col("buy_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+  }
+
+  /** q119_stream_join — run [[intervalJoin]] end-to-end as a real streaming
+    * query: split the events fixture into two file-source streams, join
+    * with AvailableNow (single batch — the file source drains everything at
+    * once, so the watermark drops nothing and the result equals the batch
+    * range join the oracle computes), and read the sink back. The same
+    * structure the q04 pipeline uses for its eager write-then-read. */
+  def q119StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-q119")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    val ev = graft.Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .coalesce(1).write.parquet(s"$root/views")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"),
+        col("ts").as("buy_ts"))
+      .coalesce(1).write.parquet(s"$root/buys")
+    val vSchema = spark.read.parquet(s"$root/views").schema
+    val bSchema = spark.read.parquet(s"$root/buys").schema
+    val joined = intervalJoin(
+      spark.readStream.schema(vSchema).parquet(s"$root/views"),
+      spark.readStream.schema(bSchema).parquet(s"$root/buys"),
+      horizonMinutes = 60)
+    joined.writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(s"$root/out")
+      .orderBy(col("view_id"), col("buy_id"))
+  }
+
+  val q119Sql: String =
+    """SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id,
+      |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'purchase'
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+      |ORDER BY view_id, buy_id""".stripMargin
 }
