@@ -161,6 +161,52 @@ object Soak {
     // count must stay FLAT — only the two distinct-aggregates grow with k.
     // This is the probe that fails if someone reverts to row-level pairs
     // (pair count would grow k², the fuzzy-join mega-bucket bug).
+    // Prefix-filtered set-similarity join: on a high-entropy corpus (random
+    // 30-token docs over a 5k vocab; 5-gram shingles are df=1 noise) with
+    // near-dups planted at a fixed 1% RATE, both the result pairs and the
+    // candidate pairs grow ~linearly in n — doubling n must ~double output
+    // and not blow up runtime. Replicated fixture docs are unusable here
+    // for the same reason as the LSH probe: identical copies are true
+    // near-dups, quadratic by definition.
+    time("setsim_prefix_scaling") {
+      def synth(n: Int): DataFrame = {
+        // doc i copies doc i-1 when i%100==1 (the planted 1% dup rate);
+        // the shader-hash word index is iid-uniform over the vocab
+        val base = "id - CAST(id % 100 = 1 AS BIGINT)"
+        spark.range(n).select(col("id").as("doc_id"),
+          expr(s"""concat_ws(' ', transform(sequence(0, 29),
+            j -> concat('w', CAST(floor(
+              (sin(CAST(($base) * 30 + j AS DOUBLE)) * 43758.5453
+               - floor(sin(CAST(($base) * 30 + j AS DOUBLE)) * 43758.5453))
+              * 5000) AS INT))))""").as("text"))
+      }
+      def t(n: Int): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val c = graft.ops.SetSim.similarPairs(synth(n)).count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      val ((t1, c1), (t2, c2)) = (t(4000), t(8000))
+      println(f"  setsim: n=4000 $c1 pairs ${t1}%.2fs; " +
+        f"n=8000 $c2 pairs ${t2}%.2fs (pair ratio ${c2.toDouble / c1}%.2f)")
+      require(c2.toDouble / c1 < 3.0,
+        s"setsim pair growth is super-linear: $c1 -> $c2")
+    }
+    // PageRank iterations are join+aggregate on (node, rank): replicated
+    // copies form disjoint subgraphs (id offsets), so runtime must grow
+    // ~linearly with k and ranks within each copy are unchanged.
+    time("pagerank_2iter") {
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val edges = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val degreed = edges.join(outdeg, "src")
+      val r0 = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(graft.ops.Graph.Unit).as("rank"))
+      graft.ops.Graph.iterate(graft.ops.Graph.iterate(r0, degreed), degreed)
+        .agg(count(lit(1))).collect()
+    }
     time("fuzzy_join_flat_pairs") {
       val parts = replicate(Tables.part(spark, sfDir), "p_partkey")
       val base = graft.ops.Fuzzy.q103FuzzyJoin(spark, sfDir).count()

@@ -58,19 +58,27 @@ object Graph {
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"))
+    // The edge build (fact-fact join + distinct over the full lineitem) is
+    // the expensive subtree, and the iteration structure consumes it many
+    // times (each iterate reads `edges` for contributions AND the node
+    // frame; the outer iterate re-reads the inner's whole lineage).
+    // Materialize once per round — the same per-round localCheckpoint
+    // discipline as the connected-components loop (Components.scala),
+    // which is how every iterative Spark algorithm must cut its lineage.
     val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("cnode"),
         concat(lit("s"), col("l_suppkey")).as("snode"))
       .distinct()
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      .localCheckpoint()
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
-    val degreed = edges.join(outdeg, "src")
+    val degreed = edges.join(outdeg, "src").localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
 
     val r0 = nodes.select(col("node"), lit(Unit).as("rank"))
-    val r2 = iterate(iterate(r0, degreed), degreed)
+    val r2 = iterate(iterate(r0, degreed).localCheckpoint(), degreed)
 
     r2.filter(col("node").startsWith("s"))
       .join(outdeg.withColumnRenamed("src", "node"), "node")

@@ -38,32 +38,47 @@ object SetSim {
   val Num = 1
   val Den = 2
 
-  /** Distinct W-gram shingle array per document: (doc_id, grams, n). */
-  private def shingles(docs: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    val gram = (i: Column) => concat_ws(" ",
-      (0 until W).map(o => element_at(col("t"), i + lit(o))): _*)
-    docs.select(col("doc_id"), t.as("t"))
-      .filter(size(col("t")) >= W)
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(col("t")) - (W - 1)), i => gram(i)))
-          .as("grams"))
-      .select(col("doc_id"), col("grams"), size(col("grams")).as("n"))
+  /** Distinct W-gram shingle ROWS per document: (doc_id, gram). Built as a
+    * row stream — posexplode the tokens, then `lead` windows assemble each
+    * gram — rather than a per-document `transform(sequence(...))` array:
+    * higher-order functions are CodegenFallback (interpreted per element,
+    * measured ~6× slower over the corpus), while posexplode + window +
+    * concat_ws all stay inside codegen. */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("tok") +:
+          (1 until W).map(o => lead(col("tok"), o).over(w)): _*).as("gram"),
+        lead(col("tok"), W - 1).over(w).as("_last"))
+      // a gram exists only where all W tokens do (docs shorter than W
+      // tokens produce no grams, same as the oracle's len(t) >= W guard)
+      .filter(col("_last").isNotNull)
+      .select(col("doc_id"), col("gram"))
+      .distinct()
   }
 
   /** All document pairs with shingle-Jaccard ≥ Num/Den, found via prefix
     * filtering + exact verification. Output matches the brute-force
     * all-pairs semantics the oracle computes. */
   def similarPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+    // The narrow (doc_id, gram) stream feeds five consumers (df ranking,
+    // both prefix sides, both verify sides); materialize it once — the
+    // GC-managed localCheckpoint pattern from lshNearDups
+    // (Similarity.scala), chosen there over persist for lazily-returned
+    // frames that cannot know when to unpersist.
+    val gramd = shingleRows(docs).localCheckpoint()
+    // verification needs each doc's full shingle set once more — as an
+    // array; element order inside it is irrelevant (array_intersect)
+    val sh = gramd.groupBy(col("doc_id"))
+      .agg(collect_list(col("gram")).as("grams"),
+        count(lit(1)).as("n"))
 
     // Global document frequency per shingle → the common prefix order.
     // (df, gram) is a total order, so both the ranking and the oracle's
     // brute force are deterministic.
-    val posting = sh.select(col("doc_id"), col("n"),
-      explode(col("grams")).as("gram"))
-    val df = posting.groupBy(col("gram"))
+    val df = gramd.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
 
     // Prefix length for Jaccard t = Num/Den: n - ceil(t*n) + 1, with
@@ -71,7 +86,9 @@ object SetSim {
     val prefixLen = col("n") - expr(s"($Num * n + ${Den - 1}) div $Den") + 1
     val rank = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("gram"))
-    val prefixes = posting.join(df, "gram")
+    val docWin = Window.partitionBy(col("doc_id"))
+    val prefixes = gramd.join(df, "gram")
+      .withColumn("n", count(lit(1)).over(docWin))
       .withColumn("r", row_number().over(rank))
       .filter(col("r") <= prefixLen)
       .select(col("doc_id"), col("n"), col("gram"))
@@ -97,7 +114,8 @@ object SetSim {
     val g2 = sh.select(col("doc_id").as("d2"), col("grams").as("g2"),
       col("n").as("n2"))
     candidates.join(g1, "d1").join(g2, "d2")
-      .withColumn("n_inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("n_inter",
+        size(array_intersect(col("g1"), col("g2"))).cast("long"))
       .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
       .filter(col("n_inter") * Den >= col("n_union") * Num)
       .select(col("d1"), col("d2"), col("n_inter"), col("n_union"),

@@ -304,37 +304,16 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
-  /** Watermarked stream-stream interval join: for every `view` event, the
-    * `purchase` events by the same user within (view_ts, view_ts + horizon].
-    * Both sides carry a watermark and the join condition time-bounds the
-    * match window, so each side's state store holds only `horizon` +
-    * watermark-delay worth of rows per key — the unbounded-state hazard of
-    * a naive stream-stream join is engineered out. Inner join: results
-    * emit as soon as both sides arrive; the watermark only gates state
-    * eviction.
-    *
-    * Scale: state is bounded by (event rate × horizon), partitioned by
-    * user_id across executors; at 100 TB/day this is the attribution-join
-    * shape (RocksDB state store, same plan). */
-  def intervalJoin(views: DataFrame, buys: DataFrame,
-      horizonMinutes: Int, delay: String = "60 minutes"): DataFrame = {
-    val v = views.withWatermark("view_ts", delay)
-    val b = buys.withWatermark("buy_ts", delay)
-    v.join(b, v("user_id") === b("user_id") &&
-      col("buy_ts") > col("view_ts") &&
-      col("buy_ts") <= col("view_ts") +
-        expr(s"INTERVAL $horizonMinutes MINUTES"))
-      .select(v("user_id"), col("view_id"), col("buy_id"),
-        (unix_micros(col("buy_ts")) - unix_micros(col("view_ts")))
-          .as("gap_us"))
-  }
-
-  /** q119_stream_join — run [[intervalJoin]] end-to-end as a real streaming
-    * query: split the events fixture into two file-source streams, join
-    * with AvailableNow (single batch — the file source drains everything at
-    * once, so the watermark drops nothing and the result equals the batch
-    * range join the oracle computes), and read the sink back. The same
-    * structure the q04 pipeline uses for its eager write-then-read. */
+  /** q119_stream_join — run [[streamIntervalJoin]] end-to-end as a real
+    * streaming query and hash-check the result against the batch range
+    * join. The events fixture splits into two file-source streams (views
+    * as "impressions" keyed by user, purchases as "clicks"); AvailableNow
+    * drains each side in a single batch, so the watermark drops nothing
+    * and the inner join's output equals the batch join the oracle
+    * computes — the state-eviction machinery still runs (both sides are
+    * watermarked and the predicate carries the time bound), it just never
+    * fires inside one batch. Same eager write-then-read structure as the
+    * q04 pipeline. */
   def q119StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-q119")
@@ -346,20 +325,25 @@ object Streams {
       rm(root.toFile)
     }))
     val ev = graft.Tables.events(spark, sfDir)
+    // the helper's contract: impressions(imp_id, imp_ts), clicks keyed by
+    // click_imp_id — here the attribution key is the user
     ev.filter(col("event_type") === "view")
-      .select(col("event_id").as("view_id"), col("user_id"),
-        col("ts").as("view_ts"))
+      .select(col("event_id").as("view_id"), col("user_id").as("imp_id"),
+        col("ts").as("imp_ts"))
       .coalesce(1).write.parquet(s"$root/views")
     ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("buy_id"), col("user_id"),
-        col("ts").as("buy_ts"))
+      .select(col("event_id").as("buy_id"),
+        col("user_id").as("click_imp_id"), col("ts").as("click_ts"))
       .coalesce(1).write.parquet(s"$root/buys")
     val vSchema = spark.read.parquet(s"$root/views").schema
     val bSchema = spark.read.parquet(s"$root/buys").schema
-    val joined = intervalJoin(
+    val joined = streamIntervalJoin(
       spark.readStream.schema(vSchema).parquet(s"$root/views"),
       spark.readStream.schema(bSchema).parquet(s"$root/buys"),
-      horizonMinutes = 60)
+      maxDelaySeconds = 3600L, watermark = "60 minutes")
+      .select(col("imp_id").as("user_id"), col("view_id"), col("buy_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("imp_ts")))
+          .as("gap_us"))
     joined.writeStream.format("parquet")
       .option("path", s"$root/out")
       .option("checkpointLocation", s"$root/cp")
@@ -376,6 +360,6 @@ object Streams {
       |FROM events a JOIN events b
       |  ON a.user_id = b.user_id
       | AND a.event_type = 'view' AND b.event_type = 'purchase'
-      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
       |ORDER BY view_id, buy_id""".stripMargin
 }

@@ -20,7 +20,7 @@ class RobustGraphSpec extends AnyFunSuite {
     val filtered = SetSim.similarPairs(docs)
       .select("d1", "d2", "n_inter", "n_union")
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getInt(2), r.getInt(3))).toSet
+        r.getLong(2), r.getLong(3))).toSet
 
     // Brute force: all pairs via cross join of the same shingle sets.
     val t = split(col("text"), " ")
@@ -39,7 +39,7 @@ class RobustGraphSpec extends AnyFunSuite {
           size(array_intersect(col("a.g"), col("b.g")))).as("nu"))
       .filter(col("ni") * SetSim.Den >= col("nu") * SetSim.Num)
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getInt(2), r.getInt(3))).toSet
+        r.getInt(2).toLong, r.getInt(3).toLong)).toSet
 
     assert(filtered === brute)
     assert(filtered.nonEmpty)
@@ -156,7 +156,7 @@ class RobustGraphSpec extends AnyFunSuite {
       .select(col("event_id").as("buy_id"), col("user_id").as("u2"),
         col("ts").as("buy_ts"))
     val batch = v.join(b, col("user_id") === col("u2") &&
-        col("buy_ts") > col("view_ts") &&
+        col("buy_ts") >= col("view_ts") &&
         col("buy_ts") <= col("view_ts") + expr("INTERVAL 60 MINUTES"))
       .select(col("view_id"), col("buy_id"),
         (unix_micros(col("buy_ts")) - unix_micros(col("view_ts")))
