@@ -491,4 +491,29 @@ object Aggregates {
       |FROM keyed
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+  /** q122_listagg — ordered string aggregation (LISTAGG / string_agg): the
+    * classic report-formatting aggregate. `collect_list` order is whatever
+    * the partitioning delivered, so determinism comes from sorting INSIDE
+    * the aggregate value (`array_sort` before `array_join`) — never from
+    * the input's accidental order; the oracle pins the same order with
+    * `string_agg(... ORDER BY ...)`. Per-group payload is bounded by group
+    * cardinality — at scale, cap or bucket any group whose concatenation
+    * would not fit a row (the fixture's max is 10 suppliers per nation). */
+  def q122Listagg(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  val q122Sql: String =
+    """SELECT n_name, count(*) AS n_suppliers,
+      |       string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
 }

@@ -77,4 +77,60 @@ object Collocations {
        |JOIN un u2 ON bn.w2 = u2.w
        |WHERE bn.n_xy >= $minSupport
        |ORDER BY lift DESC, w1, w2""".stripMargin
+  /** q120_basket_pairs — market-basket co-occurrence mining (the unordered
+    * cousin of the q102 sequence collocations): part pairs appearing in the
+    * same order, with support ≥ 3 and lift = P(pair) / (P(p1)·P(p2)) =
+    * n_pair·n_baskets / (n1·n2) — integer products, one IEEE division, so
+    * the oracle replays it exactly.
+    *
+    * Scale: the pair generator is a self-equi-join on the basket key, so
+    * pair expansion is bounded by (basket size)² per order — never corpus²
+    * — and the support threshold prunes AFTER a map-side-combinable count
+    * on (p1, p2). A pathological mega-basket would need per-key capping
+    * upstream; the fixture's max basket is 13 lines. The one driver-side
+    * scalar (basket count) is a metadata-cheap count reused as a literal.
+    */
+  def q120BasketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nBaskets = items.select(col("l_orderkey")).distinct().count()
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 3)
+    val freq = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    pairs
+      .join(freq.select(col("l_partkey").as("p1"), col("n_item").as("n1")),
+        Seq("p1"))
+      .join(freq.select(col("l_partkey").as("p2"), col("n_item").as("n2")),
+        Seq("p2"))
+      .select(col("p1"), col("p2"), col("n_pair"), col("n1"), col("n2"),
+        ((col("n_pair") * nBaskets).cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("lift"))
+      .orderBy(col("p1"), col("p2"))
+  }
+
+  val q120Sql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_pair
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |freq AS (
+      |  SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1),
+      |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
+      |SELECT p1, p2, n_pair, f1.n_item AS n1, f2.n_item AS n2,
+      |       CAST(n_pair * nb.n_baskets AS DOUBLE) /
+      |         CAST(f1.n_item * f2.n_item AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN freq f1 ON f1.l_partkey = p1
+      |JOIN freq f2 ON f2.l_partkey = p2
+      |CROSS JOIN nb
+      |ORDER BY p1, p2""".stripMargin
 }

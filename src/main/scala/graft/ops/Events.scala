@@ -417,4 +417,40 @@ object Events {
       |       CAST(t.n AS DOUBLE) / CAST(o.out_n AS DOUBLE) AS p
       |FROM trans t JOIN outflow o ON t.prev = o.prev
       |ORDER BY t.prev, t.cur""".stripMargin
+  /** q121_rolling_distinct — trailing-7-day distinct active users per day,
+    * the DAU/WAU staple. A sliding COUNT(DISTINCT) cannot partial-aggregate
+    * as a window, so the scalable form collapses events to the (day, user)
+    * grid FIRST (one map-side-combinable distinct at day granularity), then
+    * explodes each grid row into the ≤7 window-days it serves and runs one
+    * exact distinct per window-day. Shuffle volume is 7 × |user-day grid|,
+    * never 7 × |events|.
+    *
+    * Window-days beyond the last active day still report (they see trailing
+    * activity); day arithmetic is timestamp + day intervals in both engines.
+    */
+  def q121RollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    grid
+      .select(explode(expr(
+        "sequence(day, day + INTERVAL '6' DAY, INTERVAL '1' DAY)"))
+        .as("win_day"), col("user_id"))
+      .groupBy(col("win_day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"),
+        count(lit(1)).as("n_user_days"))
+      .orderBy(col("win_day"))
+  }
+
+  val q121Sql: String =
+    """WITH grid AS (
+      |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |ex AS (
+      |  SELECT unnest(range(day, day + INTERVAL 7 DAY, INTERVAL 1 DAY))
+      |           AS win_day,
+      |         user_id
+      |  FROM grid)
+      |SELECT win_day, count(DISTINCT user_id) AS n_users_7d,
+      |       count(*) AS n_user_days
+      |FROM ex GROUP BY win_day ORDER BY win_day""".stripMargin
 }

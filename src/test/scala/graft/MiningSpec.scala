@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Aggregates, Collocations, Events, Intervals}
+
+/** Round-4 batch 2: basket mining, rolling distinct, listagg, interval
+  * overlap. Same discipline as RobustGraphSpec — each operator checked
+  * against an independent formulation on sf0.001. */
+class MiningSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+  private val sf = SparkSuite.sf
+
+  test("q120 lift matches a directly recomputed pair") {
+    val out = Collocations.q120BasketPairs(spark, sf)
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Long]("n_pair") >= 3))
+    assert(rows.forall(r => r.getAs[Long]("p1") < r.getAs[Long]("p2")))
+    val r = rows.head
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nBaskets = items.select("l_orderkey").distinct().count()
+    val n1 = items.filter(col("l_partkey") === r.getAs[Long]("p1")).count()
+    val n2 = items.filter(col("l_partkey") === r.getAs[Long]("p2")).count()
+    val nPair = items.as("a").join(items.as("b"),
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") === r.getAs[Long]("p1") &&
+        col("b.l_partkey") === r.getAs[Long]("p2")).count()
+    assert(r.getAs[Long]("n_pair") === nPair)
+    assert(r.getAs[Double]("lift") ===
+      (nPair * nBaskets).toDouble / (n1 * n2).toDouble)
+  }
+
+  test("q121 trailing-7d distinct equals a direct range count") {
+    val out = Events.q121RollingDistinct(spark, sf).collect()
+    assert(out.nonEmpty)
+    val probe = out(out.length / 2)
+    val winDay = probe.getTimestamp(0)
+    val direct = Tables.events(spark, sf)
+      .filter(date_trunc("day", col("ts")) <= lit(winDay) &&
+        date_trunc("day", col("ts")) >=
+          timestamp_add("DAY", lit(-6), lit(winDay)))
+      .select("user_id").distinct().count()
+    assert(probe.getAs[Long]("n_users_7d") === direct)
+  }
+
+  test("q122 concatenation is sorted and consistent with the count") {
+    Aggregates.q122Listagg(spark, sf).collect().foreach { r =>
+      val parts = r.getAs[String]("suppliers").split(",").toSeq
+      assert(parts.length === r.getAs[Long]("n_suppliers"))
+      assert(parts === parts.sorted)
+    }
+  }
+
+  test("q123 binned overlap join equals the brute-force theta join") {
+    val a = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") === 50.0)
+      .select((col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
+        col("l_shipdate").as("start"),
+        expr("l_shipdate + (l_linenumber % 14 + 1) * INTERVAL '1' DAY")
+          .as("end"))
+    val b = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("id"), col("o_orderdate").as("start"),
+        expr("o_orderdate + INTERVAL '7' DAY").as("end"))
+    val binned = Intervals.overlapJoin(a, b)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = a.select(col("id").as("a_id"), col("start").as("a_s"),
+        col("end").as("a_e"))
+      .crossJoin(b.select(col("id").as("b_id"), col("start").as("b_s"),
+        col("end").as("b_e")))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned === brute)
+    assert(binned.nonEmpty)
+  }
+}
