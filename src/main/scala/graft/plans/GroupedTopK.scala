@@ -121,8 +121,10 @@ object GroupedTopK {
   }
 
   /** Injection hook — wired into [[graft.functions.GraftExtensions]]. */
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
+    ext.injectOptimizerRule(_ => RankFilterToTopK)
+  }
 
   /** DataFrame-level API: first `k` rows per `groupCols` group under
     * `orderSpec` — (column, descending?) pairs; include a unique
@@ -166,4 +168,84 @@ object GroupedTopK {
       |SELECT o_orderpriority, o_orderkey, o_totalprice
       |FROM ranked WHERE rn <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+  /** Optimizer rule: recognize the window-form grouped top-k users
+    * actually write —
+    * `row_number().over(partitionBy(g).orderBy(o)) ≤ k` with the rank
+    * column then dropped — and substitute [[GroupedTopKPlan]], so the
+    * heap operator kicks in WITHOUT anyone calling [[topKPerKey]]. This
+    * is the §2 tier-(c) extension path completed: expression, physical
+    * operator, planner strategy, and now the `Rule[LogicalPlan]` that
+    * retargets existing workloads onto it.
+    *
+    * Fires only when the rewrite is airtight:
+    *  - exactly ONE window expression, and it is `row_number()` (rank()/
+    *    dense_rank() ties admit >k rows — different semantics, the
+    *    built-in WindowGroupLimit pre-filter handles them);
+    *  - the filter is `rn ≤ intLit` / `rn < intLit` directly above the
+    *    Window;
+    *  - the projection above keeps only child columns (the rank column is
+    *    discarded — if it survives, row numbers must be materialized and
+    *    a window over k rows per group is still required);
+    *  - the partition spec is non-empty (global top-k already plans as
+    *    TakeOrderedAndProject, q33).
+    * Spark's own InferWindowGroupLimit may have landed first and tucked a
+    * WindowGroupLimit under the Window; the rewrite strips it (the heap
+    * subsumes the pre-filter).
+    */
+  object RankFilterToTopK
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, LessThan, LessThanOrEqual, Literal, NamedExpression, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window, WindowGroupLimit}
+    import org.apache.spark.sql.types.IntegerType
+
+    private def limit(cond: Expression,
+        rn: NamedExpression): Option[Int] = cond match {
+      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
+          if a.exprId == rn.exprId => Some(k)
+      case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
+          if a.exprId == rn.exprId => Some(k - 1)
+      case _ => None
+    }
+
+    private def isRowNumber(e: NamedExpression): Boolean = e match {
+      case Alias(WindowExpression(
+        _: org.apache.spark.sql.catalyst.expressions.RowNumber, _), _) => true
+      case _ => false
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case Project(projList,
+          Filter(cond, Window(Seq(rn), partitionSpec, orderSpec, child, _)))
+          if isRowNumber(rn) && partitionSpec.nonEmpty &&
+            limit(cond, rn).exists(_ > 0) &&
+            projList.forall(_.references.subsetOf(child.outputSet)) =>
+        val grandchild = child match {
+          case WindowGroupLimit(_, _, _, _, c) => c
+          case c => c
+        }
+        Project(projList,
+          GroupedTopKPlan(partitionSpec, orderSpec,
+            limit(cond, rn).get, grandchild))
+    }
+  }
+
+  /** q126_rank_filter — the window form VERBATIM (withColumn(row_number)
+    * → filter ≤ 3 → drop), executed through [[RankFilterToTopK]]: the
+    * optimized plan must contain no WindowExec. Oracle: the same ranked
+    * filter in SQL. */
+  def q126RankFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, desc, row_number}
+    val w = W.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+  }
+
+  val q126Sql: String = q94Sql
 }

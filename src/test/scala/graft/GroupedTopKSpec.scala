@@ -56,4 +56,40 @@ class GroupedTopKSpec extends AnyFunSuite {
       s"expected a hash exchange on the group key:\n$p")
     assert(!p.contains("Sort "), s"the heap operator must not sort:\n$p")
   }
+  test("optimizer rule rewrites the verbatim window form to the heap plan") {
+    val df = GroupedTopK.q126RankFilter(spark, SparkSuite.sf)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.collect {
+      case p: GroupedTopK.GroupedTopKPlan => p
+    }.nonEmpty, s"rule did not fire:\n$optimized")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("GroupedTopK")) // exec node renders sans Exec
+    assert(!physical.contains("Window"), s"window survived:\n$physical")
+    // identical rows to the explicit-API form (q94)
+    val viaRule = df.collect().map(_.toSeq).toSeq
+    val viaApi = GroupedTopK.q94GroupedTopk(spark, SparkSuite.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaRule === viaApi)
+  }
+
+  test("optimizer rule leaves rank-keeping and non-literal filters alone") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val o = Tables.orders(spark, SparkSuite.sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    // rn kept in the output -> must stay a window (row numbers are needed)
+    val keeps = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(keeps.queryExecution.optimizedPlan.collect {
+      case p: GroupedTopK.GroupedTopKPlan => p
+    }.isEmpty)
+    // non-literal bound -> no rewrite
+    val dynamic = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("o_orderkey"))
+      .drop("rn")
+    assert(dynamic.queryExecution.optimizedPlan.collect {
+      case p: GroupedTopK.GroupedTopKPlan => p
+    }.isEmpty)
+  }
 }
