@@ -321,4 +321,48 @@ object Windows {
       |                  <= 0.9 THEN 'B'
       |            ELSE 'C' END AS abc_class
       |FROM cum ORDER BY revenue DESC, l_partkey""".stripMargin
+  /** q124_twap — time-weighted average value per user over irregular event
+    * samples: each observation holds until the next one, so its weight is
+    * the inter-event duration. Exactness: value (2 fixed decimals) is cast
+    * to DECIMAL BEFORE the multiply, duration is integer seconds, so every
+    * product and the sums are exact decimal/integer arithmetic — the final
+    * TWAP is one int-ish/int-ish IEEE division, identical in both engines
+    * (no double is ever summed).
+    *
+    * Scale: one shuffle on user_id for the lead window, then a hash
+    * aggregate at user cardinality with map-side partials. */
+  def q124Twap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("dur_s",
+        expr("(lead(unix_micros(ts), 1) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id) " +
+          "- unix_micros(ts)) div 1000000"))
+      .filter(col("dur_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dur_s")).as("total_dur_s"),
+        sum(col("value").cast(DecimalType(9, 2)) * col("dur_s"))
+          .cast("double").as("weighted_sum"))
+      .withColumn("twap",
+        col("weighted_sum") / col("total_dur_s").cast("double"))
+      .orderBy(col("user_id"))
+  }
+
+  val q124Sql: String =
+    """WITH seg AS (
+      |  SELECT user_id, value,
+      |         (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |            ORDER BY ts, event_id) - epoch_us(ts)) // 1000000 AS dur_s
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_segments,
+      |       CAST(sum(dur_s) AS BIGINT) AS total_dur_s,
+      |       CAST(sum(CAST(value AS DECIMAL(9,2)) * dur_s) AS DOUBLE)
+      |         AS weighted_sum,
+      |       CAST(sum(CAST(value AS DECIMAL(9,2)) * dur_s) AS DOUBLE)
+      |         / CAST(sum(dur_s) AS DOUBLE) AS twap
+      |FROM seg WHERE dur_s IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 }

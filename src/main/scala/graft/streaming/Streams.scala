@@ -362,4 +362,45 @@ object Streams {
       | AND a.event_type = 'view' AND b.event_type = 'purchase'
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
       |ORDER BY view_id, buy_id""".stripMargin
+  /** q125_stream_dedup — [[dedupStream]] run end-to-end: events stream in
+    * from a file source, `dropDuplicatesWithinWatermark` collapses each
+    * (user, event_type, day) to its first arrival, and the sink holds the
+    * distinct key set. Output projects ONLY the dedup keys: within-group
+    * arrival order (and therefore which copy's payload survives) is
+    * execution-dependent, the key set is not — same determinism discipline
+    * as q36's representative rule. AvailableNow drains in one batch, so
+    * the watermark evicts nothing and the key set equals the oracle's
+    * SELECT DISTINCT. */
+  def q125StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-q125")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    graft.Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .coalesce(1).write.parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    dedupStream(spark.readStream.schema(schema).parquet(s"$root/in"),
+        Seq("user_id", "event_type", "day"), "ts")
+      .select(col("user_id"), col("event_type"), col("day"))
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(s"$root/out")
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
+  val q125Sql: String =
+    """SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+      |FROM events
+      |ORDER BY user_id, event_type, day""".stripMargin
 }

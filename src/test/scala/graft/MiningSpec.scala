@@ -77,4 +77,34 @@ class MiningSpec extends AnyFunSuite {
     assert(binned === brute)
     assert(binned.nonEmpty)
   }
+  test("q124 TWAP is bounded by each user's value range") {
+    val ev = Tables.events(spark, sf)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min("value").as("lo"), max("value").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val out = ops.Windows.q124Twap(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lo, hi, n) = perUser(r.getLong(0))
+      val twap = r.getAs[Double]("twap")
+      assert(twap >= lo && twap <= hi)
+      assert(r.getAs[Long]("n_segments") === n - 1)
+    }
+  }
+
+  test("q125 streamed dedup equals the batch distinct key set") {
+    val streamed = graft.streaming.Streams.q125StreamDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .toSet
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
