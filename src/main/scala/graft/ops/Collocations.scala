@@ -91,8 +91,12 @@ object Collocations {
     * scalar (basket count) is a metadata-cheap count reused as a literal.
     */
   def q120BasketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // four consumers read the distinct item set (both pair-join sides, the
+    // frequency frame, the basket count) — materialize the narrow frame
+    // once instead of re-scanning lineitem per consumer
     val items = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val nBaskets = items.select(col("l_orderkey")).distinct().count()
     val pairs = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
       .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
