@@ -516,4 +516,49 @@ object Aggregates {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
+  /** q129_share — ratio-to-report: each nation's share of total order
+    * revenue. The per-group sums stay DECIMAL through BOTH levels (the
+    * grand total re-aggregates the per-nation decimals — never a double
+    * sum), and the share is one IEEE division of two exact values. The
+    * total arrives by broadcast cross-join of a 1-row frame — NOT a
+    * global window, which would serialize the table through one
+    * partition.
+    *
+    * Scale: fact scan → one hash aggregate at nation cardinality; the
+    * 1-row total is a second pass over the 25-row aggregate, free. */
+  def q129Share(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val per = o
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("dec_rev"))
+    val total = per.agg(sum(col("dec_rev")).as("dec_total"))
+    per.crossJoin(broadcast(total))
+      .select(col("n_name"), col("n_orders"),
+        col("dec_rev").cast("double").as("revenue"),
+        (col("dec_rev").cast("double") / col("dec_total").cast("double"))
+          .as("share"))
+      .orderBy(col("n_name"))
+  }
+
+  val q129Sql: String =
+    """WITH per AS (
+      |  SELECT n_name, count(*) AS n_orders,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |total AS (SELECT sum(dec_rev) AS dec_total FROM per)
+      |SELECT n_name, n_orders, CAST(dec_rev AS DOUBLE) AS revenue,
+      |       CAST(dec_rev AS DOUBLE) / CAST(dec_total AS DOUBLE) AS share
+      |FROM per CROSS JOIN total
+      |ORDER BY n_name""".stripMargin
 }

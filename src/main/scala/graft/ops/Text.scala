@@ -309,4 +309,55 @@ object Text {
        |       coalesce(c.clean_text, '') AS clean_text
        |FROM documents d LEFT JOIN cleaned c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  /** q128_lexical — per-document lexical-diversity quality signals: the
+    * type-token ratio, hapax share, and head-token concentration that
+    * LLM-corpus filters use alongside q53's surface stats and q58's
+    * repetition signals. Every ratio is an int/int IEEE division over
+    * exact counts — no transcendental (entropy's log stays out of checked
+    * outputs per the determinism contract; TTR and head-share carry the
+    * same signal exactly).
+    *
+    * Scale: one hash aggregate on (doc, token) with map-side combine, one
+    * on doc — shuffle volume is per-doc vocabulary, never corpus tokens.
+    */
+  def q128Lexical(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("n_hapax"), col("top_cnt"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("top_share"))
+      .orderBy(col("doc_id"))
+
+  val q128Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS cnt
+      |  FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+      |per_doc AS (
+      |  SELECT doc_id,
+      |         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_distinct,
+      |         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_hapax,
+      |         max(cnt) AS top_cnt
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct, n_hapax, top_cnt,
+      |       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+      |       CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |         AS top_share
+      |FROM per_doc
+      |ORDER BY doc_id""".stripMargin
 }

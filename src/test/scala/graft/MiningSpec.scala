@@ -107,4 +107,37 @@ class MiningSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+  test("q127 every format leg carries identical aggregates") {
+    val out = ops.Federated.q127Federated(spark, sf)
+    val variants = out.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("n_rows"), col("sum_price")).as("v"),
+        count(lit(1)).as("legs"))
+      .collect()
+    assert(variants.nonEmpty)
+    variants.foreach { r =>
+      assert(r.getAs[Long]("legs") === 4)
+      assert(r.getAs[Long]("v") === 1,
+        s"format legs disagree for ${r.get(0)}")
+    }
+  }
+
+  test("q128 diversity invariants hold per document") {
+    val rows = ops.Text.q128Lexical(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, nd, nh, top) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("n_hapax"),
+        r.getAs[Long]("top_cnt"))
+      assert(nd <= nt && nh <= nd && top <= nt)
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+  }
+
+  test("q129 shares sum to one") {
+    val rows = ops.Aggregates.q129Share(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
 }
