@@ -453,4 +453,49 @@ object Events {
       |SELECT win_day, count(DISTINCT user_id) AS n_users_7d,
       |       count(*) AS n_user_days
       |FROM ex GROUP BY win_day ORDER BY win_day""".stripMargin
+  /** q131_paths — top entry paths: each user's first three events (by the
+    * total order (ts, event_id)) concatenated into a path string, then
+    * counted across users — the funnel-shape mining behind "how do
+    * sessions start". The per-user pivot is three conditional aggregates
+    * over rank ≤ 3 (no collect_list: aggregate-value ordering stays
+    * deterministic by construction), one shuffle on user_id, then a hash
+    * aggregate at path cardinality.
+    */
+  def q131Paths(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("e1"),
+        max(when(col("rn") === 2, col("event_type"))).as("e2"),
+        max(when(col("rn") === 3, col("event_type"))).as("e3"))
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), col("path"))
+  }
+
+  val q131Sql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |per_user AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+      |         max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+      |         max(CASE WHEN rn = 3 THEN event_type END) AS e3
+      |  FROM ranked WHERE rn <= 3 GROUP BY user_id),
+      |paths AS (
+      |  SELECT concat_ws('>', e1, e2, e3) AS path FROM per_user)
+      |SELECT path, count(*) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_users DESC, path""".stripMargin
 }

@@ -165,4 +165,135 @@ object Merge {
       |SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
       |       CAST(sum(CAST(price AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
       |FROM m GROUP BY action ORDER BY action""".stripMargin
+  /** q130_pit_join — point-in-time (AS OF) join against the versioned
+    * dimension q85 builds: each lineitem resolves its customer's priority
+    * version VALID AT ship time (`from ≤ ship < to`, open-ended current
+    * version). This is the lookup SCD2 exists to serve, and the scalable
+    * form is an equi-join on the dimension key with the validity range as
+    * residual — per-key version counts are small, so the residual scans a
+    * handful of rows per probe, never a cross product. Distinct from q16's
+    * as-of join (nearest earlier EVENT); this matches an INTERVAL.
+    */
+  def q130PitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = scd2(
+      Tables.orders(spark, sfDir).select(
+        col("o_custkey").as("custkey"), col("o_orderdate").as("chg_at"),
+        col("o_orderkey").as("ok"), col("o_orderpriority").as("priority")),
+      "custkey", "chg_at", "ok", "priority")
+    val facts = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_shipdate"))
+    // LEFT join with the validity range in the ON clause: a fact that
+    // predates its key's first version (the fixture's ship dates are not
+    // ordered against order dates) must surface as an explicit
+    // pre-history bucket, not silently vanish — the classic PIT-join
+    // trap. For an outer join the range predicate MUST live in the join
+    // condition; as a post-filter it would turn the join inner again.
+    facts.join(dim,
+        facts("custkey") === dim("custkey") &&
+          col("l_shipdate") >= col("effective_from") &&
+          (col("effective_to").isNull ||
+            col("l_shipdate") < col("effective_to")),
+        "left")
+      .groupBy(coalesce(col("priority"), lit("(pre-history)"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(facts("custkey")).as("n_customers"),
+        sum(coalesce(col("version").cast("long"), lit(0L)))
+          .as("sum_version"))
+      .orderBy(col("priority"))
+  }
+
+  val q130Sql: String =
+    """WITH log AS (
+      |  SELECT o_custkey AS custkey, o_orderdate AS chg_at,
+      |         o_orderkey AS ok, o_orderpriority AS priority,
+      |         lag(o_orderpriority) OVER
+      |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |           AS prev
+      |  FROM orders),
+      |chg AS (SELECT * FROM log WHERE prev IS NULL OR prev <> priority),
+      |dim AS (
+      |  SELECT custkey, priority, chg_at AS effective_from,
+      |         lead(chg_at) OVER w AS effective_to,
+      |         CAST(row_number() OVER w AS INT) AS version
+      |  FROM chg
+      |  WINDOW w AS (PARTITION BY custkey ORDER BY chg_at, ok)),
+      |facts AS (
+      |  SELECT o_custkey AS custkey, l_shipdate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT coalesce(d.priority, '(pre-history)') AS priority,
+      |       count(*) AS n_lines,
+      |       count(DISTINCT f.custkey) AS n_customers,
+      |       CAST(sum(coalesce(d.version, 0)) AS BIGINT) AS sum_version
+      |FROM facts f LEFT JOIN dim d ON f.custkey = d.custkey
+      | AND f.l_shipdate >= d.effective_from
+      | AND (d.effective_to IS NULL OR f.l_shipdate < d.effective_to)
+      |GROUP BY 1
+      |ORDER BY priority""".stripMargin
+
+  /** q132_diff — declarative table diff: base vs a perturbed next version
+    * (planted updates on keys ≡2 mod 7, deletes on ≡5 mod 13, inserts past
+    * the key space), classified by FULL OUTER join into added / removed /
+    * changed / unchanged with per-class row counts and decimal-exact sums.
+    * The regression-diff every pipeline migration wants; one shuffle on
+    * the key, column comparison as residual.
+    */
+  def q132Diff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderpriority").as("prio"))
+    val next = base
+      .filter(col("k") % 13 =!= 5)
+      .select(col("k"),
+        when(col("k") % 7 === 2, col("price") + 50.0)
+          .otherwise(col("price")).as("price"),
+        col("prio"))
+      .unionByName(base.filter(col("k") % 100 === 9)
+        .select((col("k") + 20000000L).as("k"), col("price"),
+          col("prio")))
+    val b = base.select(col("k"), col("price").as("b_price"),
+      col("prio").as("b_prio"))
+    val n = next.select(col("k"), col("price").as("n_price"),
+      col("prio").as("n_prio"))
+    b.join(n, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("b_price").isNull, "added")
+          .when(col("n_price").isNull, "removed")
+          .when(col("b_price") =!= col("n_price") ||
+            col("b_prio") =!= col("n_prio"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("n_price"), col("b_price")).as("price"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        decSum(col("price"), 2).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
+  val q132Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS price,
+      |         o_orderpriority AS prio
+      |  FROM orders),
+      |next AS (
+      |  SELECT k,
+      |         CASE WHEN k % 7 = 2 THEN price + 50.0 ELSE price END AS price,
+      |         prio
+      |  FROM base WHERE k % 13 <> 5
+      |  UNION ALL
+      |  SELECT k + 20000000, price, prio FROM base WHERE k % 100 = 9),
+      |j AS (
+      |  SELECT coalesce(n.price, b.price) AS price,
+      |         CASE WHEN b.k IS NULL THEN 'added'
+      |              WHEN n.k IS NULL THEN 'removed'
+      |              WHEN b.price <> n.price OR b.prio <> n.prio
+      |                THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM base b FULL OUTER JOIN next n ON b.k = n.k)
+      |SELECT status, count(*) AS n_rows,
+      |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
 }

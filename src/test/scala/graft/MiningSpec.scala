@@ -140,4 +140,29 @@ class MiningSpec extends AnyFunSuite {
     val total = rows.map(_.getAs[Double]("share")).sum
     assert(math.abs(total - 1.0) < 1e-9)
   }
+  test("q130 every lineitem resolves exactly one dimension version") {
+    val total = ops.Merge.q130PitJoin(spark, sf)
+      .agg(sum(col("n_lines"))).head().getLong(0)
+    assert(total === Tables.lineitem(spark, sf).count())
+  }
+
+  test("q131 path counts partition the user population") {
+    val total = ops.Events.q131Paths(spark, sf)
+      .agg(sum(col("n_users"))).head().getLong(0)
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(total === users)
+  }
+
+  test("q132 planted change classes carry the planted counts") {
+    val base = Tables.orders(spark, sf).select(col("o_orderkey").as("k"))
+    val counts = ops.Merge.q132Diff(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+    assert(counts("added") === base.filter(col("k") % 100 === 9).count())
+    assert(counts("removed") === base.filter(col("k") % 13 === 5).count())
+    assert(counts("changed") ===
+      base.filter(col("k") % 7 === 2 && col("k") % 13 =!= 5).count())
+    assert(counts.values.sum ===
+      base.count() + counts("added"))
+  }
 }
