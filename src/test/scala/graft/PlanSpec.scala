@@ -235,4 +235,31 @@ class PlanSpec extends AnyFunSuite {
         }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q113/q123 pair generators never plan a nested loop or cartesian") {
+    Seq(ops.SetSim.q113SetsimJoin(spark, sf),
+      ops.Intervals.q123IntervalOverlap(spark, sf)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    }
+  }
+
+  test("q129 total arrives by broadcast, not a global window") {
+    val p = ops.Aggregates.q129Share(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Window"), s"global window crept in:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), // 1-row total cross join
+      s"expected a broadcast total:\n$p")
+  }
+
+  test("q130 PIT join is an equi-join on the key with the range residual") {
+    val p = ops.Merge.q130PitJoin(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the dimension key must be a hash/sort-merge/broadcast EQUI key —
+    // a nested loop would mean the range predicate swallowed the key
+    assert(p.contains("custkey"), p)
+  }
 }
