@@ -127,4 +127,40 @@ object Sampling {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+  /** q133_group_split — GROUP-AWARE train/valid/test assignment: the fold
+    * is a function of the GROUP key (user), not the row, so every event of
+    * a user lands in one fold — the leakage guard row-level splits (q37)
+    * cannot give. Splitting rows of correlated groups across train and
+    * test leaks the group's signal into evaluation; group-keyed hashing is
+    * the standard fix (GroupKFold). Same retry-stable LCG machinery:
+    * still a pure map-side projection, no shuffle for the assignment
+    * itself. The audit proves disjointness the cheap way — counting each
+    * user once per (fold, user) grid row — and sums values decimal-exact.
+    */
+  def q133GroupSplit(spark: SparkSession, sfDir: String): DataFrame =
+    assignSplit(Tables.events(spark, sfDir), "user_id")
+      .groupBy(col("split"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("dec_value"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("dec_value")).cast("double").as("sum_value"))
+      .orderBy(col("split"))
+
+  val q133Sql: String =
+    """WITH assigned AS (
+      |  SELECT user_id, value,
+      |         CASE WHEN ((user_id * 2654435761 + 1013904223)
+      |                    % 1000000007) % 100 < 80 THEN 'train'
+      |              WHEN ((user_id * 2654435761 + 1013904223)
+      |                    % 1000000007) % 100 < 90 THEN 'valid'
+      |              ELSE 'test' END AS split
+      |  FROM events)
+      |SELECT split, count(DISTINCT user_id) AS n_users,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM assigned
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
 }

@@ -165,4 +165,16 @@ class MiningSpec extends AnyFunSuite {
     assert(counts.values.sum ===
       base.count() + counts("added"))
   }
+  test("q133 group split is leakage-free: each user in exactly one fold") {
+    val folds = ops.Sampling
+      .assignSplit(Tables.events(spark, sf), "user_id")
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("split")).as("n_folds"))
+      .collect()
+    assert(folds.nonEmpty)
+    folds.foreach(r => assert(r.getAs[Long]("n_folds") === 1))
+    val out = ops.Sampling.q133GroupSplit(spark, sf)
+      .agg(sum(col("n_users"))).head().getLong(0)
+    assert(out === folds.length)
+  }
 }

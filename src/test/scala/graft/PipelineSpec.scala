@@ -306,4 +306,30 @@ class PipelineSpec extends AnyFunSuite {
         s"got $rows")
     } finally q.stop()
   }
+  test("raw zone joins prune partitions dynamically from the dim filter") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    sources.WarehouseSink.rawZoneAppend(
+      Tables.lineitem(spark, SparkSuite.sf), root, "l_shipdate")
+    // a dimension that names years only indirectly (filter on a non-key
+    // column): static pruning cannot help, only DPP can inject the year
+    // list into the fact scan at runtime
+    val dim = spark.range(1990, 2040)
+      .select(col("id").cast("int").as("y"),
+        (col("id") % 2).as("flag"))
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val joined = spark.read.parquet(root)
+        .join(dim.filter(col("flag") === 0), col("year") === col("y"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("dynamicpruning"),
+        s"no dynamic partition pruning in:\n$plan")
+      // and the join is still correct
+      val expected = Tables.lineitem(spark, SparkSuite.sf)
+        .filter((year(col("l_shipdate")) % 2) === 0).count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "true")
+  }
 }
