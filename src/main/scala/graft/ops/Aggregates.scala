@@ -561,4 +561,42 @@ object Aggregates {
       |       CAST(dec_rev AS DOUBLE) / CAST(dec_total AS DOUBLE) AS share
       |FROM per CROSS JOIN total
       |ORDER BY n_name""".stripMargin
+  /** q135_bitmask — bitwise aggregate rollup: each event type maps to one
+    * bit, `bit_or` per (user, day) folds a presence BITMASK (which types
+    * the user fired that day — the poor man's per-key bloom filter, exact
+    * at ≤64 categories), then user-days are counted per distinct mask (31
+    * distinct behavior profiles on the fixture). Bitwise OR is
+    * algebraic: map-side partials merge like any sum, one hash aggregate
+    * per level. The flag-rollup idiom for feature presence at 100 TB —
+    * 64 behaviors per key in 8 bytes.
+    */
+  def q135Bitmask(spark: SparkSession, sfDir: String): DataFrame = {
+    val bit = when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "error", 2L)
+      .when(col("event_type") === "purchase", 4L)
+      .when(col("event_type") === "signup", 8L)
+      .otherwise(16L) // view
+    val masks = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        bit.as("b"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(bit_or(col("b")).as("mask"))
+    masks.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_user_days"),
+        bit_count(col("mask")).as("n_types"))
+      .orderBy(col("mask"))
+  }
+
+  val q135Sql: String =
+    """WITH masks AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |         bit_or(CASE event_type WHEN 'click' THEN 1
+      |                                WHEN 'error' THEN 2
+      |                                WHEN 'purchase' THEN 4
+      |                                WHEN 'signup' THEN 8
+      |                                ELSE 16 END) AS mask
+      |  FROM events GROUP BY user_id, day)
+      |SELECT mask, count(*) AS n_user_days,
+      |       bit_count(mask) AS n_types
+      |FROM masks GROUP BY mask ORDER BY mask""".stripMargin
 }

@@ -284,4 +284,57 @@ object Relational {
       |     EXCEPT
       |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996))
       |ORDER BY tag, o_custkey""".stripMargin
+  /** q134_nullsafe_join — the `<=>` (IS NOT DISTINCT FROM) join: ordinary
+    * equality drops every NULL-keyed row (NULL = NULL is NULL), the
+    * null-safe form matches NULL to NULL — the difference between losing
+    * and keeping the "unknown" bucket when joining on a nullable key.
+    * Both sides null out keys ≡0 mod 10, and the output audits both
+    * semantics side by side so the oracle pins the gap exactly.
+    *
+    * Scale: Spark plans `<=>` as a plain hash join key (coalesce-style
+    * normalization), NOT a nested loop — null-keyed rows co-locate in one
+    * hash bucket; a skew-heavy NULL population is the usual caveat (salt
+    * or pre-split the NULL bucket when unknowns dominate).
+    */
+  def q134NullsafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(when(col("o_orderkey") % 10 === 0, lit(null))
+        .otherwise(col("o_custkey")).as("k"),
+        col("o_totalprice"))
+    val c = Tables.customer(spark, sfDir)
+      .select(when(col("c_custkey") % 10 === 0, lit(null))
+        .otherwise(col("c_custkey")).as("ck"),
+        col("c_nationkey"))
+      // one row per key: the null bucket would cross-join its orders side
+      .groupBy(col("ck")).agg(count(lit(1)).as("n_cust"))
+    val strict = o.join(c, col("k") === col("ck"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice"), 2).as("s"))
+      .select(lit("equality").as("semantics"), col("n"), col("s"))
+    val nullsafe = o.join(c, col("k") <=> col("ck"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice"), 2).as("s"))
+      .select(lit("null_safe").as("semantics"), col("n"), col("s"))
+    strict.unionByName(nullsafe).orderBy(col("semantics"))
+  }
+
+  val q134Sql: String =
+    """WITH o AS (
+      |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+      |              ELSE o_custkey END AS k,
+      |         o_totalprice
+      |  FROM orders),
+      |c AS (
+      |  SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+      |              ELSE c_custkey END AS ck,
+      |         count(*) AS n_cust
+      |  FROM customer GROUP BY 1),
+      |strict AS (
+      |  SELECT 'equality' AS semantics, count(*) AS n,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      |  FROM o JOIN c ON o.k = c.ck),
+      |ns AS (
+      |  SELECT 'null_safe' AS semantics, count(*) AS n,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      |  FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.ck)
+      |SELECT * FROM strict UNION ALL SELECT * FROM ns
+      |ORDER BY semantics""".stripMargin
 }

@@ -177,4 +177,26 @@ class MiningSpec extends AnyFunSuite {
       .agg(sum(col("n_users"))).head().getLong(0)
     assert(out === folds.length)
   }
+  test("q134 null-safe join keeps exactly the null-bucket rows equality drops") {
+    val rows = ops.Relational.q134NullsafeJoin(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val o = Tables.orders(spark, sf)
+    val nullOrders = o.filter(col("o_orderkey") % 10 === 0).count()
+    // customer side collapses to one row per key, so each null-keyed order
+    // matches exactly the single NULL customer row under <=>
+    assert(rows("null_safe") - rows("equality") === nullOrders)
+  }
+
+  test("q135 masks partition the user-day grid and bits match the mask") {
+    val out = ops.Aggregates.q135Bitmask(spark, sf).collect()
+    assert(out.length > 1)
+    out.foreach { r =>
+      val mask = r.getAs[Long]("mask")
+      assert(java.lang.Long.bitCount(mask) === r.getAs[Int]("n_types"))
+    }
+    val total = out.map(_.getAs[Long]("n_user_days")).sum
+    val grid = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts"))).distinct().count()
+    assert(total === grid)
+  }
 }
