@@ -47,7 +47,12 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // decimal partial sums: exact and order-independent across
+      // micro-batch/partition merge order (the README determinism rule —
+      // a plain double sum here would vary with state merge order)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -431,4 +436,45 @@ object Streams {
     """SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
       |FROM events
       |ORDER BY user_id, event_type, day""".stripMargin
+  /** q136_stream_window — [[windowedCounts]] run end-to-end as a streaming
+    * query: the events fixture streams from the (q125-shared staging
+    * pattern) file source, the watermarked tumbling-window aggregate folds
+    * per (hour, type), and the sink holds the finalized windows. Append
+    * mode only emits a window once the watermark passes it; AvailableNow
+    * advances the watermark to the data's end after the last batch, so
+    * every window finalizes and the result equals q60's batch aggregate —
+    * which is exactly the oracle used here. */
+  def q136StreamWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = freshDir("graft-q136")
+    val in = stageOnce("q136in", sfDir) { dir =>
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("ts"), col("event_type"), col("value"))
+      // Append mode only emits a window once the watermark PASSES its end,
+      // and the watermark trails max event time by the delay — without
+      // help, the trailing windows would still sit in state when the
+      // drained query stops. The flush sentinel (far past the real data)
+      // pushes the final watermark beyond every real window; its own
+      // window is dropped on read-back. This is the standard
+      // finalize-a-bounded-replay trick; a live pipeline never needs it
+      // (the next day's data is the sentinel).
+      val flush = ev.agg(max(col("ts")).as("m"))
+        .select(expr("m + INTERVAL '10' HOUR").as("ts"),
+          lit("__flush").as("event_type"), lit(0.0).as("value"))
+      ev.unionByName(flush).coalesce(1).write.parquet(s"$dir/in")
+    }
+    val schema = spark.read.parquet(s"$in/in").schema
+    windowedCounts(spark.readStream.schema(schema).parquet(s"$in/in"))
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(s"$root/out")
+      .filter(col("event_type") =!= "__flush")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val q136Sql: String = graft.ops.Events.q60Sql
 }

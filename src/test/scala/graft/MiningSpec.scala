@@ -199,4 +199,14 @@ class MiningSpec extends AnyFunSuite {
       .select(col("user_id"), date_trunc("day", col("ts"))).distinct().count()
     assert(total === grid)
   }
+  test("q136 streamed windowed aggregate equals the q60 batch twin") {
+    val streamed = graft.streaming.Streams.q136StreamWindow(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    val batch = ops.Events.q60WindowTumbling(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
