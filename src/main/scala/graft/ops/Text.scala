@@ -360,4 +360,119 @@ object Text {
       |         AS top_share
       |FROM per_doc
       |ORDER BY doc_id""".stripMargin
+  /** q137_inverted_index — posting-list construction, the retrieval-side
+    * twin of q56's TF-IDF: per (term, doc) the ordered position list and
+    * term frequency, rolled up per term with document frequency, corpus
+    * frequency, and the best document (max tf, ties to the lower doc_id —
+    * the packed-key q118 trick, negated id so arg-MAX prefers SMALLER
+    * ids). Positions make the index phrase-query-capable.
+    *
+    * Determinism: position arrays are sorted INSIDE the aggregate value
+    * (array_sort after collect_list — arrival order never shows);
+    * everything else is exact counts. Scale: one shuffle to (term, doc),
+    * one to term; posting lists bound per-row payload by per-doc tf, and
+    * a production index would bucket by term prefix — the shuffle shape
+    * is already the right one.
+    */
+  def q137InvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val postings = pos.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        array_sort(collect_list(col("pos"))).as("positions"))
+    val df = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    postings.join(df, "term")
+      .select(col("term"), col("df"), col("doc_id"), col("tf"),
+        // serialized posting list: the driver's comparator hashes scalar
+        // cells, so the ordered positions ship as a canonical CSV string
+        concat_ws(",", col("positions")).as("positions"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  val q137Sql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, t.tok AS term,
+      |         CAST(t.i - 1 AS INT) AS pos
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+      |                       generate_subscripts(string_split(text, ' '), 1)
+      |                         AS i) t
+      |  WHERE t.tok <> ''),
+      |postings AS (
+      |  SELECT term, doc_id, count(*) AS tf,
+      |         list_sort(list(pos)) AS positions
+      |  FROM pos GROUP BY term, doc_id),
+      |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+      |SELECT p.term, d.df, p.doc_id, p.tf,
+      |       array_to_string(p.positions, ',') AS positions
+      |FROM postings p JOIN dfreq d ON p.term = d.term
+      |ORDER BY p.term, p.doc_id""".stripMargin
+
+  /** q138_cooccur — windowed co-occurrence counts (the word2vec/GloVe
+    * training-pair extraction): for every token, its neighbors within ±2
+    * positions, counted per ordered (center, context) pair with the lift
+    * ratio against independence — integer cross-products and one final
+    * division, never a log (q102's adjacent-bigram collocations are the
+    * distance-1 slice of this).
+    *
+    * Scale: the self-join is on (doc, pos±k) — position-keyed, so each
+    * token meets ≤ 2k rows; shuffle volume is 2k × corpus tokens with
+    * map-side combine on the pair key.
+    */
+  def q138Cooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .localCheckpoint()
+    // explicit aliases: both join inputs descend from the same
+    // checkpointed frame, and unqualified doc_id would be ambiguous
+    val pairs = toks.as("a")
+      .join(toks.as("b"),
+        expr("a.doc_id = b.doc_id AND b.pos <> a.pos " +
+          "AND b.pos >= a.pos - 2 AND b.pos <= a.pos + 2"))
+      .groupBy(col("a.tok").as("center"), col("b.tok").as("context"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 100)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val n = toks.count()
+    pairs
+      .join(freq.select(col("tok").as("center"), col("n_tok").as("n_c")),
+        Seq("center"))
+      .join(freq.select(col("tok").as("context"), col("n_tok").as("n_x")),
+        Seq("context"))
+      .select(col("center"), col("context"), col("n_pair"),
+        ((col("n_pair") * n).cast("double") /
+          (col("n_c") * col("n_x") * lit(4L)).cast("double")).as("lift"))
+      .orderBy(col("center"), col("context"))
+  }
+
+  val q138Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, t.tok,
+      |         CAST(t.i - 1 AS INT) AS pos
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+      |                       generate_subscripts(string_split(text, ' '), 1)
+      |                         AS i) t
+      |  WHERE t.tok <> ''),
+      |pairs AS (
+      |  SELECT a.tok AS center, b.tok AS context, count(*) AS n_pair
+      |  FROM toks a JOIN toks b
+      |    ON a.doc_id = b.doc_id AND b.pos <> a.pos
+      |   AND b.pos >= a.pos - 2 AND b.pos <= a.pos + 2
+      |  GROUP BY 1, 2 HAVING count(*) >= 100),
+      |freq AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok),
+      |n AS (SELECT count(*) AS total FROM toks)
+      |SELECT center, context, n_pair,
+      |       CAST(n_pair * n.total AS DOUBLE) /
+      |         CAST(fc.n_tok * fx.n_tok * 4 AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN freq fc ON fc.tok = center
+      |JOIN freq fx ON fx.tok = context
+      |CROSS JOIN n
+      |ORDER BY center, context""".stripMargin
 }

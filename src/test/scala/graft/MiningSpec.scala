@@ -209,4 +209,32 @@ class MiningSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+  test("q137 posting lists: tf matches positions and positions hit the term") {
+    val rows = ops.Text.q137InvertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tf") ===
+        r.getAs[String]("positions").split(",").length.toLong)
+    }
+    val probe = rows(rows.length / 2)
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === probe.getAs[Long]("doc_id"))
+      .select("text").head().getString(0).split(" ")
+    probe.getAs[String]("positions").split(",").map(_.toInt).foreach { p =>
+      assert(text(p) === probe.getAs[String]("term"))
+    }
+  }
+
+  test("q138 co-occurrence counts are symmetric in the pair") {
+    val m = ops.Text.q138Cooccur(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getString(0)) -> r.getAs[Long]("n_pair"))
+      .toMap
+    assert(m.nonEmpty)
+    // (center, context) keys were built swapped above, so hitting the map
+    // with the straight key compares n(a,b) to n(b,a)
+    m.foreach { case ((a, b), n) =>
+      assert(m.get((b, a)).forall(_ === n))
+    }
+  }
 }
