@@ -15,6 +15,11 @@ run / fork := true
 // sbt's logger: the logger prefixes every line with "[info] ", which
 // breaks line-oriented JSON parsing of Bench/Verify output downstream.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the "[success] Total time: ..." epilogue sbt prints after a run
+// lands INSIDE the bounded stdout tail the driver stores, stealing ~75
+// chars from the final JSON contract line. Suppress it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -71,10 +71,21 @@ object Bench {
     // to milliseconds so ~100 queries still fit the window whole.
     println(s"""{"detail_queries":${toJson(results)},"detail_nosort":${toJson(resultsNoSort)}}""")
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
-    def shortJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
-        .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total(results))},"unit":"sec","queries":${shortJson(results)},"nosort_total":${ms(total(resultsNoSort))},"sf":"$sfDir"}""")
+    def shortJson(rs: Seq[(String, Double)], dp: Int): String = {
+      val scale = math.pow(10, dp)
+      rs.map { case (k, v) =>
+        s"\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * scale) / scale
+      }.mkString("{", ",", "}")
+    }
+    // The driver keeps ~2000 chars of stdout; the contract line must fit
+    // whole. Start at centisecond precision and degrade to deciseconds if
+    // the ledger has grown past what that fits — per-query full precision
+    // is already on the detail line above for local reading.
+    def contractLine(dp: Int): String =
+      s"""{"metric":"total","value":${ms(total(results))},"unit":"sec","queries":${shortJson(results, dp)},"nosort_total":${ms(total(resultsNoSort))},"sf":"$sfDir"}"""
+    val line = Seq(2, 1).map(contractLine).find(_.length <= 1900)
+      .getOrElse(s"""{"metric":"total","value":${ms(total(results))},"unit":"sec","queries":{},"nosort_total":${ms(total(resultsNoSort))},"sf":"$sfDir"}""")
+    println(line)
     spark.stop()
   }
 }
