@@ -110,6 +110,32 @@ object Soak {
         Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
         .agg(count(lit(1))).collect()
     }
+    // Triangle counting at fixed average degree must scale ~linearly in
+    // the edge count (per-edge intersect cost is bounded by the oriented
+    // out-degree, which the degree distribution — not the graph size —
+    // controls). Lineitem replication can't probe this (copied orders
+    // reuse the same part pairs, so the distinct edge set never grows);
+    // a congruential synthetic graph doubles nodes and edges together.
+    time("triangle_scaling") {
+      def synthEdges(n: Long): DataFrame =
+        spark.range(4 * n).select(
+          pmod(col("id") * 2654435761L + 11, lit(n)).as("a"),
+          pmod(col("id") * 3141592653L + 7, lit(n)).as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("pa"),
+            greatest(col("a"), col("b")).as("pb"))
+          .distinct()
+      def t(n: Long): Double = {
+        val t0 = System.nanoTime()
+        graft.ops.Graph.triangleCounts(synthEdges(n))
+          .agg(sum(col("n_tri"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (t1, t2) = (t(50000), t(100000))
+      println(f"  triangles: n=50k ${t1}%.2fs, n=100k ${t2}%.2fs " +
+        f"(ratio ${t2 / t1}%.2f; quadratic would be ~4)")
+      require(t2 / t1 < 3.2, s"triangle scaling super-linear: $t1 -> $t2")
+    }
     // Replication multiplies gram multiplicity per hash (copies share
     // grams), so the novelty min-agg and the decontamination broadcast join
     // both hit their hot-key paths — runtime must stay ~linear in k because

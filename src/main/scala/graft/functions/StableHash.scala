@@ -49,4 +49,29 @@ object StableHash {
     * and 62 clear), so BIGINT arithmetic matches across engines. */
   def charPoly62(s: Column): Column =
     shiftleft(charPoly(s, 131L, P1), 31) + charPoly(s, 137L, P2)
+
+  /** Knuth's 2³²·φ⁻¹ multiplier — exceeds both moduli, so key·A wraps for
+    * EVERY key ≥ 1 and consecutive keys land ~0.236·p apart
+    * (low-discrepancy). */
+  private val A1 = 2654435761L
+  /** π·10⁹ (classic congruential constant), independent of A1, > P2. */
+  private val A2 = 3141592653L
+
+  /** 62-bit mix of a non-negative INTEGER key: two congruential maps on
+    * the two prime moduli, composed like [[charPoly62]]. The
+    * char-polynomial is the wrong tool for integer-derived strings — a few
+    * digits never wrap the modulus, so small keys cluster near zero and
+    * order-statistics consumers (KMV, sampling) see a wildly non-uniform
+    * map; equally, a multiplier below the modulus (MINSTD's 48271) leaves
+    * small-key products unwrapped. Multipliers ABOVE the modulus wrap from
+    * key=1 on and equidistribute any key range. Key must stay below 2³¹ so
+    * key·A2 < 2⁶³ (ANSI mode throws on overflow rather than wrapping). */
+  def intMix62(key: Column, salt: Long = 11L): Column =
+    shiftleft(pmod(key * lit(A1) + lit(salt), lit(P1)), 31) +
+      pmod(key * lit(A2) + lit(salt), lit(P2))
+
+  /** DuckDB SQL twin of [[intMix62]] over the integer expression `e`. */
+  def intMix62Sql(e: String, salt: Long = 11L): String =
+    s"((($e) * $A1 + $salt) % $P1) * 2147483648" +
+      s" + ((($e) * $A2 + $salt) % $P2)"
 }

@@ -140,6 +140,63 @@ object Aggregates {
       |       TRUE AS orders_in_bounds
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q142_kmv — K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002):
+    * keep the k smallest hash values per group; the k-th smallest, as a
+    * fraction u of the hash range, estimates distinct ≈ (k−1)/u. The THIRD
+    * classic mergeable sketch next to HLL (q23) and CMS (q92) — and unlike
+    * HLL, fully oracle-replayable: [[graft.functions.StableHash]] is
+    * engine-identical, the k-th order statistic is exact, and the estimate
+    * is two IEEE divisions on deterministic inputs.
+    *
+    * Scale: the k-minimum heap is the bounded GroupedTopK operator, not a
+    * whole-group window sort — each map task reduces its slice to ≤ k
+    * hashes per group before the exchange, exactly how a production sketch
+    * merges partials. Groups smaller than k report their exact size.
+    */
+  def q142Kmv(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    val keys = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+    val hashed = keys.select(col("l_returnflag"), col("l_partkey"),
+      graft.functions.StableHash.intMix62(col("l_partkey")).as("h"))
+    val kmin = graft.plans.GroupedTopK.topKPerKey(hashed,
+        Seq("l_returnflag"), Seq("h" -> false, "l_partkey" -> false), k)
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_kept"))
+    val exact = keys.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    // u = h_k / 2⁶² — cast and divide-by-power-of-two are bit-exact in
+    // both engines; keep the (k−1)/u association order identical too
+    exact.join(kmin, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_distinct"), col("n_kept"),
+        col("h_k"),
+        when(col("n_kept") < k, col("exact_distinct").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("h_k").cast("double") / lit(4.611686018427387904e18)))
+          .as("kmv_estimate"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q142Sql: String = {
+    val h = graft.functions.StableHash.intMix62Sql("l_partkey")
+    s"""WITH keys AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+       |hashed AS (SELECT l_returnflag, $h AS h FROM keys),
+       |ranked AS (SELECT l_returnflag, h,
+       |                  row_number() OVER (PARTITION BY l_returnflag
+       |                                     ORDER BY h) AS rn
+       |           FROM hashed),
+       |kmin AS (SELECT l_returnflag, max(h) AS h_k, count(*) AS n_kept
+       |         FROM ranked WHERE rn <= 64 GROUP BY l_returnflag),
+       |exact AS (SELECT l_returnflag, count(*) AS exact_distinct
+       |          FROM keys GROUP BY l_returnflag)
+       |SELECT e.l_returnflag, e.exact_distinct, m.n_kept, m.h_k,
+       |       CASE WHEN m.n_kept < 64 THEN CAST(e.exact_distinct AS DOUBLE)
+       |            ELSE 63.0 / (CAST(m.h_k AS DOUBLE)
+       |                         / 4.611686018427387904e18) END
+       |         AS kmv_estimate
+       |FROM exact e JOIN kmin m USING (l_returnflag)
+       |ORDER BY e.l_returnflag""".stripMargin
+  }
+
   /** q92_cms — count-min sketch frequency estimation over event types: the
     * OTHER classic mergeable sketch next to q23's HLL (frequencies, not
     * cardinalities). The sketch is built distributed (one codegen'd

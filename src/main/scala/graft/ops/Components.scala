@@ -188,6 +188,71 @@ object Components {
   def q83DupGroups(spark: SparkSession, sfDir: String): DataFrame =
     dupGroups(Tables.documents(spark, sfDir))
 
+  /** q147_rep_retention — quality-aware duplicate retention: q83 labels
+    * the duplicate groups, this picks WHICH copy survives. Production
+    * dedup does not keep the min-id copy — it keeps the best one (longest,
+    * highest quality score, freshest crawl). The representative is the
+    * arg-max of (n_chars, doc_id) per component via a single `max_by` on a
+    * packed unique BIGINT key (n_chars·2³³ + doc_id — DuckDB's `arg_max`
+    * takes no composite key, so the tie-break is engineered into one
+    * ordering integer, the q118 pattern). One extra group-cardinality
+    * aggregate + broadcast join over the q83 labeling; the corpus text
+    * never shuffles.
+    */
+  def q147RepRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    val groups = dupGroups(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("component"), col("n_members"))
+    val labeled = groups.join(docs, Seq("doc_id"))
+    val reps = labeled.groupBy(col("component"))
+      .agg(max_by(col("doc_id"),
+        col("n_chars") * lit(8589934592L) + col("doc_id")).as("rep_doc"))
+    labeled.join(broadcast(reps), Seq("component"))
+      .select(col("doc_id"), col("component"), col("n_members"),
+        col("n_chars"), col("rep_doc"),
+        (col("doc_id") === col("rep_doc")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same recursive-CTE component fixpoint as q83, then DuckDB `arg_max`
+    * on the identical packed key. */
+  val q147Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT g1.doc_id AS d1, g2.doc_id AS d2
+      |  FROM grams g1 JOIN grams g2
+      |    ON g1.gram = g2.gram
+      |   AND g2.doc_id > g1.doc_id AND g2.doc_id <= g1.doc_id + 10
+      |  GROUP BY 1, 2),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |walk(id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.id),
+      |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY 1),
+      |sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1),
+      |labeled AS (
+      |  SELECT d.doc_id, c.component, s.n_members, d.n_chars
+      |  FROM documents d
+      |  JOIN comp c ON c.id = d.doc_id
+      |  JOIN sizes s USING (component)),
+      |reps AS (
+      |  SELECT component,
+      |         arg_max(doc_id, n_chars * 8589934592 + doc_id) AS rep_doc
+      |  FROM labeled GROUP BY component)
+      |SELECT l.doc_id, l.component, l.n_members, l.n_chars, r.rep_doc,
+      |       l.doc_id = r.rep_doc AS is_kept
+      |FROM labeled l JOIN reps r USING (component)
+      |ORDER BY l.doc_id""".stripMargin
+
   /** DuckDB computes the same fixpoint declaratively: the recursive CTE
     * enumerates every (node, reachable-node) pair and takes the min — the
     * engines agree because the min-reachable-label fixpoint is unique. */

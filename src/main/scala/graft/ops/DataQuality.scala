@@ -161,4 +161,83 @@ object DataQuality {
       |SELECT rule, n_checked, n_violations,
       |       n_violations = 0 AS passed
       |FROM rules ORDER BY rule""".stripMargin
+
+  /** q145_chisq — χ² contingency audit of language × source in the corpus:
+    * the categorical-association / domain-drift check a curation pipeline
+    * runs to see whether sources skew toward languages (independence would
+    * mean every source mirrors the global language mix). Emits one row per
+    * observed cell: observed count, margin totals, and the cell's χ²
+    * contribution, plus the decimal-summed total replicated on every row.
+    *
+    * Exactness: the textbook (o−e)²/e with e = r·c/N is irrational per
+    * cell; multiplying through by N gives the equal rational form
+    * (o·N − r·c)² / (r·c·N) with EXACT BIGINT numerator and denominator,
+    * leaving one IEEE division per cell. The total χ² cannot be a double
+    * sum (order-dependent); each contribution is rounded to DECIMAL(18,8)
+    * and the decimal sum is order-free. Overflow bound: (o·N − r·c)² needs
+    * o·N < 2³¹·√2 — holds to ~40k observed per cell at 50k rows; a
+    * 100 TB deployment lifts the same algebra to DECIMAL(38) intermediates.
+    *
+    * Scale: one cell-cardinality aggregate, two margin aggregates
+    * broadcast back onto the cells — the fact rows shuffle once.
+    */
+  def q145Chisq(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rows = docs.groupBy(col("lang")).agg(count(lit(1)).as("r_total"))
+    val cols = docs.groupBy(col("source")).agg(count(lit(1)).as("c_total"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val contrib =
+      (col("o") * col("n") - col("r_total") * col("c_total")) *
+        (col("o") * col("n") - col("r_total") * col("c_total"))
+    val scored = cells
+      .join(broadcast(rows), "lang")
+      .join(broadcast(cols), "source")
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("o"), col("r_total"),
+        col("c_total"), col("n"),
+        contrib.as("chi_num"),
+        (col("r_total") * col("c_total") * col("n")).as("chi_den"))
+      .withColumn("contrib",
+        col("chi_num").cast("double") / col("chi_den").cast("double"))
+    val total = scored
+      .agg(sum(col("contrib").cast("decimal(18,8)")).cast("double")
+        .as("chi2_total"))
+    scored.crossJoin(broadcast(total))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q145Sql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS o
+      |  FROM documents GROUP BY lang, source),
+      |r AS (SELECT lang, count(*) AS r_total FROM documents GROUP BY lang),
+      |c AS (SELECT source, count(*) AS c_total
+      |      FROM documents GROUP BY source),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT cells.lang, cells.source, cells.o, r.r_total, c.c_total, n.n,
+      |         (cells.o * n.n - r.r_total * c.c_total)
+      |           * (cells.o * n.n - r.r_total * c.c_total) AS chi_num,
+      |         r.r_total * c.c_total * n.n AS chi_den,
+      |         CAST((cells.o * n.n - r.r_total * c.c_total)
+      |              * (cells.o * n.n - r.r_total * c.c_total) AS DOUBLE)
+      |           / CAST(r.r_total * c.c_total * n.n AS DOUBLE) AS contrib
+      |  FROM cells
+      |  JOIN r ON cells.lang = r.lang
+      |  JOIN c ON cells.source = c.source
+      |  CROSS JOIN n),
+      |tot AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(18,8))) AS DOUBLE)
+      |               AS chi2_total
+      |        FROM scored)
+      |SELECT s.lang, s.source, s.o,
+      |       CAST(s.r_total AS BIGINT) AS r_total,
+      |       CAST(s.c_total AS BIGINT) AS c_total,
+      |       CAST(s.n AS BIGINT) AS n,
+      |       CAST(s.chi_num AS BIGINT) AS chi_num,
+      |       CAST(s.chi_den AS BIGINT) AS chi_den,
+      |       s.contrib, t.chi2_total
+      |FROM scored s CROSS JOIN tot t
+      |ORDER BY s.lang, s.source""".stripMargin
 }

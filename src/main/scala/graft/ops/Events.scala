@@ -498,4 +498,47 @@ object Events {
       |SELECT path, count(*) AS n_users
       |FROM paths GROUP BY path
       |ORDER BY n_users DESC, path""".stripMargin
+
+  /** q146_decay — recency-weighted activity scoring: each event counts
+    * 2^(−age/7d) toward its user's score, halving per week of age — the
+    * exponential-decay engagement metric, in EXACTLY replayable form.
+    * Transcendental decay (exp(−λ·age)) cannot cross-engine hash-match;
+    * half-life decay at integer week granularity is a power-of-two
+    * integer division — weight = 2²⁰ >> (age_days div 7) micro-units —
+    * so scores are exact BIGINT sums in any order. The anchor is the
+    * fixture's known end date (production passes "now"); ratios of the
+    * micro-unit score to a plain count stay integer-exact.
+    *
+    * Scale: pure map arithmetic + one user-cardinality hash aggregate —
+    * the decay weight needs no window, no join, no state.
+    */
+  def q146Decay(spark: SparkSession, sfDir: String): DataFrame = {
+    val anchor = lit("2024-01-31").cast("date")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        datediff(anchor, col("ts").cast("date")).as("age_days"))
+      .select(col("user_id"), col("event_type"),
+        // functions.shiftright only takes a literal shift — SQL form
+        // accepts the computed one; `div` keeps the age integral
+        expr("shiftright(1048576L, int(age_days div 7))").as("w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w")).as("decayed_micro"),
+        sum(when(col("event_type") === "purchase", col("w"))
+          .otherwise(lit(0L))).as("purchase_micro"))
+      .orderBy(col("user_id"))
+  }
+
+  val q146Sql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_type,
+      |         1048576::BIGINT >> (date_diff('day', CAST(ts AS DATE),
+      |                                       DATE '2024-01-31') // 7) AS w
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(w) AS BIGINT) AS decayed_micro,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN w
+      |                     ELSE 0 END) AS BIGINT) AS purchase_micro
+      |FROM w GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 }

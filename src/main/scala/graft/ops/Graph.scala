@@ -86,6 +86,189 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** q139_triangles — per-node triangle counts over the part co-purchase
+    * graph (parts linked when they appear in the same order). Triangle
+    * enumeration is the classic degree-ordered wedge join (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+    * WWW'11): orient every edge from its lower-(degree, id) endpoint to the
+    * higher, pair the out-edges of each source (out-degree after
+    * orientation is O(√m), so wedges are O(m^1.5) instead of Σ deg² — the
+    * hub node that would otherwise generate deg² ≈ 10¹⁰ wedges at 100 TB
+    * generates ≈ m), and close each wedge with one hash join back against
+    * the oriented edge list. Every triangle is produced exactly once.
+    *
+    * The orientation key packs (degree, node) into one BIGINT
+    * (`deg·2³² + id`) so the same total order drives both the edge
+    * direction and the wedge-pair dedup in both engines. Counts are
+    * integers end-to-end — the oracle replays them exactly.
+    */
+  def q139Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    // No (orderkey, partkey) pre-distinct: the pair-level distinct below
+    // already collapses repeated lines, so the extra exchange would only
+    // dedup what the next shuffle dedups anyway.
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    triangleCounts(e).withColumnRenamed("node", "part")
+      .orderBy(col("part"))
+  }
+
+  /** Per-node triangle counts of the undirected simple graph `e`
+    * (columns `pa` < `pb`, deduplicated). Returns (node, degree, n_tri)
+    * for every edge-touched node. */
+  def triangleCounts(e: DataFrame): DataFrame = {
+    val deg = e.select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // oriented edge list, consumed three times (both wedge sides + the
+    // closing probe) — materialize once, or the wedge join re-runs the
+    // whole edge build per consumer
+    val o = e
+      .join(deg.select(col("node").as("pa"), col("degree").as("da")), "pa")
+      .join(deg.select(col("node").as("pb"), col("degree").as("db")), "pb")
+      .select(
+        expr("da * 4294967296L + pa").as("ka"),
+        expr("db * 4294967296L + pb").as("kb"),
+        col("pa"), col("pb"))
+      .select(
+        when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("src"),
+        when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("dst"))
+      .localCheckpoint()
+    // Adjacency-intersection closing instead of a wedge-stream join: a
+    // triangle {u,v,w} (orientation order u→v, u→w, v→w) is found at edge
+    // (u,v) as w ∈ N⁺(u) ∩ N⁺(v). Materializing the O(m^1.5) wedge stream
+    // (35M rows at sf0.1) and joining it back was measured at 10 s; the
+    // per-edge codegen'd `array_intersect` against broadcast out-adjacency
+    // arrays never materializes wedges at all, and its intermediate is the
+    // triangle list itself (~1M rows). Out-arrays are orientation-bounded
+    // at O(√m) entries, so the broadcast is ~m longs total; a graph whose
+    // adjacency outgrows broadcast falls back to the wedge self-join with
+    // a SHUFFLE_HASH closing probe — either way, no 35M-row sort.
+    // NOT checkpointed despite the two broadcast consumers: serializing
+    // the array column costs more than re-running the aggregate over the
+    // already-checkpointed narrow edge frame (measured 5.1 s → 6.2 s).
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    val tri = o.select(col("src").as("u"), col("dst").as("v"))
+      .join(broadcast(adj.select(col("src").as("u"), col("nbrs").as("nu"))),
+        Seq("u"))
+      .join(broadcast(adj.select(col("src").as("v"), col("nbrs").as("nv"))),
+        Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  val q139Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |      FROM items a JOIN items b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, count(*) AS degree FROM (
+      |          SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+      |        GROUP BY node),
+      |ork AS (SELECT e.pa, e.pb,
+      |               da.degree * 4294967296 + e.pa AS ka,
+      |               db.degree * 4294967296 + e.pb AS kb
+      |        FROM e JOIN deg da ON da.node = e.pa
+      |               JOIN deg db ON db.node = e.pb),
+      |o AS (SELECT CASE WHEN ka < kb THEN pa ELSE pb END AS src,
+      |             CASE WHEN ka < kb THEN pb ELSE pa END AS dst,
+      |             greatest(ka, kb) AS kd
+      |      FROM ork),
+      |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |        FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.kd < e2.kd
+      |        JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |pern AS (SELECT node, count(*) AS n_tri FROM (
+      |           SELECT a AS node FROM tri
+      |           UNION ALL SELECT b FROM tri
+      |           UNION ALL SELECT c FROM tri)
+      |         GROUP BY node)
+      |SELECT d.node AS part, d.degree,
+      |       coalesce(p.n_tri, 0) AS n_tri
+      |FROM deg d LEFT JOIN pern p ON p.node = d.node
+      |ORDER BY part""".stripMargin
+
+  /** q140_link_predict — common-neighbor link prediction over the
+    * repeat-co-purchase graph (part pairs bought together in ≥ 2 distinct
+    * orders — the support filter is what makes open-neighborhood
+    * enumeration tractable: Σ C(deg,2) on the support-filtered graph is
+    * thousands of wedges where the raw graph's would be millions). For
+    * every non-adjacent pair with ≥ 1 common neighbor: the common-neighbor
+    * count, both degrees, and the neighborhood Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — integer counts and ONE IEEE division, so
+    * the oracle replays it bit-exactly.
+    */
+  def q140LinkPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sup = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("pa"), col("pb"))
+    commonNeighborPairs(sup)
+      .orderBy(desc("common"), col("a"), col("b"))
+  }
+
+  /** Common-neighbor statistics for every NON-adjacent pair of the sparse
+    * undirected graph `sup` (columns `pa` < `pb`): count, both degrees,
+    * neighborhood Jaccard. */
+  def commonNeighborPairs(supRaw: DataFrame): DataFrame = {
+    val sup = supRaw
+      .localCheckpoint() // adjacency + degrees + the anti-join all read it
+    val adj = sup.select(col("pa").as("node"), col("pb").as("nbr"))
+      .unionAll(sup.select(col("pb").as("node"), col("pa").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val common = adj.select(col("node"), col("nbr").as("a"))
+      .join(adj.select(col("node"), col("nbr").as("b")), Seq("node"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sup, common("a") === sup("pa") && common("b") === sup("pb"),
+        "left_anti")
+      .join(deg.select(col("node").as("a"), col("degree").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        (col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(desc("common"), col("a"), col("b"))
+  }
+
+  val q140Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sup AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |        FROM items a JOIN items b
+      |          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |        GROUP BY 1, 2 HAVING count(*) >= 2),
+      |adj AS (SELECT pa AS node, pb AS nbr FROM sup
+      |        UNION ALL SELECT pb, pa FROM sup),
+      |deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY node),
+      |common AS (SELECT x.nbr AS a, y.nbr AS b, count(*) AS common
+      |           FROM adj x JOIN adj y
+      |             ON x.node = y.node AND x.nbr < y.nbr
+      |           GROUP BY 1, 2),
+      |nonedge AS (SELECT c.* FROM common c
+      |            ANTI JOIN sup s ON c.a = s.pa AND c.b = s.pb)
+      |SELECT n.a, n.b, n.common, da.degree AS deg_a, db.degree AS deg_b,
+      |       CAST(n.common AS DOUBLE) /
+      |         CAST(da.degree + db.degree - n.common AS DOUBLE) AS jaccard
+      |FROM nonedge n
+      |JOIN deg da ON da.node = n.a
+      |JOIN deg db ON db.node = n.b
+      |ORDER BY common DESC, a, b""".stripMargin
+
   val q114Sql: String =
     """WITH pairs AS (
       |  SELECT DISTINCT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode

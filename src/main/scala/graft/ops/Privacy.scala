@@ -77,6 +77,67 @@ object Privacy {
         redact(col("text")).as("redacted"))
       .orderBy(col("doc_id"))
 
+  /** q141_kanon — k-anonymity enforcement, the release gate that follows
+    * redaction in a privacy pipeline: a row is releasable only if its
+    * quasi-identifier combination (here nation × market segment × account
+    * balance sign) is shared by ≥ k individuals. Rows in smaller groups get
+    * the most specific identifier GENERALIZED (segment → '*') and the
+    * group is re-tested at the coarser level; still-small groups are
+    * suppressed entirely.
+    *
+    * Scale: two hash aggregates on low-cardinality quasi-identifier keys
+    * (map-side combinable) and one broadcast-size join back — the fact
+    * rows are never shuffled more than once, and nothing about the shape
+    * changes at 100 TB because group cardinality is the product of QI
+    * domains, not of rows.
+    */
+  def q141Kanon(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_acctbal") >= 0, lit("pos")).otherwise(lit("neg"))
+          .as("bal_sign"))
+    val fine = c.groupBy(col("c_nationkey"), col("c_mktsegment"),
+      col("bal_sign")).agg(count(lit(1)).as("n_fine"))
+    val gen = c
+      .join(fine, Seq("c_nationkey", "c_mktsegment", "bal_sign"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        when(col("n_fine") >= k, col("c_mktsegment")).otherwise(lit("*"))
+          .as("segment"),
+        col("bal_sign"))
+    val coarse = gen.groupBy(col("c_nationkey"), col("segment"),
+      col("bal_sign")).agg(count(lit(1)).as("n_group"))
+    gen.join(coarse, Seq("c_nationkey", "segment", "bal_sign"))
+      .filter(col("n_group") >= k)
+      .select(col("c_custkey"), col("c_nationkey"), col("segment"),
+        col("bal_sign"), col("n_group"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q141Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |         CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bal_sign
+      |  FROM customer),
+      |fine AS (SELECT c_nationkey, c_mktsegment, bal_sign,
+      |                count(*) AS n_fine
+      |         FROM c GROUP BY 1, 2, 3),
+      |gen AS (SELECT c.c_custkey, c.c_nationkey,
+      |               CASE WHEN f.n_fine >= 5 THEN c.c_mktsegment
+      |                    ELSE '*' END AS segment,
+      |               c.bal_sign
+      |        FROM c JOIN fine f
+      |          ON c.c_nationkey = f.c_nationkey
+      |         AND c.c_mktsegment = f.c_mktsegment
+      |         AND c.bal_sign = f.bal_sign),
+      |coarse AS (SELECT c_nationkey, segment, bal_sign, count(*) AS n_group
+      |           FROM gen GROUP BY 1, 2, 3)
+      |SELECT g.c_custkey, g.c_nationkey, g.segment, g.bal_sign, n.n_group
+      |FROM gen g JOIN coarse n
+      |  ON g.c_nationkey = n.c_nationkey AND g.segment = n.segment
+      | AND g.bal_sign = n.bal_sign
+      |WHERE n.n_group >= 5
+      |ORDER BY g.c_custkey""".stripMargin
+
   val q69Sql: String = {
     val Seq((_, email, _), (_, id, _), (_, ip, _)) = piiPatterns
     // DuckDB regexp_replace needs the explicit 'g' flag (Spark replaces

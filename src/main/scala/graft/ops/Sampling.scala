@@ -163,4 +163,59 @@ object Sampling {
       |FROM assigned
       |GROUP BY split
       |ORDER BY split""".stripMargin
+
+  /** Continuous-weight Bernoulli retention: keep a row iff its id hash (per
+    * mille) falls below a ROW-LEVEL weight column — importance resampling
+    * by a quality score, where [[stratifiedSample]]'s per-stratum CASE
+    * rates become an arbitrary expression. Same map-side, retry-stable
+    * machinery; MINSTD multiplier 48271, independent of the other three. */
+  def weightedSample(df: DataFrame, idCol: String,
+      weightPerMille: Column): DataFrame =
+    df.filter(pmod(idHash(col(idCol), 48271L, 7L), lit(1000)) < weightPerMille)
+
+  /** q144_weighted_sample — quality-weighted corpus resampling: longer
+    * documents are likelier kept (w‰ ramps with n_chars, clamped to
+    * [50, 950]), audited per lang as expected-vs-actual retention. The
+    * expected kept count is Σw/1000 — exact integer arithmetic — so the
+    * audit ratio is one IEEE division and the oracle replays everything. */
+  def q144WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("w_permille",
+        least(lit(950L), greatest(lit(50L), (col("n_chars") - 60) * 10)))
+    val kept = weightedSample(docs, "doc_id", col("w_permille"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"), sum(col("w_permille")).as("sum_w"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("sum_w"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        (coalesce(col("n_kept"), lit(0L)).cast("double") * 1000.0 /
+          col("sum_w").cast("double")).as("kept_vs_expected"))
+      .orderBy(col("lang"))
+  }
+
+  val q144Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         least(950, greatest(50, (n_chars - 60) * 10)) AS w_permille
+      |  FROM documents),
+      |kept AS (
+      |  SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
+      |  FROM w
+      |  WHERE (doc_id * 48271 + 7) % 1000000007 % 1000 < w_permille
+      |  GROUP BY lang),
+      |tot AS (
+      |  SELECT lang, count(*) AS n_total, sum(w_permille) AS sum_w
+      |  FROM w GROUP BY lang)
+      |SELECT t.lang, t.n_total,
+      |       coalesce(k.n_kept, 0) AS n_kept,
+      |       CAST(t.sum_w AS BIGINT) AS sum_w,
+      |       CAST(coalesce(k.kept_chars, 0) AS BIGINT) AS kept_chars,
+      |       CAST(coalesce(k.n_kept, 0) AS DOUBLE) * 1000.0
+      |         / CAST(t.sum_w AS DOUBLE) AS kept_vs_expected
+      |FROM tot t LEFT JOIN kept k ON k.lang = t.lang
+      |ORDER BY t.lang""".stripMargin
 }

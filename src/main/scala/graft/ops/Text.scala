@@ -360,6 +360,78 @@ object Text {
       |         AS top_share
       |FROM per_doc
       |ORDER BY doc_id""".stripMargin
+  /** q143_entropy — per-document Shannon token entropy, the
+    * information-density quality signal (low-entropy docs are boilerplate /
+    * keyword stuffing; Gopher and its descendants gate on it next to the
+    * q128 diversity ratios). H = log2(n) − (Σ c·log2(c))/n over token
+    * counts c.
+    *
+    * Cross-engine determinism: a double Σ c·log2(c) would depend on
+    * summation order, which no engine pins. Each TERM is instead rounded
+    * to DECIMAL(18,6) — the same double, rounded at the same digit, in
+    * both engines — and the decimal sum is exact integer arithmetic in any
+    * order. The residual risk (libm log2 differing by 1 ulp exactly at a
+    * rounding boundary) is checked empirically by the oracle gate: counts
+    * are small integers, so the term domain is tiny and fixed.
+    *
+    * Scale: one vocabulary-bounded aggregate after a map-side token
+    * explode — the same two-level shape as q128; nothing widens with
+    * corpus size except the (doc, token) shuffle, which partial
+    * aggregation collapses.
+    */
+  def q143Entropy(spark: SparkSession, sfDir: String): DataFrame =
+    tokenEntropy(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  /** Per-document token entropy core of q143 over any (doc_id, text)
+    * frame: exact token counts, the order-free decimal Σ c·log2(c), and
+    * the entropy + band derived from them. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum((col("cnt").cast("double") * log2(col("cnt")))
+          .cast("decimal(18,6)")).as("sum_clog2_dec"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("sum_clog2_dec").cast("double").as("sum_clog2"),
+        (log2(col("n_tokens")) -
+          col("sum_clog2_dec").cast("double") /
+            col("n_tokens").cast("double")).as("entropy"))
+      .withColumn("band",
+        when(col("entropy") >= 3.5, lit("high"))
+          .when(col("entropy") >= 2.5, lit("mid"))
+          .otherwise(lit("low")))
+
+  val q143Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS cnt
+      |  FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+      |per_doc AS (
+      |  SELECT doc_id,
+      |         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |         sum(CAST(CAST(cnt AS DOUBLE) * log2(cnt)
+      |                  AS DECIMAL(18,6))) AS sum_clog2_dec
+      |  FROM tf GROUP BY doc_id),
+      |scored AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum_clog2_dec AS DOUBLE) AS sum_clog2,
+      |         log2(n_tokens) - CAST(sum_clog2_dec AS DOUBLE)
+      |                          / CAST(n_tokens AS DOUBLE) AS entropy
+      |  FROM per_doc)
+      |SELECT doc_id, n_tokens, sum_clog2, entropy,
+      |       CASE WHEN entropy >= 3.5 THEN 'high'
+      |            WHEN entropy >= 2.5 THEN 'mid'
+      |            ELSE 'low' END AS band
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
   /** q137_inverted_index — posting-list construction, the retrieval-side
     * twin of q56's TF-IDF: per (term, doc) the ordered position list and
     * term frequency, rolled up per term with document frequency, corpus

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Aggregates, Graph, Privacy, Sampling, Text}
+
+/** Round-5 additions: triangle counting, common-neighbor link prediction,
+  * k-anonymity, the KMV distinct sketch, token entropy, and weighted
+  * sampling. Hand-computed fixtures where the algebra is small enough;
+  * independent brute-force twins where it isn't. */
+class SketchGraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+  private val sf = SparkSuite.sf
+  import spark.implicits._
+
+  test("triangleCounts: K4 — every node in 3 triangles") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("pa", "pb")
+    val out = Graph.triangleCounts(e).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L),
+      (4L, 3L, 3L)))
+  }
+
+  test("triangleCounts: a path has no triangles") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("pa", "pb")
+    val out = Graph.triangleCounts(e)
+    assert(out.agg(sum("n_tri")).head.getLong(0) === 0L)
+    assert(out.count() === 4L)
+  }
+
+  test("q139 equals the unoriented three-way-join count on sf0.001") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select("pa", "pb").distinct().localCheckpoint()
+    // brute force: ordered triples (a<b<c by id) with all three edges
+    val brute = e.select(col("pa").as("a"), col("pb").as("b"))
+      .join(e.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
+      .join(e.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"))
+      .count()
+    val mine = Graph.q139Triangles(spark, sf)
+      .agg(sum("n_tri")).head.getLong(0)
+    assert(mine === brute * 3) // each triangle attributed to its 3 nodes
+    assert(brute > 0)
+  }
+
+  test("commonNeighborPairs: square — diagonals share both neighbors") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("pa", "pb")
+    val out = Graph.commonNeighborPairs(e).orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq((1L, 3L, 2L, 2L, 2L, 1.0),
+      (2L, 4L, 2L, 2L, 2L, 1.0)))
+  }
+
+  test("q141 releases only groups of size >= 5, never invents rows") {
+    val out = Privacy.q141Kanon(spark, sf)
+    assert(out.agg(min("n_group")).head.getLong(0) >= 5L)
+    val released = out.count()
+    val total = Tables.customer(spark, sf).count()
+    assert(released > 0 && released <= total)
+    // generalized rows carry the wildcard segment, and every concrete
+    // segment group independently satisfies k at the coarse level
+    val concrete = out.filter(col("segment") =!= "*")
+      .groupBy("c_nationkey", "segment", "bal_sign").count()
+    assert(concrete.filter(col("count") < 5).count() === 0L)
+  }
+
+  test("q142 KMV: kept size and estimate sanity on sf0.001") {
+    val rows = Aggregates.q142Kmv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1); val kept = r.getLong(2)
+      val est = r.getDouble(4)
+      assert(kept === math.min(64L, exact))
+      if (kept < 64) assert(est === exact.toDouble)
+      else assert(math.abs(est - exact) / exact < 0.5,
+        s"KMV estimate $est too far from exact $exact")
+    }
+  }
+
+  test("tokenEntropy: hand-computed exact cases") {
+    val docs = Seq((1L, "a a b b"), (2L, "a b c d"), (3L, "x x x"))
+      .toDF("doc_id", "text")
+    val out = Text.tokenEntropy(docs).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "entropy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out(0) === ((1L, 4L, 1.0))) // 2 symbols, uniform — exact
+    assert(out(1) === ((2L, 4L, 2.0))) // 4 symbols, uniform — exact
+    // constant doc: exact answer is 0, but 3·log2(3) rounds up at the 6th
+    // decimal (the documented determinism trade), leaving ≈ −1.7e-7
+    assert(out(2)._1 === 3L && out(2)._2 === 3L)
+    assert(math.abs(out(2)._3) < 1e-5)
+  }
+
+  test("q145 chi-square: margins and total reconcile") {
+    val out = ops.DataQuality.q145Chisq(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(6) >= 0L) // chi_num is a square
+      assert(r.getLong(7) > 0L)
+      val contrib = r.getDouble(8)
+      assert(contrib === r.getLong(6).toDouble / r.getLong(7).toDouble)
+    }
+    // the replicated total equals the decimal-rounded sum of contributions
+    val total = out.head.getDouble(9)
+    val manual = out.map(r => BigDecimal(r.getDouble(8))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(math.abs(total - manual) < 1e-9)
+  }
+
+  test("q146 decay weights stay inside the half-life envelope") {
+    val out = ops.Events.q146Decay(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1); val dec = r.getLong(2); val pur = r.getLong(3)
+      assert(dec <= n * 1048576L)        // nothing newer than the anchor
+      assert(dec >= n * 1048576L / 32L)  // fixture spans < 5 half-lives
+      assert(pur >= 0L && pur <= dec)
+    }
+  }
+
+  test("q147 keeps exactly one representative per group, the longest") {
+    val out = ops.Components.q147RepRetention(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val byComp = out.groupBy(_._2)
+    byComp.foreach { case (_, members) =>
+      assert(members.count(_._5) === 1)
+      val rep = members.find(_._5).get
+      // representative maximizes (n_chars, doc_id)
+      assert(members.forall(m =>
+        Ordering.Tuple2[Long, Long].compare((m._3, m._1),
+          (rep._3, rep._1)) <= 0))
+      assert(members.forall(_._4 === rep._1)) // rep_doc consistent
+    }
+  }
+
+  test("q144 weighted sampling is deterministic and weight-monotone") {
+    val a = Sampling.q144WeightedSample(spark, sf).collect()
+    val b = Sampling.q144WeightedSample(spark, sf).collect()
+    assert(a.toSeq === b.toSeq) // retry-stability
+    a.foreach { r =>
+      val total = r.getLong(1); val kept = r.getLong(2)
+      assert(kept <= total)
+      val ratio = r.getDouble(5)
+      assert(ratio > 0.2 && ratio < 2.0,
+        s"kept_vs_expected $ratio outside sanity band")
+    }
+  }
+}
