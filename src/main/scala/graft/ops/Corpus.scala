@@ -96,4 +96,77 @@ object Corpus {
        |WHERE n_tokens >= $MinTokens AND quality_score >= $MinQuality
        |ORDER BY keep_id""".stripMargin
   }
+
+  /** q149_source_overlap — pairwise 3-gram Jaccard between SOURCES: the
+    * corpus-composition audit that catches mirror sites, cross-posted
+    * content, and scraper overlap before dedup ever runs doc-level.
+    * Distinct (source, gram) sets → self-join on gram → exact
+    * intersection counts; Jaccard is one IEEE division.
+    *
+    * Scale: the join key is the gram, so a gram shared by s sources
+    * expands to ≤ s² pair rows — bounded by the SOURCE count squared,
+    * never the corpus. Grams stay strings here because the oracle needs
+    * exact identity; a production run would hash them first
+    * ([[Dedup.hashedGrams]]) and shuffle 8-byte keys instead. The gram
+    * build is the [[Dedup.wordGrams]] zero-HOF slice pattern keyed by
+    * source directly, so document ids never enter the shuffle.
+    */
+  def q149SourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val m = greatest(size(t) - 2, lit(0))
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(arrays_zip(
+          slice(t, lit(1), m).as("a"),
+          slice(t, lit(2), m).as("b"),
+          slice(t, lit(3), m).as("c"))).as("z"))
+      .select(col("source"),
+        concat_ws(" ", col("z").getField("a"), col("z").getField("b"),
+          col("z").getField("c")).as("gram"))
+      .distinct()
+      .localCheckpoint() // sizes + both join sides read it
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val inter = grams.select(col("source").as("src_a"), col("gram"))
+      .join(grams.select(col("source").as("src_b"), col("gram")), Seq("gram"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n_grams").as("grams_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_grams").as("grams_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        col("n_inter"),
+        (col("grams_a") + col("grams_b") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("grams_a") + col("grams_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q149Sql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT source,
+      |         unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT source, count(*) AS n_grams FROM grams GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+      |  FROM grams a JOIN grams b
+      |    ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.src_a, i.src_b, sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+      |       i.n_inter,
+      |       sa.n_grams + sb.n_grams - i.n_inter AS n_union,
+      |       CAST(i.n_inter AS DOUBLE)
+      |         / CAST(sa.n_grams + sb.n_grams - i.n_inter AS DOUBLE)
+      |         AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.source = i.src_a
+      |JOIN sizes sb ON sb.source = i.src_b
+      |ORDER BY i.src_a, i.src_b""".stripMargin
 }

@@ -201,6 +201,9 @@ object DataQuality {
         (col("r_total") * col("c_total") * col("n")).as("chi_den"))
       .withColumn("contrib",
         col("chi_num").cast("double") / col("chi_den").cast("double"))
+      // cell-cardinality rows, two consumers (total + output) — without
+      // this the corpus is scanned twice more for the total
+      .localCheckpoint()
     val total = scored
       .agg(sum(col("contrib").cast("decimal(18,8)")).cast("double")
         .as("chi2_total"))

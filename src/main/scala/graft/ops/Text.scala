@@ -432,6 +432,63 @@ object Text {
       |FROM scored
       |ORDER BY doc_id""".stripMargin
 
+  /** q148_lm_score — unigram language-model scoring: each document's
+    * cross-entropy (bits/token) under the corpus unigram distribution,
+    * the cheap KenLM-shaped fluency/quality prior curation pipelines
+    * attach before an expensive model ever sees the text. A doc of common
+    * words scores low (predictable); rare-word soup scores high.
+    * H(doc) = −(1/n)·Σ_pos log2(c_tok/N) = log2(N) − (Σ_tok cnt·log2(c_tok))/n.
+    *
+    * Same order-free determinism as q143: each cnt·log2(c_corpus) term is
+    * rounded to DECIMAL(18,6) before the sum. Scale: the vocabulary frame
+    * broadcasts into the per-doc term frame; two vocabulary-bounded
+    * aggregates, the corpus shuffles once as (doc, token) counts.
+    */
+  def q148LmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_corpus"))
+    val total = vocab.agg(sum(col("c_corpus")).as("n_corpus"))
+    toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(vocab), "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum((col("cnt").cast("double") * log2(col("c_corpus")))
+          .cast("decimal(18,6)")).as("sum_clogc_dec"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        col("sum_clogc_dec").cast("double").as("sum_clogc"),
+        (log2(col("n_corpus")) -
+          col("sum_clogc_dec").cast("double") /
+            col("n_tokens").cast("double")).as("bits_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q148Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |vocab AS (SELECT tok, count(*) AS c_corpus FROM clean GROUP BY tok),
+      |total AS (SELECT CAST(sum(c_corpus) AS BIGINT) AS n_corpus FROM vocab),
+      |tf AS (SELECT doc_id, tok, count(*) AS cnt
+      |       FROM clean GROUP BY doc_id, tok),
+      |per_doc AS (
+      |  SELECT tf.doc_id,
+      |         CAST(sum(tf.cnt) AS BIGINT) AS n_tokens,
+      |         sum(CAST(CAST(tf.cnt AS DOUBLE) * log2(v.c_corpus)
+      |                  AS DECIMAL(18,6))) AS sum_clogc_dec
+      |  FROM tf JOIN vocab v ON tf.tok = v.tok
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, n_tokens,
+      |       CAST(sum_clogc_dec AS DOUBLE) AS sum_clogc,
+      |       log2(t.n_corpus) - CAST(sum_clogc_dec AS DOUBLE)
+      |                          / CAST(n_tokens AS DOUBLE)
+      |         AS bits_per_token
+      |FROM per_doc CROSS JOIN total t
+      |ORDER BY doc_id""".stripMargin
+
   /** q137_inverted_index — posting-list construction, the retrieval-side
     * twin of q56's TF-IDF: per (term, doc) the ordered position list and
     * term frequency, rolled up per term with document frequency, corpus

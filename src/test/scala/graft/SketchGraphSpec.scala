@@ -141,6 +141,35 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q148 LM score stays inside [0, log2(corpus)] bits per token") {
+    val out = ops.Text.q148LmScore(spark, sf).collect()
+    assert(out.length === 500)
+    val nCorpus = out.map(_.getLong(1)).sum // Σ doc tokens = corpus tokens
+    val maxBits = math.log(nCorpus.toDouble) / math.log(2.0)
+    out.foreach { r =>
+      val bits = r.getDouble(3)
+      // rarest-possible token (count 1) contributes log2(N); commonest
+      // cannot push below 0 (+ the documented 1e-6-scale decimal rounding)
+      assert(bits > -1e-4 && bits <= maxBits + 1e-4, s"bits=$bits")
+    }
+  }
+
+  test("q149 source overlap: intersection bounded by set sizes") {
+    val out = ops.Corpus.q149SourceOverlap(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ga, gb, inter, union) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(inter >= 1L && inter <= math.min(ga, gb))
+      assert(union === ga + gb - inter)
+      assert(r.getDouble(6) === inter.toDouble / union.toDouble)
+    }
+    // pairs are canonically ordered and unique
+    val pairs = out.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.distinct.length === pairs.length)
+  }
+
   test("q144 weighted sampling is deterministic and weight-monotone") {
     val a = Sampling.q144WeightedSample(spark, sf).collect()
     val b = Sampling.q144WeightedSample(spark, sf).collect()
