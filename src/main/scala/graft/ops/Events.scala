@@ -541,4 +541,54 @@ object Events {
       |                     ELSE 0 END) AS BIGINT) AS purchase_micro
       |FROM w GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** q150_streaks — longest consecutive-active-day run per user: the
+    * gaps-and-islands pattern (island key = day − row_number, constant
+    * exactly while days are consecutive), the engagement metric behind
+    * every "7-day streak" product surface. All integer day arithmetic.
+    *
+    * Scale: the window partitions by user (bounded rows per partition —
+    * user-day grid, ≤ days-in-range per user), then two user-cardinality
+    * aggregates. No global window, no self-join.
+    */
+  def q150Streaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), max(col("day")).as("island_end"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"),
+        max_by(col("len"), col("island_end") * lit(1024L) + col("len"))
+          .as("latest_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val q150Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |           AS island, day
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, island, count(*) AS len, max(day) AS island_end
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id, count(*) AS n_streaks,
+      |       max(len) AS longest_streak,
+      |       CAST(sum(len) AS BIGINT) AS active_days,
+      |       arg_max(len, island_end * 1024 + len) AS latest_streak
+      |FROM streaks GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 }

@@ -85,4 +85,97 @@ object Tfidf {
       |  FROM scored)
       |SELECT doc_id, rnk, tok, tf, df, score
       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** q151_bm25 — BM25 "more-like-this" retrieval: score every document
+    * against the terms of a fixed query document and return the top 50.
+    * This is the ranking function production search (Lucene/Elasticsearch)
+    * actually runs on top of a q137-style inverted index.
+    *
+    * Cross-engine exactness, term by term:
+    *  - idf = log2((N−df+0.5)/(df+0.5)), doubled through to integers as
+    *    log2(2N−2df+1) − log2(2df+1) and rounded once to DECIMAL(18,6)
+    *    (the q143 pattern; log2 replaces ln — a constant 1/ln2 scaling
+    *    that preserves BM25's ranking; classic negative idf for
+    *    df > N/2 terms is kept, not clamped).
+    *  - The tf saturation (k1=1.2, b=0.75) clears its fractions by
+    *    multiplying through by 10·TL: tf_norm = 22·tf·TL /
+    *    (10·TL·tf + 3·TL + 9·dl·N) — exact BIGINT numerator and
+    *    denominator, ONE IEEE division.
+    *  - Per-term scores round to DECIMAL(18,6) so the per-doc sum is
+    *    order-free.
+    *
+    * Scale: query terms and doc-frequency broadcast into the tf frame
+    * (vocabulary-bounded); doc lengths broadcast (doc-cardinality,
+    * id+int); the corpus shuffles once into (doc, term) counts; the
+    * global top-50 is TakeOrderedAndProject. */
+  def q151Bm25(spark: SparkSession, sfDir: String,
+      queryDoc: Long = 7L, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
+    val qterms = tf.filter(col("doc_id") === queryDoc)
+      .select(col("tok")).distinct()
+    val scored = tf.filter(col("doc_id") =!= queryDoc)
+      .join(broadcast(qterms), "tok")
+      .join(broadcast(dfreq), "tok")
+      .join(broadcast(dl), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_dec",
+        (log2((lit(2) * col("n_docs") - lit(2) * col("df") + 1)
+          .cast("double")) -
+          log2((lit(2) * col("df") + 1).cast("double")))
+          .cast("decimal(18,6)"))
+      .withColumn("tf_norm",
+        (lit(22) * col("tf") * col("tl")).cast("double") /
+          (lit(10) * col("tl") * col("tf") + lit(3) * col("tl") +
+            lit(9) * col("dl") * col("n_docs")).cast("double"))
+      .withColumn("term_score",
+        (col("idf_dec").cast("double") * col("tf_norm"))
+          .cast("decimal(18,6)"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_match"), max(col("dl")).as("dl"),
+        sum(col("term_score")).cast("double").as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  val q151Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf
+      |       FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, count(*) AS dl
+      |       FROM toks WHERE tok <> '' GROUP BY doc_id),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(dl) AS BIGINT) AS tl FROM dl),
+      |qterms AS (SELECT DISTINCT tok FROM tf WHERE doc_id = 7),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         CAST(CAST(22 * tf.tf * s.tl AS DOUBLE) /
+      |              CAST(10 * s.tl * tf.tf + 3 * s.tl
+      |                   + 9 * dl.dl * s.n_docs AS DOUBLE)
+      |              * CAST(CAST(log2(CAST(2 * s.n_docs - 2 * f.df + 1
+      |                                     AS DOUBLE))
+      |                          - log2(CAST(2 * f.df + 1 AS DOUBLE))
+      |                          AS DECIMAL(18,6)) AS DOUBLE)
+      |              AS DECIMAL(18,6)) AS term_score,
+      |         dl.dl
+      |  FROM tf
+      |  JOIN qterms q ON tf.tok = q.tok
+      |  JOIN dfreq f ON tf.tok = f.tok
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats s
+      |  WHERE tf.doc_id <> 7)
+      |SELECT doc_id, count(*) AS n_match, max(dl) AS dl,
+      |       CAST(sum(term_score) AS DOUBLE) AS score
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 50""".stripMargin
 }

@@ -170,6 +170,36 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(pairs.distinct.length === pairs.length)
   }
 
+  test("q150 streaks equal a driver-side recomputation") {
+    val expected = Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("day"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (u, rows) =>
+        val days = rows.map(_._2).distinct.sorted
+        val runs = days.foldLeft(List.empty[(Int, Int)]) { // (start, end)
+          case ((s, e) :: rest, d) if d == e + 1 => (s, d) :: rest
+          case (acc, d) => (d, d) :: acc
+        }.reverse.map { case (s, e) => (e - s + 1, e) } // (len, end)
+        u -> (runs.length.toLong, runs.map(_._1).max.toLong,
+          days.length.toLong, runs.maxBy(_._2)._1.toLong)
+      }
+    val got = ops.Events.q150Streaks(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got === expected)
+  }
+
+  test("q151 BM25 ranks descending and never retrieves the query doc") {
+    val out = ops.Tfidf.q151Bm25(spark, sf).collect()
+    assert(out.length === 50)
+    assert(out.forall(_.getLong(0) != 7L))
+    assert(out.forall(_.getLong(1) >= 1L)) // every hit shares >= 1 term
+    val scores = out.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q144 weighted sampling is deterministic and weight-monotone") {
     val a = Sampling.q144WeightedSample(spark, sf).collect()
     val b = Sampling.q144WeightedSample(spark, sf).collect()
