@@ -323,6 +323,45 @@ object Similarity {
       |SELECT query_id, cand_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q152_ann_recall — the index-quality audit a production vector store
+    * runs before trusting its ANN path: recall@5 of the multi-table LSH
+    * retrieval (q74) against the exact brute-force ground truth (q75),
+    * per query. Everything upstream is already oracle-checked; this
+    * closes the loop by making the APPROXIMATION ERROR itself an exact,
+    * hash-checked quantity (hit counts are integers, recall is one IEEE
+    * division). Queries with zero ANN hits still report (recall 0) —
+    * silent misses are the failure mode the audit exists to catch. */
+  def q152AnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val ann = q74AnnTopk(spark, sfDir).select(col("query_id"), col("cand_id"))
+    val brute = q75BruteTopk(spark, sfDir)
+      .select(col("query_id"), col("cand_id"))
+    val hits = brute.join(ann, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    brute.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Composed oracle: both sub-oracles inlined as subqueries (DuckDB
+    * allows WITH inside FROM), joined on the retrieved pair. */
+  val q152Sql: String =
+    s"""WITH brute AS (SELECT query_id, cand_id FROM ($q75Sql)),
+       |ann AS (SELECT query_id, cand_id FROM ($q74Sql)),
+       |hits AS (
+       |  SELECT b.query_id, count(*) AS n_hits
+       |  FROM brute b SEMI JOIN ann a
+       |    ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+       |  GROUP BY b.query_id)
+       |SELECT q.query_id,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM (SELECT DISTINCT query_id FROM brute) q
+       |LEFT JOIN hits h ON h.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   /** Target expected bucket population the default LSH geometry aims for:
     * candidate-join work is O(Σ bucket²) per table, so holding bucket size
     * roughly constant keeps candidate growth near-LINEAR in corpus size

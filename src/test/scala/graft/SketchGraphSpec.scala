@@ -200,6 +200,19 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q152 recall audit: one row per query, recall = hits/5") {
+    val out = ops.Similarity.q152AnnRecall(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L to 4L))
+    out.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 0L && hits <= 5L)
+      assert(r.getDouble(2) === hits.toDouble / 5.0)
+    }
+    // the multi-table LSH union should retrieve most true neighbors on
+    // the fixture (SimilaritySpec pins the same bar for the raw pair set)
+    assert(out.map(_.getLong(1)).sum >= 15L)
+  }
+
   test("q144 weighted sampling is deterministic and weight-monotone") {
     val a = Sampling.q144WeightedSample(spark, sf).collect()
     val b = Sampling.q144WeightedSample(spark, sf).collect()
