@@ -108,4 +108,24 @@ object Ingest {
       |       min(id) AS min_id, max(id) AS max_id
       |FROM (SELECT range AS id FROM range(60000, 90000))
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q153_source_agg — the aggregate-pushdown path of the q05 custom
+    * source: an ungrouped COUNT/MIN/MAX over a filtered 50M-row synthetic
+    * slice. The source answers from its closed form (SyntheticSource's
+    * `SupportsPushDownAggregates`) — the plan contains NO aggregate node
+    * and generates NO rows; the same query without pushdown would
+    * enumerate 30M ids. The oracle computes the identical closed form
+    * from `range()` endpoints (kept small corpus-side: DuckDB evaluates
+    * its range lazily for min/max/count too). */
+  def q153SourceAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 50000000L).option("partitions", 16).load()
+      .filter(col("id") >= 1000000L && col("id") < 31000000L)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+
+  val q153Sql: String =
+    """SELECT count(*) AS n_rows, min(id) AS min_id, max(id) AS max_id
+      |FROM (SELECT range AS id FROM range(1000000, 31000000))""".stripMargin
 }

@@ -4,7 +4,8 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -32,7 +33,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[SupportsPushDownFilters]] absorbs >, >=, <, <=, = predicates on `id`
   * into the slice bounds — a filtered scan generates exactly the surviving
   * id range instead of generating-then-discarding. Both are asserted by
-  * plan tests (the scan description exposes its residual range). */
+  * plan tests (the scan description exposes its residual range).
+  *
+  * [[SupportsPushDownAggregates]] completes the V2 pushdown trio: an
+  * ungrouped COUNT(*) / COUNT(id) / MIN(id) / MAX(id) over the (already
+  * filter-narrowed) slice has a CLOSED FORM — n = hi−lo, lo, hi−1 — so the
+  * scan answers it in one row without generating anything. Complete
+  * pushdown: the Aggregate node disappears from the plan entirely. This
+  * is the same contract parquet footers serve for MIN/MAX/COUNT, taken to
+  * its logical end by a source that knows its own algebra; any aggregate
+  * outside the supported set (sums, grouped, on computed columns) is
+  * declined and runs the normal path. */
 class SyntheticSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticSource.fullSchema
@@ -64,15 +75,20 @@ private class SyntheticTable extends Table with SupportsRead {
 
 private class SyntheticScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var schema: StructType = SyntheticSource.fullSchema
   // slice bounds after absorbing id predicates: [lo, hi)
   private var lo: Long = 0L
   private var hi: Long = rows
   private var pushed: Array[Filter] = Array.empty
+  // when an aggregation is completely pushed: output schema + the one row
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    schema = requiredSchema
+    // after a complete aggregate pushdown the scan's schema is the
+    // aggregate output, not a subset of the table columns
+    if (aggResult.isEmpty) schema = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (absorbed, residual) = filters.partition {
@@ -89,9 +105,75 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new SyntheticScan(schema, math.max(lo, 0L), math.max(hi, lo), partitions)
+  private def refsId(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+    case _ => false
+  }
+  private def isId(f: AggregateFunc): Boolean = f match {
+    case m: Min       => refsId(m.column)
+    case m: Max       => refsId(m.column)
+    case c: Count     => refsId(c.column) && !c.isDistinct
+    case _: CountStar => true
+    case _            => false
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall(isId)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    // filter pushdown has already run (V2ScanRelationPushDown order), so
+    // [lo, hi) is final — the closed forms answer over the residual slice
+    val l = math.max(lo, 0L)
+    val h = math.max(hi, l)
+    val n = h - l
+    val fields = agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, false)
+      case (_: Count, i)     => StructField(s"agg_$i", LongType, false)
+      case (_, i)            => StructField(s"agg_$i", LongType, true)
+    }
+    val values: Seq[Any] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => n
+      case _: Count     => n // ids are generated non-null
+      case _: Min       => if (n > 0) l else null
+      case _: Max       => if (n > 0) h - 1 else null
+    }
+    aggResult = Some((StructType(fields), values))
+    true
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, row)) => new SyntheticAggScan(aggSchema, row)
+    case None =>
+      new SyntheticScan(schema, math.max(lo, 0L), math.max(hi, lo), partitions)
+  }
 }
+
+/** One-partition, one-row scan carrying a completely-pushed-down aggregate
+  * result. */
+private class SyntheticAggScan(schema: StructType, row: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"SyntheticAggScan[${row.mkString(", ")}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var served = false
+          override def next(): Boolean = { val r = !served; served = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(
+            p.asInstanceOf[SyntheticAggPartition].row)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private case class SyntheticAggPartition(row: Seq[Any]) extends InputPartition
 
 private class SyntheticScan(schema: StructType, lo: Long, hi: Long,
     partitions: Int) extends Scan with Batch {

@@ -27,6 +27,21 @@ class PlanSpec extends AnyFunSuite {
       .foreach(p => assert(f.contains(p), s"missing pushed filter $p in:\n$f"))
   }
 
+  test("q153 aggregate pushes completely into the synthetic source") {
+    val df = ops.Ingest.q153SourceAgg(spark, sf)
+    val p = plan(df)
+    // complete pushdown: the scan IS the answer — no aggregate node runs
+    assert(p.contains("SyntheticAggScan["), s"aggregate not pushed:\n$p")
+    assert(!p.contains("HashAggregate"), s"aggregate node still present:\n$p")
+    // and the closed form is right
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((30000000L, 1000000L, 30999999L)))
+    // grouped aggregates must DECLINE pushdown and stay correct (q05 path)
+    val q05 = plan(ops.Ingest.q05Source(spark, sf))
+    assert(q05.contains("HashAggregate"), q05)
+  }
+
   test("q05 synthetic source absorbs id bounds and prunes columns") {
     val df = ops.Ingest.q05Source(spark, sf)
     val p = plan(df)
