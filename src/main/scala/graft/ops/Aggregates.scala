@@ -140,6 +140,66 @@ object Aggregates {
       |       TRUE AS orders_in_bounds
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q155_rfm — RFM (recency / frequency / monetary) customer
+    * segmentation, the warehouse-marketing workhorse built on the trip/
+    * order fact table: per customer, days since last order, order count,
+    * and decimal-exact spend, each bucketed 1-3 by fixed thresholds, then
+    * rolled up to segment sizes. Buckets use integer day arithmetic and
+    * DECIMAL sums — no percentile machinery, so the oracle replays every
+    * row exactly.
+    *
+    * Scale: one customer-cardinality aggregate (map-side combinable) +
+    * one ≤27-key rollup. */
+  def q155Rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val anchor = lit("2001-09-01").cast("date")
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .select(col("o_custkey"),
+        datediff(anchor, col("last_order")).as("recency_days"),
+        col("n_orders"), col("spend"))
+      .withColumn("r_score",
+        when(col("recency_days") <= 365, 3)
+          .when(col("recency_days") <= 1095, 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("n_orders") >= 13, 3)
+          .when(col("n_orders") >= 9, 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("spend") >= 3000000, 3)
+          .when(col("spend") >= 2000000, 2).otherwise(1))
+    perCust.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("spend")).cast("double").as("segment_spend"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val q155Sql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |         date_diff('day', CAST(max(o_orderdate) AS DATE),
+      |                   DATE '2001-09-01') AS recency_days,
+      |         count(*) AS n_orders,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT CASE WHEN recency_days <= 365 THEN 3
+      |              WHEN recency_days <= 1095 THEN 2 ELSE 1 END AS r_score,
+      |         CASE WHEN n_orders >= 13 THEN 3
+      |              WHEN n_orders >= 9 THEN 2 ELSE 1 END AS f_score,
+      |         CASE WHEN spend >= 3000000 THEN 3
+      |              WHEN spend >= 2000000 THEN 2 ELSE 1 END AS m_score,
+      |         n_orders, spend
+      |  FROM per_cust)
+      |SELECT r_score, f_score, m_score,
+      |       count(*) AS n_customers,
+      |       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |       CAST(sum(spend) AS DOUBLE) AS segment_spend
+      |FROM scored GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   /** q142_kmv — K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002):
     * keep the k smallest hash values per group; the k-th smallest, as a
     * fraction u of the hash range, estimates distinct ≈ (k−1)/u. The THIRD

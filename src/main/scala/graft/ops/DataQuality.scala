@@ -162,6 +162,66 @@ object DataQuality {
       |       n_violations = 0 AS passed
       |FROM rules ORDER BY rule""".stripMargin
 
+  /** q154_benford — first-significant-digit audit of order totals against
+    * Benford's law, the classic fabricated-data / data-entry-defect smell
+    * test. The digit is extracted EXACTLY (first character of the floored
+    * integer part — no float log10), and the Benford expectations
+    * log10(1+1/d) are compiled in as shared double literals, so both
+    * engines compare observed shares against bit-identical constants.
+    * (The TPC-H-ish uniform totalprice deliberately FAILS Benford —
+    * excess_ratio far from 1 for high digits — which is exactly what the
+    * audit should report for synthetic data.)
+    *
+    * Scale: one 9-key hash aggregate; the digit extraction is a codegen'd
+    * string projection. */
+  def q154Benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val digit = substring(
+      floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    val expected = benfordExpected.foldLeft(lit(0.0)) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"), col("n_total"),
+        (col("n").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        expected.as("expected_share"))
+      .withColumn("excess_ratio",
+        col("share") / col("expected_share"))
+      .orderBy(col("digit"))
+  }
+
+  /** Benford proportions log10(1+1/d), d = 1..9 — computed once here and
+    * inlined into BOTH engines as the identical shortest-round-trip double
+    * literal. */
+  val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  val q154Sql: String = {
+    val caseExpr = benfordExpected
+      .map { case (d, p) =>
+        s"WHEN digit = $d THEN ${java.lang.Double.toString(p)}" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+       |                          AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders WHERE o_totalprice >= 1.0),
+       |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+       |SELECT c.digit, c.n, t.n_total,
+       |       CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+       |       $caseExpr AS expected_share,
+       |       (CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+       |         / ($caseExpr) AS excess_ratio
+       |FROM c CROSS JOIN t
+       |ORDER BY c.digit""".stripMargin
+  }
+
   /** q145_chisq — χ² contingency audit of language × source in the corpus:
     * the categorical-association / domain-drift check a curation pipeline
     * runs to see whether sources skew toward languages (independence would
