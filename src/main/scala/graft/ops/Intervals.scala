@@ -91,4 +91,63 @@ object Intervals {
       |       count(*) AS n_overlaps
       |FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
       |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
+  /** q158_concurrency — peak concurrent shipments per supplier by
+    * sweep-line: each closed interval [s, e] contributes (+1 at s,
+    * −1 at e + 1 day), and the peak is the max running delta-sum in
+    * event-time order. O(n log n) with NO join and NO timeline explode —
+    * the scalable alternative to q123's binning when the question is
+    * "how many at once" rather than "which pairs overlap". The occupancy /
+    * connection-pool / fleet-utilization staple.
+    *
+    * Determinism without a total order: simultaneous events are window
+    * PEERS — both engines' default RANGE frame sums ALL deltas at an
+    * instant into every peer row, so the running value at time t is the
+    * set-function starts(≤t) − ends(<t), independent of any within-tie
+    * ordering. (The −1 sits at e + 1 day precisely so that `<` falls out
+    * of `≤` at day granularity.)
+    *
+    * Scale: the sweep partitions by supplier — thousands of independent
+    * small sweeps, one shuffle, no single-timeline bottleneck. A global
+    * sweep would need the two-pass prefix-sum (per-partition totals
+    * broadcast as offsets); keyed sweeps are the common case and stay
+    * embarrassingly parallel. */
+  def q158Concurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_shipdate").as("s"),
+        expr("l_shipdate + (l_linenumber % 14 + 1) * INTERVAL '1' DAY")
+          .as("e"))
+    val deltas = li.select(col("suppkey"), col("s").as("t"),
+        lit(1L).as("delta"))
+      .unionAll(li.select(col("suppkey"),
+        expr("e + INTERVAL '1' DAY").as("t"), lit(-1L).as("delta")))
+    val running = sum(col("delta"))
+      .over(Window.partitionBy(col("suppkey")).orderBy(col("t")))
+    deltas
+      .select(col("suppkey"), running.as("running"))
+      .groupBy(col("suppkey"))
+      .agg(max(col("running")).as("peak"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy(col("peak").desc, col("suppkey"))
+  }
+
+  val q158Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey AS suppkey, l_shipdate AS s,
+      |         l_shipdate + (l_linenumber % 14 + 1) * INTERVAL 1 DAY AS e
+      |  FROM lineitem),
+      |deltas AS (
+      |  SELECT suppkey, s AS t, 1 AS delta FROM li
+      |  UNION ALL
+      |  SELECT suppkey, e + INTERVAL 1 DAY AS t, -1 AS delta FROM li),
+      |run AS (
+      |  SELECT suppkey,
+      |         sum(delta) OVER (PARTITION BY suppkey ORDER BY t) AS running
+      |  FROM deltas)
+      |SELECT suppkey, CAST(max(running) AS BIGINT) AS peak,
+      |       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+      |FROM run GROUP BY suppkey
+      |ORDER BY peak DESC, suppkey""".stripMargin
 }

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.StableHash
+
+/** Grid-partitioned spatial nearest neighbor — the scalable shape of every
+  * geo join: bucket both sides into fixed cells, replicate the (small)
+  * probe side into its 3×3 cell neighborhood, equi-join on the cell id,
+  * and resolve distances only within neighborhoods. The all-pairs theta
+  * join this replaces is O(n·m); the grid join touches only co-located
+  * candidates and shuffles on a perfectly partitionable key — at 100 TB
+  * the cell id IS the partition key, and skew (cities) is handled by the
+  * same salting as any hot key (q48).
+  *
+  * Coordinates here are synthesized (deterministic congruential hash of
+  * the entity key → a 100×100 plane; the fixtures carry no geo columns),
+  * and distance is squared Euclidean — every arithmetic step is either
+  * exact integer or a single IEEE op mirrored by the oracle, so results
+  * hash-match bit-for-bit. Haversine would only change the final scalar.
+  */
+object Spatial {
+
+  /** Cell width: 10 units on the 100-unit plane → 10×10 grid; ~1 supplier
+    * per cell at sf0.01, so a 3×3 neighborhood holds ~9 candidates. */
+  private val CellW = 10.0
+
+  /** Deterministic planar coordinate in [0, 100): congruential 62-bit mix
+    * of the key, reduced mod 1000, scaled by 0.1 (one exact-input IEEE
+    * division — both engines round identically). */
+  private def coord(key: Column, salt: Long): Column =
+    pmod(StableHash.intMix62(key, salt), lit(1000L)).cast("double") / 10.0
+
+  private def coordSql(e: String, salt: Long): String =
+    s"CAST((${StableHash.intMix62Sql(e, salt)}) % 1000 AS DOUBLE) / 10.0"
+
+  /** q159_grid_knn — nearest supplier (squared Euclidean) for each
+    * customer, grid-blocked: customers join only the 3×3 neighborhood of
+    * their cell, so a customer whose neighborhood holds no supplier is
+    * reported absent (radius-bounded NN — the contract of blocked spatial
+    * search; widen the radius by another ring if the miss rate matters).
+    * Nearest is resolved as min distance then min suppkey — the two-step
+    * formulation both engines replay deterministically (no reliance on
+    * tie-arbitrary min_by/argmin).
+    *
+    * Scale: supplier side replicates 9× THEN broadcasts (it is the small
+    * dimension); the probe side never shuffles at all — `.explain` shows a
+    * single BroadcastHashJoin over the customer scan, the plan a
+    * 1000-executor geo join wants when one side fits in memory. With two
+    * large sides the identical plan runs as a shuffle join on cell_id. */
+  def q159GridKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        coord(col("c_custkey"), 101L).as("cx"),
+        coord(col("c_custkey"), 102L).as("cy"))
+      .withColumn("cell_x", floor(col("cx") / CellW))
+      .withColumn("cell_y", floor(col("cy") / CellW))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"),
+        coord(col("s_suppkey"), 103L).as("sx"),
+        coord(col("s_suppkey"), 104L).as("sy"))
+      .withColumn("home_x", floor(col("sx") / CellW))
+      .withColumn("home_y", floor(col("sy") / CellW))
+      // replicate into the 9 neighbor cells (clipping is unnecessary:
+      // out-of-plane cells simply never match a probe)
+      .withColumn("cell_x", explode(array((-1 to 1).map(d =>
+        col("home_x") + d): _*)))
+      .withColumn("cell_y", explode(array((-1 to 1).map(d =>
+        col("home_y") + d): _*)))
+    val cand = cust.join(broadcast(supp), Seq("cell_x", "cell_y"))
+      .select(col("c_custkey"), col("s_suppkey"),
+        ((col("cx") - col("sx")) * (col("cx") - col("sx")) +
+          (col("cy") - col("sy")) * (col("cy") - col("sy")))
+          .as("dist_sq"))
+    val best = cand.groupBy(col("c_custkey"))
+      .agg(min(col("dist_sq")).as("dist_sq"))
+    cand.join(best, Seq("c_custkey", "dist_sq"))
+      .groupBy(col("c_custkey"), col("dist_sq"))
+      .agg(min(col("s_suppkey")).as("nn_suppkey"))
+      .select(col("c_custkey"), col("nn_suppkey"), col("dist_sq"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q159Sql: String = {
+    val cx = coordSql("c_custkey", 101L)
+    val cy = coordSql("c_custkey", 102L)
+    val sx = coordSql("s_suppkey", 103L)
+    val sy = coordSql("s_suppkey", 104L)
+    s"""WITH cust AS (
+       |  SELECT c_custkey, $cx AS cx, $cy AS cy,
+       |         floor(($cx) / 10.0) AS cell_x,
+       |         floor(($cy) / 10.0) AS cell_y
+       |  FROM customer),
+       |supp0 AS (
+       |  SELECT s_suppkey, $sx AS sx, $sy AS sy,
+       |         floor(($sx) / 10.0) AS home_x,
+       |         floor(($sy) / 10.0) AS home_y
+       |  FROM supplier),
+       |supp AS (
+       |  SELECT s_suppkey, sx, sy,
+       |         home_x + dx.d AS cell_x, home_y + dy.d AS cell_y
+       |  FROM supp0,
+       |       (VALUES (-1), (0), (1)) dx(d),
+       |       (VALUES (-1), (0), (1)) dy(d)),
+       |cand AS (
+       |  SELECT c.c_custkey, s.s_suppkey,
+       |         (c.cx - s.sx) * (c.cx - s.sx)
+       |           + (c.cy - s.sy) * (c.cy - s.sy) AS dist_sq
+       |  FROM cust c JOIN supp s
+       |    ON c.cell_x = s.cell_x AND c.cell_y = s.cell_y),
+       |best AS (
+       |  SELECT c_custkey, min(dist_sq) AS dist_sq
+       |  FROM cand GROUP BY c_custkey)
+       |SELECT cand.c_custkey, min(cand.s_suppkey) AS nn_suppkey,
+       |       cand.dist_sq
+       |FROM cand JOIN best
+       |  ON cand.c_custkey = best.c_custkey
+       | AND cand.dist_sq = best.dist_sq
+       |GROUP BY cand.c_custkey, cand.dist_sq
+       |ORDER BY cand.c_custkey""".stripMargin
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Intervals, Regression, Spatial, Vectorize}
+
+/** Round-6 batch 2: feature hashing, per-group OLS, sweep-line
+  * concurrency, grid-blocked nearest neighbor. Each reconciled against an
+  * independent recomputation on sf0.001. */
+class VectorSpatialSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+  private val sf = SparkSuite.sf
+
+  test("q156 feature hash: footprint inequalities + real collisions") {
+    val rows = Vectorize.q156FeatureHash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nnz, norm) = (r.getAs[Long]("n_toks"), r.getAs[Long]("nnz"),
+        r.getAs[Long]("norm_sq"))
+      assert(nnz <= Vectorize.NumBuckets && nnz <= n)
+      // Cauchy–Schwarz: Σc² ≥ (Σc)²/nnz, with equality iff uniform load
+      assert(norm * nnz >= n * n)
+      assert(norm <= n * n)
+    }
+    // the 64-bucket space MUST collide on this vocabulary: some doc has
+    // fewer occupied buckets than distinct tokens
+    val distinctToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id").agg(countDistinct("tok").as("n_distinct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.exists(r =>
+      r.getAs[Long]("nnz") < distinctToks(r.getAs[Long]("doc_id"))))
+  }
+
+  test("q157 OLS: slope/intercept/r2 match a driver-side recomputation") {
+    val rows = Regression.q157Ols(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq === Seq("A", "N", "R"))
+    val xs = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val pts = xs(r.getString(0)).map(p =>
+        (p.getDouble(1), math.rint(p.getDouble(2) * 100)))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getAs[Long]("n") === pts.length.toLong)
+      assert(math.abs(r.getAs[Double]("slope") - slope)
+        / math.abs(slope) < 1e-9)
+      val intercept = (sy - slope * sx) / n
+      assert(math.abs(r.getAs[Double]("intercept") - intercept)
+        / math.max(math.abs(intercept), 1.0) < 1e-6)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 > 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("q158 concurrency: peak matches a per-day brute force") {
+    val out = Intervals.q158Concurrency(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("peak") >= 1 &&
+      r.getAs[Long]("peak") <= r.getAs[Long]("n_intervals")))
+    // brute-force the busiest supplier: peak = max over days of the
+    // number of intervals covering that day
+    val probe = out.head.getAs[Long]("suppkey")
+    val ivs = Tables.lineitem(spark, sf)
+      .filter(col("l_suppkey") === probe)
+      .select(datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+          .as("s"),
+        (datediff(col("l_shipdate"), lit("1970-01-01").cast("date")) +
+          pmod(col("l_linenumber"), lit(14)) + 1).as("e"))
+      .collect().map(r => (r.getAs[Int]("s"), r.getAs[Int]("e")))
+    val brute = ivs.flatMap { case (s, e) => s to e }
+      .groupBy(identity).values.map(_.size).max
+    assert(out.head.getAs[Long]("peak") === brute.toLong)
+  }
+
+  test("q159 grid kNN: agrees with unblocked brute force when NN is near") {
+    val out = Spatial.q159GridKnn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.nonEmpty)
+    def coord(k: Long, salt: Long): Double =
+      ((k * 2654435761L + salt) % 2147483647L * 2147483648L +
+        (k * 3141592653L + salt) % 2147483629L) % 1000L / 10.0
+    val supp = Tables.supplier(spark, sf).select("s_suppkey").collect()
+      .map(_.getLong(0)).map(k => (k, coord(k, 103), coord(k, 104)))
+    val custs = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0))
+    var checked = 0
+    custs.take(200).foreach { c =>
+      val (cx, cy) = (coord(c, 101), coord(c, 102))
+      val (bk, bx, by, bd) = supp.map { case (k, x, y) =>
+        (k, x, y, (cx - x) * (cx - x) + (cy - y) * (cy - y)) }
+        .minBy(t => (t._4, t._1))
+      val sameCell = math.abs(math.floor(bx / 10) - math.floor(cx / 10)) <= 1 &&
+        math.abs(math.floor(by / 10) - math.floor(cy / 10)) <= 1
+      if (sameCell) { // global NN inside the 3×3 window ⇒ must be found
+        assert(out(c) === ((bk, bd)))
+        checked += 1
+      }
+    }
+    // sf0.001 has only 10 suppliers, so the plane is sparse: the global
+    // NN falls inside the probe's 3×3 window for ~40% of customers
+    assert(checked > 50)
+  }
+}
