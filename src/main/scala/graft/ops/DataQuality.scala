@@ -303,4 +303,68 @@ object DataQuality {
       |       s.contrib, t.chi2_total
       |FROM scored s CROSS JOIN tot t
       |ORDER BY s.lang, s.source""".stripMargin
+
+  /** q161_ks_test — two-sample Kolmogorov–Smirnov distance between the
+    * revenue distributions of returned ('R') and accepted ('A') lines:
+    * D = max over x of |F_R(x) − F_A(x)|, the standard distribution-drift
+    * gate between a reference corpus and an incoming batch. Computed as
+    * exact integers end-to-end: values in cents, the sup as
+    * max |cumR·N_A − cumA·N_R| (common denominator N_R·N_A deferred to ONE
+    * closing IEEE division), so the statistic hash-matches exactly.
+    *
+    * Scale: the per-value aggregate collapses the row count to distinct
+    * values BEFORE any ordered pass (map-side combinable); the cumulative
+    * pass here is a single-partition window over those distinct values —
+    * fine to ~10⁷ distincts. Past that, the drift check you actually want
+    * is the binned ECDF (quantize x first, same code on ≤10⁴ bins) or the
+    * two-pass partition-offset prefix sum; the exact-value form is the
+    * auditable reference both reduce to. */
+  def q161KsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val counts = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(v.as("v"), col("l_returnflag").as("side"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("side") === "R", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("side") === "A", 1L).otherwise(0L)).as("na"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .select(col("v"), sum(col("nr")).over(w).as("cr"),
+        sum(col("na")).over(w).as("ca"))
+    val tot = cum.agg(max(col("cr")).as("n_r"), max(col("ca")).as("n_a"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n_r")).as("n_r"), max(col("n_a")).as("n_a"),
+        max(abs(col("cr") * col("n_a") - col("ca") * col("n_r")))
+          .as("d_num"))
+      .select(col("n_r"), col("n_a"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_r") * col("n_a")).cast("double")).as("d"))
+  }
+
+  val q161Sql: String =
+    """WITH counts AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |              AS BIGINT) AS v,
+      |         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr,
+      |         sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS na
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT v,
+      |         sum(nr) OVER (ORDER BY v
+      |           ROWS UNBOUNDED PRECEDING) AS cr,
+      |         sum(na) OVER (ORDER BY v
+      |           ROWS UNBOUNDED PRECEDING) AS ca
+      |  FROM counts),
+      |tot AS (SELECT max(cr) AS n_r, max(ca) AS n_a FROM cum)
+      |SELECT CAST(t.n_r AS BIGINT) AS n_r, CAST(t.n_a AS BIGINT) AS n_a,
+      |       CAST(max(abs(c.cr * t.n_a - c.ca * t.n_r)) AS BIGINT)
+      |         AS d_num,
+      |       CAST(max(abs(c.cr * t.n_a - c.ca * t.n_r)) AS DOUBLE)
+      |         / CAST(t.n_r * t.n_a AS DOUBLE) AS d
+      |FROM cum c CROSS JOIN tot t
+      |GROUP BY t.n_r, t.n_a""".stripMargin
 }

@@ -1,0 +1,194 @@
+package graft.ops
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.StableHash
+
+/** Offline evaluation metrics — the measurement half of a training-data
+  * pipeline: graded retrieval quality (NDCG) for the embedding-search
+  * stack and per-class precision/recall/F1 for a labeled classifier.
+  * Both follow the engine's exactness discipline: counts and
+  * decimal-rounded discount terms are exact (order-insensitive partial
+  * aggregation), with IEEE arithmetic only in the final scalar —
+  * so even the "float" metrics hash-match the oracle bit-for-bit.
+  */
+object Evaluation {
+
+  /** log2 discount weights 1/log2(i+1), i = 1..10, rounded once to 6 dp
+    * and inlined into BOTH engines as identical decimal literals (the
+    * q148/q151 pattern: round each term, THEN sum exactly). */
+  val discounts: Seq[(Int, JBigDecimal)] = (1 to 10).map { i =>
+    i -> new JBigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(6, RoundingMode.HALF_EVEN)
+  }
+
+  /** Ideal-DCG prefix sums: cumDiscounts(k) = Σ_{i≤k} discount(i) — the
+    * IDCG@10 of a query with k relevant candidates in the corpus. */
+  val cumDiscounts: Seq[(Int, JBigDecimal)] =
+    discounts.scanLeft(0 -> JBigDecimal.ZERO) { case ((_, acc), (i, d)) =>
+      i -> acc.add(d)
+    }.tail
+
+  private def caseChain(on: Column, table: Seq[(Int, JBigDecimal)]): Column =
+    table.foldLeft(lit(null).cast("decimal(18,6)")) { case (acc, (i, d)) =>
+      when(on === i, lit(d.toPlainString).cast("decimal(18,6)"))
+        .otherwise(acc)
+    }
+
+  private def caseChainSql(on: String,
+      table: Seq[(Int, JBigDecimal)]): String =
+    table.map { case (i, d) =>
+      s"WHEN $on = $i THEN CAST('${d.toPlainString}' AS DECIMAL(18,6))"
+    }.mkString("CASE ", " ", " END")
+
+  /** q162_ndcg — NDCG@10 of brute-force cosine retrieval (the q75 kernel:
+    * 4-dp-rounded similarity, candidate-id tie-break) with graded-binary
+    * relevance rel = [candidate label = query label], for query vectors
+    * 0–19. DCG sums the rank-discount decimals exactly; IDCG@10 is the
+    * discount prefix sum at min(10, corpus relevant count); NDCG is the
+    * one closing IEEE division. The retrieval-regression gate that runs
+    * beside q152's recall audit — recall says "did the right ids come
+    * back", NDCG says "in the right order, weighted by position".
+    *
+    * Scale: probe side is 20 vectors broadcast against the corpus scan —
+    * the same shape as q75, no shuffle on the corpus side; the per-query
+    * top-10 is a partitioned window over ≤ corpus candidates. */
+  def q162Ndcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("cand_id"))
+    val ranked = e
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("label"))
+      .crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("cand_id"), col("label"),
+        round(Similarity.cosine(col("q_emb"), col("embedding")), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    val rel = when(col("label") === col("q_label"), 1L).otherwise(0L)
+    val dcg = ranked.groupBy(col("query_id"), col("q_label"))
+      .agg(sum(rel).as("n_rel_top10"),
+        sum(when(rel === 1L, caseChain(col("rank"), discounts))
+          .otherwise(lit("0").cast("decimal(18,6)"))).as("dcg_dec"))
+    // corpus relevant count: class size minus the query vector itself
+    val classSizes = e.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("class_n"))
+    dcg.join(broadcast(classSizes), Seq("q_label"))
+      .select(col("query_id"), col("n_rel_top10"),
+        (col("class_n") - 1).as("n_rel_corpus"),
+        col("dcg_dec").cast("double").as("dcg"),
+        (col("dcg_dec").cast("double") /
+          caseChain(least(col("class_n") - 1, lit(10)), cumDiscounts)
+            .cast("double")).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  val q162Sql: String = {
+    val disc = caseChainSql("rank", discounts)
+    val idcg = caseChainSql("least(class_n - 1, 10)", cumDiscounts)
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, label AS q_label
+       |  FROM embeddings WHERE vec_id < 20),
+       |p AS (
+       |  SELECT q.query_id, q.q_label, e.vec_id AS cand_id, e.label,
+       |         unnest(e.embedding)::DOUBLE AS x,
+       |         unnest(q.qe)::DOUBLE AS y
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |s AS (
+       |  SELECT query_id, q_label, cand_id, label,
+       |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+       |           AS cos_sim
+       |  FROM p GROUP BY query_id, q_label, cand_id, label),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos_sim DESC, cand_id) AS rank
+       |  FROM s),
+       |topk AS (SELECT * FROM r WHERE rank <= 10),
+       |d AS (
+       |  SELECT query_id, q_label,
+       |         sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |           AS n_rel_top10,
+       |         sum(CASE WHEN label = q_label THEN $disc
+       |                  ELSE CAST('0' AS DECIMAL(18,6)) END) AS dcg_dec
+       |  FROM topk GROUP BY query_id, q_label),
+       |cs AS (SELECT label, count(*) AS class_n FROM embeddings
+       |       GROUP BY label)
+       |SELECT d.query_id, CAST(d.n_rel_top10 AS BIGINT) AS n_rel_top10,
+       |       cs.class_n - 1 AS n_rel_corpus,
+       |       CAST(d.dcg_dec AS DOUBLE) AS dcg,
+       |       CAST(d.dcg_dec AS DOUBLE) / CAST($idcg AS DOUBLE) AS ndcg
+       |FROM d JOIN cs ON d.q_label = cs.label
+       |ORDER BY d.query_id""".stripMargin
+  }
+
+  /** q163_class_metrics — per-class precision / recall / F1 against a
+    * deterministic synthetic classifier: the prediction equals the true
+    * label except on the ~25% of ids whose hash trips the error gate,
+    * where it shifts by a hash-derived nonzero offset (so every error is
+    * a REAL cross-class confusion, never an accidental self-match).
+    * tp/fp/fn are exact counts from two class-cardinality aggregates;
+    * each metric is one IEEE division — F1 via 2tp/(2tp+fp+fn), which
+    * needs no intermediate precision·recall product.
+    *
+    * Scale: two map-side-combinable aggregates (by true label, by
+    * predicted label) joined at class cardinality — never a per-row
+    * confusion matrix materialization. */
+  def q163ClassMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = StableHash.intMix62(col("vec_id"), 7L)
+    val pred = when(pmod(h, lit(4L)) === 0L,
+      pmod(col("label") + 1L + pmod(h, lit(9L)), lit(10L)))
+      .otherwise(col("label").cast("long"))
+    val scored = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("y"), pred.as("yhat"))
+    val byTrue = scored.groupBy(col("y").as("class"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("yhat") === col("y"), 1L).otherwise(0L)).as("tp"))
+    val byPred = scored.groupBy(col("yhat").as("class"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("class"))
+      .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+        (col("tp").cast("double") / col("n_pred").cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / col("n_true").cast("double"))
+          .as("recall"),
+        ((col("tp") * 2).cast("double") /
+          (col("tp") * 2 + (col("n_pred") - col("tp")) +
+            (col("n_true") - col("tp"))).cast("double")).as("f1"))
+      .orderBy(col("class"))
+  }
+
+  val q163Sql: String = {
+    val h = StableHash.intMix62Sql("vec_id", 7L)
+    s"""WITH scored AS (
+       |  SELECT CAST(label AS BIGINT) AS y,
+       |         CASE WHEN ($h) % 4 = 0
+       |              THEN (CAST(label AS BIGINT) + 1 + ($h) % 9) % 10
+       |              ELSE CAST(label AS BIGINT) END AS yhat
+       |  FROM embeddings),
+       |t AS (
+       |  SELECT y AS class, count(*) AS n_true,
+       |         sum(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS tp
+       |  FROM scored GROUP BY y),
+       |p AS (SELECT yhat AS class, count(*) AS n_pred FROM scored
+       |      GROUP BY yhat)
+       |SELECT t.class, CAST(t.n_true AS BIGINT) AS n_true,
+       |       CAST(p.n_pred AS BIGINT) AS n_pred,
+       |       CAST(t.tp AS BIGINT) AS tp,
+       |       CAST(t.tp AS DOUBLE) / CAST(p.n_pred AS DOUBLE) AS precision,
+       |       CAST(t.tp AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall,
+       |       CAST(t.tp * 2 AS DOUBLE)
+       |         / CAST(t.tp * 2 + (p.n_pred - t.tp) + (t.n_true - t.tp)
+       |                AS DOUBLE) AS f1
+       |FROM t JOIN p ON t.class = p.class
+       |ORDER BY t.class""".stripMargin
+  }
+}

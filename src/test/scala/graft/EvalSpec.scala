@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DataQuality, Encoding, Evaluation}
+
+/** Round-6 batch 3: target encoding, KS drift, NDCG, classification
+  * metrics — each reconciled against an independent recomputation or a
+  * closed-form identity on sf0.001. */
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+  private val sf = SparkSuite.sf
+
+  test("q160 LOO encoding: removing the row moves the mean the right way") {
+    val rows = Encoding.q160TargetEncoding(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // reconstruct each supplier's full mean from (loo, y, n): the LOO
+    // identity S = loo·(n−1) + y must give one S per supplier
+    val bySupp = Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.foreach { r =>
+      val (s, n) = bySupp(r.getAs[Long]("suppkey"))
+      if (n > 1) {
+        val expect = (s - r.getAs[Long]("y")).toDouble / (n - 1).toDouble
+        assert(r.getAs[Double]("loo_mean_cents") === expect)
+      } else assert(r.isNullAt(r.fieldIndex("loo_mean_cents")))
+    }
+  }
+
+  test("q161 KS: D bounded in [0,1] and matches a driver-side ECDF scan") {
+    val row = DataQuality.q161KsTest(spark, sf).collect().head
+    val d = row.getAs[Double]("d")
+    assert(d >= 0.0 && d <= 1.0)
+    val vals = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rs = vals.filter(_._2 == "R").map(_._1).sorted
+    val as = vals.filter(_._2 == "A").map(_._1).sorted
+    val dBrute = (rs ++ as).distinct.map { x =>
+      math.abs(rs.count(_ <= x).toLong * as.length -
+        as.count(_ <= x).toLong * rs.length)
+    }.max
+    assert(row.getAs[Long]("d_num") === dBrute)
+    assert(row.getAs[Long]("n_r") === rs.length.toLong)
+    assert(row.getAs[Long]("n_a") === as.length.toLong)
+  }
+
+  test("q162 NDCG: bounds, and perfect-retrieval queries score 1") {
+    val rows = Evaluation.q162Ndcg(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      // a query with all top-10 relevant and ≥10 corpus relevant has
+      // dcg = idcg exactly (same decimal literals on both sides)
+      if (r.getAs[Long]("n_rel_top10") == 10 &&
+        r.getAs[Long]("n_rel_corpus") >= 10)
+        assert(ndcg === 1.0)
+    }
+    // discount table sanity: strictly decreasing, rank 1 weight is 1
+    val ds = Evaluation.discounts.map(_._2.doubleValue)
+    assert(ds.head === 1.0)
+    assert(ds.sliding(2).forall(p => p(0) > p(1)))
+  }
+
+  test("q163 metrics: micro-average identities hold") {
+    val rows = Evaluation.q163ClassMetrics(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("class")).toSeq === (0L to 9L))
+    val nTrue = rows.map(_.getAs[Long]("n_true")).sum
+    val nPred = rows.map(_.getAs[Long]("n_pred")).sum
+    assert(nTrue === nPred) // every prediction lands in some class
+    val tp = rows.map(_.getAs[Long]("tp")).sum
+    // the hash gate errs on ~1/4 of ids: accuracy well inside (0.6, 0.9)
+    val acc = tp.toDouble / nTrue.toDouble
+    assert(acc > 0.6 && acc < 0.9)
+    rows.foreach { r =>
+      val (p, rec, f1) = (r.getAs[Double]("precision"),
+        r.getAs[Double]("recall"), r.getAs[Double]("f1"))
+      assert(p >= 0.0 && p <= 1.0 && rec >= 0.0 && rec <= 1.0)
+      // harmonic-mean identity, re-derived from the same exact counts
+      val expect = 2.0 * r.getAs[Long]("tp") /
+        (r.getAs[Long]("n_pred") + r.getAs[Long]("n_true")).toDouble
+      assert(math.abs(f1 - expect) < 1e-12)
+    }
+  }
+}
