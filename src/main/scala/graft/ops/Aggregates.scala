@@ -583,8 +583,15 @@ object Aggregates {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("event_id"), col("value"))
       .withColumn("ord",
-        floor(col("value") * 100 + 0.5).cast("long") * 10000000L
-          + col("event_id"))
+        // Packing is only injective while event_id < 10^7; a fixture
+        // outgrowing that would alias into the value component — fail
+        // loudly instead of silently mis-tie-breaking.
+        when(col("event_id").between(0L, 9999999L),
+          floor(col("value") * 100 + 0.5).cast("long") * 10000000L
+            + col("event_id"))
+          .otherwise(raise_error(
+            lit("q118 packed-key bound: event_id outside [0, 1e7)"))
+            .cast("long")))
     ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         max_by(col("event_id"), col("ord")).as("hi_event_id"),

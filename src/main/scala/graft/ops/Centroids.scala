@@ -148,12 +148,13 @@ object Centroids {
        |  GROUP BY 1, 2),
        |shifts AS (
        |  SELECT n.cid,
-       |         sum(abs(n.ncq - $KmeansScale)) AS centroid_l1,
-       |         sum(abs(n.ncq - c.cq)) AS shift_l1
+       |         CAST(sum(abs(n.ncq - $KmeansScale)) AS BIGINT) AS centroid_l1,
+       |         CAST(sum(abs(n.ncq - c.cq)) AS BIGINT) AS shift_l1
        |  FROM newc n JOIN cent c ON c.cid = n.cid AND c.pos = n.pos
        |  GROUP BY 1),
        |stats AS (
-       |  SELECT cid, count(*) AS n_members, sum(dist) AS inertia
+       |  SELECT cid, count(*) AS n_members,
+       |         CAST(sum(dist) AS BIGINT) AS inertia
        |  FROM members GROUP BY 1)
        |SELECT s.cid, s.n_members, s.inertia, h.centroid_l1, h.shift_l1
        |FROM stats s JOIN shifts h USING (cid)

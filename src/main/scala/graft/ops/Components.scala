@@ -207,7 +207,13 @@ object Components {
     val labeled = groups.join(docs, Seq("doc_id"))
     val reps = labeled.groupBy(col("component"))
       .agg(max_by(col("doc_id"),
-        col("n_chars") * lit(8589934592L) + col("doc_id")).as("rep_doc"))
+        // Injective only while 0 <= doc_id < 2^33 — guard so a fixture
+        // with wider ids fails loudly rather than aliasing into n_chars.
+        when(col("doc_id").between(0L, 8589934591L),
+          col("n_chars") * lit(8589934592L) + col("doc_id"))
+          .otherwise(raise_error(
+            lit("q147 packed-key bound: doc_id outside [0, 2^33)"))
+            .cast("long"))).as("rep_doc"))
     labeled.join(broadcast(reps), Seq("component"))
       .select(col("doc_id"), col("component"), col("n_members"),
         col("n_chars"), col("rep_doc"),

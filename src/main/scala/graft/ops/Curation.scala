@@ -239,10 +239,10 @@ object Curation {
        |  FROM documents)
        |SELECT source, count(*) AS n_docs,
        |       (SELECT quota FROM params) AS quota,
-       |       sum(CASE WHEN rk <= (SELECT quota FROM params)
-       |                THEN 1 ELSE 0 END) AS n_kept,
-       |       sum(CASE WHEN rk <= (SELECT quota FROM params)
-       |                THEN doc_id ELSE 0 END) AS kept_checksum
+       |       CAST(sum(CASE WHEN rk <= (SELECT quota FROM params)
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rk <= (SELECT quota FROM params)
+       |                THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------- sequence packing
@@ -285,9 +285,9 @@ object Curation {
        |  FROM documents),
        |offs AS (
        |  SELECT doc_id, source, n_tokens,
-       |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |           AS end_off
+       |           AS BIGINT) AS end_off
        |  FROM sized)
        |SELECT doc_id, source, n_tokens,
        |       end_off - n_tokens AS start_off,
@@ -337,10 +337,10 @@ object Curation {
        |  ${nGramsSql(3)})),
        |first AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1)
        |SELECT g.doc_id, count(*) AS n_grams,
-       |       sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
-       |         AS n_novel,
-       |       sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
-       |         / count(*) AS novelty_frac
+       |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_novel,
+       |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |         AS BIGINT) / count(*) AS novelty_frac
        |FROM grams g JOIN first f USING (gram)
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 }

@@ -519,8 +519,13 @@ object Events {
         datediff(anchor, col("ts").cast("date")).as("age_days"))
       .select(col("user_id"), col("event_type"),
         // functions.shiftright only takes a literal shift — SQL form
-        // accepts the computed one; `div` keeps the age integral
-        expr("shiftright(1048576L, int(age_days div 7))").as("w"))
+        // accepts the computed one; `div` keeps the age integral.
+        // Clamp to [0, 63]: Java shiftright masks the amount mod 64 while
+        // DuckDB `>>` yields 0 past 63, and a post-anchor event would
+        // shift by a negative amount — both undefined cross-engine.
+        // Future events count at full weight; >63 weeks old decays to 0.
+        expr("shiftright(1048576L, int(least(greatest(age_days, 0) div 7, 63)))")
+          .as("w"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("w")).as("decayed_micro"),
@@ -532,8 +537,8 @@ object Events {
   val q146Sql: String =
     """WITH w AS (
       |  SELECT user_id, event_type,
-      |         1048576::BIGINT >> (date_diff('day', CAST(ts AS DATE),
-      |                                       DATE '2024-01-31') // 7) AS w
+      |         1048576::BIGINT >> least(greatest(date_diff('day',
+      |             CAST(ts AS DATE), DATE '2024-01-31'), 0) // 7, 63) AS w
       |  FROM events)
       |SELECT user_id, count(*) AS n_events,
       |       CAST(sum(w) AS BIGINT) AS decayed_micro,
@@ -567,7 +572,14 @@ object Events {
       .agg(count(lit(1)).as("n_streaks"),
         max(col("len")).as("longest_streak"),
         sum(col("len")).as("active_days"),
-        max_by(col("len"), col("island_end") * lit(1024L) + col("len"))
+        // Injective only while a streak is < 1024 days — guard so a
+        // wider fixture date range fails loudly, not mis-tie-breaking.
+        max_by(col("len"),
+          when(col("len").between(1L, 1023L),
+            col("island_end") * lit(1024L) + col("len"))
+            .otherwise(raise_error(
+              lit("q150 packed-key bound: streak len outside [1, 1024)"))
+              .cast("long")))
           .as("latest_streak"))
       .orderBy(col("user_id"))
   }

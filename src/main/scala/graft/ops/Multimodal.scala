@@ -192,10 +192,15 @@ object Multimodal {
     * a 100 TB media corpus dedups at the cost of one hash-keyed exchange of
     * ~50-byte rows. */
   def q101MediaDedup(spark: SparkSession, sfDir: String): DataFrame =
-    mediaTable(spark, sfDir)
-      .select(col("doc_id"), col("n_bytes"),
-        md5(expr("substring(payload, 1, 40)")).as("thumb_md5"),
-        sha2(col("payload"), 256).as("payload_sha256"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        // Thumb key = hash of the UTF-8 encoding of the first 40
+        // CHARACTERS (not bytes): the oracle's md5(substr(text,1,40))
+        // hashes char-slice bytes, and slicing the payload by bytes would
+        // diverge on any multi-byte character in the prefix.
+        md5(encode(substring(col("text"), 1, 40), "UTF-8")).as("thumb_md5"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("payload_sha256"))
       .groupBy(col("thumb_md5"))
       .agg(
         count(lit(1)).as("n_copies"),
@@ -205,9 +210,10 @@ object Multimodal {
       .orderBy(col("thumb_md5"))
 
   val q101Sql: String =
-    // the payload is utf-8 text, so hashing the 40-char string prefix
-    // equals hashing the first 40 payload bytes (ascii fixture text);
-    // DuckDB cannot substring BLOBs, hence the string form here.
+    // DuckDB md5/sha256 take VARCHAR and hash its UTF-8 bytes, so
+    // md5(substr(text,1,40)) is the byte-faithful twin of Spark's
+    // md5(encode(substring(text,1,40))) — both hash the encoded 40-CHAR
+    // prefix, safe for multi-byte characters.
     """WITH h AS (
       |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
       |         md5(substr(text, 1, 40)) AS thumb_md5,
@@ -215,6 +221,6 @@ object Multimodal {
       |  FROM documents)
       |SELECT thumb_md5, count(*) AS n_copies, min(doc_id) AS rep_doc_id,
       |       count(DISTINCT payload_sha256) AS n_distinct_payloads,
-      |       sum(n_bytes) AS total_bytes
+      |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
       |FROM h GROUP BY thumb_md5 ORDER BY thumb_md5""".stripMargin
 }
