@@ -178,4 +178,67 @@ object Centroids {
       |SELECT c.label, c.pos, c.n_vecs, c.cval, c.cval / sqrt(n.sq) AS cval_unit
       |FROM cent c JOIN norm n ON c.label = n.label
       |ORDER BY c.label, c.pos""".stripMargin
+
+  // --------------------------------------------------- power iteration
+
+  /** q165 quantization scale 2¹⁰ and the seed-vector hash constants: the
+    * deterministic start vector is x_pos = ((pos+1)·2654435761) mod 1001 −
+    * 500 ∈ [−500, 500]. Bounds: |q| ≤ 2¹⁰, |x| ≤ 500 ⇒ |q·x per vec| ≤
+    * 64·2¹⁰·500 ≈ 2²⁵ and |y_pos| ≤ N·2²⁵·2¹⁰ — BIGINT-safe past 10⁸
+    * vectors. */
+  private val PowScale = 1024L
+  private val PowXA    = 2654435761L
+  private val PowXMod  = 1001L
+
+  /** q165_power_iter — one power-iteration step toward the corpus's top
+    * principal direction: y = A·x where A = Σ_v q_v·q_vᵀ is the (uncentered)
+    * Gram matrix of the quantized embeddings and x a deterministic integer
+    * seed vector. The driver loop of a PCA / spectral-embedding pass over
+    * corpus embeddings — each iteration is this exact job with x := y.
+    *
+    * Scale: the d×d Gram matrix is NEVER materialized — the step factors as
+    * y = Σ_v (q_v·x)·q_v, i.e. one per-vector dot product (shuffle keyed on
+    * vec_id, map-side combine) and one dim-cardinality aggregate. Work is
+    * O(N·d), shuffle rows N + d, which is how a 10⁹-vector corpus runs this;
+    * materializing A (d² entries) is only viable for small d and couples
+    * cost to d², not data. Integer fixed-point throughout ⇒ bit-exact under
+    * any partitioning (Scaladoc bounds above). */
+  def q165PowerIter(spark: SparkSession, sfDir: String): DataFrame =
+    powerIterStep(Tables.embeddings(spark, sfDir))
+
+  /** The power-iteration core over any (vec_id, embedding) frame — see
+    * [[q165PowerIter]]. */
+  def powerIterStep(embeddings: DataFrame): DataFrame = {
+    val qv = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * lit(PowScale.toDouble))
+          .cast("long").as("q"))
+      .withColumn("x",
+        pmod((col("pos") + 1) * lit(PowXA), lit(PowXMod)) - lit(500L))
+    val s = qv.groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("x")).as("s"))
+    qv.join(s, Seq("vec_id"))
+      .groupBy(col("pos"), col("x"))
+      .agg(sum(col("s") * col("q")).as("y"), count(lit(1)).as("n_vecs"))
+      .select(col("pos"), col("x"), col("y"), col("n_vecs"))
+      .orderBy(col("pos"))
+  }
+
+  val q165Sql: String =
+    s"""WITH pe AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, pos,
+       |         CAST(floor(CAST(v AS DOUBLE) * $PowScale.0) AS BIGINT) AS q,
+       |         ((pos + 1) * $PowXA) % $PowXMod - 500 AS x
+       |  FROM pe),
+       |s AS (
+       |  SELECT vec_id, CAST(sum(q * x) AS BIGINT) AS s FROM qv GROUP BY 1)
+       |SELECT q.pos, q.x, CAST(sum(s.s * q.q) AS BIGINT) AS y,
+       |       count(*) AS n_vecs
+       |FROM qv q JOIN s USING (vec_id)
+       |GROUP BY q.pos, q.x ORDER BY q.pos""".stripMargin
 }

@@ -343,4 +343,119 @@ object Curation {
        |         AS BIGINT) / count(*) AS novelty_frac
        |FROM grams g JOIN first f USING (gram)
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // ------------------------------------------------- duplicated spans
+
+  /** Span width for q166: 8-token windows, the "long enough to be
+    * boilerplate, short enough to catch it" setting. */
+  private val SpanW = 8
+
+  /** q166_span_dedup — exact duplicated-substring detection: find every
+    * 8-token span occurring more than once in the corpus, merge overlapping
+    * and adjacent duplicated spans into maximal regions per document, and
+    * report each document's duplicated-token footprint. This is the
+    * substring-level dedup of "Deduplicating Training Data Makes Language
+    * Models Better" (Lee et al. 2022) re-expressed relationally: the
+    * suffix-array step becomes a gram-frequency shuffle, and the span
+    * merging is the gaps-and-islands pattern in token space (running-max
+    * sweep, q150's technique over positions instead of days).
+    *
+    * Scale: positional grams are map-side (`arrays_zip` slices +
+    * `posexplode`); the duplicate test is one gram-keyed aggregate with
+    * map-side partial counts (a hot boilerplate gram collapses per-task
+    * before the exchange, no mega-bucket); the merge window partitions by
+    * doc_id (bounded by tokens-per-doc). At 100 TB the gram strings would
+    * hash to 64-bit before the shuffle (q72's trick); the fixture-exact
+    * form keeps the strings so the oracle replays the identical duplicate
+    * decision with zero collision caveat. */
+  def q166SpanDedup(spark: SparkSession, sfDir: String): DataFrame =
+    spanDedup(Tables.documents(spark, sfDir), SpanW)
+
+  /** The span-dedup core over any (doc_id, text) frame — see
+    * [[q166SpanDedup]]. */
+  def spanDedup(docs: DataFrame, w: Int): DataFrame = {
+    val t = split(col("text"), " ")
+    val m = greatest(size(t) - (w - 1), lit(0))
+    val parts = (1 to w).map(i => slice(t, lit(i), m).as(s"w$i"))
+    // (doc_id, pos, gram): pos is the 1-based token index of span start
+    val grams = docs
+      .select(col("doc_id"), posexplode(arrays_zip(parts: _*))
+        .as(Seq("p0", "z")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        concat_ws(" ", (1 to w).map(i => col(s"z.w$i")): _*).as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("gram"))
+    val dupPos = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("prev_end",
+        max(col("pos") + (w - 1)).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      // spans [p, p+w−1] merge when overlapping OR contiguous
+      .withColumn("ns",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("ns")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (w - 1)).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    docs
+      .select(col("doc_id"), size(t).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q166Sql: String = {
+    val w = SpanW
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(range(1, greatest(len(t) - ${w - 2}, 2))) AS pos,
+       |         unnest(list_transform(range(1, greatest(len(t) - ${w - 2}, 2)),
+       |                i -> list_aggregate(t[i:i+${w - 1}], 'string_agg', ' ')))
+       |           AS gram
+       |  FROM toks WHERE len(t) >= $w),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+       |f AS (
+       |  SELECT doc_id, pos,
+       |         max(pos + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS prev_end
+       |  FROM p),
+       |si AS (
+       |  SELECT doc_id, pos,
+       |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS span_id
+       |  FROM f),
+       |sp AS (SELECT doc_id, span_id, min(pos) AS s,
+       |              max(pos) + ${w - 1} AS e
+       |       FROM si GROUP BY 1, 2),
+       |pd AS (SELECT doc_id, count(*) AS n_dup_spans,
+       |              CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+       |       FROM sp GROUP BY 1),
+       |n AS (SELECT doc_id,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |      FROM documents)
+       |SELECT n.doc_id, n.n_tokens,
+       |       coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+       |       coalesce(pd.dup_tokens, 0) AS dup_tokens,
+       |       coalesce(pd.dup_tokens, 0) / n.n_tokens AS dup_frac
+       |FROM n LEFT JOIN pd USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+  }
 }

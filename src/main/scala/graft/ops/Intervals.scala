@@ -150,4 +150,77 @@ object Intervals {
       |       CAST(count(*) / 2 AS BIGINT) AS n_intervals
       |FROM run GROUP BY suppkey
       |ORDER BY peak DESC, suppkey""".stripMargin
+
+  // ------------------------------------------------- pro-rata allocation
+
+  /** Recognition horizon for q164: each order's value is recognized
+    * linearly over 90 days of service starting at the order date. */
+  val ProrateDays = 90L
+
+  /** q164_prorate — pro-rata revenue recognition: allocate each order's
+    * total (in exact cents) across the calendar months its 90-day service
+    * window touches, proportional to overlap days. The allocation uses the
+    * TELESCOPING form — month m's share is
+    * `floor(cents·cumdays_end/90) − floor(cents·cumdays_start/90)` — so the
+    * per-order shares sum to exactly `cents` with no separate
+    * remainder-assignment pass (the floor residue rides forward into the
+    * next month automatically). The deferred-revenue / subscription-
+    * amortization staple, exact to the cent.
+    *
+    * Scale: month expansion is a map-side `sequence`+`explode` (≤ 4 rows
+    * per order at a 90-day horizon), then ONE month-cardinality hash
+    * aggregate with map-side combine. No window, no join; the expensive
+    * `count(DISTINCT o_orderkey)` audit column is bounded by the same
+    * month-cardinality shuffle. All arithmetic is BIGINT on non-negative
+    * operands (`div` = `//` there). */
+  def q164Prorate(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("d0"),
+      // dollars → exact cents; floor(x+0.5) is the cross-engine-safe
+      // rounding (README determinism notes)
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("dend", date_add(col("d0"), (ProrateDays - 1).toInt))
+    val m = o.select(col("o_orderkey"), col("d0"), col("dend"), col("cents"),
+      explode(sequence(trunc(col("d0"), "MM"), trunc(col("dend"), "MM"),
+        expr("interval 1 month"))).as("month"))
+    val sliced = m.select(col("o_orderkey"), col("cents"), col("month"),
+      (datediff(least(last_day(col("month")), col("dend")), col("d0")) + 1)
+        .cast("long").as("cum_end"),
+      datediff(greatest(col("month"), col("d0")), col("d0"))
+        .cast("long").as("cum_start"))
+    sliced
+      .select(col("o_orderkey"), col("month"),
+        (expr(s"(cents * cum_end) div $ProrateDays") -
+          expr(s"(cents * cum_start) div $ProrateDays")).as("share_cents"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_slices"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("share_cents")).as("recognized_cents"))
+      .orderBy(col("month"))
+  }
+
+  val q164Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+       |         CAST(o_orderdate AS DATE) + ${ProrateDays - 1} AS dend,
+       |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |m AS (
+       |  SELECT o_orderkey, d0, dend, cents,
+       |         CAST(unnest(generate_series(date_trunc('month', d0),
+       |              date_trunc('month', dend), INTERVAL 1 MONTH)) AS DATE)
+       |           AS month
+       |  FROM o),
+       |s AS (
+       |  SELECT o_orderkey, month,
+       |         (cents * (date_diff('day', d0,
+       |              least(last_day(month), dend)) + 1)) // $ProrateDays
+       |       - (cents * date_diff('day', d0, greatest(month, d0)))
+       |           // $ProrateDays AS share_cents
+       |  FROM m)
+       |SELECT month, count(*) AS n_slices,
+       |       count(DISTINCT o_orderkey) AS n_orders,
+       |       CAST(sum(share_cents) AS BIGINT) AS recognized_cents
+       |FROM s GROUP BY month ORDER BY month""".stripMargin
 }

@@ -604,4 +604,69 @@ object Text {
       |JOIN freq fx ON fx.tok = context
       |CROSS JOIN n
       |ORDER BY center, context""".stripMargin
+
+  // ---------------------------------------------------- vocabulary growth
+
+  /** Batch width for q167: the corpus is consumed in doc_id order in
+    * batches of 50 documents. */
+  private val VocabBatch = 50L
+
+  /** q167_vocab_growth — Heaps'-law audit: consume the corpus in doc_id
+    * order in fixed batches and report, per batch, token occurrences, the
+    * number of NEW vocabulary types (tokens whose first corpus occurrence
+    * falls in the batch), and the running vocabulary size. A flattening
+    * new-type curve is the signal that a crawl has saturated its domain —
+    * the corpus-level counterpart to q65's per-document novelty.
+    *
+    * Scale: a type's first batch is `min(doc_id) div B` — one token-keyed
+    * aggregate with map-side partial min (hot tokens collapse before the
+    * exchange), then a batch-cardinality count. The running total is a
+    * window over the batch axis — tens of rows at any corpus size, so the
+    * unpartitioned window is a non-issue (it never sees row-level data). */
+  def q167VocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("batch", expr(s"doc_id div $VocabBatch"))
+    val occ = toks.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val firsts = toks.groupBy(col("tok"))
+      .agg(min(col("batch")).as("first_batch"))
+      .groupBy(col("first_batch").as("batch"))
+      .agg(count(lit(1)).as("n_new_types"))
+    occ.join(firsts, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"), col("n_occurrences"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("vocab_size",
+        sum(col("n_new_types")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("batch"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      .orderBy(col("batch"))
+  }
+
+  val q167Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id // $VocabBatch AS batch,
+       |         unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT * FROM toks WHERE tok <> ''),
+       |occ AS (
+       |  SELECT batch, count(*) AS n_occurrences,
+       |         count(DISTINCT doc_id) AS n_docs
+       |  FROM tf GROUP BY batch),
+       |firsts AS (
+       |  SELECT first_batch AS batch, count(*) AS n_new_types FROM (
+       |    SELECT tok, min(batch) AS first_batch FROM tf GROUP BY tok)
+       |  GROUP BY first_batch),
+       |j AS (
+       |  SELECT o.batch, o.n_docs, o.n_occurrences,
+       |         coalesce(f.n_new_types, 0) AS n_new_types
+       |  FROM occ o LEFT JOIN firsts f ON f.batch = o.batch)
+       |SELECT batch, n_docs, n_occurrences, n_new_types,
+       |       CAST(sum(n_new_types) OVER (ORDER BY batch
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS vocab_size
+       |FROM j ORDER BY batch""".stripMargin
 }

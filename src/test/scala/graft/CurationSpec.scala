@@ -73,4 +73,37 @@ class CurationSpec extends AnyFunSuite {
         r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-15)
     }
   }
+
+  test("q166: planted shared 8-gram spans merge into maximal regions") {
+    import spark.implicits._
+    // docs 1 and 4 share three overlapping 8-grams -> ONE merged span
+    // covering tokens 1..10 in each; docs 2 shares one 8-gram at
+    // offset 3; doc 3 has no duplicated span at all
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x x a b c d e f g h z1 z2 z3"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (4L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val out = Curation.spanDedup(docs, 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) === ((10L, 1L, 10L, 1.0)),
+      "doc 1: overlapping dup grams merge to one whole-doc span")
+    assert(out(2L)._2 === 1L && out(2L)._3 === 8L,
+      "doc 2: a single shared 8-gram yields one 8-token span")
+    assert(out(3L) === ((10L, 0L, 0L, 0.0)), "doc 3 is clean")
+    assert(out(4L)._3 === 10L && math.abs(out(4L)._4 - 10.0 / 11) < 1e-15,
+      "doc 4: merged span covers its first 10 of 11 tokens")
+  }
+
+  test("q166: within-document repetition alone also counts as duplication") {
+    import spark.implicits._
+    val rep = ("p q r s t u v w " * 3).trim // the 8-gram repeats inside one doc
+    val docs = Seq((7L, rep)).toDF("doc_id", "text")
+    val out = Curation.spanDedup(docs, 8).collect()
+    assert(out.head.getLong(2) >= 1L,
+      "a doc repeating its own 8-gram must be flagged")
+    assert(out.head.getLong(3) === 24L,
+      "the three repeats chain into one full-width span")
+  }
 }
