@@ -74,4 +74,25 @@ object StableHash {
   def intMix62Sql(e: String, salt: Long = 11L): String =
     s"((($e) * $A1 + $salt) % $P1) * 2147483648" +
       s" + ((($e) * $A2 + $salt) % $P2)"
+
+  /** Order-statistics-grade string hash: [[charPoly62]]'s two 31-bit lanes
+    * each re-mixed through a wrapping congruential map before composition.
+    * The raw char polynomial is fine as an equality key but its LOW TAIL is
+    * clumpy on structured text (shared prefixes/suffixes) — measured 76%
+    * KMV estimator error on fixture bigrams, vs 12% (the theoretical rsd)
+    * after this mix. Bounds: lane < 2³¹ and A₁,A₂ < 2³² ⇒ products < 2⁶³,
+    * no ANSI overflow. */
+  def charMix62(s: Column, salt: Long = 11L): Column =
+    shiftleft(pmod(charPoly(s, 131L, P1) * lit(A1) + lit(salt), lit(P1)), 31) +
+      pmod(charPoly(s, 137L, P2) * lit(A2) + lit(salt), lit(P2))
+
+  /** DuckDB SQL twin of [[charMix62]] over the string expression `e`. */
+  def charMix62Sql(e: String, salt: Long = 11L): String = {
+    def poly(base: Long, p: Long): String =
+      s"""list_reduce(list_transform(string_split($e, ''),
+         |                     c -> CAST(ascii(c) AS BIGINT)),
+         |                     (acc, x) -> (acc * $base + x) % $p)""".stripMargin
+    s"((${poly(131L, P1)} * $A1 + $salt) % $P1) * 2147483648" +
+      s" + ((${poly(137L, P2)} * $A2 + $salt) % $P2)"
+  }
 }

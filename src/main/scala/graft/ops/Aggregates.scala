@@ -257,6 +257,155 @@ object Aggregates {
        |ORDER BY e.l_returnflag""".stripMargin
   }
 
+  /** Sketch size for q169: 64 minimum hashes per source. */
+  private val KmvPairK = 64
+
+  /** q169_kmv_overlap — MERGED KMV sketches estimating pairwise source
+    * overlap: sketch each source's 2-gram shingle set (k minimum hashes),
+    * merge sketch PAIRS (k smallest of the union — the KMV union rule), and
+    * estimate |A∪B| and Jaccard by inclusion–exclusion. Mergeability is THE
+    * sketch property that matters at scale — per-shard sketches combine
+    * into corpus answers without touching raw data again — and this query
+    * exercises it end-to-end, with the exact intersection/union computed
+    * alongside as the audit (estimates and exacts land in one row, both
+    * deterministic, so the oracle hash-checks the sketch math itself).
+    *
+    * Scale: sketches are the bounded [[graft.plans.GroupedTopK]] heap
+    * (map-side k-truncation, no whole-group sort); the pair stage touches
+    * only sketch rows (sources² · k, independent of corpus size). The
+    * exact-audit join IS corpus-sized — production drops it, it exists
+    * here because an audited estimator is the point of the query. */
+  def q169KmvOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    kmvOverlap(Tables.documents(spark, sfDir), KmvPairK)
+
+  /** The sketch-merge core over any (source, text) frame — see
+    * [[q169KmvOverlap]]. */
+  def kmvOverlap(docs: DataFrame, k: Int): DataFrame = {
+    val t = split(col("text"), " ")
+    val m = greatest(size(t) - 1, lit(0))
+    val grams = docs
+      .select(col("source"), explode(arrays_zip(
+        slice(t, lit(1), m).as("w1"), slice(t, lit(2), m).as("w2"))).as("z"))
+      .select(col("source"),
+        concat_ws(" ", col("z.w1"), col("z.w2")).as("gram"))
+      .distinct()
+      .localCheckpoint() // consumed by sketch, per-source counts, AND audit
+    val hashed = grams.select(col("source"),
+      // charMix62, not charPoly62: order statistics need the mixed tail
+      // (raw char-poly low tail is clumpy on structured bigrams)
+      graft.functions.StableHash.charMix62(col("gram")).as("h"))
+    val sk = graft.plans.GroupedTopK.topKPerKey(hashed,
+        Seq("source"), Seq("h" -> false), k)
+      .select(col("source"), col("h"))
+      .localCheckpoint() // tiny (sources·k); feeds stats + both pair sides
+    val dist = grams.groupBy(col("source")).agg(count(lit(1)).as("d"))
+    val stats = sk.groupBy(col("source"))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_kept"))
+      .join(dist, Seq("source"))
+    def est(nKept: Column, hK: Column, d: Column): Column =
+      when(nKept < k, d.cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (hK.cast("double") / lit(4.611686018427387904e18)))
+    val pairs = dist.select(col("source").as("src_a"))
+      .crossJoin(dist.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val pairH = pairs
+      .join(sk.withColumnRenamed("source", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"))
+      .unionAll(pairs
+        .join(sk.withColumnRenamed("source", "src_b"), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("h")))
+      .distinct() // a shared gram appears in both sketches with one h
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_a"), col("src_b"))
+      .orderBy(col("h")) // ≤ 2k rows per pair by construction — bounded
+    val unionStats = pairH
+      .withColumn("rn", row_number().over(byPair)).filter(col("rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("h")).as("h_ku"), count(lit(1)).as("n_ku"))
+    val inter = grams.select(col("source").as("src_a"), col("gram"))
+      .join(grams.select(col("source").as("src_b"), col("gram")), Seq("gram"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val sa = stats.select(col("source").as("src_a"), col("n_kept").as("na"),
+      col("h_k").as("ha"), col("d").as("da"))
+    val sb = stats.select(col("source").as("src_b"), col("n_kept").as("nb"),
+      col("h_k").as("hb"), col("d").as("db"))
+    val eu = est(col("n_ku"), col("h_ku"), col("n_ku"))
+    val ea = est(col("na"), col("ha"), col("da"))
+    val eb = est(col("nb"), col("hb"), col("db"))
+    pairs.join(sa, Seq("src_a")).join(sb, Seq("src_b"))
+      .join(unionStats, Seq("src_a", "src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("exact_inter"),
+        (col("da") + col("db") - col("exact_inter")).as("exact_union"),
+        (col("exact_inter").cast("double") /
+          (col("da") + col("db") - col("exact_inter"))).as("jaccard_exact"),
+        eu.as("union_est"),
+        ((ea + eb - eu) / eu).as("jaccard_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q169Sql: String = {
+    val k = KmvPairK
+    val h62 = graft.functions.StableHash.charMix62Sql("gram")
+    val estU = s"CASE WHEN u.n_ku < $k THEN CAST(u.n_ku AS DOUBLE) ELSE " +
+      s"${k - 1}.0 / (CAST(u.h_ku AS DOUBLE) / 4.611686018427387904e18) END"
+    def estS(n: String, h: String, d: String): String =
+      s"CASE WHEN $n < $k THEN CAST($d AS DOUBLE) ELSE " +
+        s"${k - 1}.0 / (CAST($h AS DOUBLE) / 4.611686018427387904e18) END"
+    s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t
+       |              FROM documents),
+       |g AS (SELECT DISTINCT source, gram FROM (
+       |  SELECT source,
+       |         unnest(list_transform(range(1, greatest(len(t), 2)),
+       |                i -> t[i] || ' ' || t[i+1])) AS gram
+       |  FROM toks WHERE len(t) >= 2)),
+       |hs AS (SELECT source, $h62 AS h FROM g),
+       |sk AS (SELECT source, h FROM (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source
+       |    ORDER BY h) AS rn FROM hs) WHERE rn <= $k),
+       |dist AS (SELECT source, count(*) AS d FROM g GROUP BY 1),
+       |stats AS (SELECT s.source, max(s.h) AS h_k, count(*) AS n_kept,
+       |                 any_value(di.d) AS d
+       |          FROM sk s JOIN dist di ON di.source = s.source
+       |          GROUP BY s.source),
+       |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+       |          FROM dist a JOIN dist b ON a.source < b.source),
+       |pu AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+       |       FROM pairs p JOIN sk s
+       |         ON s.source = p.src_a OR s.source = p.src_b),
+       |pk AS (SELECT src_a, src_b, h FROM (
+       |  SELECT src_a, src_b, h, row_number() OVER (
+       |    PARTITION BY src_a, src_b ORDER BY h) AS rn FROM pu)
+       |  WHERE rn <= $k),
+       |us AS (SELECT src_a, src_b, max(h) AS h_ku, count(*) AS n_ku
+       |       FROM pk GROUP BY 1, 2),
+       |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+       |                 count(*) AS exact_inter
+       |          FROM g a JOIN g b
+       |            ON a.gram = b.gram AND a.source < b.source
+       |          GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b,
+       |       coalesce(i.exact_inter, 0) AS exact_inter,
+       |       sa.d + sb.d - coalesce(i.exact_inter, 0) AS exact_union,
+       |       CAST(coalesce(i.exact_inter, 0) AS DOUBLE)
+       |         / (sa.d + sb.d - coalesce(i.exact_inter, 0))
+       |         AS jaccard_exact,
+       |       $estU AS union_est,
+       |       ((${estS("sa.n_kept", "sa.h_k", "sa.d")}
+       |         + ${estS("sb.n_kept", "sb.h_k", "sb.d")} - $estU)
+       |         / $estU) AS jaccard_est
+       |FROM pairs p
+       |JOIN stats sa ON sa.source = p.src_a
+       |JOIN stats sb ON sb.source = p.src_b
+       |JOIN us u ON u.src_a = p.src_a AND u.src_b = p.src_b
+       |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+  }
+
   /** q92_cms — count-min sketch frequency estimation over event types: the
     * OTHER classic mergeable sketch next to q23's HLL (frequencies, not
     * cardinalities). The sketch is built distributed (one codegen'd

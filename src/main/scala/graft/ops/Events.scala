@@ -603,4 +603,81 @@ object Events {
       |       arg_max(len, island_end * 1024 + len) AS latest_streak
       |FROM streaks GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** q170_time_to_convert — signup-cohort conversion latency: per weekly
+    * signup cohort, how many users converted (first purchase AT or after
+    * their first signup) and the exact median seconds to convert (lower
+    * median — an order statistic on integer seconds, so it cross-engine
+    * hash-matches; no interpolation). The activation metric behind every
+    * growth dashboard, composed from first-touch aggregates rather than a
+    * sessionization pass.
+    *
+    * Scale: two user-cardinality aggregates (map-side min), one
+    * user-keyed join, then cohort-partitioned windows over CONVERTED
+    * users only — cohorts are the parallel axis, and a cohort's rows are
+    * bounded by its membership. No event-grain window ever runs. */
+  def q170TimeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val fs = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fs, Seq("user_id"))
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    val u = fs.join(fp, Seq("user_id"), "left")
+      .select(col("user_id"),
+        date_trunc("week", col("signup_ts")).cast("date").as("cohort_week"),
+        expr("(unix_micros(purchase_ts) - unix_micros(signup_ts))" +
+          " div 1000000").as("secs"))
+      .localCheckpoint() // feeds the cohort rollup AND the median window
+    val coh = u.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"), count(col("secs")).as("n_converted"))
+    val byCohort = W.partitionBy(col("cohort_week"))
+    val med = u.filter(col("secs").isNotNull)
+      .withColumn("rn", row_number().over(
+        byCohort.orderBy(col("secs"), col("user_id"))))
+      .withColumn("cnt", count(lit(1)).over(byCohort))
+      .filter(col("rn") * 2 >= col("cnt"))
+      .groupBy(col("cohort_week"))
+      .agg(min(col("secs")).as("median_secs"))
+    coh.join(med, Seq("cohort_week"), "left")
+      .select(col("cohort_week"), col("n_users"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_users")).as("conv_rate"),
+        col("median_secs"))
+      .orderBy(col("cohort_week"))
+  }
+
+  val q170Sql: String =
+    """WITH fs AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |fp AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN fs ON fs.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= fs.signup_ts
+      |  GROUP BY 1),
+      |u AS (
+      |  SELECT fs.user_id,
+      |         CAST(date_trunc('week', fs.signup_ts) AS DATE) AS cohort_week,
+      |         (epoch_us(fp.purchase_ts) - epoch_us(fs.signup_ts)) // 1000000
+      |           AS secs
+      |  FROM fs LEFT JOIN fp ON fp.user_id = fs.user_id),
+      |coh AS (
+      |  SELECT cohort_week, count(*) AS n_users, count(secs) AS n_converted
+      |  FROM u GROUP BY 1),
+      |conv AS (
+      |  SELECT cohort_week, secs,
+      |         row_number() OVER (PARTITION BY cohort_week
+      |           ORDER BY secs, user_id) AS rn,
+      |         count(*) OVER (PARTITION BY cohort_week) AS cnt
+      |  FROM u WHERE secs IS NOT NULL),
+      |med AS (
+      |  SELECT cohort_week, min(secs) AS median_secs
+      |  FROM conv WHERE rn * 2 >= cnt GROUP BY 1)
+      |SELECT c.cohort_week, c.n_users, c.n_converted,
+      |       CAST(c.n_converted AS DOUBLE) / c.n_users AS conv_rate,
+      |       m.median_secs
+      |FROM coh c LEFT JOIN med m USING (cohort_week)
+      |ORDER BY c.cohort_week""".stripMargin
 }

@@ -134,4 +134,59 @@ object Robust {
        |FROM bucketed
        |GROUP BY bucket
        |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------- weighted median
+
+  /** q168_weighted_median — exact quantity-weighted median price per
+    * supplier: order each supplier's line items by price and take the first
+    * row where the cumulative quantity reaches half the total (the lower
+    * weighted median — an exact order statistic, not an interpolation, so
+    * it cross-engine hash-matches on raw doubles). The robust "typical
+    * price actually paid" statistic — a high-volume cheap line pulls the
+    * weighted median down where the unweighted median ignores volume.
+    *
+    * Scale: the cumulative weight is a window partitioned by supplier
+    * (10k+ independent partitions, each bounded by lines-per-supplier);
+    * the median pick is `min_by` over the flagged suffix — algebraic, map-
+    * side combinable. A mega-group would swap the window for the q25
+    * binned-percentile shape; at catalog-shaped cardinalities the
+    * per-group sort IS the scalable plan. The tie-break (price, orderkey,
+    * linenumber) is total, so cumw is deterministic. */
+  def q168WeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_orderkey"), col("l_linenumber"))
+    val byKey = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+    val cum = li
+      .withColumn("cumw", sum(col("qty")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("qty")).over(
+        Window.partitionBy(col("l_suppkey"))))
+    cum.filter(col("cumw") * 2 >= col("tot"))
+      .groupBy(col("l_suppkey"))
+      .agg(max(col("tot")).as("tot_qty"),
+        count(lit(1)).as("n_upper"),
+        min_by(col("price"), col("cumw")).as("wmedian_price"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val q168Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_extendedprice AS price,
+      |         CAST(l_quantity AS BIGINT) AS qty, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT l_suppkey, price,
+      |         CAST(sum(qty) OVER (PARTITION BY l_suppkey
+      |           ORDER BY price, l_orderkey, l_linenumber
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cumw,
+      |         CAST(sum(qty) OVER (PARTITION BY l_suppkey) AS BIGINT) AS tot
+      |  FROM li)
+      |SELECT l_suppkey, max(tot) AS tot_qty, count(*) AS n_upper,
+      |       arg_min(price, cumw) AS wmedian_price
+      |FROM c WHERE cumw * 2 >= tot
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 }

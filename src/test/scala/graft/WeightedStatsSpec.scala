@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Aggregates, Events, Robust}
+
+/** q168/q169/q170 — weighted median, KMV sketch merge, conversion latency:
+  * semantics proven against direct recomputation and planted inputs. */
+class WeightedStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+
+  test("q168: weighted median matches a direct per-supplier recomputation") {
+    import org.apache.spark.sql.functions.col
+    val out = Robust.q168WeightedMedian(spark, SparkSuite.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val raw = Tables.lineitem(spark, SparkSuite.sf)
+      .select(col("l_suppkey"), col("l_extendedprice"),
+        col("l_quantity").cast("long"), col("l_orderkey"),
+        col("l_linenumber"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    raw.groupBy(_._1).foreach { case (supp, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._4, r._5))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { r => cum += r._3; cum * 2 >= tot }.get._2
+      assert(out(supp)._1 === tot, s"supplier $supp total weight")
+      assert(out(supp)._2 === med, s"supplier $supp weighted median")
+    }
+  }
+
+  test("q169: identical sources give jaccard 1; disjoint give 0") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(("a", text), ("b", text), ("c", other))
+      .toDF("source", "text")
+    val rows = Aggregates.kmvOverlap(docs, 16).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(6))).toMap
+    val ab = rows(("a", "b"))
+    assert(ab._3 === 1.0 && ab._1 === ab._2, "identical sets: exact J=1")
+    assert(math.abs(ab._4 - 1.0) < 1e-9,
+      "identical sketches must estimate J=1 exactly (same k-mins)")
+    val ac = rows(("a", "c"))
+    assert(ac._1 === 0L && ac._3 === 0.0, "disjoint sets: exact J=0")
+  }
+
+  test("q169: fixture estimates stay inside KMV error bounds") {
+    val rows = Aggregates.q169KmvOverlap(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length === 190, "20 sources -> 190 unordered pairs")
+    rows.foreach { r =>
+      val (exactU, estU) = (r.getLong(3), r.getDouble(5))
+      // k=64 -> rsd ~ 1/sqrt(62) ~ 12.7%; measured max 12.5% on the
+      // fixture with the mixed hash - 0.35 leaves ~3x headroom
+      assert(math.abs(estU - exactU) / exactU < 0.35,
+        s"${r.getString(0)}x${r.getString(1)}: est $estU vs exact $exactU")
+      assert(math.abs(r.getDouble(6) - r.getDouble(4)) < 0.35,
+        "jaccard estimate within coarse bound of exact")
+    }
+  }
+
+  test("q170: conversion accounting ties out against raw events") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.q170TimeToConvert(spark, SparkSuite.sf).collect()
+    val totalUsers = rows.map(_.getLong(1)).sum
+    val signups = Tables.events(spark, SparkSuite.sf)
+      .filter(col("event_type") === "signup")
+      .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(totalUsers === signups, "every signing-up user lands in a cohort")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(
+        r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-15)
+      if (r.getLong(2) > 0) assert(r.getLong(4) >= 0L,
+        "median latency is non-negative (purchase at/after signup)")
+    }
+  }
+}
