@@ -139,6 +139,7 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.sqlFunction)
+    StableHashExpression.sqlFunctions.foreach(ext.injectFunction)
     graft.plans.GroupedTopK.inject(ext)
   }
 }

@@ -292,8 +292,9 @@ object Aggregates {
       .localCheckpoint() // consumed by sketch, per-source counts, AND audit
     val hashed = grams.select(col("source"),
       // charMix62, not charPoly62: order statistics need the mixed tail
-      // (raw char-poly low tail is clumpy on structured bigrams)
-      graft.functions.StableHash.charMix62(col("gram")).as("h"))
+      // (raw char-poly low tail is clumpy on structured bigrams); native
+      // codegen'd form, bit-identical to the HOF Column API
+      graft.functions.StableHashExpression.charMix62(col("gram")).as("h"))
     val sk = graft.plans.GroupedTopK.topKPerKey(hashed,
         Seq("source"), Seq("h" -> false), k)
       .select(col("source"), col("h"))

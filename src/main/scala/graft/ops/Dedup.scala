@@ -249,7 +249,10 @@ object Dedup {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .select(col("doc_id"), StableHash.charPoly62(col("tok")).as("th"))
+      // codegen'd native form — bit-identical to StableHash.charPoly62,
+      // but fused into the surrounding stage instead of an interpreted HOF
+      .select(col("doc_id"),
+        graft.functions.StableHashExpression.charPoly62(col("tok")).as("th"))
     val votes = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v_$j")

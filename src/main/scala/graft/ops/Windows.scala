@@ -365,4 +365,75 @@ object Windows {
       |         / CAST(sum(dur_s) AS DOUBLE) AS twap
       |FROM seg WHERE dur_s IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q171_gini — revenue-concentration Gini coefficient per nation, exact:
+    * with per-customer revenue in integer cents sorted ascending and ranked
+    * i = 1..n, G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) — integer numerator and
+    * denominator, ONE IEEE division. Customers with no orders count as
+    * zeros (concentration among the population, not among buyers). Ties in
+    * revenue don't perturb the sum (equal xᵢ commute), so the custkey
+    * tie-break only pins the oracle's row order, not the value. The
+    * inequality-audit statistic completing q98's Pareto cut.
+    *
+    * Scale: revenue is a custkey aggregate; the rank window partitions by
+    * nation (independent partitions, each bounded by nation membership —
+    * the natural shard). Numerator bound: Σ i·xᵢ < n²·x_max, BIGINT-safe
+    * to ~10⁵ customers per nation at 10⁶-cent revenues; past that the
+    * rank-sum splits into per-bucket offsets (q25's binning) before it
+    * overflows. */
+  def q171Gini(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("cents"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val byNation = Window.partitionBy(col("n_name"))
+      .orderBy(col("cents"), col("c_custkey"))
+    cust
+      .withColumn("i", row_number().over(byNation).cast("long"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("i") * col("cents")).as("rank_sum"))
+      .select(col("n_name"), col("n_customers"), col("total_cents"),
+        when(col("total_cents") === 0L, lit(0.0))
+          .otherwise(
+            (lit(2L) * col("rank_sum")
+              - (col("n_customers") + 1L) * col("total_cents"))
+              .cast("double")
+              / (col("n_customers") * col("total_cents")))
+          .as("gini"))
+      .orderBy(col("n_name"))
+  }
+
+  val q171Sql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |cust AS (
+      |  SELECT n.n_name, c.c_custkey, coalesce(r.cents, 0) AS cents
+      |  FROM customer c
+      |  LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |ranked AS (
+      |  SELECT n_name, cents,
+      |         CAST(row_number() OVER (PARTITION BY n_name
+      |           ORDER BY cents, c_custkey) AS BIGINT) AS i
+      |  FROM cust)
+      |SELECT n_name, count(*) AS n_customers,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CASE WHEN sum(cents) = 0 THEN 0.0
+      |            ELSE CAST(2 * CAST(sum(i * cents) AS BIGINT)
+      |                      - (count(*) + 1) * CAST(sum(cents) AS BIGINT)
+      |                   AS DOUBLE)
+      |                 / (count(*) * CAST(sum(cents) AS BIGINT)) END
+      |         AS gini
+      |FROM ranked GROUP BY n_name ORDER BY n_name""".stripMargin
 }

@@ -62,6 +62,35 @@ class WeightedStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q171: gini matches a direct recomputation and stays in [0, 1)") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Windows.q171Gini(spark, SparkSuite.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val rev = Tables.orders(spark, SparkSuite.sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("c"))
+    val cust = Tables.customer(spark, SparkSuite.sf)
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .join(Tables.nation(spark, SparkSuite.sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), coalesce(col("c"), lit(0L)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    cust.groupBy(_._1).foreach { case (nation, rows) =>
+      val xs = rows.map(_._2).sorted
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val rankSum = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini =
+        if (tot == 0) 0.0
+        else (2L * rankSum - (n + 1) * tot).toDouble / (n * tot)
+      assert(out(nation)._1 === n)
+      assert(out(nation)._2 === tot)
+      assert(out(nation)._3 === gini, s"gini mismatch for $nation")
+      assert(gini >= 0.0 && gini < 1.0)
+    }
+  }
+
   test("q170: conversion accounting ties out against raw events") {
     import org.apache.spark.sql.functions._
     val rows = Events.q170TimeToConvert(spark, SparkSuite.sf).collect()
