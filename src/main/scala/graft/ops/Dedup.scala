@@ -373,4 +373,78 @@ object Dedup {
       |JOIN sizes s1 ON s1.doc_id = d1
       |JOIN sizes s2 ON s2.doc_id = d2
       |ORDER BY d1, d2""".stripMargin
+
+  /** q172_lsh_audit — does the approximate dedup find what the exact one
+    * finds? Confusion-matrix audit of MinHash+LSH cluster membership
+    * ([[minhashClusters]], "in a multi-doc cluster") against the exact
+    * shared-3-gram duplicate groups ([[Components.dupGroups]], "in a
+    * multi-doc component"), with precision/recall in the same row. The
+    * dedup-path counterpart of q152's ANN recall audit: the approximation
+    * error is itself oracle-checked, because both sides replay exactly in
+    * SQL (the q70 + q83 oracles compose as subqueries). Note the ground
+    * truth is intentionally LOOSER than MinHash's target (any shared
+    * 3-gram within the band window vs high-Jaccard similarity), so low
+    * recall against it is the expected, truthful reading — the audit
+    * exists to make that threshold gap a measured number, not a guess.
+    *
+    * Scale: both inputs are the already-scale-shaped q70/q83 plans; the
+    * audit adds one cluster-cardinality aggregate, a doc-keyed join, and a
+    * global one-row aggregate (map-side combine all the way). */
+  def q172LshAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cl = minhashClusters(docs)
+      .select(col("doc_id"), col("cluster_rep"))
+      .localCheckpoint() // two consumers: membership counts + join-back
+    val lsh = cl
+      .join(cl.groupBy(col("cluster_rep")).agg(count(lit(1)).as("cn")),
+        Seq("cluster_rep"))
+      .select(col("doc_id"), (col("cn") >= 2L).as("lsh_dup"))
+    val ex = Components.dupGroups(docs)
+      .select(col("doc_id"), (col("n_members") >= 2L).as("exact_dup"))
+    lsh.join(ex, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lsh_dup") && col("exact_dup"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("lsh_dup") && !col("exact_dup"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("lsh_dup") && col("exact_dup"), 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!col("lsh_dup") && !col("exact_dup"), 1L).otherwise(0L))
+          .as("tn"))
+      .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("lsh_precision"),
+        when(col("tp") + col("fn") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn")))
+          .as("lsh_recall"))
+  }
+
+  /** Composed oracle for q172 — [[q70Sql]] and [[Components.q83Sql]] as
+    * subqueries, the q152 composition pattern. */
+  val q172Sql: String =
+    s"""WITH cl AS (SELECT doc_id, cluster_rep FROM ($q70Sql)),
+       |cs AS (SELECT cluster_rep, count(*) AS cn FROM cl GROUP BY 1),
+       |lsh AS (SELECT cl.doc_id, cs.cn >= 2 AS lsh_dup
+       |        FROM cl JOIN cs USING (cluster_rep)),
+       |ex AS (SELECT doc_id, n_members >= 2 AS exact_dup
+       |       FROM (${Components.q83Sql})),
+       |j AS (SELECT l.lsh_dup, e.exact_dup
+       |      FROM lsh l JOIN ex e USING (doc_id)),
+       |c AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN lsh_dup AND exact_dup THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN lsh_dup AND NOT exact_dup THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN NOT lsh_dup AND exact_dup THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS fn,
+       |  CAST(sum(CASE WHEN NOT lsh_dup AND NOT exact_dup THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS tn
+       |  FROM j)
+       |SELECT n_docs, tp, fp, fn, tn,
+       |       CASE WHEN tp + fp = 0 THEN 0.0
+       |            ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS lsh_precision,
+       |       CASE WHEN tp + fn = 0 THEN 0.0
+       |            ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS lsh_recall
+       |FROM c""".stripMargin
 }

@@ -91,6 +91,17 @@ class WeightedStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q172: confusion matrix is internally consistent") {
+    val r = graft.ops.Dedup.q172LshAudit(spark, SparkSuite.sf).collect()(0)
+    val (n, tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(tp + fp + fn + tn === n, "cells partition the corpus")
+    val prec = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    val rec = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    assert(r.getDouble(5) === prec && r.getDouble(6) === rec)
+    assert(tp > 0, "the fixture's planted dups must produce true positives")
+  }
+
   test("q170: conversion accounting ties out against raw events") {
     import org.apache.spark.sql.functions._
     val rows = Events.q170TimeToConvert(spark, SparkSuite.sf).collect()
