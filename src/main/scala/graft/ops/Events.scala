@@ -680,4 +680,99 @@ object Events {
       |       m.median_secs
       |FROM coh c LEFT JOIN med m USING (cohort_week)
       |ORDER BY c.cohort_week""".stripMargin
+
+  /** Experiment-assignment salt for q174 (differs from every other
+    * intMix62 consumer so bucketing is independent of sampling/sketches). */
+  private val AbSalt = 7L
+
+  /** q174_ab_test — deterministic experiment assignment and outcome
+    * readout: users hash into variants A/B via the stable integer mix
+    * (assignment is a pure function of user_id — replayable, no
+    * coordination, the way real experiment routers bucket), outcome is
+    * "ever purchased", and the one-row readout reports per-variant
+    * conversion, absolute lift, and the 2×2 χ² statistic. The χ² is
+    * rational-exact until the final squaring: (ad−bc) is computed in
+    * BIGINT, then the square/ratio run in IEEE doubles with IDENTICAL
+    * association order in both engines (counts past 2^26 would overflow
+    * the BIGINT square — doubles keep the parity contract instead).
+    *
+    * Scale: one user-cardinality aggregate (max-when flattens events to a
+    * per-user bit), then a single global 4-cell aggregate — map-side
+    * combine end-to-end, no window, no join. */
+  def q174AbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    // outcome = "ever made a HIGH-VALUE purchase": every fixture user
+    // purchases something, so plain purchase would leave the χ²'s
+    // non-converter margin empty (and the margins degenerate)
+    val conv = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 250.0,
+        1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        pmod(graft.functions.StableHash.intMix62(col("user_id"), AbSalt),
+          lit(2L)))
+    val cells = conv.agg(
+      sum(when(col("variant") === 0L && col("converted") === 1L, 1L)
+        .otherwise(0L)).as("a_conv"),
+      sum(when(col("variant") === 0L && col("converted") === 0L, 1L)
+        .otherwise(0L)).as("a_no"),
+      sum(when(col("variant") === 1L && col("converted") === 1L, 1L)
+        .otherwise(0L)).as("b_conv"),
+      sum(when(col("variant") === 1L && col("converted") === 0L, 1L)
+        .otherwise(0L)).as("b_no"))
+    val n = col("a_conv") + col("a_no") + col("b_conv") + col("b_no")
+    val det = col("a_conv") * col("b_no") - col("a_no") * col("b_conv")
+    val rateA = col("a_conv").cast("double") / (col("a_conv") + col("a_no"))
+    val rateB = col("b_conv").cast("double") / (col("b_conv") + col("b_no"))
+    cells.select(
+      (col("a_conv") + col("a_no")).as("n_a"), col("a_conv"),
+      (col("b_conv") + col("b_no")).as("n_b"), col("b_conv"),
+      rateA.as("rate_a"), rateB.as("rate_b"),
+      (rateB - rateA).as("lift"),
+      // degenerate margin (all or none convert) ⇒ χ² defined as 0, and
+      // the guard keeps ANSI mode from throwing on the zero denominator
+      when(col("a_conv") + col("b_conv") === 0L ||
+          col("a_no") + col("b_no") === 0L, lit(0.0))
+        .otherwise(
+          (n.cast("double") * (det.cast("double") * det.cast("double"))) /
+            ((col("a_conv") + col("a_no")).cast("double") *
+              (col("b_conv") + col("b_no")).cast("double") *
+              (col("a_conv") + col("b_conv")).cast("double") *
+              (col("a_no") + col("b_no")).cast("double")))
+        .as("chi2"))
+  }
+
+  val q174Sql: String =
+    s"""WITH conv AS (
+       |  SELECT user_id,
+       |         max(CASE WHEN event_type = 'purchase' AND value > 250
+       |                  THEN 1 ELSE 0 END) AS converted,
+       |         (${graft.functions.StableHash.intMix62Sql("user_id", AbSalt)})
+       |           % 2 AS variant
+       |  FROM events GROUP BY user_id),
+       |cells AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN variant = 0 AND converted = 1
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS a_conv,
+       |    CAST(sum(CASE WHEN variant = 0 AND converted = 0
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS a_no,
+       |    CAST(sum(CASE WHEN variant = 1 AND converted = 1
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS b_conv,
+       |    CAST(sum(CASE WHEN variant = 1 AND converted = 0
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS b_no
+       |  FROM conv)
+       |SELECT a_conv + a_no AS n_a, a_conv,
+       |       b_conv + b_no AS n_b, b_conv,
+       |       CAST(a_conv AS DOUBLE) / (a_conv + a_no) AS rate_a,
+       |       CAST(b_conv AS DOUBLE) / (b_conv + b_no) AS rate_b,
+       |       CAST(b_conv AS DOUBLE) / (b_conv + b_no)
+       |         - CAST(a_conv AS DOUBLE) / (a_conv + a_no) AS lift,
+       |       CASE WHEN a_conv + b_conv = 0 OR a_no + b_no = 0 THEN 0.0
+       |            ELSE (CAST(a_conv + a_no + b_conv + b_no AS DOUBLE)
+       |              * (CAST(a_conv * b_no - a_no * b_conv AS DOUBLE)
+       |                 * CAST(a_conv * b_no - a_no * b_conv AS DOUBLE)))
+       |            / (CAST(a_conv + a_no AS DOUBLE)
+       |               * CAST(b_conv + b_no AS DOUBLE)
+       |               * CAST(a_conv + b_conv AS DOUBLE)
+       |               * CAST(a_no + b_no AS DOUBLE)) END AS chi2
+       |FROM cells""".stripMargin
 }

@@ -436,4 +436,50 @@ object Windows {
       |                 / (count(*) * CAST(sum(cents) AS BIGINT)) END
       |         AS gini
       |FROM ranked GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q173_seasonality — month-of-year seasonal index per brand: shipped
+    * quantity by (brand, month-of-year) against the brand's total, index =
+    * 12·month_qty / total (1.0 = flat, >1 = seasonal peak). The demand-
+    * planning statistic behind every inventory forecast. Quantities are
+    * exact integers; the index is one IEEE division of exact operands.
+    *
+    * Scale: broadcast part-dim join (the q10 shape), one (brand × 12)-
+    * cardinality aggregate with map-side combine, and a brand-partitioned
+    * window over 12 rows for the total — shuffle bounded by brand
+    * cardinality regardless of fact size. */
+  def q173Seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        month(col("l_shipdate")).as("moy"))
+    val monthly = li
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("moy"))
+      .agg(sum(col("qty")).as("month_qty"))
+    monthly
+      .withColumn("brand_qty", sum(col("month_qty")).over(
+        Window.partitionBy(col("p_brand"))))
+      .select(col("p_brand"), col("moy"), col("month_qty"), col("brand_qty"),
+        ((col("month_qty") * 12L).cast("double") /
+          col("brand_qty").cast("double")).as("seasonal_idx"))
+      .orderBy(col("p_brand"), col("moy"))
+  }
+
+  val q173Sql: String =
+    """WITH monthly AS (
+      |  SELECT p.p_brand, month(l.l_shipdate) AS moy,
+      |         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+      |           AS month_qty
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT p_brand, moy, month_qty,
+      |         CAST(sum(month_qty) OVER (PARTITION BY p_brand) AS BIGINT)
+      |           AS brand_qty
+      |  FROM monthly)
+      |SELECT p_brand, moy, month_qty, brand_qty,
+      |       CAST(month_qty * 12 AS DOUBLE) / CAST(brand_qty AS DOUBLE)
+      |         AS seasonal_idx
+      |FROM tot ORDER BY p_brand, moy""".stripMargin
 }

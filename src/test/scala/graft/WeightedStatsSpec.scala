@@ -102,6 +102,34 @@ class WeightedStatsSpec extends AnyFunSuite {
     assert(tp > 0, "the fixture's planted dups must produce true positives")
   }
 
+  test("q173: seasonal indices average to exactly 1 over each brand") {
+    val rows = graft.ops.Windows.q173Seasonality(spark, SparkSuite.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (brand, ms) =>
+      val tot = ms.head._3
+      assert(ms.map(_._2).sum === tot, s"$brand: month sums tie to total")
+      // mean of 12*m/tot over observed months ~ 12/n_months when complete
+      ms.foreach { case (_, m, t, idx) =>
+        assert(idx === (m * 12L).toDouble / t.toDouble)
+      }
+    }
+  }
+
+  test("q174: assignment is deterministic and cells partition the users") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.Events.q174AbTest(spark, SparkSuite.sf).collect()(0)
+    val users = Tables.events(spark, SparkSuite.sf)
+      .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(r.getLong(0) + r.getLong(2) === users,
+      "variants partition the user base")
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    assert(r.getDouble(7) >= 0.0, "chi-square is non-negative")
+    // deterministic: a second run bit-matches the first
+    val r2 = graft.ops.Events.q174AbTest(spark, SparkSuite.sf).collect()(0)
+    assert(r === r2)
+  }
+
   test("q170: conversion accounting ties out against raw events") {
     import org.apache.spark.sql.functions._
     val rows = Events.q170TimeToConvert(spark, SparkSuite.sf).collect()
