@@ -775,4 +775,128 @@ object Events {
        |               * CAST(a_conv + b_conv AS DOUBLE)
        |               * CAST(a_no + b_no AS DOUBLE)) END AS chi2
        |FROM cells""".stripMargin
+
+  /** q175_autocorr — lag-k sample autocorrelation (k = 1..14) of the
+    * daily event-count series: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
+    * The weekly-cycle detector behind capacity planning and anomaly
+    * baselines. Cross-engine exactness by clearing the mean's fraction:
+    * both sums are N²-scaled — num_k = Σ(N·x_t−S)(N·x_{t+k}−S),
+    * den = Σ(N·x_t−S)² with S = Σx — computed in DECIMAL(38,0) (exact in
+    * both engines, immune to the DuckDB HUGEINT-float64 drift), then ONE
+    * IEEE division per lag.
+    *
+    * Scale: the only fact-sized stage is the daily hash-aggregate
+    * (map-side combine, date-cardinality shuffle). Everything after runs
+    * on the day-cardinality series — the lag pairing is a self-join on
+    * row_number bounded to 14 rows per day, never fact-sized. */
+  def q175Autocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxLag = 14
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // day-cardinality; feeds rn + stats (one fact scan)
+    val rn = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    // centered value scaled by N: c = N*x - S (integer, mean-free)
+    val c = rn.crossJoin(broadcast(stats))
+      .select(col("rn"),
+        (col("n") * col("x") - col("s")).cast("decimal(38,0)").as("c"))
+      .localCheckpoint() // feeds den + both lag-join sides
+    val den = c.agg(sum(col("c") * col("c")).as("den"))
+    val a = c.select(col("rn").as("rn_a"), col("c").as("c_a"))
+    val b = c.select(col("rn").as("rn_b"), col("c").as("c_b"))
+    a.join(b, col("rn_b") > col("rn_a") &&
+        col("rn_b") <= col("rn_a") + maxLag)
+      .select((col("rn_b") - col("rn_a")).as("lag"),
+        (col("c_a") * col("c_b")).as("prod"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("prod")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        (col("num").cast("double") / col("den").cast("double")).as("r"))
+      .orderBy(col("lag"))
+  }
+
+  val q175Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |rn AS (SELECT x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(x) AS BIGINT) AS s FROM daily),
+      |c AS (SELECT rn, CAST(n * x - s AS DECIMAL(38,0)) AS c
+      |      FROM rn CROSS JOIN stats),
+      |den AS (SELECT CAST(sum(c * c) AS DECIMAL(38,0)) AS den FROM c),
+      |pairs AS (
+      |  SELECT b.rn - a.rn AS lag, a.c * b.c AS prod
+      |  FROM c a JOIN c b ON b.rn > a.rn AND b.rn <= a.rn + 14)
+      |SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(CAST(sum(prod) AS DECIMAL(38,0)) AS DOUBLE)
+      |         / CAST(den AS DOUBLE) AS r
+      |FROM pairs CROSS JOIN den
+      |GROUP BY lag, den ORDER BY lag""".stripMargin
+
+  /** q177_cusum — CUSUM changepoint scan per event type: the cumulative
+    * sum of mean-deviations over the daily count series, whose extreme
+    * |value| marks the most likely level-shift point (Page's statistic in
+    * its N-scaled integer form: cusum_t = Σ_{i≤t}(N·x_i−S), exact BIGINT,
+    * telescoping to 0 at t=N). Reported per type: the argmax day
+    * (earliest on ties), the scaled extreme, and the mean-unit statistic
+    * |cusum|/N as one IEEE division.
+    *
+    * Scale: fact-sized work is one (type, day) hash-aggregate; the scan
+    * itself is a window over day-cardinality series per type — bounded
+    * partitions, no fact-sized window. */
+  def q177Cusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // (type, day)-cardinality; feeds stats + scan
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val scan = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.join(broadcast(stats), "event_type")
+      .withColumn("cusum", sum(col("n") * col("x") - col("s")).over(scan))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(desc("acusum"), col("day"))
+    cusum
+      .withColumn("acusum", abs(col("cusum")))
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day").as("cp_day"), col("cusum").as("cusum_scaled"),
+        (col("acusum").cast("double") / col("n").cast("double"))
+          .as("stat"))
+      .orderBy(col("event_type"))
+  }
+
+  val q177Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS s
+      |  FROM daily GROUP BY 1),
+      |scan AS (
+      |  SELECT d.event_type, d.day, st.n,
+      |         CAST(sum(st.n * d.x - st.s) OVER (
+      |           PARTITION BY d.event_type ORDER BY d.day
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+      |  FROM daily d JOIN stats st USING (event_type)),
+      |pick AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |            ORDER BY abs(cusum) DESC, day) AS rk
+      |  FROM scan)
+      |SELECT event_type, n AS n_days, day AS cp_day,
+      |       cusum AS cusum_scaled,
+      |       CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) AS stat
+      |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin
 }

@@ -178,4 +178,77 @@ object Tfidf {
       |FROM scored GROUP BY doc_id
       |ORDER BY score DESC, doc_id
       |LIMIT 50""".stripMargin
+
+  /** q176_rrf — reciprocal-rank fusion of the lexical (BM25, q151) and
+    * vector (exact cosine over the doc's embedding, the q75 kernel)
+    * retrieval lists for the same query document: the standard hybrid-
+    * search combiner (Cormack et al.), rrf(d) = Σ_lists 1/(60+rank_d).
+    * Each list contributes its top 50; docs missing from a list simply
+    * lack that term. Per-list terms are rounded once to DECIMAL(18,6)
+    * (the proven q143/q148/q151 boundary) so the two-term sum is exact;
+    * ranks themselves are integers from already-hash-checked orderings
+    * (BM25 decimal scores; cosine rounded to 4dp — the q75 contract).
+    *
+    * Scale: both lists end in TakeOrderedAndProject(50) before the fuse,
+    * so the full-outer join and re-rank run on ≤100 rows regardless of
+    * corpus size; the heavy stages are exactly q151's and q75's, both
+    * already scale-audited. */
+  def q176Rrf(spark: SparkSession, sfDir: String,
+      queryDoc: Long = 7L): DataFrame = {
+    val lex = q151Bm25(spark, sfDir, queryDoc)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+          .as("rank_lex"))
+    val e = Tables.embeddings(spark, sfDir)
+    val qv = e.filter(col("vec_id") === queryDoc)
+      .select(col("embedding").as("q_emb"))
+    val vec = e.filter(col("vec_id") =!= queryDoc)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(col("q_emb"), col("embedding")), 4)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("doc_id")).limit(50)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(desc("cos_sim"), col("doc_id")))
+          .as("rank_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        (coalesce((lit(1.0) / (lit(60) + col("rank_lex")))
+            .cast("decimal(18,6)"), lit(BigDecimal(0)).cast("decimal(18,6)"))
+          + coalesce((lit(1.0) / (lit(60) + col("rank_vec")))
+            .cast("decimal(18,6)"), lit(BigDecimal(0)).cast("decimal(18,6)")))
+          .cast("double").as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(20)
+  }
+
+  val q176Sql: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |           AS rank_lex
+       |  FROM ($q151Sql)),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+       |p AS (
+       |  SELECT e.vec_id AS doc_id,
+       |         unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+       |  FROM embeddings e, q WHERE e.vec_id <> 7),
+       |s AS (
+       |  SELECT doc_id,
+       |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+       |           AS cos_sim
+       |  FROM p GROUP BY doc_id),
+       |vec AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+       |           AS rank_vec
+       |  FROM (SELECT * FROM s ORDER BY cos_sim DESC, doc_id LIMIT 50)),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |         l.rank_lex, v.rank_vec,
+       |         CAST(coalesce(CAST(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex)
+       |                            AS DECIMAL(18,6)), 0)
+       |            + coalesce(CAST(CAST(1.0 AS DOUBLE) / (60 + v.rank_vec)
+       |                            AS DECIMAL(18,6)), 0) AS DOUBLE) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+       |SELECT doc_id, rank_lex, rank_vec, rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 }
