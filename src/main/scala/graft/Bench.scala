@@ -28,6 +28,14 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
+        } finally {
+          // ops localCheckpoint narrow frames; the blocks are only freed
+          // when the RDD is GC'd. Left alone, ~180 queries × 4 executions
+          // accumulate in the unified memory pool and starve the LAST
+          // queries' aggregates into spilling (r03 recorded q99 at 31.8 s
+          // vs 1.5 s in isolation). Release them between timings.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
       }
       if (times.nonEmpty) times.min else -1.0

@@ -270,10 +270,12 @@ object Text {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         // order-preserving re-assembly: sort the (pos, term) pairs, then
-        // project the terms — pos is unique per doc, so the order is total
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("term")))),
-          x => x("term"))).as("clean_text"))
+        // project the terms — pos is unique per doc, so the order is total.
+        // getField (GetArrayStructFields) stays inside codegen where a
+        // transform() lambda would fall back to per-element interpretation
+        concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("term"))))
+            .getField("term")).as("clean_text"))
     // left join back so fully-boilerplate documents still appear (empty)
     docs
       .select(col("doc_id"),
