@@ -89,10 +89,20 @@ object Bench {
     // whole. Start at centisecond precision and degrade to deciseconds if
     // the ledger has grown past what that fits — per-query full precision
     // is already on the detail line above for local reading.
-    def contractLine(dp: Int): String =
-      s"""{"metric":"total","value":${ms(total(results))},"unit":"sec","queries":${shortJson(results, dp)},"nosort_total":${ms(total(resultsNoSort))},"sf":"$sfDir"}"""
-    val line = Seq(2, 1).map(contractLine).find(_.length <= 1900)
-      .getOrElse(s"""{"metric":"total","value":${ms(total(results))},"unit":"sec","queries":{},"nosort_total":${ms(total(resultsNoSort))},"sf":"$sfDir"}""")
+    def contractLine(rs: Seq[(String, Double)], dp: Int,
+        omitted: Int): String = {
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${ms(total(results))},"unit":"sec","queries":${shortJson(rs, dp)}$om,"nosort_total":${ms(total(resultsNoSort))},"sf":"$sfDir"}"""
+    }
+    // The ledger has outgrown the window even at decisecond precision —
+    // rather than dropping ALL per-query data, keep the slowest queries
+    // (the ones a regression diff needs) and record how many were cut.
+    val byCost = results.sortBy { case (k, v) => (-v, k) }
+    val line = (Seq(2, 1).map(contractLine(results, _, 0)) ++
+        (results.size to 0 by -1).view
+          .map(k => contractLine(byCost.take(k), 1, results.size - k)))
+      .find(_.length <= 1900)
+      .getOrElse(contractLine(Nil, 1, results.size))
     println(line)
     spark.stop()
   }

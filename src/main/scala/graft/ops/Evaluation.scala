@@ -191,4 +191,78 @@ object Evaluation {
        |FROM t JOIN p ON t.class = p.class
        |ORDER BY t.class""".stripMargin
   }
+
+  /** q179_gains — decile gains/lift table: orders ranked by score
+    * (o_totalprice, standing in for a model score) are cut into ten
+    * equal-depth bins; each reports its positive count (label =
+    * finalized status 'F'), cumulative capture rate, and lift over the
+    * base rate. The standard campaign-targeting / model-quality readout.
+    * Everything is integer counts until the final IEEE divisions.
+    *
+    * Deciles are assigned from the rank in the TOTAL order (score desc,
+    * key) — ntile semantics, deterministic under ties. Scale note: a
+    * global rank is inherently a total sort (range-partitioned SortExec,
+    * same machinery as every deterministic output here); the window that
+    * numbers rows after it is the local-mode simplification of a
+    * partition-offset pass. Cardinality after the per-decile aggregate
+    * is 10 rows.
+    */
+  def q179Gains(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice").as("score"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+    val n = scored.agg(count(lit(1)).as("n"))
+    val ranked = scored.crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("score"), col("o_orderkey"))))
+      .withColumn("decile",
+        least(lit(10), expr("(10 * (rn - 1)) div n + 1")).cast("int"))
+    val per = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("pos")).as("n_pos"),
+        min(col("score")).as("min_score"))
+      .localCheckpoint() // 10 rows; feeds tot + the cumulative window
+    val tot = per.agg(sum(col("n_rows")).as("n_all"),
+      sum(col("n_pos")).as("pos_all"))
+    per
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_rows"), col("n_pos"), col("min_score"),
+        col("cum_pos"),
+        (col("cum_pos").cast("double") / col("pos_all").cast("double"))
+          .as("capture"),
+        ((col("n_pos").cast("double") / col("n_rows").cast("double")) /
+          (col("pos_all").cast("double") / col("n_all").cast("double")))
+          .as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  val q179Sql: String =
+    """WITH scored AS (
+      |  SELECT o_orderkey, o_totalprice AS score,
+      |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      |  FROM orders),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+      |ranked AS (
+      |  SELECT pos, score,
+      |         least(10, (10 * (row_number() OVER (ORDER BY score DESC,
+      |           o_orderkey) - 1)) // n + 1) AS decile
+      |  FROM scored CROSS JOIN n),
+      |per AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(sum(pos) AS BIGINT) AS n_pos,
+      |         min(score) AS min_score
+      |  FROM ranked GROUP BY decile),
+      |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_all,
+      |               CAST(sum(n_pos) AS BIGINT) AS pos_all FROM per)
+      |SELECT CAST(decile AS INT) AS decile, n_rows, n_pos, min_score,
+      |       CAST(sum(n_pos) OVER (ORDER BY decile
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+      |       CAST(CAST(sum(n_pos) OVER (ORDER BY decile
+      |         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |         / CAST(pos_all AS DOUBLE) AS DOUBLE) AS capture,
+      |       (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+      |         / (CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS lift
+      |FROM per CROSS JOIN tot ORDER BY decile""".stripMargin
 }

@@ -899,4 +899,59 @@ object Events {
       |       cusum AS cusum_scaled,
       |       CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) AS stat
       |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** q178_ohlc — hourly OHLC bars per event type: open/close are the
+    * first/last `value` in the bar under the total (ts, event_id) order,
+    * high/low the extremes, plus trade count and decimal-exact turnover.
+    * The candlestick aggregation every market-data and metrics pipeline
+    * runs. Open/close come from ONE window pass computing forward and
+    * reverse row numbers (no self-join); all comparisons are on raw
+    * doubles (picks, not sums), and the only float sum goes through the
+    * DECIMAL(18,4) boundary both engines share.
+    *
+    * Scale: the window partitions by (type, hour) — thousands of small
+    * partitions, no global sort; the aggregate is the same key, map-side
+    * combinable. Bars × types cardinality output regardless of rows. */
+  def q178Ohlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bars = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        col("ts"), col("event_id"), col("value"))
+    val fwd = Window.partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("ts"), col("event_id"))
+    val rev = Window.partitionBy(col("event_type"), col("hr"))
+      .orderBy(desc("ts"), desc("event_id"))
+    bars
+      .withColumn("rn_f", row_number().over(fwd))
+      .withColumn("rn_r", row_number().over(rev))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(
+        max(when(col("rn_f") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_r") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_trades"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("turnover"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  val q178Sql: String =
+    """WITH bars AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,
+      |         value,
+      |         row_number() OVER (PARTITION BY event_type,
+      |           date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_f,
+      |         row_number() OVER (PARTITION BY event_type,
+      |           date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC)
+      |           AS rn_r
+      |  FROM events)
+      |SELECT event_type, hr,
+      |       max(CASE WHEN rn_f = 1 THEN value END) AS open,
+      |       max(value) AS high, min(value) AS low,
+      |       max(CASE WHEN rn_r = 1 THEN value END) AS close,
+      |       CAST(count(*) AS BIGINT) AS n_trades,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS turnover
+      |FROM bars GROUP BY event_type, hr
+      |ORDER BY event_type, hr""".stripMargin
 }

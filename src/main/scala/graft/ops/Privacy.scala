@@ -156,4 +156,52 @@ object Privacy {
        |      '$ip', '<IP>', 'g') AS redacted
        |FROM pii ORDER BY doc_id""".stripMargin
   }
+
+  /** q181_ldiversity — l-diversity audit, the release gate k-anonymity
+    * (q141) does NOT provide: a class of k identical quasi-identifiers is
+    * still a disclosure if they all share one sensitive value. Per
+    * QI class (nation, balance sign): size, l = distinct sensitive values
+    * (market segment), the dominant value's share (the homogeneity-attack
+    * risk), and the l ≥ 3 release flag. All-integer counts; the share is
+    * one IEEE division.
+    *
+    * Scale: one (QI, sensitive)-cardinality hash aggregate with map-side
+    * combine, then a QI-cardinality rollup — never row-scaled shuffles. */
+  def q181Ldiversity(spark: SparkSession, sfDir: String,
+      l: Int = 3): DataFrame = {
+    val fine = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"),
+        when(col("c_acctbal") >= 0, lit("pos")).otherwise(lit("neg"))
+          .as("bal_sign"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_sign"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_sv"))
+    fine.groupBy(col("c_nationkey"), col("bal_sign"))
+      .agg(sum(col("n_sv")).as("n_class"),
+        count(lit(1)).as("l_distinct"),
+        max(col("n_sv")).as("n_top"))
+      .select(col("c_nationkey"), col("bal_sign"), col("n_class"),
+        col("l_distinct"), col("n_top"),
+        (col("n_top").cast("double") / col("n_class").cast("double"))
+          .as("top_share"),
+        (col("l_distinct") >= l).as("releasable"))
+      .orderBy(col("c_nationkey"), col("bal_sign"))
+  }
+
+  val q181Sql: String =
+    """WITH fine AS (
+      |  SELECT c_nationkey,
+      |         CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END
+      |           AS bal_sign,
+      |         c_mktsegment, CAST(count(*) AS BIGINT) AS n_sv
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_nationkey, bal_sign,
+      |       CAST(sum(n_sv) AS BIGINT) AS n_class,
+      |       CAST(count(*) AS BIGINT) AS l_distinct,
+      |       CAST(max(n_sv) AS BIGINT) AS n_top,
+      |       CAST(max(n_sv) AS DOUBLE) / CAST(sum(n_sv) AS DOUBLE)
+      |         AS top_share,
+      |       count(*) >= 3 AS releasable
+      |FROM fine GROUP BY c_nationkey, bal_sign
+      |ORDER BY c_nationkey, bal_sign""".stripMargin
 }

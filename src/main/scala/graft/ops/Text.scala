@@ -671,4 +671,50 @@ object Text {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |         AS BIGINT) AS vocab_size
        |FROM j ORDER BY batch""".stripMargin
+
+  /** q180_bpe_pairs — the counting step of byte-pair-encoding tokenizer
+    * training: corpus-weighted frequencies of ADJACENT character pairs
+    * within words (the quantity whose argmax BPE merges each round —
+    * Sennrich et al.'s merge-candidate table; q102's collocations are the
+    * cross-word analogue). Reports the top 30 merge candidates with
+    * corpus weight (Σ word-frequency over occurrences, counting repeats
+    * within a word) and distinct-word support. All-integer output.
+    *
+    * Scale: the fact-sized corpus collapses to the DISTINCT word-frequency
+    * table first (vocabulary-bounded hash aggregate, map-side combine);
+    * pair explosion then runs over the vocabulary — corpus length never
+    * reaches the explode. Final top-30 is TakeOrderedAndProject. */
+  def q180BpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("word"),
+        col("freq"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("weight"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(desc("weight"), col("pair"))
+      .limit(30)
+  }
+
+  val q180Sql: String =
+    """WITH words AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE len(word) >= 2 GROUP BY word),
+      |pairs AS (
+      |  SELECT substr(word, i, 2) AS pair, word, freq
+      |  FROM (SELECT word, freq, unnest(range(1, len(word))) AS i
+      |        FROM words)),
+      |agg AS (
+      |  SELECT pair, CAST(sum(freq) AS BIGINT) AS weight,
+      |         CAST(count(DISTINCT word) AS BIGINT) AS n_words
+      |  FROM pairs GROUP BY pair)
+      |SELECT pair, weight, n_words FROM agg
+      |ORDER BY weight DESC, pair LIMIT 30""".stripMargin
 }

@@ -79,4 +79,76 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(scans.last === 0L, s"$et cusum telescopes to zero")
     }
   }
+
+  test("q178: bars tie out against a direct first/last/extreme scan") {
+    import org.apache.spark.sql.functions._
+    val out = Events.q178Ohlc(spark, SparkSuite.sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    val raw = Tables.events(spark, SparkSuite.sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    val grouped = raw.groupBy(r => (r._1, r._2))
+    assert(out.keySet === grouped.keySet)
+    grouped.foreach { case (key, rows) =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._4))
+      val (open, high, low, close, n) = out(key)
+      assert(open === ordered.head._5, s"$key open")
+      assert(close === ordered.last._5, s"$key close")
+      assert(high === rows.map(_._5).max, s"$key high")
+      assert(low === rows.map(_._5).min, s"$key low")
+      assert(n === rows.length.toLong, s"$key count")
+    }
+  }
+
+  test("q179: deciles are equal-depth and accounting telescopes") {
+    import graft.ops.Evaluation
+    val rows = Evaluation.q179Gains(spark, SparkSuite.sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    val nAll = rows.map(_._2).sum
+    // equal-depth contract: bin sizes differ by at most one
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    assert(nAll === Tables.orders(spark, SparkSuite.sf).count())
+    // cumulative positives telescope and capture ends at exactly 1
+    rows.foldLeft(0L) { case (cum, (_, _, np, cp, capture, _)) =>
+      assert(cp === cum + np); cum + np
+    }
+    assert(rows.last._5 === 1.0)
+    // lift is the decile rate over the base rate
+    val posAll = rows.map(_._3).sum
+    rows.foreach { case (d, nr, np, _, _, lift) =>
+      val expect = (np.toDouble / nr.toDouble) /
+        (posAll.toDouble / nAll.toDouble)
+      assert(lift === expect, s"decile $d lift")
+    }
+  }
+
+  test("q180: pair weights reconcile against a scala recomputation") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Text
+    val out = Text.q180BpePairs(spark, SparkSuite.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val words = Tables.documents(spark, SparkSuite.sf)
+      .select(explode(split(col("text"), " ")).as("w")).collect()
+      .map(_.getString(0)).filter(_.length >= 2)
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong)
+    val weight = collection.mutable.Map.empty[String, Long]
+    val support = collection.mutable.Map.empty[String, Set[String]]
+    freq.foreach { case (w, f) =>
+      w.sliding(2).foreach { p =>
+        weight(p) = weight.getOrElse(p, 0L) + f
+        support(p) = support.getOrElse(p, Set.empty) + w
+      }
+    }
+    val expect = weight.toSeq.map { case (p, wt) => (p, wt, support(p).size) }
+      .sortBy { case (p, wt, _) => (-wt, p) }.take(30)
+    assert(out.toSeq === expect.map(t => (t._1, t._2, t._3.toLong)))
+  }
 }
