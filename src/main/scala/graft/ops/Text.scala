@@ -717,4 +717,54 @@ object Text {
       |  FROM pairs GROUP BY pair)
       |SELECT pair, weight, n_words FROM agg
       |ORDER BY weight DESC, pair LIMIT 30""".stripMargin
+
+  /** q186_langid_confusion — the audit that closes q52's loop: the
+    * confusion matrix of the n-gram language identifier against the
+    * labeled `lang` column, with per-cell share of the actual class and
+    * per-actual-language recall. The readout that tells a corpus curator
+    * WHERE the cheap classifier mislabels (which language pairs bleed)
+    * before they gate millions of documents on it. All counts exact;
+    * shares are single IEEE divisions.
+    *
+    * Scale: rides q52's map-side scoring (built-in string expressions,
+    * no UDF), then one (actual, pred)-cardinality aggregate — at most
+    * |langs|² cells regardless of corpus size. */
+  def q186LangidConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = withLangScores(Tables.documents(spark, sfDir))
+      .select(col("lang").as("actual_lang"),
+        langPredCol.as("pred_lang"))
+    val cells = pred.groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |langs|² rows; feeds totals + output
+    val totals = cells.groupBy(col("actual_lang"))
+      .agg(sum(col("n")).as("n_actual"))
+    cells.join(broadcast(totals), "actual_lang")
+      .select(col("actual_lang"), col("pred_lang"), col("n"),
+        col("n_actual"),
+        (col("n").cast("double") / col("n_actual").cast("double"))
+          .as("share"),
+        (col("actual_lang") === col("pred_lang")).as("is_correct"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+  }
+
+  val q186Sql: String = {
+    val scoreExprs = langScoreSqlExprs
+    val caseExpr = langCaseSql
+    s"""WITH scored AS (
+       |  SELECT lang AS actual_lang, $scoreExprs
+       |  FROM documents),
+       |pred AS (
+       |  SELECT actual_lang, $caseExpr AS pred_lang FROM scored),
+       |cells AS (
+       |  SELECT actual_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT actual_lang, CAST(sum(n) AS BIGINT) AS n_actual
+       |  FROM cells GROUP BY 1)
+       |SELECT c.actual_lang, c.pred_lang, c.n, t.n_actual,
+       |       CAST(c.n AS DOUBLE) / CAST(t.n_actual AS DOUBLE) AS share,
+       |       c.actual_lang = c.pred_lang AS is_correct
+       |FROM cells c JOIN totals t USING (actual_lang)
+       |ORDER BY c.actual_lang, c.pred_lang""".stripMargin
+  }
 }

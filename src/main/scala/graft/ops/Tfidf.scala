@@ -251,4 +251,149 @@ object Tfidf {
        |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
        |SELECT doc_id, rank_lex, rank_vec, rrf
        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Document-frequency band for q184's candidate generation: features
+    * must appear in [2, DfCap] documents to generate pairs. df=1 features
+    * cannot pair; high-df features contribute little tf-idf weight yet
+    * dominate the self-join's fan-out (a df-d feature emits d² pairs).
+    * The cap bounds the join at Σ df² ≤ DfCap·Σ df — linear in corpus
+    * size, the standard prefix-filter compromise every sparse-similarity
+    * system makes. The features are word BIGRAMS: the fixture's unigram
+    * vocabulary is ~31 tokens at df ≈ 75% (no sparse signal at all),
+    * while its ~900 bigram types spread over df 1..46 — the same reason
+    * production near-dup/similarity systems shingle before indexing. */
+  val SparseKnnDfCap = 100
+
+  /** q184_sparse_knn — all-documents "more-like-this": top-3 nearest
+    * neighbors per document under tf-idf cosine, computed in the
+    * df-banded feature space (see [[SparseKnnDfCap]]) via an
+    * inverted-index self-join — the sparse-vector sibling of the dense
+    * ANN stack (q74/q75/q76), and the engine behind related-content
+    * recommendation over corpora.
+    *
+    * Exactness: per-term pair products tf_a·tf_b·(N/df)² and norm terms
+    * (tf·N/df)² are rounded once to DECIMAL(18,6) (products of exact
+    * ints with one IEEE division and square — identical shape in both
+    * engines), summed exactly; the final cosine is rounded to 4dp (the
+    * q75 contract) before ranking with a total tie-break.
+    *
+    * Scale: the corpus collapses to the (doc, term) tf table once
+    * (localCheckpoint'd — feeds df, norms, and both join sides); the
+    * pair join's fan-out is df-bounded; everything downstream is
+    * pair-cardinality. No row-scaled window: the top-3 partitions by
+    * doc over its candidate list only. */
+  def q184SparseKnn(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    // bigram features via posexplode + lead (the row-stream shingle form —
+    // HOF lambdas are interpreted per element and measurably slower)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val nxt = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tf = toks
+      .withColumn("tok2", lead(col("tok"), 1).over(nxt))
+      .filter(col("tok2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("tok2")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df, norms, and both pair-join sides
+    val n = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= SparseKnnDfCap)
+    val banded = tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("n"),
+        (col("n").cast("double") / col("df").cast("double")).as("idf"))
+      .localCheckpoint() // banded features; feeds norms + both sides
+    val norms = banded
+      .groupBy(col("doc_id"))
+      .agg(sum(((col("tf") * col("tf")).cast("double") *
+        col("idf") * col("idf")).cast("decimal(18,6)")).as("norm_sq"))
+      .select(col("doc_id"),
+        sqrt(col("norm_sq").cast("double")).as("norm"))
+    val a = banded.select(col("tok"), col("doc_id").as("a"),
+      col("tf").as("tf_a"), col("idf"))
+    val b = banded.select(col("tok"), col("doc_id").as("b"),
+      col("tf").as("tf_b"))
+    val pairs = a.join(b, Seq("tok")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(((col("tf_a") * col("tf_b")).cast("double") *
+        (col("idf") * col("idf"))).cast("decimal(18,6)")).as("num_dec"),
+        count(lit(1)).as("n_shared"))
+    val scored = pairs
+      .join(norms.select(col("doc_id").as("a"), col("norm").as("norm_a")),
+        "a")
+      .join(norms.select(col("doc_id").as("b"), col("norm").as("norm_b")),
+        "b")
+      .select(col("a"), col("b"), col("n_shared"),
+        round(col("num_dec").cast("double") /
+          (col("norm_a") * col("norm_b")), 4).as("cos_sim"))
+    val sym = scored.select(col("a").as("doc_id"), col("b").as("nbr"),
+        col("n_shared"), col("cos_sim"))
+      .union(scored.select(col("b").as("doc_id"), col("a").as("nbr"),
+        col("n_shared"), col("cos_sim")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("cos_sim"), col("nbr"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q184Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |         unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |seq AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id,
+       |               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id
+       |                 ORDER BY pos) AS tok
+       |        FROM seq)
+       |  WHERE tok IS NOT NULL GROUP BY doc_id, tok),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |dfreq AS (
+       |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+       |  HAVING count(*) BETWEEN 2 AND $SparseKnnDfCap),
+       |banded AS (
+       |  SELECT t.doc_id, t.tok, t.tf, f.df,
+       |         CAST(n.n AS DOUBLE) / CAST(f.df AS DOUBLE) AS idf
+       |  FROM tf t JOIN dfreq f USING (tok) CROSS JOIN n),
+       |norms AS (
+       |  SELECT doc_id,
+       |         sqrt(CAST(CAST(sum(CAST(
+       |           CAST(tf * tf AS DOUBLE) * idf * idf
+       |           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)) AS norm
+       |  FROM banded GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |         CAST(sum(CAST(CAST(a.tf * b.tf AS DOUBLE) * (a.idf * a.idf)
+       |           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS num_dec,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM banded a JOIN banded b
+       |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT a, b, n_shared,
+       |         round(CAST(num_dec AS DOUBLE) / (na.norm * nb.norm), 4)
+       |           AS cos_sim
+       |  FROM pairs
+       |  JOIN norms na ON na.doc_id = a
+       |  JOIN norms nb ON nb.doc_id = b),
+       |sym AS (
+       |  SELECT a AS doc_id, b AS nbr, n_shared, cos_sim FROM scored
+       |  UNION ALL
+       |  SELECT b AS doc_id, a AS nbr, n_shared, cos_sim FROM scored),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |            ORDER BY cos_sim DESC, nbr) AS rank
+       |  FROM sym)
+       |SELECT doc_id, nbr, n_shared, cos_sim, rank
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
 }
