@@ -564,4 +564,59 @@ object Similarity {
       |FROM events p
       |WHERE p.event_type = 'purchase'
       |ORDER BY p.event_id""".stripMargin
+
+  /** q189_mrr — mean reciprocal rank of the ANN retrieval (q74) against
+    * the exact ground truth (q75): per query, the reciprocal of the
+    * FIRST ann rank whose candidate is truly top-5 (0 when the list
+    * misses entirely — the silent-failure case q152's recall also
+    * guards), plus the corpus MRR repeated per row. Complements recall
+    * (did we find them?) with the rank-position lens (how high?). The
+    * reciprocal is rounded once to DECIMAL(18,6), so the mean is an
+    * exact decimal average.
+    *
+    * Scale: both inputs are already top-k frames (query-cardinality ×
+    * k); everything here is semi-join + min over ≤5 rows per query. */
+  def q189Mrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ann = q74AnnTopk(spark, sfDir)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+    val brute = q75BruteTopk(spark, sfDir)
+      .select(col("query_id"), col("cand_id"))
+    val firstHit = ann
+      .join(brute, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_hit"))
+    val perQuery = brute.select(col("query_id")).distinct()
+      .join(firstHit, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_hit"),
+        coalesce((lit(1.0) / col("first_hit")).cast("decimal(18,6)"),
+          lit(BigDecimal(0)).cast("decimal(18,6)")).as("rr_dec"))
+      .localCheckpoint() // query-cardinality; feeds mean + output
+    // exact decimal sum / count, ONE IEEE division — avg(decimal) has
+    // engine-specific result types and must not be trusted cross-engine
+    val mean = perQuery.agg((sum(col("rr_dec")).cast("double") /
+      count(lit(1)).cast("double")).as("mrr"))
+    perQuery.crossJoin(broadcast(mean))
+      .select(col("query_id"), col("first_hit"),
+        col("rr_dec").cast("double").as("rr"), col("mrr"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Composed oracle (the q152 pattern): both sub-oracles as subqueries. */
+  val q189Sql: String =
+    s"""WITH ann AS (SELECT query_id, cand_id, rank FROM ($q74Sql)),
+       |brute AS (SELECT query_id, cand_id FROM ($q75Sql)),
+       |fh AS (
+       |  SELECT a.query_id, min(a.rank) AS first_hit
+       |  FROM ann a SEMI JOIN brute b
+       |    ON b.query_id = a.query_id AND b.cand_id = a.cand_id
+       |  GROUP BY a.query_id),
+       |pq AS (
+       |  SELECT q.query_id, fh.first_hit,
+       |         coalesce(CAST(CAST(1.0 AS DOUBLE) / fh.first_hit
+       |                       AS DECIMAL(18,6)), 0) AS rr_dec
+       |  FROM (SELECT DISTINCT query_id FROM brute) q
+       |  LEFT JOIN fh USING (query_id)),
+       |m AS (SELECT CAST(sum(rr_dec) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE) AS mrr FROM pq)
+       |SELECT query_id, first_hit, CAST(rr_dec AS DOUBLE) AS rr, mrr
+       |FROM pq CROSS JOIN m ORDER BY query_id""".stripMargin
 }
