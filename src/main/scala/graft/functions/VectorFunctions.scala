@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -107,11 +107,81 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native L2-norm over a float/double array column — the q185 vector-QA
+  * kernel, promoted from the interpreted `aggregate` lambda to one fused
+  * codegen loop (same left-to-right accumulation ⇒ bit-identical to the
+  * HOF form and to the oracle's per-group unnest sum). */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_norm"
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got ${dt.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val f = elemType == FloatType
+    var ss = 0.0
+    var i = 0
+    while (i < a.numElements()) {
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    math.sqrt(ss)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val get = elemType match {
+        case FloatType => (i: String) => s"(double) $a.getFloat($i)"
+        case _ => (i: String) => s"$a.getDouble($i)"
+      }
+      val ss = ctx.freshName("ss")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $x = ${get(i)};
+         |  $ss += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($ss);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VectorNorm = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the native expression. */
   def vector_cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API for the native norm. */
+  def vector_norm(a: Column): Column =
+    GraftColumnBridge.column(VectorNorm(GraftColumnBridge.expression(a)))
+
+  private val normRegistryEntry = (
+    FunctionIdentifier("vector_norm"),
+    new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1,
+        s"vector_norm expects exactly 1 argument, got ${exprs.length}")
+      VectorNorm(exprs.head)
+    })
+
+  private[functions] def normSqlFunction = normRegistryEntry
 
   private def build(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
@@ -128,9 +198,12 @@ object VectorFunctions {
   private[functions] def sqlFunction = registryEntry
 
   /** Imperative registration (for sessions not built with the extensions). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       registryEntry._1, registryEntry._2, registryEntry._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      normRegistryEntry._1, normRegistryEntry._2, normRegistryEntry._3)
+  }
 }
 
 /** SQL-side registration: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -139,6 +212,7 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.sqlFunction)
+    ext.injectFunction(VectorFunctions.normSqlFunction)
     StableHashExpression.sqlFunctions.foreach(ext.injectFunction)
     graft.plans.GroupedTopK.inject(ext)
   }

@@ -169,4 +169,71 @@ object Corpus {
       |JOIN sizes sa ON sa.source = i.src_a
       |JOIN sizes sb ON sb.source = i.src_b
       |ORDER BY i.src_a, i.src_b""".stripMargin
+
+  /** q191_dataset_card — the one-row "dataset card" a corpus release
+    * ships with: document/source/language cardinalities, token and
+    * character volume, exact-duplicate share, dominant-language share,
+    * and mean document length — every number a release reviewer checks
+    * before sign-off, in one query. Counts are exact; shares and the
+    * mean are single IEEE divisions of exact integers.
+    *
+    * Scale: one corpus scan feeding two branched aggregates — a global
+    * one (tokens via size(split) per row, no explode shuffle) and a
+    * lang-marginal for the dominant share; both map-side combinable.
+    * The exact-dup share reuses q36's key (full-text hash grouping)
+    * at distinct-count granularity. */
+  def q191DatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .localCheckpoint() // feeds the global aggregate + lang marginal
+    val top = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("n").as("top_lang_n"))
+    d.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("text")).as("n_unique_texts"))
+      .crossJoin(broadcast(top))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_tokens"), col("n_chars"),
+        (col("n_docs") - col("n_unique_texts")).as("n_exact_dups"),
+        ((col("n_docs") - col("n_unique_texts")).cast("double") /
+          col("n_docs").cast("double")).as("dup_share"),
+        col("top_lang"),
+        (col("top_lang_n").cast("double") / col("n_docs").cast("double"))
+          .as("top_lang_share"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"))
+  }
+
+  val q191Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |top AS (
+      |  SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_n
+      |  FROM d GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |         CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts
+      |  FROM d)
+      |SELECT n_docs, n_sources, n_langs, n_tokens, n_chars,
+      |       n_docs - n_unique_texts AS n_exact_dups,
+      |       CAST(n_docs - n_unique_texts AS DOUBLE)
+      |         / CAST(n_docs AS DOUBLE) AS dup_share,
+      |       top_lang,
+      |       CAST(top_lang_n AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |         AS top_lang_share,
+      |       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |         AS mean_tokens
+      |FROM g CROSS JOIN top""".stripMargin
 }

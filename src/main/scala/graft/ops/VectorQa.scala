@@ -19,18 +19,17 @@ object VectorQa {
     * norm, MAD, and how many vectors sit more than 3 MADs from their
     * label's median (with the share as one IEEE division).
     *
-    * Exactness: the norm is an in-index-order accumulation (Spark
-    * `aggregate` lambda ≙ DuckDB's per-group unnest scan — the proven q75
-    * float-reduction contract) rounded to 4dp; medians and MADs are PICKS
-    * (row_number selections) on rounded values, never float sums; the
-    * outlier test compares doubles computed identically in both engines.
+    * Exactness: the norm is an in-index-order accumulation (the native
+    * [[graft.functions.VectorNorm]] loop ≙ DuckDB's per-group unnest
+    * scan — the proven q75 float-reduction contract) rounded to 4dp;
+    * medians and MADs are PICKS (row_number selections) on rounded
+    * values, never float sums; the outlier test compares doubles
+    * computed identically in both engines.
     *
-    * Scale: norms are map-side per-row work (vector-width loop, no
-    * shuffle); the median/MAD windows partition by label over
-    * label-cardinality-bounded groups; the interpreted HOF is acceptable
-    * off the corpus hot path (vector-count rows, not corpus tokens) —
-    * promotion to a codegen'd kernel is the q50 route if a profile ever
-    * shows it. */
+    * Scale: norms are map-side per-row work — one codegen'd vector-width
+    * loop (`vector_norm`, the q50 promotion route) fused into the scan
+    * stage, no shuffle; the median/MAD windows partition by label over
+    * label-cardinality-bounded groups. */
   def q185VectorQa(spark: SparkSession, sfDir: String): DataFrame =
     normOutliers(Tables.embeddings(spark, sfDir))
 
@@ -38,9 +37,8 @@ object VectorQa {
   def normOutliers(emb: DataFrame): DataFrame = {
     val norms = emb
       .select(col("vec_id"), col("label"),
-        round(sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
-          .as("norm"))
+        round(graft.functions.VectorFunctions.vector_norm(col("embedding")),
+          4).as("norm"))
       .localCheckpoint() // feeds median pick, MAD pick, and outlier scan
     val byLabel = Window.partitionBy(col("label"))
     val medPick = Window.partitionBy(col("label"))

@@ -67,4 +67,67 @@ object ZOrder {
        |       min(sk) AS min_sk, max(sk) AS max_sk
        |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** q190_zonemap — zone-map (file-footer min/max) construction and a
+    * pruning audit against two predicates: the query-planner view of the
+    * q86 story. Zones are ship-date months (the natural ingest
+    * partitioning); each zone's footer tracks row count and min/max of
+    * l_extendedprice (in exact cents) and l_orderkey. The audit reports,
+    * per zone, whether a DATE-range predicate and a PRICE-range predicate
+    * can skip it — date prunes (zones are date-aligned), price does not
+    * (price is uncorrelated with ingest time, every zone's span covers
+    * the probe) — plus each zone's share of the global price span, the
+    * clustering-quality number that tells an optimizer whether re-sorting
+    * (q86's z-order) would pay. All-integer output.
+    *
+    * Scale: ONE map-side-combinable aggregate over the fact scan builds
+    * the zone stats (zone-cardinality shuffle); the audit is arithmetic
+    * over the tiny zone frame against broadcast global extremes. */
+  def q190Zonemap(spark: SparkSession, sfDir: String): DataFrame = {
+    val zones = Tables.lineitem(spark, sfDir)
+      .select(date_trunc("month", col("l_shipdate")).as("zone"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          .as("cents"),
+        col("l_orderkey"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .localCheckpoint() // zone-cardinality; feeds global extremes + audit
+    val global = zones.agg(min(col("min_cents")).as("g_min"),
+      max(col("max_cents")).as("g_max"))
+    // audit predicates (fixture-meaningful literals): Q1 1997 shipments;
+    // price in [30_000.00, 40_000.00]
+    val dLo = lit("1997-01-01").cast("timestamp")
+    val dHi = lit("1997-04-01").cast("timestamp")
+    zones.crossJoin(broadcast(global))
+      .select(col("zone"), col("n_rows"), col("min_cents"),
+        col("max_cents"), col("min_key"), col("max_key"),
+        (col("zone") < dLo || col("zone") >= dHi).as("skip_date"),
+        (col("max_cents") < 3000000L || col("min_cents") > 4000000L)
+          .as("skip_price"),
+        ((col("max_cents") - col("min_cents")).cast("double") /
+          (col("g_max") - col("g_min")).cast("double"))
+          .as("span_share"))
+      .orderBy(col("zone"))
+  }
+
+  val q190Sql: String =
+    """WITH zones AS (
+      |  SELECT date_trunc('month', l_shipdate) AS zone,
+      |         CAST(count(*) AS BIGINT) AS n_rows,
+      |         min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS min_cents,
+      |         max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS max_cents,
+      |         min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+      |  FROM lineitem GROUP BY 1),
+      |g AS (SELECT min(min_cents) AS g_min, max(max_cents) AS g_max
+      |      FROM zones)
+      |SELECT zone, n_rows, min_cents, max_cents, min_key, max_key,
+      |       zone < TIMESTAMP '1997-01-01'
+      |         OR zone >= TIMESTAMP '1997-04-01' AS skip_date,
+      |       max_cents < 3000000 OR min_cents > 4000000 AS skip_price,
+      |       CAST(max_cents - min_cents AS DOUBLE)
+      |         / CAST(g_max - g_min AS DOUBLE) AS span_share
+      |FROM zones CROSS JOIN g ORDER BY zone""".stripMargin
 }

@@ -68,4 +68,44 @@ class NormalizeSpec extends AnyFunSuite {
     val meanExpect = rows.map(r => BigDecimal(r.getDouble(2))).sum / 5
     assert(math.abs(mrr - meanExpect.toDouble) < 1e-12)
   }
+
+  test("q190: zone maps prune the date probe exactly, price not at all") {
+    val rows = graft.sources.ZOrder.q190Zonemap(spark, SparkSuite.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val n = Tables.lineitem(spark, SparkSuite.sf).count()
+    assert(rows.map(_.getLong(1)).sum === n, "zones partition the fact")
+    val q1_1997 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val q2_1997 = java.sql.Timestamp.valueOf("1997-04-01 00:00:00")
+    rows.foreach { r =>
+      val z = r.getTimestamp(0)
+      assert(r.getBoolean(6) === (z.before(q1_1997) || !z.before(q2_1997)),
+        s"zone $z date skip")
+      assert(r.getLong(2) <= r.getLong(3), "footer min <= max")
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
+    }
+    // the date predicate keeps exactly three monthly zones
+    assert(rows.count(!_.getBoolean(6)) === 3)
+    // price is uncorrelated with ingest time: no zone prunes the probe
+    assert(rows.forall(!_.getBoolean(7)), "price probe prunes nothing")
+  }
+
+  test("q191: card numbers tie out against direct recomputation") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.Corpus.q191DatasetCard(spark, SparkSuite.sf)
+      .collect()(0)
+    val d = Tables.documents(spark, SparkSuite.sf)
+      .select(col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect()
+    assert(r.getLong(0) === d.length.toLong)
+    assert(r.getLong(1) === d.map(_.getString(2)).distinct.length.toLong)
+    assert(r.getLong(2) === d.map(_.getString(1)).distinct.length.toLong)
+    assert(r.getLong(4) === d.map(_.getLong(3)).sum)
+    assert(r.getLong(5) ===
+      d.length.toLong - d.map(_.getString(0)).distinct.length)
+    val top = d.groupBy(_.getString(1)).view.mapValues(_.size).toSeq
+      .sortBy { case (l, n) => (-n, l) }.head
+    assert(r.getString(7) === top._1)
+    assert(r.getDouble(8) === top._2.toDouble / d.length)
+  }
 }

@@ -98,4 +98,24 @@ class VectorFunctionsSpec extends AnyFunSuite {
     info(f"native $tn%.3fs vs hof $th%.3fs (${th / tn}%.1fx)")
     assert(tn <= th * 1.5, f"native $tn%.3fs slower than HOF $th%.3fs")
   }
+
+  test("vector_norm is bit-identical to the aggregate-lambda form") {
+    import org.apache.spark.sql.functions.aggregate
+    val e = Tables.embeddings(spark, SparkSuite.sf)
+    val both = e.select(
+      graft.functions.VectorFunctions.vector_norm(col("embedding"))
+        .as("native"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // SQL registration path resolves too
+    val viaSql = spark.sql(
+      "SELECT vector_norm(array(3.0F, 4.0F)) AS n").head().getDouble(0)
+    assert(viaSql === 5.0)
+  }
 }
