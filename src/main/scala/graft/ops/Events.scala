@@ -954,4 +954,85 @@ object Events {
       |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS turnover
       |FROM bars GROUP BY event_type, hr
       |ORDER BY event_type, hr""".stripMargin
+
+  /** q193_lateness — out-of-order-arrival audit per event type: treating
+    * `event_id` as arrival order (the ingestion sequence) and `ts` as
+    * event time, how late does data arrive relative to the high-water
+    * mark already seen? Reports per type: events observed, how many
+    * arrived late (event time below the running max), the worst lateness
+    * in seconds, and the lower-p95 lateness — THE numbers that size a
+    * streaming watermark (q60-q62's `withWatermark` delay) before
+    * turning it on. Lateness is exact integer µs arithmetic; the p95 is
+    * a row_number PICK, not a float quantile.
+    *
+    * Scale: one window pass partitioned by type in arrival order (the
+    * same per-key scan a stateful streaming operator makes), then
+    * type-cardinality aggregation; the p95 pick windows only the late
+    * subset. */
+  def q193Lateness(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arrival = Window.partitionBy(col("event_type"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("hwm", max(col("us")).over(arrival))
+      .withColumn("late_us", col("hwm") - col("us"))
+      .localCheckpoint() // feeds the per-type aggregate + the p95 pick
+    val agg = late.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+    val lateOnly = late.filter(col("late_us") > 0)
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("late_us"), col("event_id"))
+    val p95 = lateOnly
+      .withColumn("rn", row_number().over(pick))
+      .join(broadcast(lateOnly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_l"))), "event_type")
+      .filter(col("rn") === expr("greatest(1, (n_l * 95) div 100)"))
+      .select(col("event_type"), col("late_us").as("p95_late_us"))
+    agg.join(broadcast(p95), Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        (col("max_late_us").cast("double") / 1e6).as("max_late_secs"),
+        (col("p95_late_us").cast("double") / 1e6).as("p95_late_secs"),
+        (col("n_late").cast("double") / col("n_events").cast("double"))
+          .as("late_share"))
+      .orderBy(col("event_type"))
+  }
+
+  val q193Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS us
+      |  FROM events),
+      |scan AS (
+      |  SELECT event_type, event_id, us,
+      |         max(us) OVER (PARTITION BY event_type ORDER BY event_id
+      |           ROWS UNBOUNDED PRECEDING) - us AS late_us
+      |  FROM ev),
+      |agg AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_late,
+      |         CAST(max(late_us) AS BIGINT) AS max_late_us
+      |  FROM scan GROUP BY 1),
+      |lateonly AS (SELECT * FROM scan WHERE late_us > 0),
+      |nl AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_l
+      |       FROM lateonly GROUP BY 1),
+      |p95 AS (
+      |  SELECT l.event_type, l.late_us AS p95_late_us
+      |  FROM (SELECT event_type, event_id, late_us,
+      |               row_number() OVER (PARTITION BY event_type
+      |                 ORDER BY late_us, event_id) AS rn
+      |        FROM lateonly) l
+      |  JOIN nl ON nl.event_type = l.event_type
+      |  WHERE l.rn = greatest(1, (nl.n_l * 95) // 100))
+      |SELECT a.event_type, a.n_events, a.n_late,
+      |       CAST(a.max_late_us AS DOUBLE) / 1e6 AS max_late_secs,
+      |       CAST(p.p95_late_us AS DOUBLE) / 1e6 AS p95_late_secs,
+      |       CAST(a.n_late AS DOUBLE) / CAST(a.n_events AS DOUBLE)
+      |         AS late_share
+      |FROM agg a LEFT JOIN p95 p USING (event_type)
+      |ORDER BY a.event_type""".stripMargin
 }

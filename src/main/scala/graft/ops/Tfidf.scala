@@ -396,4 +396,54 @@ object Tfidf {
        |SELECT doc_id, nbr, n_shared, cos_sim, rank
        |FROM ranked WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
+
+  /** q192_rec_coverage — catalog-coverage audit of the q184 recommender:
+    * per source, how many of its documents ever appear as a NEIGHBOR in
+    * someone's top-3 (exposure), the max single-doc exposure count (the
+    * popularity-concentration red flag), and the coverage share. A
+    * recommender that only ever surfaces 10% of the catalog has a
+    * feedback-loop problem — this is the query that catches it before
+    * launch. Counts exact; shares one IEEE division.
+    *
+    * Scale: q184's output is (docs × 3) rows; everything here is
+    * source-cardinality aggregation over it plus a broadcast dimension
+    * join back to `documents` for the source attribute. */
+  def q192RecCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = q184SparseKnn(spark, sfDir)
+      .select(col("nbr"))
+      .groupBy(col("nbr")).agg(count(lit(1)).as("n_exposed"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    docs.join(recs, col("doc_id") === col("nbr"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_exposed").isNotNull, 1L).otherwise(0L))
+          .as("n_covered"),
+        max(coalesce(col("n_exposed"), lit(0L))).as("max_exposure"),
+        sum(coalesce(col("n_exposed"), lit(0L))).as("total_exposure"))
+      .select(col("source"), col("n_docs"), col("n_covered"),
+        col("max_exposure"), col("total_exposure"),
+        (col("n_covered").cast("double") / col("n_docs").cast("double"))
+          .as("coverage"))
+      .orderBy(col("source"))
+  }
+
+  /** Composed oracle: q184's full SQL as the recommendation source. */
+  val q192Sql: String =
+    s"""WITH recs AS (
+       |  SELECT nbr, CAST(count(*) AS BIGINT) AS n_exposed
+       |  FROM ($q184Sql) GROUP BY nbr),
+       |docs AS (SELECT doc_id, source FROM documents)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN r.n_exposed IS NOT NULL THEN 1 ELSE 0
+       |                END) AS BIGINT) AS n_covered,
+       |       CAST(max(coalesce(r.n_exposed, 0)) AS BIGINT)
+       |         AS max_exposure,
+       |       CAST(sum(coalesce(r.n_exposed, 0)) AS BIGINT)
+       |         AS total_exposure,
+       |       CAST(sum(CASE WHEN r.n_exposed IS NOT NULL THEN 1 ELSE 0
+       |                END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS coverage
+       |FROM docs d LEFT JOIN recs r ON r.nbr = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

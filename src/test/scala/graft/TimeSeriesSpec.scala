@@ -151,4 +151,47 @@ class TimeSeriesSpec extends AnyFunSuite {
       .sortBy { case (p, wt, _) => (-wt, p) }.take(30)
     assert(out.toSeq === expect.map(t => (t._1, t._2, t._3.toLong)))
   }
+
+  test("q192: coverage accounting ties to the q184 neighbor lists") {
+    import graft.ops.Tfidf
+    val out = Tfidf.q192RecCoverage(spark, SparkSuite.sf).collect()
+    val recs = Tfidf.q184SparseKnn(spark, SparkSuite.sf)
+      .select("nbr").collect().map(_.getLong(0))
+    val docs = Tables.documents(spark, SparkSuite.sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._2)
+    val exposure = recs.groupBy(identity).view.mapValues(_.length)
+    assert(out.map(_.getLong(4)).sum === recs.length.toLong,
+      "total exposure = all neighbor slots")
+    out.foreach { r =>
+      val src = r.getString(0)
+      val ids = bySrc(src).map(_._1)
+      assert(r.getLong(1) === ids.length.toLong)
+      assert(r.getLong(2) === ids.count(exposure.contains).toLong)
+      assert(r.getLong(3) ===
+        ids.map(i => exposure.getOrElse(i, 0)).max.toLong)
+    }
+  }
+
+  test("q193: lateness agrees with a sequential high-water-mark replay") {
+    import org.apache.spark.sql.functions._
+    val out = Events.q193Lateness(spark, SparkSuite.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val raw = Tables.events(spark, SparkSuite.sf)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (et, rows) =>
+      var hwm = Long.MinValue; var nLate = 0L; var worst = 0L
+      rows.sortBy(_._2).foreach { case (_, _, us) =>
+        if (us < hwm) { nLate += 1; worst = math.max(worst, hwm - us) }
+        hwm = math.max(hwm, us)
+      }
+      val (n, late, maxSecs) = out(et)
+      assert(n === rows.length.toLong, s"$et count")
+      assert(late === nLate, s"$et late count")
+      assert(maxSecs === worst.toDouble / 1e6, s"$et worst lateness")
+    }
+  }
 }
