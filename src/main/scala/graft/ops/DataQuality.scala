@@ -367,4 +367,45 @@ object DataQuality {
       |         / CAST(t.n_r * t.n_a AS DOUBLE) AS d
       |FROM cum c CROSS JOIN tot t
       |GROUP BY t.n_r, t.n_a""".stripMargin
+
+  /** Target output-file size for q195's layout plan (1 MiB — small to be
+    * meaningful on the fixture; production uses 128M-1G). */
+  val TargetFileBytes = 1048576L
+
+  /** q195_file_sizing — the write-side layout planner: per source
+    * (= output partition), its row count, byte volume (n_chars as the
+    * serialized-size proxy), the file count a [[TargetFileBytes]] target
+    * implies (ceil division in exact integers), rows per file, and the
+    * largest single document's share of the target (a >1.0 value means
+    * one row alone overflows a file — the row-group-sizing red flag).
+    * This is the math behind every `repartition(N)`/`maxRecordsPerFile`
+    * decision; computing it from the data instead of guessing is what
+    * keeps a 100 TB write from producing 10M tiny files or 100 huge ones.
+    *
+    * Scale: one source-cardinality aggregate with map-side combine. */
+  def q195FileSizing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("n_bytes"),
+        max(col("n_chars")).as("max_doc_bytes"))
+      .select(col("source"), col("n_rows"), col("n_bytes"),
+        expr(s"(n_bytes + ${TargetFileBytes - 1}L) div ${TargetFileBytes}L")
+          .as("n_files"),
+        expr(s"n_rows div ((n_bytes + ${TargetFileBytes - 1}L) div ${TargetFileBytes}L)")
+          .as("rows_per_file"),
+        (col("max_doc_bytes").cast("double") / TargetFileBytes.toDouble)
+          .as("max_doc_share"))
+      .orderBy(col("source"))
+
+  val q195Sql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       |       (CAST(sum(n_chars) AS BIGINT) + ${TargetFileBytes - 1})
+       |         // $TargetFileBytes AS n_files,
+       |       CAST(count(*) AS BIGINT)
+       |         // ((CAST(sum(n_chars) AS BIGINT) + ${TargetFileBytes - 1})
+       |             // $TargetFileBytes) AS rows_per_file,
+       |       CAST(max(n_chars) AS DOUBLE) / $TargetFileBytes.0
+       |         AS max_doc_share
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 }

@@ -304,4 +304,80 @@ object Graph {
       |FROM r2 JOIN outdeg d ON d.src = r2.node
       |WHERE r2.node LIKE 's%'
       |ORDER BY r2.node""".stripMargin
+
+  /** q194_degree_dist — degree distribution of the customer–supplier
+    * co-purchase graph (q114's edge set) with a power-law tail check:
+    * the histogram (nodes per degree) plus the log-log OLS slope — the
+    * network-science QA that tells you whether a scraped link graph has
+    * the heavy tail real graphs do (slope ≈ −2..−3) or is suspiciously
+    * uniform (synthetic/spam). Log terms are log2 OF INTEGERS rounded
+    * once to DECIMAL(18,6) (the q143 discipline); the OLS closed form is
+    * exact decimal algebra with ONE IEEE division at the end, repeated
+    * per row (the q183 window pattern).
+    *
+    * Scale: degrees are one hash aggregate over the edge list; the
+    * histogram is a second, degree-cardinality aggregate; the regression
+    * runs over the tiny histogram frame. */
+  def q194DegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .distinct()
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+    val hist = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("degree"), col("n_nodes"),
+        log2(col("degree").cast("double")).cast("decimal(18,6)").as("x"),
+        log2(col("n_nodes").cast("double")).cast("decimal(18,6)").as("y"))
+      .localCheckpoint() // degree-cardinality; feeds moments + output
+    // moments stay exact decimals through the SUM, then convert once to
+    // double (same nearest-double both engines) BEFORE the closed form:
+    // decimal×decimal here overflows precision 38 and Spark's
+    // allowPrecisionLoss rounding diverges from DuckDB's
+    val m = hist.agg(count(lit(1)).cast("double").as("k"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    hist.crossJoin(broadcast(m))
+      .select(col("degree"), col("n_nodes"),
+        ((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")))
+          .as("loglog_slope"))
+      .orderBy(col("degree"))
+  }
+
+  val q194Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT 'c' || o.o_custkey AS cnode,
+      |                  's' || l.l_suppkey AS snode
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |edges AS (
+      |  SELECT cnode AS src FROM pairs
+      |  UNION ALL
+      |  SELECT snode AS src FROM pairs),
+      |hist AS (
+      |  SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes,
+      |         CAST(log2(CAST(degree AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+      |         CAST(log2(CAST(count(*) AS DOUBLE)) AS DECIMAL(18,6)) AS y
+      |  FROM (SELECT src, CAST(count(*) AS BIGINT) AS degree
+      |        FROM edges GROUP BY src)
+      |  GROUP BY degree),
+      |m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS k,
+      |         CAST(sum(x) AS DOUBLE) AS sx,
+      |         CAST(sum(y) AS DOUBLE) AS sy,
+      |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+      |         CAST(sum(x * x) AS DOUBLE) AS sxx
+      |  FROM hist)
+      |SELECT degree, n_nodes,
+      |       (k * sxy - sx * sy) / (k * sxx - sx * sx) AS loglog_slope
+      |FROM hist CROSS JOIN m ORDER BY degree""".stripMargin
 }

@@ -446,4 +446,72 @@ object Tfidf {
        |         AS coverage
        |FROM docs d LEFT JOIN recs r ON r.nbr = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** Minimum in-source occurrences for a q196 keyword candidate — the
+    * standard low-support guard (a term seen twice can't characterize a
+    * source). */
+  val KeywordMinSupport = 5L
+
+  /** q196_source_keywords — per-source distinctive terms: the top-5 terms
+    * by rate lift (in-source rate over corpus rate, the pure-ratio form
+    * of PMI — exact BIGINT cross-products, ONE IEEE division, no log).
+    * This is source-level keyword extraction: "what is THIS shard
+    * about?", the label a corpus browser shows next to each source.
+    *
+    * Scale: one (source, term) hash aggregate (map-side combine,
+    * vocabulary-bounded shuffle), corpus marginals derived from it, and
+    * a per-source top-5 via partitioned window over the candidate set
+    * (Spark 4's WindowGroupLimit keeps it bounded). */
+  def q196SourceKeywords(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame = {
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_st"))
+      .localCheckpoint() // (source × vocab); feeds both marginals + lift
+    val perSrc = st.groupBy(col("source")).agg(sum(col("n_st")).as("t_s"))
+    val perTok = st.groupBy(col("tok")).agg(sum(col("n_st")).as("n_t"))
+    val tot = perSrc.agg(sum(col("t_s")).as("t"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("lift"), col("tok"))
+    st.filter(col("n_st") >= KeywordMinSupport)
+      .join(broadcast(perSrc), "source")
+      .join(broadcast(perTok), "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("tok"), col("n_st"),
+        ((col("n_st") * col("t")).cast("double") /
+          (col("t_s") * col("n_t")).cast("double")).as("lift"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val q196Sql: String =
+    s"""WITH st AS (
+       |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE tok <> '' GROUP BY source, tok),
+       |per_src AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS t_s
+       |            FROM st GROUP BY source),
+       |per_tok AS (SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_t
+       |            FROM st GROUP BY tok),
+       |tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS t FROM per_src),
+       |lifted AS (
+       |  SELECT st.source, st.tok, st.n_st,
+       |         CAST(st.n_st * tot.t AS DOUBLE)
+       |           / CAST(ps.t_s * pt.n_t AS DOUBLE) AS lift
+       |  FROM st
+       |  JOIN per_src ps USING (source)
+       |  JOIN per_tok pt USING (tok)
+       |  CROSS JOIN tot
+       |  WHERE st.n_st >= $KeywordMinSupport),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |            ORDER BY lift DESC, tok) AS rank
+       |  FROM lifted)
+       |SELECT source, tok, n_st, lift, rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY source, rank""".stripMargin
 }
