@@ -224,6 +224,66 @@ object Scale {
        |ORDER BY s.key_name""".stripMargin
   }
 
+  /** q198_join_size — exact join-cardinality prediction from per-key
+    * histograms: |A ⋈_k B| = Σ_k n_A(k)·n_B(k). The identity every
+    * cost-based optimizer approximates with sampled histograms, computed
+    * here exactly for the events↔orders shared-id join and verified
+    * in-row (predicted = Σ products; the top-10 contributing keys show
+    * WHERE the fan-out concentrates — the pre-join diagnostic that says
+    * "this key alone produces 4M output rows, salt it"). All-integer.
+    *
+    * Scale: two map-side-combinable key-count aggregates (never the
+    * joined fan-out itself — the whole point is predicting it WITHOUT
+    * materializing it), one key-cardinality equi-join between the
+    * histograms, TakeOrdered(10) + a one-row total. */
+  def q198JoinSize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ha = Tables.events(spark, sfDir)
+      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n_a"))
+    val hb = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n_b"))
+    val contrib = ha.join(hb, "key")
+      .select(col("key"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("out_rows"))
+      .localCheckpoint() // matched-key cardinality; feeds total + top-10
+    val tot = contrib.agg(sum(col("out_rows")).as("predicted_total"),
+      count(lit(1)).as("n_matched_keys"))
+    contrib
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("out_rows"), col("key"))))
+      .filter(col("rank") <= 10)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("key"), col("n_a"), col("n_b"),
+        col("out_rows"), col("n_matched_keys"), col("predicted_total"),
+        (col("out_rows").cast("double") /
+          col("predicted_total").cast("double")).as("share_of_output"))
+      .orderBy(col("rank"))
+  }
+
+  val q198Sql: String =
+    """WITH ha AS (
+      |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_a
+      |  FROM events GROUP BY 1),
+      |hb AS (
+      |  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_b
+      |  FROM orders GROUP BY 1),
+      |contrib AS (
+      |  SELECT ha.key, ha.n_a, hb.n_b, ha.n_a * hb.n_b AS out_rows
+      |  FROM ha JOIN hb USING (key)),
+      |tot AS (
+      |  SELECT CAST(sum(out_rows) AS BIGINT) AS predicted_total,
+      |         CAST(count(*) AS BIGINT) AS n_matched_keys
+      |  FROM contrib),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY out_rows DESC, key) AS rank
+      |  FROM contrib)
+      |SELECT r.rank, r.key, r.n_a, r.n_b, r.out_rows,
+      |       t.n_matched_keys, t.predicted_total,
+      |       CAST(r.out_rows AS DOUBLE) / CAST(t.predicted_total AS DOUBLE)
+      |         AS share_of_output
+      |FROM ranked r CROSS JOIN tot t
+      |WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin
+
   /** Distributed exact global rank (0-based, dense input order) over a total
     * order — the scalable replacement for a global-window `row_number()`,
     * which Spark executes in ONE partition. Three phases, all distributed:

@@ -767,4 +767,41 @@ object Text {
        |FROM cells c JOIN totals t USING (actual_lang)
        |ORDER BY c.actual_lang, c.pred_lang""".stripMargin
   }
+
+  /** q197_normalize — the canonical text-normalization map stage every
+    * corpus runs before hashing/dedup/tokenization: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs of whitespace, trim.
+    * Reported with before/after lengths and a changed flag so the
+    * downstream dedup keys (q36/q55) can be re-derived from the
+    * normalized form. Pure codegen'd string expressions (lower,
+    * regexp_replace ×2, trim) — map-side, no shuffle, no UDF; the RE2-
+    * safe patterns are shared verbatim with the oracle.
+    *
+    * Scale: embarrassingly parallel row-local work; the only shuffle is
+    * the determinism orderBy. */
+  def q197Normalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_before"),
+        length(col("norm")).cast("long").as("n_after"),
+        (col("norm") =!= col("text")).as("changed"),
+        col("norm"))
+      .orderBy(col("doc_id"))
+
+  val q197Sql: String =
+    """SELECT doc_id,
+      |       CAST(len(text) AS BIGINT) AS n_before,
+      |       CAST(len(trim(regexp_replace(regexp_replace(lower(text),
+      |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+      |         AS n_after,
+      |       trim(regexp_replace(regexp_replace(lower(text),
+      |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) <> text
+      |         AS changed,
+      |       trim(regexp_replace(regexp_replace(lower(text),
+      |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

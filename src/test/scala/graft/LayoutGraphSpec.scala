@@ -80,4 +80,61 @@ class LayoutGraphSpec extends AnyFunSuite {
       .map(r => (r._2, r._4))
     assert(got.toSeq === expected)
   }
+
+  test("q197: normalization is idempotent and shrinks or preserves") {
+    import graft.ops.Text
+    val rows = Text.q197Normalize(spark, SparkSuite.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, before, after, changed, norm) =>
+      assert(norm === norm.toLowerCase, s"doc $id lowercased")
+      assert(!norm.contains("  "), s"doc $id no double spaces")
+      assert(norm == norm.trim, s"doc $id trimmed")
+      assert(norm.forall(c => c.isLetterOrDigit || c == ' '),
+        s"doc $id alphanumeric")
+      assert(after === norm.length.toLong)
+      // idempotent: re-normalizing the normal form is identity
+      val again = norm.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim
+      assert(again === norm, s"doc $id idempotent")
+    }
+  }
+
+  test("q198: the histogram prediction equals the materialized join size") {
+    import graft.ops.Scale
+    val rows = Scale.q198JoinSize(spark, SparkSuite.sf).collect()
+    assert(rows.length === 10)
+    val predicted = rows.head.getLong(6)
+    val actual = Tables.events(spark, SparkSuite.sf)
+      .join(Tables.orders(spark, SparkSuite.sf),
+        org.apache.spark.sql.functions.col("user_id") ===
+          org.apache.spark.sql.functions.col("o_custkey"))
+      .count()
+    assert(predicted === actual, "Σ n_a·n_b = |A ⋈ B| exactly")
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(2) * r.getLong(3))
+    }
+  }
+
+  test("q199: the dimension is gap-free and accounts for every order") {
+    import graft.ops.Calendar
+    val rows = Calendar.q199DateDim(spark, SparkSuite.sf).collect()
+    val dates = rows.map(_.getDate(0).toLocalDate)
+    dates.sliding(2).foreach {
+      case Array(a, b) => assert(b === a.plusDays(1), s"gap after $a")
+      case _ => ()
+    }
+    assert(rows.map(_.getLong(9)).sum ===
+      Tables.orders(spark, SparkSuite.sf).count())
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      // java.time: MONDAY=1..SUNDAY=7; ours: MONDAY=0..SUNDAY=6
+      assert(r.getInt(5) === d.getDayOfWeek.getValue - 1, s"$d weekday")
+      assert(r.getBoolean(6) === (r.getInt(5) >= 5))
+      assert(r.getInt(1) === d.getYear)
+      assert(r.getInt(2) === d.getMonthValue)
+      assert(r.getInt(3) === d.getDayOfMonth)
+    }
+  }
 }
