@@ -1035,4 +1035,93 @@ object Events {
       |         AS late_share
       |FROM agg a LEFT JOIN p95 p USING (event_type)
       |ORDER BY a.event_type""".stripMargin
+
+  /** Attribution lookback for q200: a touch older than this no longer
+    * gets credit (7 days in µs). */
+  val AttributionWindowUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** q200_attribution — last-touch revenue attribution: every purchase
+    * credits its user's most recent PRECEDING non-purchase event within
+    * a 7-day lookback; purchases with no eligible touch credit 'direct'.
+    * The marketing-analytics workhorse. The "most recent preceding
+    * touch" is TWO carry-forward picks over the same frame (the q16
+    * as-of technique: `last(..., ignoreNulls)` over rows [-∞, -1]) —
+    * channel and touch-time are picked from the same row by
+    * construction, no struct comparison, no self-join. Revenue sums in
+    * exact cents (floor(x·100+0.5), the cross-engine-safe form);
+    * shares are single IEEE divisions.
+    *
+    * Scale: one window pass partitioned by user in event order (the
+    * per-key sequential scan every sessionizer makes — bounded by
+    * per-user history, not corpus size), then a channel-cardinality
+    * aggregate with map-side combine. */
+  def q200Attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val touched = ev
+      .withColumn("touch_ch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(col("event_type") =!= "purchase", col("us")),
+          ignoreNulls = true).over(w))
+    val attributed = touched
+      .filter(col("event_type") === "purchase")
+      .select(col("cents"),
+        when(col("touch_ch").isNotNull &&
+            col("us") - col("touch_us") <= AttributionWindowUs,
+          col("touch_ch")).otherwise(lit("direct")).as("channel"))
+    val per = attributed.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("cents"))
+      .localCheckpoint() // channel-cardinality; feeds totals + output
+    val tot = per.agg(sum(col("cents")).as("total_cents"))
+    per.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_purchases"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        (col("cents").cast("double") / col("total_cents").cast("double"))
+          .as("revenue_share"))
+      .orderBy(col("channel"))
+  }
+
+  val q200Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+       |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |touched AS (
+       |  SELECT *,
+       |         last_value(CASE WHEN event_type <> 'purchase'
+       |                         THEN event_type END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS touch_ch,
+       |         last_value(CASE WHEN event_type <> 'purchase'
+       |                         THEN us END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS touch_us
+       |  FROM ev),
+       |attributed AS (
+       |  SELECT cents,
+       |         CASE WHEN touch_ch IS NOT NULL
+       |                   AND us - touch_us <= ${AttributionWindowUs}
+       |              THEN touch_ch ELSE 'direct' END AS channel
+       |  FROM touched WHERE event_type = 'purchase'),
+       |per AS (
+       |  SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+       |         CAST(sum(cents) AS BIGINT) AS cents
+       |  FROM attributed GROUP BY channel),
+       |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM per)
+       |SELECT channel, n_purchases,
+       |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       |       CAST(cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+       |         AS revenue_share
+       |FROM per CROSS JOIN tot ORDER BY channel""".stripMargin
 }

@@ -194,4 +194,38 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(maxSecs === worst.toDouble / 1e6, s"$et worst lateness")
     }
   }
+
+  test("q200: attribution matches a sequential last-touch replay") {
+    import org.apache.spark.sql.functions._
+    val out = Events.q200Attribution(spark, SparkSuite.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val raw = Tables.events(spark, SparkSuite.sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")), floor(col("value") * 100 + 0.5)
+          .cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val credit = collection.mutable.Map.empty[String, (Long, Long)]
+    raw.groupBy(_._1).foreach { case (_, evs) =>
+      var lastTouch: Option[(String, Long)] = None
+      evs.sortBy(e => (e._4, e._2)).foreach { case (_, _, et, us, cents) =>
+        if (et == "purchase") {
+          val ch = lastTouch match {
+            case Some((c, tus)) if us - tus <= Events.AttributionWindowUs => c
+            case _ => "direct"
+          }
+          val (n0, c0) = credit.getOrElse(ch, (0L, 0L))
+          credit(ch) = (n0 + 1, c0 + cents)
+        } else lastTouch = Some((et, us))
+      }
+    }
+    assert(out.keySet === credit.keySet.toSet)
+    credit.foreach { case (ch, (n, cents)) =>
+      assert(out(ch)._1 === n, s"$ch purchase count")
+      assert(out(ch)._2 === cents.toDouble / 100.0, s"$ch revenue")
+    }
+    assert(out.values.map(_._1).sum ===
+      raw.count(_._3 == "purchase").toLong, "every purchase attributed")
+  }
 }
