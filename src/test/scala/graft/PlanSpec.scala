@@ -277,4 +277,40 @@ class PlanSpec extends AnyFunSuite {
     // a nested loop would mean the range predicate swallowed the key
     assert(p.contains("custkey"), p)
   }
+
+  test("q173 joins the part dimension by broadcast, never shuffle") {
+    val p = plan(ops.Windows.q173Seasonality(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dimension join degraded to a shuffle:\n$p")
+  }
+
+  test("q184 candidate join is equi on the feature, no cartesian") {
+    val p = plan(ops.Tfidf.q184SparseKnn(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation went quadratic:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation nested loops:\n$p")
+  }
+
+  test("q190 builds zone stats in one pass with a partial aggregate") {
+    val p = plan(graft.sources.ZOrder.q190Zonemap(spark, sf))
+    // map-side combine: partial_min/partial_max before the exchange
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"no map-side partial aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the tiny zone frame must broadcast, not shuffle:\n$p")
+  }
+
+  test("q198 predicts join size without materializing the join fan-out") {
+    val df = ops.Scale.q198JoinSize(spark, sf)
+    val p = plan(df)
+    // both sides collapse to histograms BEFORE any join: the only joins
+    // in the plan are histogram-sized, so no operator carries the
+    // event×order fan-out
+    assert(p.contains("HashAggregate"), p)
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).length
+    assert(joins <= 3, s"unexpected join count $joins:\n$p")
+  }
 }
