@@ -82,4 +82,70 @@ object Federated {
       |SELECT fmt, o_orderpriority, n_rows, sum_price
       |FROM agg CROSS JOIN fmts
       |ORDER BY fmt, o_orderpriority""".stripMargin
+
+  private val docCols = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("text", StringType)))
+
+  /** Staged free-text copies for the q08/q09 round-trips (same
+    * once-per-JVM discipline as [[stage]]). */
+  private val stagedDocs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def stageDocs(spark: SparkSession, sfDir: String,
+      format: String): String =
+    stagedDocs.getOrElseUpdate((format, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-rt-$format")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val slice = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+      val w = slice.coalesce(2).write.mode("overwrite")
+      format match {
+        case "csv"  => w.option("header", "true").csv(s"$dir/data")
+        case "json" => w.json(s"$dir/data")
+      }
+      s"$dir/data"
+    })
+
+  /** Round-trip core for q08/q09: sink the documents table to a line
+    * format, read it back through the [[Readers]] ingest boundary, and
+    * emit the rows THEMSELVES — the driver's hash compare against the
+    * plain-parquet oracle then proves the round-trip is byte-exact on
+    * free text (CSV quoting, JSON escaping, integer width survival).
+    * The aggregate-level cousin is q127; this is the row-level contract.
+    * (The fixture text is single-line; a corpus with embedded newlines
+    * would add `multiLine` on the CSV read — documented, not needed.)
+    *
+    * Scale: the write is a per-partition parallel sink, the read a
+    * splittable line-format scan — both format-conversion passes a
+    * landing zone makes exactly once (see [[Readers]] notes). */
+  private def roundTrip(spark: SparkSession, sfDir: String,
+      format: String): DataFrame =
+    Readers.ingest(spark, stageDocs(spark, sfDir, format), format,
+      docCols, docCols)
+      .orderBy(col("doc_id"))
+
+  /** q08_csv_roundtrip — documents → CSV sink → CSV source, row-identical. */
+  def q08CsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    roundTrip(spark, sfDir, "csv")
+
+  /** q09_jsonl_roundtrip — documents → JSON-lines sink → source. */
+  def q09JsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    roundTrip(spark, sfDir, "json")
+
+  private val rtSql =
+    """SELECT doc_id, lang, source, n_chars, text
+      |FROM documents ORDER BY doc_id""".stripMargin
+  val q08Sql: String = rtSql
+  val q09Sql: String = rtSql
 }

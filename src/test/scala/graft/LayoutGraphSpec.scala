@@ -137,4 +137,17 @@ class LayoutGraphSpec extends AnyFunSuite {
       assert(r.getInt(3) === d.getDayOfMonth)
     }
   }
+
+  test("q08/q09: line-format round-trips are row-identical to parquet") {
+    import graft.ops.Federated
+    val truth = Tables.documents(spark, SparkSuite.sf)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    Seq(Federated.q08CsvRoundtrip(spark, SparkSuite.sf),
+      Federated.q09JsonlRoundtrip(spark, SparkSuite.sf)).foreach { rt =>
+      val got = rt.collect().map(_.toSeq)
+      assert(got.length === truth.length)
+      got.zip(truth).foreach { case (g, t) => assert(g === t) }
+    }
+  }
 }
