@@ -1124,4 +1124,71 @@ object Events {
        |       CAST(cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
        |         AS revenue_share
        |FROM per CROSS JOIN tot ORDER BY channel""".stripMargin
+
+  /** q202_churn — week-over-week active-user accounting: per week, the
+    * active count split into retained (also active the previous week)
+    * and new, plus how many of the PREVIOUS week's actives churned, and
+    * the retention rate. The product-analytics counterpart of q97's
+    * cohort grid (q97 follows signup cohorts; this follows the whole
+    * active base week to week). Weeks are epoch-µs of `date_trunc
+    * ('week')` (the q97 technique — exact integer keys, +604800e6 steps,
+    * DST-free under UTC). All-integer; the rate is one IEEE division.
+    *
+    * Scale: the fact collapses to DISTINCT (week, user) once (one
+    * shuffle); retention is a self-join on (user, week−1) — key-bounded;
+    * everything after is week-cardinality. */
+  def q202Churn(spark: SparkSession, sfDir: String): DataFrame = {
+    val WeekUs = 604800000000L
+    val wu = Tables.events(spark, sfDir)
+      .select(unix_micros(date_trunc("week", col("ts"))).as("week_ep"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint() // (week × user); feeds actives + both join sides
+    val active = wu.groupBy(col("week_ep")).agg(count(lit(1)).as("n_active"))
+    val retained = wu.as("cur")
+      .join(wu.select((col("week_ep") + WeekUs).as("week_ep"),
+        col("user_id")).as("prev"), Seq("week_ep", "user_id"))
+      .groupBy(col("week_ep")).agg(count(lit(1)).as("n_retained"))
+    active.as("a")
+      .join(broadcast(retained), Seq("week_ep"), "left")
+      .join(broadcast(active.select((col("week_ep") + WeekUs).as("week_ep"),
+        col("n_active").as("prev_active"))), Seq("week_ep"), "left")
+      .select(col("week_ep"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (col("n_active") - coalesce(col("n_retained"), lit(0L)))
+          .as("n_new"),
+        (coalesce(col("prev_active"), lit(0L)) -
+          coalesce(col("n_retained"), lit(0L))).as("n_churned"),
+        when(col("prev_active").isNotNull,
+          coalesce(col("n_retained"), lit(0L)).cast("double") /
+            col("prev_active").cast("double")).as("retention_rate"))
+      .orderBy(col("week_ep"))
+  }
+
+  val q202Sql: String =
+    """WITH wu AS (
+      |  SELECT DISTINCT epoch_us(date_trunc('week', ts)) AS week_ep,
+      |         user_id
+      |  FROM events),
+      |active AS (
+      |  SELECT week_ep, CAST(count(*) AS BIGINT) AS n_active
+      |  FROM wu GROUP BY 1),
+      |retained AS (
+      |  SELECT cur.week_ep, CAST(count(*) AS BIGINT) AS n_retained
+      |  FROM wu cur JOIN wu prev
+      |    ON prev.user_id = cur.user_id
+      |   AND prev.week_ep + 604800000000 = cur.week_ep
+      |  GROUP BY 1)
+      |SELECT a.week_ep, a.n_active,
+      |       coalesce(r.n_retained, 0) AS n_retained,
+      |       a.n_active - coalesce(r.n_retained, 0) AS n_new,
+      |       coalesce(p.n_active, 0) - coalesce(r.n_retained, 0)
+      |         AS n_churned,
+      |       CASE WHEN p.n_active IS NOT NULL
+      |            THEN CAST(coalesce(r.n_retained, 0) AS DOUBLE)
+      |                 / CAST(p.n_active AS DOUBLE) END AS retention_rate
+      |FROM active a
+      |LEFT JOIN retained r ON r.week_ep = a.week_ep
+      |LEFT JOIN active p ON p.week_ep + 604800000000 = a.week_ep
+      |ORDER BY a.week_ep""".stripMargin
 }

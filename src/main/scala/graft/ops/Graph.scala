@@ -380,4 +380,93 @@ object Graph {
       |SELECT degree, n_nodes,
       |       (k * sxy - sx * sy) / (k * sxx - sx * sx) AS loglog_slope
       |FROM hist CROSS JOIN m ORDER BY degree""".stripMargin
+
+  /** q201 parameters: core order and unrolled peel rounds. k = 40 peels
+    * the fixture graph to a 449-node core (fixpoint in 3 rounds); 6
+    * rounds leaves slack, and the `converged` column REPORTS whether the
+    * last two rounds agreed instead of silently truncating the peel. */
+  val KCoreK = 40
+  val KCoreRounds = 6
+
+  /** q201_kcore — k-core decomposition of the co-purchase graph by
+    * iterative peeling: repeatedly drop nodes whose degree WITHIN the
+    * surviving subgraph is < k. The density backbone extractor (community
+    * cores, spam-farm detection, visualization skeletons). The loop is
+    * data-independent (fixed [[KCoreRounds]] rounds, each a semi-join +
+    * degree filter), so the oracle replays it as generated, unrolled
+    * CTEs — all-integer, hash-exact, with convergence surfaced in-row.
+    *
+    * Scale: each round is one hash aggregate over the surviving edge
+    * list (map-side combine) plus two semi-joins; the frontier only
+    * shrinks. Per-round `localCheckpoint` cuts the 6-round lineage — the
+    * same discipline as the PageRank loop above. */
+  def q201Kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .distinct()
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      .localCheckpoint()
+    def peel(alive: DataFrame): DataFrame = edges
+      .join(alive.withColumnRenamed("node", "src"), "src")
+      .join(alive.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= KCoreK)
+      .select(col("node"))
+      .localCheckpoint()
+    val rounds = Iterator.iterate(
+      edges.select(col("src").as("node")).distinct().localCheckpoint())(peel)
+      .take(KCoreRounds + 1).toSeq
+    val last = rounds.last
+    val prev = rounds(KCoreRounds - 1)
+    // converged ⇔ the final two survivor sets have equal size (peeling
+    // only shrinks, so equal counts ⇒ equal sets)
+    val conv = prev.agg(count(lit(1)).as("n_prev"))
+      .crossJoin(last.agg(count(lit(1)).as("n_last")))
+      .select((col("n_prev") === col("n_last")).as("converged"))
+    edges.join(last.withColumnRenamed("node", "src"), "src")
+      .join(last.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+      .crossJoin(broadcast(conv))
+      .orderBy(col("node"))
+  }
+
+  /** Generated, unrolled oracle: round i's survivors as CTE a{i}. */
+  val q201Sql: String = {
+    val peels = (1 to KCoreRounds).map { i =>
+      s"""a$i AS (
+         |  SELECT e.src AS node FROM edges e
+         |  JOIN a${i - 1} s ON e.src = s.node
+         |  JOIN a${i - 1} d ON e.dst = d.node
+         |  GROUP BY e.src HAVING count(*) >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || o.o_custkey AS cnode,
+       |                  's' || l.l_suppkey AS snode
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT snode AS src, cnode AS dst FROM pairs),
+       |a0 AS (SELECT DISTINCT src AS node FROM edges),
+       |$peels,
+       |conv AS (
+       |  SELECT (SELECT count(*) FROM a${KCoreRounds - 1})
+       |       = (SELECT count(*) FROM a$KCoreRounds) AS converged)
+       |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_degree,
+       |       conv.converged
+       |FROM edges e
+       |JOIN a$KCoreRounds s ON e.src = s.node
+       |JOIN a$KCoreRounds d ON e.dst = d.node
+       |CROSS JOIN conv
+       |GROUP BY e.src, conv.converged
+       |ORDER BY e.src""".stripMargin
+  }
 }
