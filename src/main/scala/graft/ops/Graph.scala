@@ -412,29 +412,38 @@ object Graph {
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .localCheckpoint()
-    def peel(alive: DataFrame): DataFrame = edges
-      .join(alive.withColumnRenamed("node", "src"), "src")
-      .join(alive.withColumnRenamed("node", "dst"), "dst")
-      .groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= KCoreK)
-      .select(col("node"))
-      .localCheckpoint()
-    val rounds = Iterator.iterate(
-      edges.select(col("src").as("node")).distinct().localCheckpoint())(peel)
-      .take(KCoreRounds + 1).toSeq
-    val last = rounds.last
-    val prev = rounds(KCoreRounds - 1)
-    // converged ⇔ the final two survivor sets have equal size (peeling
-    // only shrinks, so equal counts ⇒ equal sets)
-    val conv = prev.agg(count(lit(1)).as("n_prev"))
-      .crossJoin(last.agg(count(lit(1)).as("n_last")))
-      .select((col("n_prev") === col("n_last")).as("converged"))
-    edges.join(last.withColumnRenamed("node", "src"), "src")
-      .join(last.withColumnRenamed("node", "dst"), "dst")
-      .groupBy(col("src").as("node"))
+    // Each round shrinks the EDGE frame too (not just the node set), so
+    // later rounds join ever-smaller inputs; and peeling is idempotent at
+    // the fixpoint, so once the survivor count stops changing the
+    // remaining unrolled rounds are identities and can be skipped — the
+    // unrolled oracle computes the same set either way. The count() per
+    // round is a driver-side LOOP-CONTROL read of a checkpointed
+    // node-cardinality frame (the iterative-algorithm exception to the
+    // no-collect rule — same as any Pregel-style convergence check).
+    var cur = edges
+    var nPrev = cur.select(col("src")).distinct().count()
+    var converged = false
+    var round = 0
+    while (round < KCoreRounds && !converged) {
+      val alive = cur
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select(col("node"))
+        .localCheckpoint()
+      val n = alive.count()
+      cur = cur
+        .join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .localCheckpoint()
+      converged = n == nPrev
+      nPrev = n
+      round += 1
+    }
+    cur.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))
-      .crossJoin(broadcast(conv))
+      .crossJoin(broadcast(
+        cur.sparkSession.range(1).select(lit(converged).as("converged"))))
       .orderBy(col("node"))
   }
 
