@@ -381,11 +381,13 @@ object Graph {
       |       (k * sxy - sx * sy) / (k * sxx - sx * sx) AS loglog_slope
       |FROM hist CROSS JOIN m ORDER BY degree""".stripMargin
 
-  /** q201 parameters: core order and unrolled peel rounds. k = 40 peels
-    * the fixture graph to a 449-node core (fixpoint in 3 rounds); 6
-    * rounds leaves slack, and the `converged` column REPORTS whether the
-    * last two rounds agreed instead of silently truncating the peel. */
-  val KCoreK = 40
+  /** q201 unrolled peel rounds: the fixture fixpoints in 3; 6 leaves
+    * slack, and the `converged` column REPORTS whether the last two
+    * rounds agreed instead of silently truncating the peel. The core
+    * order k is NOT a constant — it is the 75th-percentile degree of
+    * the graph at hand (rank ⌈3n/4⌉ under the (degree, node) total
+    * order), so the operator peels to a meaningful backbone at every
+    * scale instead of carrying a fixture-tuned threshold. */
   val KCoreRounds = 6
 
   /** q201_kcore — k-core decomposition of the co-purchase graph by
@@ -412,6 +414,17 @@ object Graph {
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .localCheckpoint()
+    // k = p75 of the degree distribution: a one-row statistics read, the
+    // same driver-side parameter derivation a cost-based planner makes
+    // before picking a strategy (and the same exception to the
+    // no-collect rule as the loop-control counts below).
+    import org.apache.spark.sql.expressions.Window
+    val kVal = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("d"), row_number().over(
+          Window.orderBy(col("d"), col("src"))).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      .filter(col("rn") === expr("(3 * n + 3) div 4"))
+      .select(col("d")).head().getLong(0)
     // Each round shrinks the EDGE frame too (not just the node set), so
     // later rounds join ever-smaller inputs; and peeling is idempotent at
     // the fixpoint, so once the survivor count stops changing the
@@ -428,7 +441,7 @@ object Graph {
       val alive = cur
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KCoreK)
+        .filter(col("deg") >= kVal)
         .select(col("node"))
         .localCheckpoint()
       val n = alive.count()
@@ -442,19 +455,21 @@ object Graph {
     }
     cur.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))
-      .crossJoin(broadcast(
-        cur.sparkSession.range(1).select(lit(converged).as("converged"))))
+      .crossJoin(broadcast(cur.sparkSession.range(1)
+        .select(lit(kVal).as("k"), lit(converged).as("converged"))))
       .orderBy(col("node"))
   }
 
-  /** Generated, unrolled oracle: round i's survivors as CTE a{i}. */
+  /** Generated, unrolled oracle: round i's survivors as CTE a{i}, with
+    * the same p75-degree threshold computed in a `kth` CTE. */
   val q201Sql: String = {
     val peels = (1 to KCoreRounds).map { i =>
       s"""a$i AS (
          |  SELECT e.src AS node FROM edges e
          |  JOIN a${i - 1} s ON e.src = s.node
          |  JOIN a${i - 1} d ON e.dst = d.node
-         |  GROUP BY e.src HAVING count(*) >= $KCoreK)""".stripMargin
+         |  GROUP BY e.src
+         |  HAVING count(*) >= (SELECT k FROM kth))""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT DISTINCT 'c' || o.o_custkey AS cnode,
@@ -464,18 +479,25 @@ object Graph {
        |  SELECT cnode AS src, snode AS dst FROM pairs
        |  UNION ALL
        |  SELECT snode AS src, cnode AS dst FROM pairs),
+       |kth AS (
+       |  SELECT d AS k FROM (
+       |    SELECT d, row_number() OVER (ORDER BY d, src) AS rn,
+       |           count(*) OVER () AS n
+       |    FROM (SELECT src, CAST(count(*) AS BIGINT) AS d
+       |          FROM edges GROUP BY src))
+       |  WHERE rn = (3 * n + 3) // 4),
        |a0 AS (SELECT DISTINCT src AS node FROM edges),
        |$peels,
        |conv AS (
        |  SELECT (SELECT count(*) FROM a${KCoreRounds - 1})
        |       = (SELECT count(*) FROM a$KCoreRounds) AS converged)
        |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_degree,
-       |       conv.converged
+       |       kth.k, conv.converged
        |FROM edges e
        |JOIN a$KCoreRounds s ON e.src = s.node
        |JOIN a$KCoreRounds d ON e.dst = d.node
-       |CROSS JOIN conv
-       |GROUP BY e.src, conv.converged
+       |CROSS JOIN kth CROSS JOIN conv
+       |GROUP BY e.src, kth.k, conv.converged
        |ORDER BY e.src""".stripMargin
   }
 }

@@ -152,14 +152,14 @@ class LayoutGraphSpec extends AnyFunSuite {
   }
 
   test("q201: the core is a fixpoint — every member keeps degree >= k") {
-    // k = 40 is tuned to the oracle's sf0.01 graph; the sf0.001 suite
-    // fixture peels to an empty core, so probe the oracle scale directly
-    val rows = Graph.q201Kcore(spark, "/root/testdata/sf0.01").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
-    assert(rows.nonEmpty, "fixture core must be non-empty")
-    assert(rows.forall(_._3), "peel converged inside the unrolled rounds")
-    rows.foreach { case (n, d, _) =>
-      assert(d >= Graph.KCoreK, s"node $n below k in its own core")
+    val rows = Graph.q201Kcore(spark, SparkSuite.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty, "p75 threshold must leave a non-empty core")
+    assert(rows.forall(_._4), "peel converged inside the unrolled rounds")
+    val k = rows.head._3
+    rows.foreach { case (n, d, _, _) =>
+      assert(d >= k, s"node $n below k=$k in its own core")
     }
     // maximality spot check: the reported degree counts only core-internal
     // edges, so the members form a self-sustaining subgraph by definition
