@@ -43,22 +43,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright (ParquetSchemaConverter throws Illegal Parquet type).
-    * Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true` (Verify /
-    * Bench / test sessions all do); the column then arrives as BIGINT
-    * nanoseconds and is floor-divided to µs here — the same truncation DuckDB
-    * applies on read, so oracle timestamps match exactly. `div` is 64-bit
-    * integer division (a double division would lose precision: ns epochs
-    * ≈ 1.7e18 > 2^53).
+  /** `events.ts` normalization — the driver has shipped this column in two
+    * physical forms across fixture generations, and every operator downstream
+    * expects an instant (`TimestampType`):
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's reader rejects it unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (Verify / Bench / test
+    *    sessions set it); the column arrives as BIGINT nanoseconds and is
+    *    floor-divided to µs — the same truncation DuckDB applies on read.
+    *    `div` is 64-bit integer division (double division would lose
+    *    precision: ns epochs ≈ 1.7e18 > 2^53).
+    *  - plain `timestamp[us]` with no UTC-adjustment flag: Spark 4 infers
+    *    TIMESTAMP_NTZ. The session TZ is pinned to UTC (build.sbt /
+    *    SparkSessionFactory), so casting to TimestampType is a pure
+    *    reinterpretation of the same µs value — DuckDB already reads the
+    *    column as naive µs, so oracle hashes are unaffected.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = raw(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

@@ -52,11 +52,51 @@ object Intervals {
         col("b_id"), col("b_start"), col("b_end"))
   }
 
+  /** Binned overlap COUNT join — same binning as [[overlapJoin]], but for
+    * aggregate consumers that never look at B's payload: B is first
+    * compressed to its distinct (start, end) intervals with a multiplicity
+    * count, the binned equi-join runs against that compressed side, and
+    * each surviving (a, b-interval) match carries `b_cnt`. Output: one row
+    * per (a row × distinct overlapping B interval) with the multiplicity.
+    *
+    * Why it matters at scale: the pair cardinality of a dense overlap join
+    * grows as |A|·|B| over a FIXED time span — both sides grow linearly
+    * with data volume, so pairs grow quadratically (measured on the
+    * fixtures: 18k pairs at sf0.01 → 1.87M at sf0.1). Day-aligned windows
+    * collapse to ≤ one distinct interval per (start-day, length), so the
+    * compressed join's output is bounded by |A| × distinct-B-intervals-
+    * per-A-window — time-span-bounded, NOT |B|-bounded. Σ b_cnt and
+    * match-existence reproduce count(*) and countDistinct over the full
+    * pair set exactly. */
+  def overlapCountJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    val bAgg = b.groupBy(col("start"), col("end"))
+      .agg(count(lit(1)).as("b_cnt"))
+    def binned(df: DataFrame, p: String, extra: Seq[String]): DataFrame =
+      df.select((extra.map(col) ++ Seq(
+        col("start").as(s"${p}_start"), col("end").as(s"${p}_end"),
+        explode(sequence(
+          expr(s"datediff(start, DATE'1970-01-01') div $BinDays"),
+          expr(s"datediff(end, DATE'1970-01-01') div $BinDays"))).as("bin"))): _*)
+    binned(a, "a", Seq("id")).join(binned(bAgg, "b", Seq("b_cnt")), Seq("bin"))
+      .filter(col("a_start") <= col("b_end") &&
+        col("b_start") <= col("a_end") &&
+        col("bin") === expr(
+          s"datediff(greatest(a_start, b_start), DATE'1970-01-01')" +
+            s" div $BinDays"))
+      .select(col("id").as("a_id"), col("a_start"), col("a_end"),
+        col("b_start"), col("b_end"), col("b_cnt"))
+  }
+
   /** q123_interval_overlap — shipment-activity intervals (filtered
     * lineitem rows, synthetic 1–14-day spans) overlapping urgent-order
     * fulfillment windows (order date + 7 days), rolled up per shipment
-    * month. The oracle brute-forces the same theta join, so equality
-    * proves the binned plan loses and invents nothing. */
+    * month. Uses [[overlapCountJoin]]: the urgent-order windows are
+    * day-aligned 7-day spans, so the B side compresses from |orders| rows
+    * to ≤ one row per order DATE (~34× at sf0.1) before the join, and the
+    * rollup weighs each match by the multiplicity instead of materializing
+    * the quadratically-growing pair set. The oracle brute-forces the full
+    * theta join, so equality proves the compression loses and invents
+    * nothing. */
   def q123IntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val a = Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") === 50.0)
@@ -66,13 +106,12 @@ object Intervals {
           .as("end"))
     val b = Tables.orders(spark, sfDir)
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey").as("id"),
-        col("o_orderdate").as("start"),
+      .select(col("o_orderdate").as("start"),
         expr("o_orderdate + INTERVAL '7' DAY").as("end"))
-    overlapJoin(a, b)
+    overlapCountJoin(a, b)
       .groupBy(date_trunc("month", col("a_start")).as("ship_month"))
       .agg(countDistinct(col("a_id")).as("n_intervals"),
-        count(lit(1)).as("n_overlaps"))
+        sum(col("b_cnt")).as("n_overlaps"))
       .orderBy(col("ship_month"))
   }
 

@@ -31,7 +31,8 @@ object Scale {
     *   Seq(sum($"sx").as("sum_x"), sum($"n").as("n")))
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
-      partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+      partials: Seq[Column], merges: Seq[Column],
+      saltCols: Seq[String] = Nil): DataFrame = {
     // The salt must be a pure function of row CONTENT: partition-id or
     // monotonic ids change when a shuffle-fetch failure re-executes a task,
     // which could route already-consumed rows to a different salt — a
@@ -43,8 +44,17 @@ object Scale {
     // group). If a workload needs salting for non-combinable buffers over
     // duplicate-heavy data, dedup first (q36) — a deterministic salt
     // cannot split byte-identical rows.
+    //
+    // `saltCols` narrows which columns feed the hash. The default (all
+    // columns) is always correct but forces the scan to read EVERY column —
+    // on a wide fact table that defeats column pruning just to pick 1 of
+    // `salts` buckets. Callers should pass the group key plus one cheap
+    // high-cardinality discriminator already in the projection (e.g.
+    // key + order id): same retry stability, scan stays pruned to the
+    // columns the aggregate needs anyway.
+    val hashCols = if (saltCols.nonEmpty) saltCols else df.columns.toSeq
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)))
+      pmod(xxhash64(hashCols.map(col): _*), lit(salts.toLong)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
@@ -80,9 +90,14 @@ object Scale {
     * spread a single key. Replication cost is |dim| × salts rows — keep
     * `salts` ~ (hot-key rows / target partition rows), not in the hundreds. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-      salts: Int): DataFrame = {
+      salts: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    // saltCols: same narrowing contract as [[saltedAggregate]] — default
+    // all-columns is correct but reads the full row width; pass key + a
+    // high-cardinality column from the join's own projection to keep the
+    // scan pruned.
+    val hashCols = if (saltCols.nonEmpty) saltCols else fact.columns.toSeq
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts.toLong)))
+      pmod(xxhash64(hashCols.map(col): _*), lit(salts.toLong)))
     val expDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(expDim, keys :+ "__salt").drop("__salt")
@@ -96,10 +111,19 @@ object Scale {
     * Exactness across the extra phase: partials stay DECIMAL (never cast to
     * double between phases — decimal addition is associative, double
     * addition is not), so the merged result is bit-identical to the plain
-    * single-phase aggregate, which is exactly what the oracle runs. */
+    * single-phase aggregate, which is exactly what the oracle runs.
+    *
+    * The salt hashes only (l_returnflag, l_extendedprice) — the key plus a
+    * high-cardinality measure the aggregate reads anyway — so the parquet
+    * scan prunes to exactly the 4 needed columns instead of all 16
+    * (a full-width row hash would force the scan to read the whole table
+    * just to pick 1 of 32 buckets). Still content-derived ⇒ retry-stable. */
   def q48Salted(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
     saltedAggregate(li, Seq("l_returnflag"), salts = 32,
+      saltCols = Seq("l_returnflag", "l_extendedprice"),
       partials = Seq(
         sum(col("l_quantity").cast(DecimalType(18, 1))).as("pq"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -130,10 +154,12 @@ object Scale {
     * exact decimal sums/counts the oracle's plain join computes. */
   def q84SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
     val dim = li.select(col("l_returnflag")).distinct()
       .select(col("l_returnflag"),
         concat(lit("flag_"), col("l_returnflag")).as("flag_label"))
-    saltedJoin(li, dim.hint("merge"), Seq("l_returnflag"), salts = 16)
+    saltedJoin(li, dim.hint("merge"), Seq("l_returnflag"), salts = 16,
+      saltCols = Seq("l_returnflag", "l_extendedprice"))
       .groupBy(col("flag_label"))
       .agg(decSum(col("l_extendedprice"), 2).as("revenue"),
         count(lit(1)).as("line_count"))

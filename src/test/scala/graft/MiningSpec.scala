@@ -77,6 +77,44 @@ class MiningSpec extends AnyFunSuite {
     assert(binned === brute)
     assert(binned.nonEmpty)
   }
+
+  test("q123 compressed count join equals brute pairs; density stays bounded") {
+    val a = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") === 50.0)
+      .select((col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
+        col("l_shipdate").as("start"),
+        expr("l_shipdate + (l_linenumber % 14 + 1) * INTERVAL '1' DAY")
+          .as("end"))
+    val b = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderdate").as("start"),
+        expr("o_orderdate + INTERVAL '7' DAY").as("end"))
+    val weighted = Intervals.overlapCountJoin(a, b)
+    val compressedRows = weighted.count()
+    val pairTotal = weighted.agg(sum("b_cnt")).collect()(0).getLong(0)
+    val bruteTotal = a.select(col("start").as("a_s"), col("end").as("a_e"))
+      .crossJoin(b.select(col("start").as("b_s"), col("end").as("b_e")))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .count()
+    assert(pairTotal === bruteTotal)
+    assert(pairTotal > 0)
+    // the whole point of the compression: the join materializes at most one
+    // row per (a row, distinct B interval), never the full pair set
+    assert(compressedRows <= bruteTotal)
+    // fixture-drift pin: pairs grow as |A|·|B| over a fixed span, so avg
+    // overlapping windows per A interval ≈ b-density/day × max combined
+    // window (14 + 7 + 1 days). If regenerated fixtures blow past 2× this
+    // model, the join cost profile changed — fail loudly instead of letting
+    // the bench quietly absorb it (the r3→r4 q123 regression).
+    val aCnt = a.count()
+    val bCnt = b.count()
+    val span = b.agg(datediff(max("start"), min("start"))).collect()(0)
+      .getInt(0).toDouble.max(1.0)
+    val modelDensity = bCnt / span * 22.0
+    assert(pairTotal <= (aCnt * modelDensity * 2.0).toLong + 100,
+      s"pair density drifted: $pairTotal pairs for $aCnt×$bCnt over $span days")
+  }
+
   test("q124 TWAP is bounded by each user's value range") {
     val ev = Tables.events(spark, sf)
     val perUser = ev.groupBy(col("user_id"))

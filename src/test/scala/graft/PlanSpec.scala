@@ -201,6 +201,19 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected partial+final aggs at both phases:\n$p")
   }
 
+  test("q48 salt hash does not widen the scan past the 4 needed columns") {
+    // The salt must derive from columns the aggregate reads anyway — a
+    // full-width row hash forces the parquet scan to read all 16 lineitem
+    // columns just to pick a bucket (the r4 7.0 s regression).
+    val f = formatted(ops.Scale.q48Salted(spark, sf))
+    val read = f.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(read.nonEmpty, s"no ReadSchema line:\n$f")
+    Seq("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .foreach(c => assert(read.contains(c), s"$c missing from scan: $read"))
+    Seq("l_orderkey", "l_comment", "l_shipdate", "l_partkey")
+      .foreach(c => assert(!read.contains(c), s"scan not pruned ($c): $read"))
+  }
+
   test("q84 salted join shuffles on (key, salt), not broadcast") {
     val p = plan(ops.Scale.q84SaltedJoin(spark, sf))
     assert(p.contains("SortMergeJoin") && p.contains("__salt"),
