@@ -214,6 +214,36 @@ class PlanSpec extends AnyFunSuite {
       .foreach(c => assert(!read.contains(c), s"scan not pruned ($c): $read"))
   }
 
+  test("q203 shard audit is scan → two-phase aggregate, no join, 2 columns") {
+    val f = formatted(ops.TrainingData.q203ShuffleShard(spark, sf))
+    val read = f.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("n_chars") &&
+      !read.contains("text"), s"scan must skip the text payload: $read")
+    assert(!f.contains("Join"), s"shard audit must not join:\n$f")
+    assert(f.contains("partial_count"), s"map-side combine missing:\n$f")
+  }
+
+  test("q205 vocabulary arrives via TakeOrdered + broadcast, never a shuffle join") {
+    val f = formatted(ops.TrainingData.q205OovRate(spark, sf))
+    assert(f.contains("TakeOrderedAndProject"),
+      s"top-K vocab pick should be a heap, not a global sort:\n$f")
+    assert(f.contains("BroadcastHashJoin"),
+      s"K-row vocab must broadcast into the membership join:\n$f")
+    assert(!f.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the vocab join:\n$f")
+  }
+
+  test("q206 digest join is equi and unhinted (AQE picks the strategy)") {
+    val p = plan(ops.TrainingData.q206IncrementalDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"digest membership must be an equi-join:\n$p")
+    // at fixture scale AQE may broadcast the corpus digests; either hash
+    // strategy is fine — the contract is only that no hint FORCES broadcast
+    // (the corpus side outgrows any driver at 100 TB)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q84 salted join shuffles on (key, salt), not broadcast") {
     val p = plan(ops.Scale.q84SaltedJoin(spark, sf))
     assert(p.contains("SortMergeJoin") && p.contains("__salt"),
