@@ -239,4 +239,269 @@ object TrainingData {
       |       CAST(count(*) - sum(dup) AS BIGINT) AS n_new,
       |       CAST(sum(dup) AS DOUBLE) / count(*) AS dup_rate
       |FROM incoming GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- context-length plan
+
+  /** Candidate context lengths for q207 (tokens). */
+  val Contexts = Seq(512L, 2048L, 8192L)
+
+  /** q207_packing_plan — context-length planning: for each candidate
+    * training context length, how many documents fit whole, how many must
+    * split, how many context-sized chunks the corpus yields
+    * (Σ ceil(tokens/ctx)), and the padding waste if every chunk pads to
+    * the full context (Σ (chunks·ctx − tokens)). The decision table for
+    * "train at 2k or 8k": padding waste falls and split rate rises with
+    * ctx, and this prices both sides exactly. Token count = whitespace
+    * tokens (q54's `ws_tokens` convention, proven cross-engine).
+    *
+    * Scale: the ctx expansion is a 3-way map-side explode; the rollup is
+    * a 3-row hash aggregate with map-side combine. One corpus scan, no
+    * joins, integer arithmetic only until the final rates. */
+  def q207PackingPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    docs
+      .select(col("toks"),
+        explode(array(Contexts.map(lit): _*)).as("ctx"))
+      // ceil(toks/ctx) via (toks + ctx − 1) div ctx: operands stay positive,
+      // where truncating division (Spark `div`) and flooring division
+      // (DuckDB `//`) agree — the negate-and-floor ceil trick does NOT
+      // cross engines (Spark div truncates toward zero: -400 div 512 = 0,
+      // DuckDB floors: -400 // 512 = -1)
+      .withColumn("chunks", expr("(toks + ctx - 1) div ctx"))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("toks") <= col("ctx"), 1L).otherwise(0L)).as("n_fit"),
+        sum(when(col("toks") > col("ctx"), 1L).otherwise(0L)).as("n_split"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("chunks")).as("n_chunks"),
+        sum(col("chunks") * col("ctx") - col("toks")).as("pad_tokens"))
+      .withColumn("waste_rate",
+        col("pad_tokens").cast("double") /
+          (col("n_chunks") * col("ctx")).cast("double"))
+      .orderBy(col("ctx"))
+  }
+
+  val q207Sql: String = {
+    val ctxList = Contexts.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |           AS toks
+       |  FROM documents),
+       |x AS (
+       |  SELECT toks, unnest([$ctxList]) AS ctx FROM d),
+       |c AS (
+       |  SELECT toks, ctx, (toks + ctx - 1) // ctx AS chunks FROM x)
+       |SELECT ctx, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN toks <= ctx THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_fit,
+       |       CAST(sum(CASE WHEN toks > ctx THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_split,
+       |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       |       CAST(sum(chunks) AS BIGINT) AS n_chunks,
+       |       CAST(sum(chunks * ctx - toks) AS BIGINT) AS pad_tokens,
+       |       CAST(sum(chunks * ctx - toks) AS DOUBLE) /
+       |         CAST(sum(chunks) * ctx AS DOUBLE) AS waste_rate
+       |FROM c GROUP BY ctx ORDER BY ctx""".stripMargin
+  }
+
+  // --------------------------------------------------- gram duplication
+
+  /** Shingle width for q208 — 8-grams, the substring-dedup literature's
+    * usual fingerprint width. */
+  val DupGramN = 8
+
+  /** q208_dup_gram_rate — corpus-level n-gram duplication audit: how many
+    * distinct 8-grams occur in more than one document, what fraction of
+    * the corpus's gram INSTANCES those cross-document grams account for,
+    * and how deep the worst gram's document frequency runs. The one-row
+    * answer to "how much cross-document boilerplate survives dedup" —
+    * q166 then localizes WHERE (span-level), q70/q83 WHO (doc pairs);
+    * this is the corpus health number that says whether to bother.
+    *
+    * Scale: gram stream is map-side explode; the per-gram frame
+    * aggregates with map-side combine (shuffle bounded by distinct-gram
+    * cardinality); the final fold is a one-row aggregate. No joins. */
+  def q208DupGramRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Curation.nGrams(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      DupGramN)
+    grams
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("instances"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared_grams"),
+        sum(col("instances")).as("n_instances"),
+        sum(when(col("df") > 1, col("instances")).otherwise(0L))
+          .as("n_shared_instances"),
+        max(col("df")).as("max_df"))
+      .select(col("n_grams"), col("n_shared_grams"),
+        (col("n_shared_grams").cast("double") / col("n_grams").cast("double"))
+          .as("shared_gram_rate"),
+        col("n_instances"), col("n_shared_instances"),
+        (col("n_shared_instances").cast("double") /
+          col("n_instances").cast("double")).as("shared_instance_rate"),
+        col("max_df"))
+  }
+
+  val q208Sql: String = {
+    val n = DupGramN
+    val concat = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - ${n - 2}, 2)),
+       |                i -> $concat)) AS gram
+       |  FROM toks WHERE len(t) >= $n),
+       |per_gram AS (
+       |  SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS instances
+       |  FROM grams GROUP BY gram)
+       |SELECT count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_shared_grams,
+       |       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / count(*) AS shared_gram_rate,
+       |       CAST(sum(instances) AS BIGINT) AS n_instances,
+       |       CAST(sum(CASE WHEN df > 1 THEN instances ELSE 0 END) AS BIGINT)
+       |         AS n_shared_instances,
+       |       CAST(sum(CASE WHEN df > 1 THEN instances ELSE 0 END) AS DOUBLE)
+       |         / sum(instances) AS shared_instance_rate,
+       |       CAST(max(df) AS BIGINT) AS max_df
+       |FROM per_gram""".stripMargin
+  }
+
+  // ------------------------------------------------- budget curriculum
+
+  /** q209's training budget as a fraction of total corpus characters —
+    * relative, so the operator is scale-free. */
+  val BudgetFrac = 1.0 / 3.0
+
+  /** q209_budget_curriculum — greedy source selection under a token
+    * budget: rank sources by information density (characters per
+    * document, descending — a cheap quality proxy; swap in q53's score in
+    * production), accumulate character mass in rank order, and mark the
+    * prefix that fits a budget of [[BudgetFrac]] × total corpus. The
+    * "which sources make the cut for the high-quality phase" table —
+    * curriculum and annealing schedules start exactly like this.
+    *
+    * Scale: one source-cardinality aggregate off the corpus scan; the
+    * ranking window runs over that dozens-row frame, NOT over data rows
+    * (the q129 broadcast-total discipline). Deterministic: density ties
+    * break on source name. */
+  def q209BudgetCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("density",
+        col("chars").cast("double") / col("n_docs").cast("double"))
+    val tot = bySource.agg(sum(col("chars")).as("tot_chars"))
+    val rankWin = Window.orderBy(col("density").desc, col("source"))
+    bySource.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(rankWin).cast("long"))
+      .withColumn("cum_chars",
+        sum(col("chars")).over(rankWin.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("selected",
+        (col("cum_chars").cast("double") <=
+          col("tot_chars").cast("double") * BudgetFrac).cast("int"))
+      .select(col("rank"), col("source"), col("n_docs"), col("chars"),
+        col("density"), col("cum_chars"), col("selected"))
+      .orderBy(col("rank"))
+  }
+
+  val q209Sql: String =
+    s"""WITH by_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS chars,
+       |         CAST(sum(n_chars) AS DOUBLE) / count(*) AS density
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS tot_chars FROM by_source),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY density DESC, source) AS rank,
+       |         CAST(sum(chars) OVER (ORDER BY density DESC, source
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+       |  FROM by_source)
+       |SELECT r.rank, r.source, r.n_docs, r.chars, r.density, r.cum_chars,
+       |       CAST(CASE WHEN CAST(r.cum_chars AS DOUBLE) <=
+       |         CAST(t.tot_chars AS DOUBLE) * CAST($BudgetFrac AS DOUBLE)
+       |         THEN 1 ELSE 0 END AS INT) AS selected
+       |FROM ranked r CROSS JOIN tot t
+       |ORDER BY r.rank""".stripMargin
+
+  // --------------------------------------------- label-centroid geometry
+
+  /** Fixed-point scales for q210 — the q79 centroid discipline: float
+    * embeddings quantize to integers before any reduction so sums are
+    * order-independent and cross-engine exact. */
+  private val Q20 = 1048576.0          // 2^20, embedding quantization
+  private val Q40 = 1099511627776.0    // 2^40, product-term quantization
+
+  /** q210_centroid_sim — pairwise cosine similarity between per-label
+    * embedding centroids: the class-geometry audit that says which label
+    * clusters are near-collinear (confusable) before anyone trains a
+    * probe. Every reduction is fixed-point: embeddings quantize at 2^20
+    * before the centroid mean ([[Centroids]] q79's rule), and the cosine's
+    * dot/norm terms quantize at 2^40 before summing, so both engines add
+    * exact integers in any order.
+    *
+    * Scale: centroids are a (labels × dims)-bounded aggregate off one
+    * scan; the pairwise stage joins the TINY centroid frame to itself on
+    * the dimension index — k²·d rows for k labels, nothing touches the
+    * data again. Output k(k−1)/2 rows. */
+  def q210CentroidSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val cent = Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * Q20).cast("long"))
+        .cast("double") / (count(lit(1)) * Q20)).as("cval"))
+    val a = cent.select(col("label").as("label_a"), col("pos"),
+      col("cval").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("pos"),
+      col("cval").as("cb"))
+    val terms = a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg((sum(floor(col("ca") * col("cb") * Q40).cast("long"))
+        .cast("double") / Q40).as("dot"))
+    val norms = cent.groupBy(col("label"))
+      .agg((sum(floor(col("cval") * col("cval") * Q40).cast("long"))
+        .cast("double") / Q40).as("sq"))
+    terms
+      .join(norms.select(col("label").as("label_a"), col("sq").as("sq_a")),
+        "label_a")
+      .join(norms.select(col("label").as("label_b"), col("sq").as("sq_b")),
+        "label_b")
+      .select(col("label_a"), col("label_b"),
+        (col("dot") / (sqrt(col("sq_a")) * sqrt(col("sq_b")))).as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val q210Sql: String =
+    s"""WITH pe AS (
+       |  SELECT label, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, pos,
+       |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * $Q20) AS BIGINT))
+       |              AS DOUBLE) / (count(*) * $Q20) AS cval
+       |  FROM pe GROUP BY label, pos),
+       |terms AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |         CAST(sum(CAST(floor(a.cval * b.cval * $Q40) AS BIGINT))
+       |              AS DOUBLE) / $Q40 AS dot
+       |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+       |  GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT label,
+       |         CAST(sum(CAST(floor(cval * cval * $Q40) AS BIGINT))
+       |              AS DOUBLE) / $Q40 AS sq
+       |  FROM cent GROUP BY label)
+       |SELECT t.label_a, t.label_b,
+       |       t.dot / (sqrt(na.sq) * sqrt(nb.sq)) AS cosine
+       |FROM terms t
+       |JOIN norms na ON na.label = t.label_a
+       |JOIN norms nb ON nb.label = t.label_b
+       |ORDER BY t.label_a, t.label_b""".stripMargin
 }

@@ -57,6 +57,61 @@ class TrainingDataSpec extends AnyFunSuite {
       s"vocabulary covers only ${1 - totOov / totTok} of token instances")
   }
 
+  test("q207 packing plan conserves tokens and chunk arithmetic") {
+    val out = TrainingData.q207PackingPlan(spark, sf).collect()
+    assert(out.length === TrainingData.Contexts.length)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_fit") + r.getAs[Long]("n_split") ===
+        r.getAs[Long]("n_docs"))
+      // chunks·ctx covers the token mass; pad is exactly the slack
+      assert(r.getAs[Long]("pad_tokens") ===
+        r.getAs[Long]("n_chunks") * r.getAs[Long]("ctx") -
+          r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs"))
+      val w = r.getAs[Double]("waste_rate")
+      assert(w >= 0.0 && w < 1.0)
+    }
+    // the same corpus token mass under every context size
+    assert(out.map(_.getAs[Long]("total_tokens")).distinct.length === 1)
+  }
+
+  test("q208 duplication stats are internally consistent") {
+    val r = TrainingData.q208DupGramRate(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_shared_grams") <= r.getAs[Long]("n_grams"))
+    assert(r.getAs[Long]("n_shared_instances") <= r.getAs[Long]("n_instances"))
+    // a shared gram has at least 2 instances, so instance mass ≥ 2× gram count
+    assert(r.getAs[Long]("n_shared_instances") >=
+      2 * r.getAs[Long]("n_shared_grams"))
+    if (r.getAs[Long]("n_shared_grams") > 0)
+      assert(r.getAs[Long]("max_df") >= 2)
+  }
+
+  test("q209 selects a contiguous rank prefix within budget") {
+    val out = TrainingData.q209BudgetCurriculum(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq ===
+      (1L to out.length.toLong).toSeq)
+    // selected must be a prefix: once a row is unselected, all after are
+    val flags = out.map(_.getAs[Int]("selected")).toSeq
+    assert(flags === flags.sortBy(-_), s"selection is not a prefix: $flags")
+    // cumulative chars reconcile with per-source chars in rank order
+    assert(out.map(_.getAs[Long]("chars")).scanLeft(0L)(_ + _).drop(1).toSeq
+      === out.map(_.getAs[Long]("cum_chars")).toSeq)
+  }
+
+  test("q210 centroid cosines are bounded and cover each label pair once") {
+    val out = TrainingData.q210CentroidSim(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf)
+      .select("label").distinct().count().toInt
+    assert(out.length === labels * (labels - 1) / 2)
+    val pairs = out.map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")))
+    assert(pairs.distinct.length === pairs.length)
+    pairs.foreach { case (a, b) => assert(a < b) }
+    out.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cosine out of range: $c")
+    }
+  }
+
   test("q206 incremental dedup accounts for every incoming document") {
     val out = TrainingData.q206IncrementalDedup(spark, sf).collect()
     assert(out.nonEmpty)
