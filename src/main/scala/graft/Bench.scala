@@ -33,9 +33,13 @@ object Bench {
           // when the RDD is GC'd. Left alone, ~180 queries × 4 executions
           // accumulate in the unified memory pool and starve the LAST
           // queries' aggregates into spilling (r03 recorded q99 at 31.8 s
-          // vs 1.5 s in isolation). Release them between timings.
+          // vs 1.5 s in isolation). Release them between timings —
+          // BLOCKING, so the pool is actually clear before the next timed
+          // query starts (non-blocking release left enough residue to
+          // inflate mid-alphabet queries ~1.5× in-suite vs isolated in
+          // r5's full run; the wait itself is outside the timed section).
           spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+            .foreach(_.unpersist(blocking = true))
         }
       }
       if (times.nonEmpty) times.min else -1.0

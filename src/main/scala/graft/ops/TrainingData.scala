@@ -504,4 +504,299 @@ object TrainingData {
        |JOIN norms na ON na.label = t.label_a
        |JOIN norms nb ON nb.label = t.label_b
        |ORDER BY t.label_a, t.label_b""".stripMargin
+
+  // ------------------------------------------------------------ zipf fit
+
+  /** Head size for q211's rank-frequency regression. */
+  val ZipfK = 100
+
+  /** Fixed-point scale for q211's log-log sums (2^30). */
+  private val Q30 = 1073741824.0
+
+  /** q211_zipf_fit — Zipf-law health check: OLS slope of ln(freq) on
+    * ln(rank) over the corpus's top-[[ZipfK]] tokens. Natural text sits
+    * near slope −1; a corpus drifting toward templated/generated content
+    * flattens or steepens the head, and this one number is the standard
+    * screen. Regression terms quantize to 2^30 fixed point before
+    * summing (the [[q210CentroidSim]] discipline), so the K-term sums are
+    * order-independent and the closed-form slope/intercept/r² are
+    * bit-stable across engines.
+    *
+    * Scale: token counting shuffles at distinct-token cardinality with
+    * map-side combine; the top-K pick is a TakeOrdered heap; the
+    * regression folds K rows. One scan, no joins. */
+  def q211ZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val head = Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(ZipfK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))).cast("long"))
+    def fx(c: org.apache.spark.sql.Column) =
+      floor(c * Q30).cast("long")
+    val terms = head.select(
+      fx(log(col("rank").cast("double"))).as("x"),
+      fx(log(col("cnt").cast("double"))).as("y"))
+    val s = terms.agg(
+      count(lit(1)).as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(fx(col("x").cast("double") * col("y").cast("double") /
+        (Q30 * Q30))).as("sxy"),
+      sum(fx(col("x").cast("double") * col("x").cast("double") /
+        (Q30 * Q30))).as("sxx"),
+      sum(fx(col("y").cast("double") * col("y").cast("double") /
+        (Q30 * Q30))).as("syy"))
+    // Two rules below: (1) every moment-sum casts to DOUBLE individually
+    // BEFORE any product — sx·sy ≈ 2.5e23 overflows BIGINT (ANSI throws in
+    // Spark, DuckDB widens to HUGEINT; either way the engines diverge);
+    // (2) UNITS must match — sxy/sxx/syy carry one Q30 factor (value·Q30)
+    // while sx·sy carries two (Q30²), so cross-products of first moments
+    // divide by Q30 to land in the same value·Q30 scale as k·sxy. The
+    // double expression tree is identical on identical integer inputs, so
+    // the result is bit-stable.
+    val (dk, dsx, dsy, dsxy, dsxx, dsyy) = (
+      col("k").cast("double"), col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    val num = dk * dsxy - dsx * dsy / Q30
+    val den = dk * dsxx - dsx * dsx / Q30
+    s.select(col("k"),
+      (num / den).as("slope"),
+      (((dsy / Q30) - (num / den) * (dsx / Q30)) / dk).as("intercept"),
+      ((num * num) / (den * (dk * dsyy - dsy * dsy / Q30))).as("r2"))
+  }
+
+  val q211Sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS tok
+       |  FROM documents),
+       |head AS (
+       |  SELECT tok, cnt,
+       |         row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+       |  FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+       |  QUALIFY rank <= $ZipfK),
+       |terms AS (
+       |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * $Q30) AS BIGINT) AS x,
+       |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * $Q30) AS BIGINT) AS y
+       |  FROM head),
+       |s AS (
+       |  SELECT count(*) AS k,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+       |           / ($Q30 * $Q30) * $Q30) AS BIGINT)) AS BIGINT) AS sxy,
+       |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |           / ($Q30 * $Q30) * $Q30) AS BIGINT)) AS BIGINT) AS sxx,
+       |         CAST(sum(CAST(floor(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+       |           / ($Q30 * $Q30) * $Q30) AS BIGINT)) AS BIGINT) AS syy
+       |  FROM terms),
+       |d AS (
+       |  -- cast each sum to DOUBLE before ANY product: sx*sy overflows
+       |  -- BIGINT (Spark throws under ANSI, DuckDB widens to HUGEINT)
+       |  SELECT CAST(k AS DOUBLE) AS dk, CAST(sx AS DOUBLE) AS dsx,
+       |         CAST(sy AS DOUBLE) AS dsy, CAST(sxy AS DOUBLE) AS dsxy,
+       |         CAST(sxx AS DOUBLE) AS dsxx, CAST(syy AS DOUBLE) AS dsyy,
+       |         k FROM s)
+       |SELECT k,
+       |       (dk * dsxy - dsx * dsy / $Q30) /
+       |         (dk * dsxx - dsx * dsx / $Q30) AS slope,
+       |       ((dsy / $Q30) -
+       |        ((dk * dsxy - dsx * dsy / $Q30) /
+       |         (dk * dsxx - dsx * dsx / $Q30)) *
+       |        (dsx / $Q30)) / dk AS intercept,
+       |       ((dk * dsxy - dsx * dsy / $Q30) *
+       |        (dk * dsxy - dsx * dsy / $Q30)) /
+       |       ((dk * dsxx - dsx * dsx / $Q30) *
+       |        (dk * dsyy - dsy * dsy / $Q30)) AS r2
+       |FROM d""".stripMargin
+
+  // ----------------------------------------------------- prefix near-dup
+
+  /** Prefix width for q212 — crawl truncation dups share long prefixes. */
+  val PrefixChars = 64
+
+  /** q212_prefix_dup — truncation-duplicate audit: documents sharing their
+    * first [[PrefixChars]] characters are near-certain crawl artifacts
+    * (same page fetched twice with different tail truncation — exact-hash
+    * dedup misses them, MinHash finds them late). Per source: how many
+    * documents sit in a shared-prefix group, how many groups, and the
+    * largest group. The cheap screen that runs BEFORE the expensive
+    * n-gram/LSH passes and routinely kills 1-5% of a web corpus.
+    *
+    * Scale: the group size arrives by a window partitioned by the prefix
+    * itself — millions of tiny independent partitions, embarrassingly
+    * parallel; the rollup is a source-cardinality aggregate. One scan. */
+  def q212PrefixDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pref = Tables.documents(spark, sfDir)
+      .select(col("source"), substring(col("text"), 1, PrefixChars).as("pfx"))
+      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy(col("pfx"))))
+    pref.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("grp_n") > 1, 1L).otherwise(0L)).as("n_in_dup_group"),
+        countDistinct(when(col("grp_n") > 1, col("pfx"))).as("n_dup_groups"),
+        max(col("grp_n")).as("max_group"))
+      .withColumn("dup_rate",
+        col("n_in_dup_group").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  val q212Sql: String =
+    s"""WITH pref AS (
+       |  SELECT source, substring(text, 1, $PrefixChars) AS pfx,
+       |         count(*) OVER (PARTITION BY substring(text, 1, $PrefixChars))
+       |           AS grp_n
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_in_dup_group,
+       |       CAST(count(DISTINCT CASE WHEN grp_n > 1 THEN pfx END) AS BIGINT)
+       |         AS n_dup_groups,
+       |       CAST(max(grp_n) AS BIGINT) AS max_group,
+       |       CAST(sum(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / count(*) AS dup_rate
+       |FROM pref GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- label-noise screen
+
+  /** q213's outlier threshold: cosine to own-label centroid below this
+    * flags a vector as a label-noise candidate. */
+  val OutlierCos = 0.5
+
+  /** q213_label_outliers — label-noise screen: every vector's cosine to its
+    * OWN label's centroid, rolled up per label with the count below
+    * [[OutlierCos]] and the single worst vector. Mislabeled or junk
+    * embeddings sit far from their class centroid; this is the standard
+    * pre-training triage before anyone trusts `label` as supervision.
+    * Same fixed-point discipline as [[q210CentroidSim]] (quantized
+    * centroid, 2^40-quantized dot/norm terms), so ranks and counts are
+    * exact across engines.
+    *
+    * Scale: centroids are a (k×d)-bounded aggregate; the per-vector pass
+    * joins the exploded corpus to the BROADCAST centroid frame on
+    * (label, pos) and folds d terms per vector with map-side combine —
+    * one wide shuffle bounded by N·1 output rows, never N×N. */
+  def q213LabelOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val pe = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vq", floor(col("v").cast("double") * Q20) / Q20)
+    val cent = pe.groupBy(col("label"), col("pos"))
+      .agg((sum((col("vq") * Q20).cast("long")).cast("double") /
+        (count(lit(1)) * Q20)).as("cval"))
+    val perVec = pe.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        (sum(floor(col("vq") * col("cval") * Q40).cast("long"))
+          .cast("double") / Q40).as("dot"),
+        (sum(floor(col("vq") * col("vq") * Q40).cast("long"))
+          .cast("double") / Q40).as("sq_v"),
+        (sum(floor(col("cval") * col("cval") * Q40).cast("long"))
+          .cast("double") / Q40).as("sq_c"))
+      .select(col("vec_id"), col("label"),
+        (col("dot") / (sqrt(col("sq_v")) * sqrt(col("sq_c")))).as("cos"))
+    // argmin tie-break packed into ONE BIGINT (the q147/q118 pattern —
+    // DuckDB's min_by takes no composite key): cosine quantized to 2^30
+    // in [0, 2^31], shifted past the id space. Injective only while
+    // 0 ≤ vec_id < 2^21 — guard loudly, don't alias.
+    val pack = when(col("vec_id").between(0L, 2097151L),
+      floor((col("cos") + 1.0) * Q30).cast("long") * lit(2097152L) +
+        col("vec_id"))
+      .otherwise(raise_error(
+        lit("q213 packed-key bound: vec_id outside [0, 2^21)")))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cos") < OutlierCos, 1L).otherwise(0L)).as("n_outliers"),
+        min_by(col("vec_id"), pack).as("worst_vec_id"),
+        min(col("cos")).as("worst_cos"))
+      .orderBy(col("label"))
+  }
+
+  val q213Sql: String =
+    s"""WITH pe AS (
+       |  SELECT vec_id, label,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       |         floor(CAST(unnest(embedding) AS DOUBLE) * $Q20) / $Q20 AS vq
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, pos,
+       |         CAST(sum(CAST(vq * $Q20 AS BIGINT)) AS DOUBLE) /
+       |           (count(*) * $Q20) AS cval
+       |  FROM pe GROUP BY label, pos),
+       |per_vec AS (
+       |  SELECT p.vec_id, p.label,
+       |         (CAST(sum(CAST(floor(p.vq * c.cval * $Q40) AS BIGINT))
+       |            AS DOUBLE) / $Q40) /
+       |         (sqrt(CAST(sum(CAST(floor(p.vq * p.vq * $Q40) AS BIGINT))
+       |            AS DOUBLE) / $Q40) *
+       |          sqrt(CAST(sum(CAST(floor(c.cval * c.cval * $Q40) AS BIGINT))
+       |            AS DOUBLE) / $Q40)) AS cos
+       |  FROM pe p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+       |  GROUP BY p.vec_id, p.label)
+       |SELECT label, count(*) AS n_vecs,
+       |       CAST(sum(CASE WHEN cos < $OutlierCos THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_outliers,
+       |       min_by(vec_id, CAST(floor((cos + 1.0) * $Q30) AS BIGINT)
+       |         * 2097152 + vec_id) AS worst_vec_id,
+       |       min(cos) AS worst_cos
+       |FROM per_vec GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------ snapshot diff
+
+  /** q214_snapshot_diff — corpus-version diff: snapshots A (doc_id mod 5
+    * ≠ 0) and B (doc_id mod 5 ≠ 1) model two crawls that share most
+    * content; the diff keys on the md5 content digest per source and
+    * reports added / removed / retained digests and the content Jaccard.
+    * The dataset-versioning audit run before a retrain: "what actually
+    * changed since the last snapshot" by content, not by id — renumbered
+    * ids do not show up as churn.
+    *
+    * Scale: both sides reduce to distinct (source, digest) — the full
+    * outer join keys on the digest and shuffles 32-byte rows; aggregates
+    * are source-cardinality with map-side combine. Text never shuffles. */
+  def q214SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+    val a = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("source"), col("digest")).distinct()
+      .withColumn("in_a", lit(1))
+    val b = docs.filter(col("doc_id") % 5 =!= 1)
+      .select(col("source"), col("digest")).distinct()
+      .withColumn("in_b", lit(1))
+    a.join(b, Seq("source", "digest"), "full_outer")
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("in_a").isNotNull, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_b").isNotNull, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("in_a").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_b").isNull, 1L).otherwise(0L)).as("n_removed"))
+      .withColumn("jaccard",
+        col("n_retained").cast("double") /
+          (col("n_a") + col("n_b") - col("n_retained")).cast("double"))
+      .orderBy(col("source"))
+  }
+
+  val q214Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, md5(text) AS digest FROM documents),
+      |a AS (SELECT DISTINCT source, digest FROM docs WHERE doc_id % 5 <> 0),
+      |b AS (SELECT DISTINCT source, digest FROM docs WHERE doc_id % 5 <> 1),
+      |j AS (
+      |  SELECT coalesce(a.source, b.source) AS source,
+      |         CASE WHEN a.digest IS NULL THEN 0 ELSE 1 END AS in_a,
+      |         CASE WHEN b.digest IS NULL THEN 0 ELSE 1 END AS in_b
+      |  FROM a FULL OUTER JOIN b
+      |    ON a.source = b.source AND a.digest = b.digest)
+      |SELECT source,
+      |       CAST(sum(in_a) AS BIGINT) AS n_a,
+      |       CAST(sum(in_b) AS BIGINT) AS n_b,
+      |       CAST(sum(in_a * in_b) AS BIGINT) AS n_retained,
+      |       CAST(sum(1 - in_a) AS BIGINT) AS n_added,
+      |       CAST(sum(1 - in_b) AS BIGINT) AS n_removed,
+      |       CAST(sum(in_a * in_b) AS DOUBLE) /
+      |         CAST(sum(in_a) + sum(in_b) - sum(in_a * in_b) AS DOUBLE)
+      |         AS jaccard
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
 }

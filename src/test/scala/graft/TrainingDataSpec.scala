@@ -112,6 +112,73 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q211 zipf fit reports a falling, sane rank-frequency head") {
+    val r = TrainingData.q211ZipfFit(spark, sf).collect()(0)
+    // the head is min(ZipfK, distinct tokens) — the sf0.001 synthetic
+    // vocabulary is smaller than ZipfK
+    assert(r.getAs[Long]("k") >= 20 &&
+      r.getAs[Long]("k") <= TrainingData.ZipfK)
+    val slope = r.getAs[Double]("slope")
+    // frequencies are sorted descending by construction, so the OLS slope
+    // is necessarily ≤ 0; the synthetic fixture's near-uniform vocabulary
+    // sits around −0.18 with a weak fit (real text: ≈ −1, r² ≈ 0.9+) —
+    // the operator must REPORT that honestly, so pin sign and bounds only
+    assert(slope < 0.0, s"head frequencies must fall with rank: $slope")
+    assert(slope > -3.0, s"implausibly steep head: $slope")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+  }
+
+  test("q212 prefix-dup groups are consistent with a direct recount") {
+    val out = TrainingData.q212PrefixDup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_in_dup_group") <= r.getAs[Long]("n_docs"))
+      if (r.getAs[Long]("n_dup_groups") > 0)
+        assert(r.getAs[Long]("n_in_dup_group") >=
+          2 * 1L * r.getAs[Long]("n_dup_groups") -
+            r.getAs[Long]("n_dup_groups"), "each dup group has ≥2 members")
+    }
+    val totalDup = out.map(_.getAs[Long]("n_in_dup_group")).sum
+    val direct = {
+      val pfx = Tables.documents(spark, sf)
+        .select(substring(col("text"), 1, TrainingData.PrefixChars).as("p"))
+      val sizes = pfx.groupBy("p").count()
+      sizes.filter(col("count") > 1)
+        .agg(sum("count")).collect()(0).getLong(0)
+    }
+    assert(totalDup === direct)
+  }
+
+  test("q213 outlier screen: every label accounted, worst is a real minimum") {
+    val out = TrainingData.q213LabelOutliers(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === nVecs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_vecs"))
+      val worst = r.getAs[Double]("worst_cos")
+      assert(worst >= -1.0 - 1e-9 && worst <= 1.0 + 1e-9)
+      if (r.getAs[Long]("n_outliers") > 0)
+        assert(worst < TrainingData.OutlierCos)
+    }
+  }
+
+  test("q214 snapshot diff reconciles retained/added/removed per source") {
+    val out = TrainingData.q214SnapshotDiff(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_a") ===
+        r.getAs[Long]("n_retained") + r.getAs[Long]("n_removed"))
+      assert(r.getAs[Long]("n_b") ===
+        r.getAs[Long]("n_retained") + r.getAs[Long]("n_added"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    // the snapshots share 3/5 of the id space — corpus-wide overlap must
+    // be real (a single tiny source may legitimately retain nothing)
+    assert(out.map(_.getAs[Long]("n_retained")).sum > 0)
+  }
+
   test("q206 incremental dedup accounts for every incoming document") {
     val out = TrainingData.q206IncrementalDedup(spark, sf).collect()
     assert(out.nonEmpty)
