@@ -408,4 +408,72 @@ object DataQuality {
        |       CAST(max(n_chars) AS DOUBLE) / $TargetFileBytes.0
        |         AS max_doc_share
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- FK integrity
+
+  /** q215_fk_health — referential-integrity audit across the star schema's
+    * four load-bearing foreign keys (lineitem→orders, lineitem→part,
+    * lineitem→supplier, orders→customer): per relation, the fact row
+    * count, null-FK count, and DANGLING count (non-null FK with no parent
+    * row — the join-loss class that silently shrinks every downstream
+    * aggregate). The first thing a warehouse DQ gate checks after each
+    * load; q02's anti-join idempotency guards ingestion, this guards the
+    * join graph.
+    *
+    * Scale: each relation is one left-anti-shaped membership check —
+    * expressed as a left join onto the DISTINCT parent keys so all four
+    * audits stay map-side-combinable aggregates; parent key sets are
+    * dimension-sized (broadcastable) or shuffle on the key. Facts are
+    * scanned once per relation with the scan pruned to the FK column. */
+  def q215FkHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(rel: String, fact: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val keys = parent.select(col(pk).as("__pk")).distinct()
+        .withColumn("__hit", lit(1))
+      fact.select(col(fk).as("__fk"))
+        .join(keys, col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+          sum(when(col("__fk").isNotNull && col("__hit").isNull, 1L)
+            .otherwise(0L)).as("n_dangling"))
+        .select(lit(rel).as("relation"), col("n_rows"), col("n_null_fk"),
+          col("n_dangling"),
+          (col("n_dangling").cast("double") / col("n_rows").cast("double"))
+            .as("dangling_rate"))
+    }
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    audit("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(audit("lineitem.partkey", li, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"))
+      .unionByName(audit("lineitem.suppkey", li, "l_suppkey",
+        Tables.supplier(spark, sfDir), "s_suppkey"))
+      .unionByName(audit("orders.custkey", o, "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey"))
+      .orderBy(col("relation"))
+  }
+
+  val q215Sql: String = {
+    def arm(rel: String, factTbl: String, fk: String, parentTbl: String,
+        pk: String): String =
+      s"""SELECT '$rel' AS relation,
+         |       count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN f.$fk IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_null_fk,
+         |       CAST(sum(CASE WHEN f.$fk IS NOT NULL AND p.$pk IS NULL
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
+         |       CAST(sum(CASE WHEN f.$fk IS NOT NULL AND p.$pk IS NULL
+         |         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dangling_rate
+         |FROM $factTbl f
+         |LEFT JOIN (SELECT DISTINCT $pk FROM $parentTbl) p
+         |  ON f.$fk = p.$pk""".stripMargin
+    Seq(
+      arm("lineitem.orderkey", "lineitem", "l_orderkey", "orders",
+        "o_orderkey"),
+      arm("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      arm("lineitem.suppkey", "lineitem", "l_suppkey", "supplier",
+        "s_suppkey"),
+      arm("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
 }

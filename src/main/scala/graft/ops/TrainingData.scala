@@ -799,4 +799,190 @@ object TrainingData {
       |         CAST(sum(in_a) + sum(in_b) - sum(in_a * in_b) AS DOUBLE)
       |         AS jaccard
       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------- gram diversity
+
+  /** Shingle width for q216's diversity ratio. */
+  val DivGramN = 4
+
+  /** q216_gram_diversity — per-source lexical-diversity proxy: distinct
+    * 4-grams over total 4-gram instances. Highly templated or
+    * machine-generated sources repeat their shingles (ratio → 0), diverse
+    * prose approaches 1 — the cheap stand-in for the gzip-compressibility
+    * quality feature (a low ratio IS high compressibility), computed
+    * without ever materializing a compressor. Complements [[q208DupGramRate]]
+    * (corpus-wide, cross-document) at source granularity including
+    * within-document repetition.
+    *
+    * Scale: map-side gram explode, then ONE aggregate per (source, gram)
+    * with map-side combine, then a source-cardinality rollup. The
+    * (source, gram) shuffle is bounded by distinct grams per source —
+    * the same profile as word counting. */
+  def q216GramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val grams = Curation.nGrams(docs.select(col("doc_id"), col("text")),
+      DivGramN)
+      .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+    grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("distinct_grams"),
+        sum(col("n")).as("total_grams"),
+        max(col("n")).as("max_gram_count"))
+      .withColumn("diversity",
+        col("distinct_grams").cast("double") / col("total_grams").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  val q216Sql: String = {
+    val n = DivGramN
+    val concat = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT source,
+       |         unnest(list_transform(range(1, greatest(len(t) - ${n - 2}, 2)),
+       |                i -> $concat)) AS gram
+       |  FROM toks WHERE len(t) >= $n),
+       |per AS (
+       |  SELECT source, gram, count(*) AS n FROM grams GROUP BY 1, 2)
+       |SELECT source, count(*) AS distinct_grams,
+       |       CAST(sum(n) AS BIGINT) AS total_grams,
+       |       CAST(max(n) AS BIGINT) AS max_gram_count,
+       |       CAST(count(*) AS DOUBLE) / sum(n) AS diversity
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ----------------------------------------------------- exact eval split
+
+  /** q217's held-out fractions: 10% val, 10% test (per source, exact). */
+  val EvalFrac = 0.1
+
+  /** q217_eval_split — EXACT-quota train/val/test assignment: within each
+    * source, rank documents by the multiplicative id mix ([[MixA]] — a
+    * deterministic shuffle order uncorrelated with crawl order) and cut at
+    * exact floor(n·frac) quotas: first `nv` ranks → val, next `nt` → test,
+    * rest → train. Hash-threshold splits (q133) give only EXPECTED
+    * proportions — fine at corpus scale, wrong for a 500-doc eval set
+    * where ±3% is a visible eval-noise floor; rank-cut quotas are exact at
+    * every size. Reports per (source, split): docs, char mass, and the
+    * id-mix checksum a reproducing run must match.
+    *
+    * Scale: the rank is a window partitioned by source — thousands of
+    * independent partitions (the one place a per-source sort is the
+    * design, not a bottleneck); everything after is a (source × 3)-row
+    * aggregate with map-side combine. */
+  def q217EvalSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mixed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("h", expr(s"(doc_id * $MixA) % $Mod32"))
+    val w = Window.partitionBy(col("source"))
+    val ranked = mixed
+      .withColumn("rk", row_number().over(w.orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("q", floor(col("n").cast("double") * EvalFrac).cast("long"))
+    val split = ranked.withColumn("split",
+      when(col("rk") <= col("q"), "val")
+        .when(col("rk") <= col("q") * 2, "test")
+        .otherwise("train"))
+    split.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("h")).as("checksum"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val q217Sql: String =
+    s"""WITH mixed AS (
+       |  SELECT doc_id, source, n_chars,
+       |         (doc_id * $MixA) % $Mod32 AS h
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |           AS rk,
+       |         count(*) OVER (PARTITION BY source) AS n
+       |  FROM mixed),
+       |split AS (
+       |  SELECT source, n_chars, h,
+       |         CASE
+       |           WHEN rk <= CAST(floor(CAST(n AS DOUBLE) * $EvalFrac)
+       |             AS BIGINT) THEN 'val'
+       |           WHEN rk <= CAST(floor(CAST(n AS DOUBLE) * $EvalFrac)
+       |             AS BIGINT) * 2 THEN 'test'
+       |           ELSE 'train' END AS split
+       |  FROM ranked)
+       |SELECT source, split, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(sum(h) AS BIGINT) AS checksum
+       |FROM split GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+
+  // ---------------------------------------------------- dedup impact
+
+  /** q218_dedup_impact — the report that ships with every dedup run: per
+    * source, documents and character mass BEFORE exact content dedup vs
+    * AFTER (keeping each digest's min-doc_id representative, q36's rule),
+    * and the share of the source's mass the collapse removed. Dedup
+    * changes the domain mixture [[q204MixWeights]] consumes — this is the
+    * bridge artifact that says by how much, per source, so the mixture is
+    * recomputed on POST-dedup mass rather than silently drifting.
+    *
+    * Scale: one (digest-cardinality) aggregate picks representatives
+    * (map-side combinable min/count), one source-cardinality rollup each
+    * side, one tiny join. Text shuffles only as 32-byte digests. */
+  def q218DedupImpact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("digest"))
+    val before = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_before"),
+        sum(col("n_chars")).as("chars_before"))
+    val reps = docs.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val after = docs.join(reps, Seq("digest", "doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_after"),
+        sum(col("n_chars")).as("chars_after"))
+    before.join(after, Seq("source"), "left")
+      .select(col("source"), col("docs_before"),
+        coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+        (col("docs_before") - coalesce(col("docs_after"), lit(0L)))
+          .as("docs_removed"),
+        col("chars_before"),
+        coalesce(col("chars_after"), lit(0L)).as("chars_after"),
+        ((col("chars_before") - coalesce(col("chars_after"), lit(0L)))
+          .cast("double") / col("chars_before").cast("double"))
+          .as("mass_removed_rate"))
+      .orderBy(col("source"))
+  }
+
+  val q218Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, n_chars, md5(text) AS digest FROM documents),
+      |reps AS (
+      |  SELECT digest, min(doc_id) AS doc_id FROM docs GROUP BY digest),
+      |before_agg AS (
+      |  SELECT source, count(*) AS docs_before,
+      |         CAST(sum(n_chars) AS BIGINT) AS chars_before
+      |  FROM docs GROUP BY source),
+      |after_agg AS (
+      |  SELECT d.source, count(*) AS docs_after,
+      |         CAST(sum(d.n_chars) AS BIGINT) AS chars_after
+      |  FROM docs d SEMI JOIN reps r
+      |    ON d.digest = r.digest AND d.doc_id = r.doc_id
+      |  GROUP BY d.source)
+      |SELECT b.source, b.docs_before,
+      |       CAST(coalesce(a.docs_after, 0) AS BIGINT) AS docs_after,
+      |       CAST(b.docs_before - coalesce(a.docs_after, 0) AS BIGINT)
+      |         AS docs_removed,
+      |       b.chars_before,
+      |       CAST(coalesce(a.chars_after, 0) AS BIGINT) AS chars_after,
+      |       CAST(b.chars_before - coalesce(a.chars_after, 0) AS DOUBLE) /
+      |         CAST(b.chars_before AS DOUBLE) AS mass_removed_rate
+      |FROM before_agg b LEFT JOIN after_agg a ON b.source = a.source
+      |ORDER BY b.source""".stripMargin
 }

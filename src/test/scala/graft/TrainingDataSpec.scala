@@ -179,6 +179,67 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_retained")).sum > 0)
   }
 
+  test("q215 FK audit covers all four relations on a clean star schema") {
+    val out = graft.ops.DataQuality.q215FkHealth(spark, sf).collect()
+    assert(out.map(_.getAs[String]("relation")).toSet === Set(
+      "lineitem.orderkey", "lineitem.partkey", "lineitem.suppkey",
+      "orders.custkey"))
+    val li = Tables.lineitem(spark, sf).count()
+    out.filter(_.getAs[String]("relation").startsWith("lineitem"))
+      .foreach(r => assert(r.getAs[Long]("n_rows") === li))
+    // the synthetic schema is referentially clean — the audit must SAY so
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dangling") === 0,
+        s"${r.getAs[String]("relation")} dangling")
+      assert(r.getAs[Long]("n_null_fk") === 0)
+    }
+  }
+
+  test("q216 diversity ratio is a proper fraction and counts reconcile") {
+    val out = TrainingData.q216GramDiversity(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("distinct_grams") <= r.getAs[Long]("total_grams"))
+      val d = r.getAs[Double]("diversity")
+      assert(d > 0.0 && d <= 1.0)
+      assert(r.getAs[Long]("max_gram_count") >= 1)
+    }
+  }
+
+  test("q217 quotas are exact and the three splits partition each source") {
+    val out = TrainingData.q217EvalSplit(spark, sf).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    val direct = Tables.documents(spark, sf)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      val n = direct(src)
+      val q = math.floor(n * TrainingData.EvalFrac).toLong
+      val m = rows.map(r =>
+        r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+      assert(m.values.sum === n, s"$src splits must partition the source")
+      // exact quotas, not expected proportions
+      assert(m.getOrElse("val", 0L) === q, s"$src val quota")
+      assert(m.getOrElse("test", 0L) === q, s"$src test quota")
+      assert(m.getOrElse("train", 0L) === n - 2 * q, s"$src train remainder")
+    }
+  }
+
+  test("q218 dedup impact reconciles with direct digest counting") {
+    val out = TrainingData.q218DedupImpact(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(out.map(_.getAs[Long]("docs_before")).sum === docs.count())
+    // total survivors = distinct digests corpus-wide
+    val distinctDigests = docs.select(md5(col("text"))).distinct().count()
+    assert(out.map(_.getAs[Long]("docs_after")).sum === distinctDigests)
+    out.foreach { r =>
+      assert(r.getAs[Long]("docs_removed") ===
+        r.getAs[Long]("docs_before") - r.getAs[Long]("docs_after"))
+      val rate = r.getAs[Double]("mass_removed_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("q206 incremental dedup accounts for every incoming document") {
     val out = TrainingData.q206IncrementalDedup(spark, sf).collect()
     assert(out.nonEmpty)
