@@ -985,4 +985,58 @@ object TrainingData {
       |         CAST(b.chars_before AS DOUBLE) AS mass_removed_rate
       |FROM before_agg b LEFT JOIN after_agg a ON b.source = a.source
       |ORDER BY b.source""".stripMargin
+
+  // ---------------------------------------------------- length bands
+
+  /** q220_length_bands — exact per-source document-length percentiles
+    * (p10/p50/p90 of n_chars) by the rank-pick rule `value at row
+    * ceil(p·n)` under the total order (n_chars, doc_id). The
+    * length-filter planning table: min-length cuts are set per source
+    * (a code corpus and a chat corpus have different "too short"), and
+    * interpolated percentiles would break cross-engine hash equality
+    * where an exact order statistic cannot.
+    *
+    * Scale: one window rank per source partition (thousands of
+    * independent partitions), then a source-cardinality conditional
+    * aggregate. For a mega-source beyond per-partition sort, q25's
+    * binned-percentile shape substitutes; at source-catalog
+    * cardinalities the partition sort IS the plan. */
+  def q220LengthBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+    def pick(p: Double) = max(when(
+      col("rk") === ceil(col("n").cast("double") * p).cast("long"),
+      col("n_chars")))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        pick(0.1).as("p10_chars"),
+        pick(0.5).as("p50_chars"),
+        pick(0.9).as("p90_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q220Sql: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       min(n_chars) AS min_chars,
+      |       CAST(max(CASE WHEN rk = CAST(ceil(CAST(n AS DOUBLE) * 0.1)
+      |         AS BIGINT) THEN n_chars END) AS BIGINT) AS p10_chars,
+      |       CAST(max(CASE WHEN rk = CAST(ceil(CAST(n AS DOUBLE) * 0.5)
+      |         AS BIGINT) THEN n_chars END) AS BIGINT) AS p50_chars,
+      |       CAST(max(CASE WHEN rk = CAST(ceil(CAST(n AS DOUBLE) * 0.9)
+      |         AS BIGINT) THEN n_chars END) AS BIGINT) AS p90_chars,
+      |       max(n_chars) AS max_chars
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 }

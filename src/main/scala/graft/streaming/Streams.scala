@@ -477,4 +477,88 @@ object Streams {
   }
 
   val q136Sql: String = graft.ops.Events.q60Sql
+
+  /** q219_stream_sessions — the CUSTOM stateful sessionizer
+    * ([[sessionize]], flatMapGroupsWithState + event-time timeouts) run
+    * end-to-end as a streaming query and hash-checked against the batch
+    * gaps-and-islands oracle. This is the §2.8 custom-state path proven at
+    * the same bar as the declarative ops: q62 proves `session_window`,
+    * this proves the hand-rolled state machine that covers what
+    * session_window cannot (value-dependent gaps, per-session running
+    * features) — identical output on identical input is exactly the claim.
+    *
+    * Determinism: `value` is pre-quantized to CENTS (floor(v·100+0.5) as
+    * an integer-valued double), so per-session sums are exact integer
+    * additions — order-independent across micro-batch/arrival order, and
+    * equal to the oracle's BIGINT cents sum. The q136 flush sentinel
+    * (user −1 far past the data) pushes the final watermark beyond every
+    * real session's end+gap so event-time timeouts emit everything;
+    * sentinel rows are dropped on read-back. */
+  def q219StreamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = freshDir("graft-q219")
+    val in = stageOnce("q219in", sfDir) { dir =>
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("double").as("value"))
+      val flush = ev.agg(max(col("ts")).as("m"))
+        .select(lit(-1L).as("user_id"),
+          expr("m + INTERVAL '10' HOUR").as("ts"),
+          lit(0.0).as("value"))
+      ev.unionByName(flush).coalesce(1).write.parquet(s"$dir/in")
+    }
+    val schema = spark.read.parquet(s"$in/in").schema
+    val src = spark.readStream.schema(schema).parquet(s"$in/in")
+      .withWatermark("ts", "0 seconds")
+      .as[Ev]
+    // one small state machine per user: size partitions to the state
+    // (same rationale as q119's note)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      sessionize(src, gapMinutes = 30)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(s"$root/out")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value").cast("long").as("sum_cents"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Batch oracle: 30-minute-gap sessions with end = last event + gap and
+    * exact cents sums — the q62 gaps-and-islands shape with the
+    * sessionizer's [start, last+gap) window convention. */
+  val q219Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts, cents,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+      |                                 ORDER BY ts, cents) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id
+      |                                      ORDER BY ts, cents)
+      |                   >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM ev),
+      |s AS (
+      |  SELECT user_id, ts, cents,
+      |         sum(new_s) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, cents) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 }

@@ -240,6 +240,34 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q219 streamed custom sessions equal batch session_window sessions") {
+    val streamed = graft.streaming.Streams.q219StreamSessions(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val batch = graft.ops.Events.q62Sessionize(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("q220 length bands are ordered and bracketed per source") {
+    val out = TrainingData.q220LengthBands(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mn, p10, p50, p90, mx) = (r.getAs[Long]("min_chars"),
+        r.getAs[Long]("p10_chars"), r.getAs[Long]("p50_chars"),
+        r.getAs[Long]("p90_chars"), r.getAs[Long]("max_chars"))
+      assert(mn <= p10 && p10 <= p50 && p50 <= p90 && p90 <= mx,
+        s"bands out of order for ${r.getAs[String]("source")}: " +
+          s"$mn $p10 $p50 $p90 $mx")
+    }
+  }
+
   test("q206 incremental dedup accounts for every incoming document") {
     val out = TrainingData.q206IncrementalDedup(spark, sf).collect()
     assert(out.nonEmpty)
