@@ -172,4 +172,94 @@ class PropertySpec extends AnyFunSuite {
         s"$text mail to <EMAIL> now <ID> at <IP> end")
     }
   }
+
+  test("salted aggregate equals the plain aggregate for any salt count") {
+    val sp = spark
+    import sp.implicits._
+    val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-50, 50))
+    val dataGen = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, rowGen))
+    samples(Gen.zip(dataGen, Gen.chooseNum(1, 16)), 8).foreach {
+      case (rows, salts) =>
+        val df = rows.toDF("k", "v")
+        val salted = graft.ops.Scale.saltedAggregate(df, Seq("k"), salts,
+          partials = Seq(sum(col("v").cast("decimal(18,0)")).as("pv"),
+            count(lit(1)).as("pn")),
+          merges = Seq(sum(col("pv")).cast("long").as("sum_v"),
+            sum(col("pn")).as("n")),
+          saltCols = Seq("k", "v"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        val plain = df.groupBy("k")
+          .agg(sum(col("v").cast("decimal(18,0)")).cast("long").as("sum_v"),
+            count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        assert(salted === plain, s"salts=$salts rows=$rows")
+    }
+  }
+
+  test("compressed overlap count join equals brute pair counting") {
+    val sp = spark
+    import sp.implicits._
+    def days(n: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(n.toLong))
+    val ivGen = Gen.zip(Gen.chooseNum(0, 60), Gen.chooseNum(0, 20))
+    val sideGen = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, ivGen))
+    samples(Gen.zip(sideGen, sideGen), 8).foreach { case (as, bs) =>
+      val a = as.zipWithIndex
+        .map { case ((s, len), i) => (i.toLong, days(s), days(s + len)) }
+        .toDF("id", "start", "end")
+      val b = bs.map { case (s, len) => (days(s), days(s + len)) }
+        .toDF("start", "end")
+      val compressed = graft.ops.Intervals.overlapCountJoin(a, b)
+        .agg(coalesce(sum(col("b_cnt")), lit(0L))).collect()(0).getLong(0)
+      val brute = as.zipWithIndex.flatMap { case ((s1, l1), _) =>
+        bs.filter { case (s2, l2) => s1 <= s2 + l2 && s2 <= s1 + l1 }
+      }.size.toLong
+      assert(compressed === brute, s"a=$as b=$bs")
+    }
+  }
+
+  test("distributed global rank equals a single-partition row_number") {
+    val sp = spark
+    import sp.implicits._
+    val dataGen = Gen.chooseNum(1, 60)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-100, 100)))
+    samples(dataGen, 8).foreach { vs =>
+      // unique tiebreaker idx makes the order total (the operator contract)
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "idx")
+      val ranked = graft.ops.Scale.globalRank(df,
+        Seq(col("v"), col("idx")), partitions = 4)
+        .collect().map(r => (r.getAs[Long]("idx"), r.getAs[Long]("rank_idx")))
+        .toMap
+      val expected = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .sortBy(identity).zipWithIndex
+        .map { case ((_, idx), rk) => idx -> rk.toLong }.toMap
+      assert(ranked === expected, s"vs=$vs")
+    }
+  }
+
+  test("exact-quota rank-cut split partitions any group into val/test/train") {
+    val sp = spark
+    import sp.implicits._
+    samples(Gen.chooseNum(1, 200), 10).foreach { n =>
+      val df = (0 until n).map(i => (i.toLong, "s"))
+        .toDF("doc_id", "source")
+        .withColumn("n_chars", lit(10L))
+      // mirror q217's assignment on an arbitrary group size
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      val q = math.floor(n * graft.ops.TrainingData.EvalFrac).toLong
+      val split = df
+        .withColumn("h", expr(s"(doc_id * ${graft.ops.TrainingData.MixA}) % ${graft.ops.TrainingData.Mod32}"))
+        .withColumn("rk", row_number().over(w.orderBy(col("h"), col("doc_id"))).cast("long"))
+        .withColumn("split", when(col("rk") <= q, "val")
+          .when(col("rk") <= q * 2, "test").otherwise("train"))
+        .groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(split.getOrElse("val", 0L) === q)
+      assert(split.getOrElse("test", 0L) === q)
+      assert(split.getOrElse("train", 0L) === n - 2 * q)
+    }
+  }
 }
