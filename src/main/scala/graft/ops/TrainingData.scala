@@ -873,21 +873,28 @@ object TrainingData {
     * independent partitions (the one place a per-source sort is the
     * design, not a bottleneck); everything after is a (source × 3)-row
     * aggregate with map-side combine. */
-  def q217EvalSplit(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document split assignment shared by [[q217EvalSplit]] (the quota
+    * report) and [[q221SplitLeakage]] (the hygiene audit): rank by the id
+    * mix within source, cut at exact quotas. Input needs (doc_id, source)
+    * plus whatever payload columns the caller carries through. */
+  def evalSplitAssign(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val mixed = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("h", expr(s"(doc_id * $MixA) % $Mod32"))
     val w = Window.partitionBy(col("source"))
-    val ranked = mixed
+    docs
+      .withColumn("h", expr(s"(doc_id * $MixA) % $Mod32"))
       .withColumn("rk", row_number().over(w.orderBy(col("h"), col("doc_id")))
         .cast("long"))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("q", floor(col("n").cast("double") * EvalFrac).cast("long"))
-    val split = ranked.withColumn("split",
-      when(col("rk") <= col("q"), "val")
-        .when(col("rk") <= col("q") * 2, "test")
-        .otherwise("train"))
+      .withColumn("split",
+        when(col("rk") <= col("q"), "val")
+          .when(col("rk") <= col("q") * 2, "test")
+          .otherwise("train"))
+  }
+
+  def q217EvalSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = evalSplitAssign(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars")))
     split.groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
@@ -1039,4 +1046,61 @@ object TrainingData {
       |         AS BIGINT) THEN n_chars END) AS BIGINT) AS p90_chars,
       |       max(n_chars) AS max_chars
       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- split leakage
+
+  /** q221_split_leakage — eval-hygiene audit on the q217 split: a held-out
+    * (val/test) document whose EXACT content (md5 digest) also appears in
+    * train is a leaked eval item — the model has seen the answer, the
+    * metric is inflated. Reports, per held-out split: document count,
+    * leaked count, and the leak rate. Non-zero leakage is the standard
+    * argument for deduplicating BEFORE splitting ([[q218DedupImpact]]
+    * upstream of [[evalSplitAssign]]); this query measures exactly what
+    * skipping that costs, on the same split assignment q217 ships.
+    *
+    * Scale: the split assignment is q217's window; the leak check is a
+    * semi-join of held-out digests against the DISTINCT train digest set —
+    * digest-keyed shuffle of 32-byte rows, then a 2-row aggregate. */
+  def q221SplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = evalSplitAssign(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("digest")))
+      .select(col("doc_id"), col("split"), col("digest"))
+    val trainDigests = assigned.filter(col("split") === "train")
+      .select(col("digest")).distinct()
+      .withColumn("in_train", lit(1))
+    assigned.filter(col("split") =!= "train")
+      .join(trainDigests, Seq("digest"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("in_train").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+      .withColumn("leak_rate",
+        col("n_leaked").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("split"))
+  }
+
+  val q221Sql: String =
+    s"""WITH assigned AS (
+       |  SELECT doc_id, md5(text) AS digest,
+       |         CASE
+       |           WHEN rk <= q THEN 'val'
+       |           WHEN rk <= q * 2 THEN 'test'
+       |           ELSE 'train' END AS split
+       |  FROM (
+       |    SELECT doc_id, text,
+       |           row_number() OVER (PARTITION BY source
+       |             ORDER BY (doc_id * $MixA) % $Mod32, doc_id) AS rk,
+       |           CAST(floor(CAST(count(*) OVER (PARTITION BY source)
+       |             AS DOUBLE) * $EvalFrac) AS BIGINT) AS q
+       |    FROM documents)),
+       |train_digests AS (
+       |  SELECT DISTINCT digest FROM assigned WHERE split = 'train')
+       |SELECT a.split, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN t.digest IS NULL THEN 0 ELSE 1 END)
+       |         AS BIGINT) AS n_leaked,
+       |       CAST(sum(CASE WHEN t.digest IS NULL THEN 0 ELSE 1 END)
+       |         AS DOUBLE) / count(*) AS leak_rate
+       |FROM assigned a
+       |LEFT JOIN train_digests t ON a.digest = t.digest
+       |WHERE a.split <> 'train'
+       |GROUP BY a.split ORDER BY a.split""".stripMargin
 }

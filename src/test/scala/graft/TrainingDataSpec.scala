@@ -268,6 +268,23 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q221 leakage counts equal a direct digest cross-check") {
+    val out = TrainingData.q221SplitLeakage(spark, sf).collect()
+    assert(out.map(_.getAs[String]("split")).toSet === Set("val", "test"))
+    val assigned = TrainingData.evalSplitAssign(
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("digest")))
+    val train = assigned.filter(col("split") === "train")
+      .select("digest").distinct()
+    out.foreach { r =>
+      val split = r.getAs[String]("split")
+      val direct = assigned.filter(col("split") === split)
+        .join(train, Seq("digest"), "left_semi").count()
+      assert(r.getAs[Long]("n_leaked") === direct, s"$split leak count")
+      assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q206 incremental dedup accounts for every incoming document") {
     val out = TrainingData.q206IncrementalDedup(spark, sf).collect()
     assert(out.nonEmpty)
