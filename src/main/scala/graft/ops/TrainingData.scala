@@ -103,12 +103,22 @@ object TrainingData {
       .withColumn("weight",
         least(lit(MixCap),
           (lit(1.0) / col("n_sources").cast("double")) / col("actual_share")))
-      .withColumn("exp_chars", col("chars").cast("double") * col("weight"))
-    val expTot = weighted.agg(sum(col("exp_chars")).as("exp_tot"))
+      // final_share must be a ratio of ORDER-INDEPENDENT sums: a double
+      // sum of chars·weight is partition-merge-order dependent, so the
+      // weight is quantized once to 2^20 fixed point and multiplied by the
+      // exact BIGINT char mass — integer products, integer sum, ONE IEEE
+      // division at the end (the q210/q211 discipline). weight itself is a
+      // per-row chain of single IEEE ops, identical in both engines.
+      // (Headroom: chars·(cap·2^20) overflows BIGINT past ~3·10^18 chars
+      // per source; at that corpus size drop to 2^10 quantization.)
+      .withColumn("exp_q",
+        floor(col("weight") * lit(1L << 20)).cast("long") * col("chars"))
+    val expTot = weighted.agg(sum(col("exp_q")).as("exp_tot"))
     weighted.crossJoin(broadcast(expTot))
       .select(col("source"), col("n_docs"), col("chars"),
         col("actual_share"), col("weight"),
-        (col("exp_chars") / col("exp_tot")).as("final_share"))
+        (col("exp_q").cast("double") / col("exp_tot").cast("double"))
+          .as("final_share"))
       .orderBy(col("source"))
   }
 
@@ -129,12 +139,16 @@ object TrainingData {
        |           (1.0 / CAST(n_sources AS DOUBLE)) /
        |             (CAST(chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)))
        |           AS weight
-       |  FROM by_source CROSS JOIN tot)
+       |  FROM by_source CROSS JOIN tot),
+       |quant AS (
+       |  SELECT source, n_docs, chars, actual_share, weight,
+       |         CAST(floor(weight * 1048576) AS BIGINT) * chars AS exp_q
+       |  FROM weighted)
        |SELECT source, n_docs, chars, actual_share, weight,
-       |       (CAST(chars AS DOUBLE) * weight) /
-       |         (SELECT sum(CAST(chars AS DOUBLE) * weight) FROM weighted)
-       |         AS final_share
-       |FROM weighted ORDER BY source""".stripMargin
+       |       CAST(exp_q AS DOUBLE) /
+       |         CAST((SELECT CAST(sum(exp_q) AS BIGINT) FROM quant)
+       |              AS DOUBLE) AS final_share
+       |FROM quant ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------ OOV audit
 
@@ -672,27 +686,49 @@ object TrainingData {
     * centroid, 2^40-quantized dot/norm terms), so ranks and counts are
     * exact across engines.
     *
-    * Scale: centroids are a (k×d)-bounded aggregate; the per-vector pass
-    * joins the exploded corpus to the BROADCAST centroid frame on
-    * (label, pos) and folds d terms per vector with map-side combine —
-    * one wide shuffle bounded by N·1 output rows, never N×N. */
+    * Scale: centroids are a (k×d)-bounded aggregate (the only explode —
+    * its shuffle is k×d rows after map-side combine); the per-vector pass
+    * is a broadcast join of the k-row centroid-ARRAY frame followed by a
+    * codegen-friendly `zip_with`+`aggregate` fold over the embedding —
+    * no N·d intermediate frame, no per-vector shuffle at all. Integer
+    * fold terms keep the sums order-independent, so the values are
+    * bit-identical to the exploded form the oracle replays. */
   def q213LabelOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val pe = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("vq", floor(col("v").cast("double") * Q20) / Q20)
-    val cent = pe.groupBy(col("label"), col("pos"))
+      .groupBy(col("label"), col("pos"))
       .agg((sum((col("vq") * Q20).cast("long")).cast("double") /
         (count(lit(1)) * Q20)).as("cval"))
-    val perVec = pe.join(broadcast(cent), Seq("label", "pos"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(
-        (sum(floor(col("vq") * col("cval") * Q40).cast("long"))
+    // per-label centroid array (pos-ordered) + its constant norm term:
+    // sq_c depends only on the label, so it is computed once here on the
+    // k-row frame instead of once per vector. The quantization constants
+    // are spelled CAST(... AS DOUBLE) inside the expr strings — a bare
+    // `1048576.0` literal parses as DECIMAL in Spark SQL and would turn
+    // the division into decimal arithmetic, off the IEEE-double path the
+    // oracle replays.
+    val q20d = s"cast($Q20 as double)"
+    val q40d = s"cast($Q40 as double)"
+    val centArr = cent.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), " +
+        "x -> x.cval)").as("carr"))
+      .withColumn("sq_c",
+        expr(s"aggregate(carr, 0L, (acc, c) -> " +
+          s"acc + cast(floor(c * c * $q40d) as bigint))").cast("double") / Q40)
+    val perVec = emb.join(broadcast(centArr), Seq("label"))
+      .withColumn("vqa",
+        expr(s"transform(embedding, x -> " +
+          s"floor(cast(x as double) * $q20d) / $q20d)"))
+      .select(col("vec_id"), col("label"),
+        (expr(s"aggregate(zip_with(vqa, carr, (a, b) -> " +
+          s"cast(floor(a * b * $q40d) as bigint)), 0L, (acc, x) -> acc + x)")
           .cast("double") / Q40).as("dot"),
-        (sum(floor(col("vq") * col("vq") * Q40).cast("long"))
+        (expr(s"aggregate(vqa, 0L, (acc, a) -> " +
+          s"acc + cast(floor(a * a * $q40d) as bigint))")
           .cast("double") / Q40).as("sq_v"),
-        (sum(floor(col("cval") * col("cval") * Q40).cast("long"))
-          .cast("double") / Q40).as("sq_c"))
+        col("sq_c"))
       .select(col("vec_id"), col("label"),
         (col("dot") / (sqrt(col("sq_v")) * sqrt(col("sq_c")))).as("cos"))
     // argmin tie-break packed into ONE BIGINT (the q147/q118 pattern —
@@ -736,8 +772,12 @@ object TrainingData {
        |SELECT label, count(*) AS n_vecs,
        |       CAST(sum(CASE WHEN cos < $OutlierCos THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_outliers,
-       |       min_by(vec_id, CAST(floor((cos + 1.0) * $Q30) AS BIGINT)
-       |         * 2097152 + vec_id) AS worst_vec_id,
+       |       min_by(vec_id, CASE
+       |           WHEN vec_id BETWEEN 0 AND 2097151
+       |           THEN CAST(floor((cos + 1.0) * $Q30) AS BIGINT)
+       |                * 2097152 + vec_id
+       |           ELSE error('q213 packed-key bound: vec_id outside [0, 2^21)')
+       |         END) AS worst_vec_id,
        |       min(cos) AS worst_cos
        |FROM per_vec GROUP BY label ORDER BY label""".stripMargin
 
@@ -814,16 +854,16 @@ object TrainingData {
     * (corpus-wide, cross-document) at source granularity including
     * within-document repetition.
     *
-    * Scale: map-side gram explode, then ONE aggregate per (source, gram)
-    * with map-side combine, then a source-cardinality rollup. The
-    * (source, gram) shuffle is bounded by distinct grams per source —
-    * the same profile as word counting. */
+    * Scale: map-side gram explode with `source` CARRIED through the
+    * explode (no doc_id→source join-back — that join would need a
+    * doc-cardinality broadcast, which cannot broadcast at corpus scale),
+    * then ONE aggregate per (source, gram) with map-side combine, then a
+    * source-cardinality rollup. The (source, gram) shuffle is bounded by
+    * distinct grams per source — the same profile as word counting. */
   def q216GramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
-    val grams = Curation.nGrams(docs.select(col("doc_id"), col("text")),
-      DivGramN)
-      .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+    val grams = Curation.nGrams(docs, DivGramN, Seq("source"))
     grams.groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("source"))
