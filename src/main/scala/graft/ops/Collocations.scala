@@ -41,7 +41,7 @@ object Collocations {
     val un = uni.groupBy(col("w")).agg(count(lit(1)).as("n"))
     val bn = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
     val tot = uni.agg(count(lit(1)).as("n_tok"))
-      .crossJoin(big.agg(count(lit(1)).as("n_big")))
+      .crossJoin(broadcast(big.agg(count(lit(1)).as("n_big"))))
     // lift = (n_xy/n_big) / ((n_x/n_tok)(n_y/n_tok)), arranged with the
     // SAME association order as the oracle so the doubles match bitwise
     val lift = round(

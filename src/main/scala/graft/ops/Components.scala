@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Checkpoints.CutOps
 
 /** Distributed connected components over a near-duplicate pair graph —
   * the step after pairwise detection in every production dedup pipeline:
@@ -29,9 +30,11 @@ import graft.Tables
   *  - Every round's labels are `localCheckpoint`ed: iterative self-joins
   *    otherwise double the lineage each round and the planner chokes by
   *    round ~10; checkpointed RDDs are reclaimed by the ContextCleaner as
-  *    prior rounds' plans are garbage-collected (a long-lived cluster job
-  *    would use a reliable checkpoint dir instead — executor-loss
-  *    trade-off as in [[Dedup.minhashClusters]]).
+  *    prior rounds' plans are garbage-collected. Local checkpoints die
+  *    with their executor — a long-lived cluster job sets
+  *    [[Checkpoints.DirKey]] to flip every iterative op here (and in
+  *    [[Graph]]/[[Dedup]]) to RELIABLE checkpoints that survive executor
+  *    loss; local mode keeps the no-FS-round-trip default.
   *  - The min-label pull is a groupBy aggregate, so map-side partial
   *    combine collapses high-degree hub nodes before the shuffle — no
   *    whole-bucket-on-one-task straggler.
@@ -64,7 +67,7 @@ object Components {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     if (sym.count() <= localSolveMax) {
       // Single-task union-find with iterative path compression. Union
       // attaches the larger root under the smaller, so each final root is
@@ -104,7 +107,7 @@ object Components {
     // |V_active| (often 10-100× smaller).
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
+      .cutLineage()
     var converged = false
     var iter = 0
     // Convergence probe: labels decrease monotonically per node, so the
@@ -139,7 +142,7 @@ object Components {
           col("component") === col("p_id"), "left")
         .select(col("id"),
           coalesce(col("p_comp"), col("component")).as("component"))
-        .localCheckpoint()
+        .cutLineage()
       // sum over an empty active set is NULL (no edges at all) — that is
       // already the fixpoint
       val sumRow = halved.agg(sum(col("component"))).head()

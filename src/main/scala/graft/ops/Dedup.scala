@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Checkpoints.CutOps
 import graft.functions.StableHash
 
 /** Deduplication operators — north-star tier X (BASELINE.json): exact,
@@ -161,7 +162,7 @@ object Dedup {
     val buckets = signed
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .localCheckpoint()
+      .cutLineage()
     val minima = buckets
       .groupBy(col("band"), col("sig"))
       .agg(min(col("doc_id")).as("bucket_rep"))
@@ -394,7 +395,7 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val cl = minhashClusters(docs)
       .select(col("doc_id"), col("cluster_rep"))
-      .localCheckpoint() // two consumers: membership counts + join-back
+      .cutLineage() // two consumers: membership counts + join-back
     val lsh = cl
       .join(cl.groupBy(col("cluster_rep")).agg(count(lit(1)).as("cn")),
         Seq("cluster_rep"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Checkpoints.CutOps
 
 /** Link-graph analysis over relational edges — the web-graph quality signal
   * a corpus-curation pipeline attaches to documents (host PageRank as a
@@ -83,7 +84,7 @@ object Graph {
       .distinct()
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
-      .localCheckpoint()
+      .cutLineage()
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
     // Pin the big side's partitioning ONCE: hash-partition the degreed
@@ -100,8 +101,8 @@ object Graph {
     // join + left-join spine); un-checkpointed, the node-set distinct
     // would re-shuffle the edge list twice in round 1
     val r0 = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(Unit).as("rank")).localCheckpoint()
-    val r2 = iterate(iterate(r0, degreed).localCheckpoint(), degreed)
+      .select(col("node"), lit(Unit).as("rank")).cutLineage()
+    val r2 = iterate(iterate(r0, degreed).cutLineage(), degreed)
 
     r2.filter(col("node") % 2 === 1)
       .join(outdeg.withColumnRenamed("src", "node"), "node")
@@ -161,7 +162,7 @@ object Graph {
       .select(
         when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("src"),
         when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("dst"))
-      .localCheckpoint()
+      .cutLineage()
     // Adjacency-intersection closing instead of a wedge-stream join: a
     // triangle {u,v,w} (orientation order u→v, u→w, v→w) is found at edge
     // (u,v) as w ∈ N⁺(u) ∩ N⁺(v). Materializing the O(m^1.5) wedge stream
@@ -250,7 +251,7 @@ object Graph {
     * neighborhood Jaccard. */
   def commonNeighborPairs(supRaw: DataFrame): DataFrame = {
     val sup = supRaw
-      .localCheckpoint() // adjacency + degrees + the anti-join all read it
+      .cutLineage() // adjacency + degrees + the anti-join all read it
     val adj = sup.select(col("pa").as("node"), col("pb").as("nbr"))
       .unionAll(sup.select(col("pb").as("node"), col("pa").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -360,7 +361,7 @@ object Graph {
       .select(col("degree"), col("n_nodes"),
         log2(col("degree").cast("double")).cast("decimal(18,6)").as("x"),
         log2(col("n_nodes").cast("double")).cast("decimal(18,6)").as("y"))
-      .localCheckpoint() // degree-cardinality; feeds moments + output
+      .cutLineage() // degree-cardinality; feeds moments + output
     // moments stay exact decimals through the SUM, then convert once to
     // double (same nearest-double both engines) BEFORE the closed form:
     // decimal×decimal here overflows precision 38 and Spark's
@@ -437,7 +438,7 @@ object Graph {
       .distinct()
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
-      .localCheckpoint()
+      .cutLineage()
     // k = p75 of the degree distribution: a one-row statistics read, the
     // same driver-side parameter derivation a cost-based planner makes
     // before picking a strategy (and the same exception to the
@@ -467,12 +468,12 @@ object Graph {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= kVal)
         .select(col("node"))
-        .localCheckpoint()
+        .cutLineage()
       val n = alive.count()
       cur = cur
         .join(alive.withColumnRenamed("node", "src"), "src")
         .join(alive.withColumnRenamed("node", "dst"), "dst")
-        .localCheckpoint()
+        .cutLineage()
       converged = n == nPrev
       nPrev = n
       round += 1

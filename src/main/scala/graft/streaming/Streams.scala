@@ -533,6 +533,127 @@ object Streams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q222's per-key lifetime quota. ~67 events per user at sf0.01 split
+    * into two ~33-row batches: batch 1 fits under the cap, batch 2 hits
+    * it — both the accumulate and the drop paths execute. */
+  val StreamQuota = 40L
+
+  /** q222_stream_quota — [[quotaEnforce]] (the Spark-4 `transformWithState`
+    * processor) run end-to-end as a real streaming query and hash-checked
+    * against a two-phase cumulative-cap oracle. The last §2.8 capability
+    * that was ledger-visible only as a unit test.
+    *
+    * Batch boundaries ARE the semantics under test (the cap must hold
+    * ACROSS batches, with state carrying the running total), so they are
+    * made deterministic: the input stages as two single-file batches
+    * (event_id parity) with strictly increasing mtimes, and
+    * `maxFilesPerTrigger=1` + AvailableNow replays them oldest-first as
+    * exactly two micro-batches. The file sink takes append only, so the
+    * update-mode audit rows land via foreachBatch — the standard
+    * update-stream-to-files bridge.
+    *
+    * Determinism: every audit column is an integer count; rows order by
+    * (key, total) — total strictly grows per key across batches (a key
+    * with zero accepted still grows... no: total is monotone NON-strict;
+    * ties broken by arrived, which equals the per-phase row count, and
+    * the (key, total, arrived) triple is unique because each key emits
+    * at most one row per phase and phase totals differ unless both
+    * phases accepted 0 AND arrived the same count — then the rows are
+    * identical and order is immaterial). */
+  def q222StreamQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = freshDir("graft-q222")
+    val in = stageOnce("q222in", sfDir) { dir =>
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      // one physical file per phase, mtimes 60 s apart: FileStreamSource
+      // orders by modification time (latestFirst=false), so the replay
+      // order is pinned, not left to directory-listing luck
+      def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = freshDir("graft-q222-stage")
+        df.coalesce(1).write.parquet(s"$tmp/p")
+        val part = new java.io.File(s"$tmp/p").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(dir, name)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime): scala.Unit
+      }
+      val base = System.currentTimeMillis() - 600000L
+      stageBatch(ev.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("value")), "b0.parquet", base)
+      stageBatch(ev.filter(col("event_id") % 2 =!= 0)
+        .select(col("user_id"), col("value")), "b1.parquet", base + 60000L)
+    }
+    val schema = spark.read.parquet(in).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("user_id").as("_1"), col("value").as("_2"))
+      .as[(Long, Double)]
+    // transformWithState requires the RocksDB state store; quota state is
+    // one long per user — size partitions to it (q119's rationale). Both
+    // switches scoped and restored.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      quotaEnforce(src, StreamQuota)
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: Dataset[QuotaUpdate], _: Long) =>
+          batch.write.mode("append").parquet(s"$root/out")
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+    spark.read.parquet(s"$root/out")
+      .select(col("key"), col("arrived"), col("accepted"), col("dropped"),
+        col("total"))
+      .orderBy(col("key"), col("total"), col("arrived"))
+  }
+
+  /** Two-phase cumulative-cap oracle: phase = event_id parity (exactly
+    * the staged batch split), phase-2 headroom = quota − phase-1 total. */
+  val q222Sql: String =
+    s"""WITH p1 AS (
+       |  SELECT user_id AS key, count(*) AS arrived
+       |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+       |p2 AS (
+       |  SELECT user_id AS key, count(*) AS arrived
+       |  FROM events WHERE event_id % 2 <> 0 GROUP BY 1),
+       |r1 AS (
+       |  SELECT key, arrived,
+       |         least(arrived, $StreamQuota) AS accepted,
+       |         least(arrived, $StreamQuota) AS total
+       |  FROM p1),
+       |r2 AS (
+       |  SELECT p.key, p.arrived,
+       |         least(p.arrived,
+       |               greatest($StreamQuota - coalesce(r.total, 0), 0))
+       |           AS accepted,
+       |         coalesce(r.total, 0)
+       |           + least(p.arrived,
+       |                   greatest($StreamQuota - coalesce(r.total, 0), 0))
+       |           AS total
+       |  FROM p2 p LEFT JOIN r1 r ON r.key = p.key)
+       |SELECT key, CAST(arrived AS BIGINT) AS arrived,
+       |       CAST(accepted AS BIGINT) AS accepted,
+       |       CAST(arrived - accepted AS BIGINT) AS dropped,
+       |       CAST(total AS BIGINT) AS total
+       |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+       |ORDER BY key, total, arrived""".stripMargin
+
   /** Batch oracle: 30-minute-gap sessions with end = last event + gap and
     * exact cents sums — the q62 gaps-and-islands shape with the
     * sessionizer's [start, last+gap) window convention. */

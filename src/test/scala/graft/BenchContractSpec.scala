@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract pins for the historically expensive queries (r5 verdict: q114
+  * and q140 drifted ×2 in the driver bench against unchanged files, and
+  * nothing caught it). Wall-clock alone cannot arbitrate across machines —
+  * that is exactly the 191.7s-vs-152s r5 dispute — so the pins here are
+  * the drift alarms that ARE machine-independent:
+  *
+  *  - PLAN pins: the structural property that makes the query cheap
+  *    (q114's iteration must reuse the persisted hash-partitioned edge
+  *    frame; q213 must not explode the corpus in its per-vector pass).
+  *    If a Spark upgrade, fixture type change, or refactor silently
+  *    reverts the plan, these fail loudly with the diff in hand.
+  *  - CARDINALITY pins: q139/q140's intermediate sizes are deterministic
+  *    functions of the fixture (seed=42); a regenerated fixture that
+  *    moves the wedge/pair counts — the actual cost driver — trips these
+  *    with the old-vs-new numbers, separating "data changed" from "plan
+  *    changed" in one glance.
+  *  - A coarse wall-clock tripwire per pinned query, wide enough for
+  *    machine variance (sf0.001 queries run well under 2 s here), tight
+  *    enough to catch the catastrophic (a cartesian, a lost broadcast, a
+  *    driver-side loop).
+  *
+  * Isolated per-query sf0.1 timings live in TIMINGS_r6.md, committed per
+  * round; in-suite numbers are NOT comparable to them (pool residue,
+  * JIT) — label local numbers as local when citing.
+  */
+class BenchContractSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+
+  private def df(name: String) =
+    SparkEntry.queries(name)(spark, SparkSuite.sf)
+
+  private def formattedPlan(name: String): String =
+    df(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q114 pin: iteration joins reuse the persisted partitioned edges") {
+    val p = formattedPlan("q114_pagerank")
+    assert(p.contains("ShuffledHashJoin"),
+      "the per-iteration rank join must be a shuffled hash join (rank " +
+        "side build); a sort-merge join re-sorts the edge frame per round")
+    assert(p.contains("InMemoryTableScan"),
+      "the degreed edge frame must come from the persisted, " +
+        "hash-partitioned cache; without it every iteration re-exchanges " +
+        "the edge list (the r5 7.3 s regression shape)")
+  }
+
+  test("q213 pin: per-vector pass folds arrays, never explodes the corpus") {
+    val q = df("q213_label_outliers").queryExecution.optimizedPlan
+    val generates = q.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.size == 1,
+      s"exactly one Generate (the k×d centroid build) is allowed; " +
+        s"found ${generates.size} — an explode crept into the N-row " +
+        "per-vector pass")
+  }
+
+  test("q139/q140 pin: deterministic wedge/pair cardinalities (sf0.001)") {
+    // Cost ∝ these counts. The fixture is seeded, so they are constants;
+    // a regenerated fixture that moves them explains a bench move as
+    // data drift (and by how much) before anyone blames the plan.
+    val tri = df("q139_triangles")
+      .agg(count(lit(1)).as("rows"), sum(col("n_tri")).as("tri")).head()
+    assert(tri.getLong(0) == 200L && tri.getLong(1) == 377904L,
+      s"q139 cardinality moved: rows=${tri.getLong(0)} (pinned 200), " +
+        s"Σn_tri=${tri.getLong(1)} (pinned 377904) — fixture drift")
+    val lp = df("q140_link_predict")
+      .agg(count(lit(1)).as("rows"), sum(col("common")).as("c")).head()
+    assert(lp.getLong(0) == 15643L && lp.getLong(1) == 49022L,
+      s"q140 cardinality moved: rows=${lp.getLong(0)} (pinned 15643), " +
+        s"Σcommon=${lp.getLong(1)} (pinned 49022) — fixture drift")
+  }
+
+  test("pinned queries stay inside the coarse wall-clock tripwire") {
+    val pinned = Seq("q114_pagerank", "q139_triangles", "q140_link_predict",
+      "q104_interpolate", "q213_label_outliers")
+    pinned.foreach { n =>
+      val t0 = System.nanoTime()
+      df(n).write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // sf0.001 runs land well under 2 s; 20 s tolerates slow CI boxes
+      // while still catching a cartesian/collect/lost-broadcast blowup
+      assert(secs < 20.0,
+        f"$n took $secs%.1f s at sf0.001 — catastrophic regression " +
+          "(cartesian? driver loop? lost broadcast?)")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+  }
+}

@@ -42,6 +42,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("reliable-checkpoint mode: same fixpoint, checkpoint files on disk") {
+    // spark.graft.checkpointDir flips every iterative op's lineage cut
+    // from localCheckpoint to reliable checkpoints (the executor-loss-safe
+    // cluster mode). Prove the switch actually engages (rdd-* dirs appear
+    // under the configured path) and the result is the identical fixpoint.
+    val dir = java.nio.file.Files.createTempDirectory("graft-relcp").toString
+    spark.conf.set(graft.ops.Checkpoints.DirKey, dir)
+    try {
+      val out = components(0L until 16L, (0L until 15L).map(i => (i, i + 1)),
+        maxIter = 10, localSolveMax = 0L)
+      assert(out.size === 16 && out.values.forall(_ == 0L))
+      def rddDirs(f: java.io.File): Int =
+        if (f.isDirectory)
+          (if (f.getName.startsWith("rdd-")) 1 else 0) +
+            f.listFiles().map(rddDirs).sum
+        else 0
+      assert(rddDirs(new java.io.File(dir)) > 0,
+        "reliable mode must write rdd-* checkpoint dirs under the " +
+          "configured directory")
+    } finally spark.conf.unset(graft.ops.Checkpoints.DirKey)
+  }
+
   test("q83 representative invariant holds on the fixture") {
     val rows = Components.q83DupGroups(spark, SparkSuite.sf).collect()
     val comp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
