@@ -146,13 +146,21 @@ object Graph {
     * (columns `pa` < `pb`, deduplicated). Returns (node, degree, n_tri)
     * for every edge-touched node. */
   def triangleCounts(e: DataFrame): DataFrame = {
-    val deg = e.select(col("pa").as("node"))
-      .unionAll(e.select(col("pb").as("node")))
+    // Materialize the edge list FIRST: `e` arrives as an arbitrary (often
+    // expensive — q139's is a fact-table self-join + distinct) subtree, and
+    // this operator consumes it from three independent lineages (the degree
+    // aggregate, the orientation join's probe side, and the final
+    // degree-spine join). Only the oriented frame was cut before, so the
+    // edge build re-ran whole for each consumer — 3× the dominant subtree
+    // at any scale. One cut turns the other two into narrow re-reads.
+    val ec = e.cutLineage()
+    val deg = ec.select(col("pa").as("node"))
+      .unionAll(ec.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     // oriented edge list, consumed three times (both wedge sides + the
     // closing probe) — materialize once, or the wedge join re-runs the
     // whole edge build per consumer
-    val o = e
+    val o = ec
       .join(deg.select(col("node").as("pa"), col("degree").as("da")), "pa")
       .join(deg.select(col("node").as("pb"), col("degree").as("db")), "pb")
       .select(
@@ -432,9 +440,16 @@ object Graph {
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"))
+    // Internal node ids are LONGS (customer 2k, supplier 2k+1) — the same
+    // bijection as the PageRank loop above: every peel round shuffles and
+    // semi-joins on the node key, and a fixed 8-byte key beats a
+    // variable-length string for hashing, comparison, and shuffle volume.
+    // Degrees — and therefore k, the survivors, and convergence — are
+    // representation-blind; the 'c…'/'s…' labels the oracle sees are
+    // rendered once at the end.
     val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .select((col("o_custkey").cast("long") * 2).as("cnode"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("snode"))
       .distinct()
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
@@ -443,6 +458,10 @@ object Graph {
     // same driver-side parameter derivation a cost-based planner makes
     // before picking a strategy (and the same exception to the
     // no-collect rule as the loop-control counts below).
+    // Tie-break note: the oracle orders its degree rank by (d, src-string)
+    // while this side orders by (d, src-long). Safe: a tie-break permutes
+    // rows only WITHIN an equal-d run, and the value selected at position
+    // ⌈3n/4⌉ is d itself, so every within-run order yields the same k.
     import org.apache.spark.sql.expressions.Window
     val kVal = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .select(col("d"), row_number().over(
@@ -478,8 +497,12 @@ object Graph {
       nPrev = n
       round += 1
     }
-    cur.groupBy(col("src").as("node"))
+    cur.groupBy(col("src").as("nid"))
       .agg(count(lit(1)).as("core_degree"))
+      .select(when(col("nid") % 2 === 0,
+          concat(lit("c"), expr("nid div 2")))
+          .otherwise(concat(lit("s"), expr("(nid - 1) div 2"))).as("node"),
+        col("core_degree"))
       .crossJoin(broadcast(cur.sparkSession.range(1)
         .select(lit(kVal).as("k"), lit(converged).as("converged"))))
       .orderBy(col("node"))
