@@ -60,6 +60,19 @@ class BenchContractSpec extends AnyFunSuite {
         "per-vector pass")
   }
 
+  test("q139 pin: edge build runs once — no fact scan below the cut") {
+    // The edge list (lineitem self-join + distinct) feeds three lineages
+    // (degree aggregate, orientation probe, final degree spine). It is
+    // materialized ONCE via cutLineage before the fan-out, so the final
+    // plan must read only the checkpointed RDD — a lineitem scan
+    // reappearing downstream means the dominant subtree is being
+    // recomputed per consumer again (3× the edge build at any scale).
+    val p = formattedPlan("q139_triangles")
+    assert(!p.contains("lineitem"),
+      "q139's final plan scans lineitem — the edge-list cut is gone and " +
+        "the self-join + distinct recomputes per consumer")
+  }
+
   test("q139/q140 pin: deterministic wedge/pair cardinalities (sf0.001)") {
     // Cost ∝ these counts. The fixture is seeded, so they are constants;
     // a regenerated fixture that moves them explains a bench move as
