@@ -448,4 +448,155 @@ object Dedup {
        |       CASE WHEN tp + fn = 0 THEN 0.0
        |            ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS lsh_recall
        |FROM c""".stripMargin
+
+  // ------------------------------------------------------------- LSH sweep
+
+  /** Band configurations evaluated by the sweep: every divisor split of the
+    * [[NumHashes]]=16 signature (1·16 and 16·1 excluded as degenerate-cost /
+    * degenerate-recall extremes that still appear via the monotonicity law
+    * anchors 2 and 16). Boundaries NEST (band b of the nb-band config is
+    * rows [b·16/nb, (b+1)·16/nb)), so an all-equal band at a coarser config
+    * implies all-equal sub-bands at every finer config — candidate sets are
+    * monotone in nb, which LshSweepSpec pins as a law. */
+  private[ops] val SweepBands: Seq[Int] = Seq(2, 4, 8, 16)
+
+  /** q223_lsh_sweep — LSH parameter tuning in ONE signature pass: evaluate
+    * every [[SweepBands]] banding of the same 16-hash MinHash signature and
+    * report, per configuration, the candidate-duplicate volume and its
+    * precision/recall against the gram-overlap duplicate components
+    * ([[Components.dupGroups]] — the same reference truth q172 audits
+    * against). This is the production knob-turning query: before running
+    * near-dedup over 100 TB you sweep (bands, rows) on a sample to pick the
+    * operating point on the precision/recall curve, and the expensive part —
+    * shingling + k permutations — must be paid once, not once per config.
+    *
+    * Scale: the signature frame (one row per doc, 16 longs) is materialized
+    * once and each config re-derives its band keys by a NARROW projection of
+    * that checkpoint (unlike q70, where the un-cut subtree below the bucket
+    * fan-out was the whole signature pipeline, the recompute here is a
+    * checkpoint scan + arithmetic — no shuffle, no shingling). Per config the
+    * shuffles move (doc_id, band, sig) tuples and the bucket-count join gets
+    * map-side combine; the reference-truth side is computed once and cut.
+    * All counts are integers; the two ratios are single IEEE divisions —
+    * hash-exact cross-engine. */
+  def q223LshSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val signed = signatures(docs).cutLineage()
+    val ref = Components.dupGroups(docs)
+      .select(col("doc_id"), (col("n_members") >= 2L).as("ref_dup"))
+      .cutLineage()
+    val perConfig = SweepBands.map { nb =>
+      val bandCols = (0 until nb).map { b =>
+        val fold = (b * NumHashes / nb until (b + 1) * NumHashes / nb)
+          .map(j => col(s"sig_$j"))
+          .foldLeft(lit(0L): org.apache.spark.sql.Column)(
+            (acc, s) => pmod(acc * lit(65599L) + s, lit(MinhashP)))
+        struct(lit(b).as("band"), fold.as("sig"))
+      }
+      val buckets = signed
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.sig").as("sig"))
+      val counts = buckets.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("cn"))
+      val flag = buckets.join(counts, Seq("band", "sig"))
+        .groupBy(col("doc_id")).agg(max(col("cn")).as("mx"))
+        .select(col("doc_id"), (col("mx") >= 2L).as("lsh_dup"))
+      flag.join(ref, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lsh_dup") && col("ref_dup"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("lsh_dup") && !col("ref_dup"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("lsh_dup") && col("ref_dup"), 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(!col("lsh_dup") && !col("ref_dup"), 1L).otherwise(0L))
+            .as("tn"))
+        .select(lit(nb).as("n_bands"),
+          lit(NumHashes / nb).as("rows_per_band"),
+          col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") === 0L, lit(0.0))
+            .otherwise(col("tp").cast("double") / (col("tp") + col("fp")))
+            .as("lsh_precision"),
+          when(col("tp") + col("fn") === 0L, lit(0.0))
+            .otherwise(col("tp").cast("double") / (col("tp") + col("fn")))
+            .as("lsh_recall"))
+    }
+    perConfig.reduce(_.unionByName(_)).orderBy(col("n_bands"))
+  }
+
+  /** Generated oracle for q223: [[q70Sql]]'s gram-hash/signature CTE prefix,
+    * then per-[[SweepBands]] config the band fold, bucket counts, per-doc
+    * candidate flag, and confusion counts against [[Components.q83Sql]] as
+    * the reference truth (the q172 composition pattern). */
+  val q223Sql: String = {
+    val p = MinhashP
+    val sigCols = minhashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"min((gh * $a + $b) % $p) AS sig_$j"
+    }.mkString(",\n         ")
+    val configs = SweepBands.map { nb =>
+      val bands = (0 until nb).map { b =>
+        val fold = (b * NumHashes / nb until (b + 1) * NumHashes / nb)
+          .map(j => s"sig_$j")
+          .foldLeft("CAST(0 AS BIGINT)")(
+            (acc, s) => s"(($acc) * 65599 + $s) % $p")
+        s"SELECT doc_id, $b AS band, $fold AS sig FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""b$nb AS (
+         |  $bands),
+         |c$nb AS (SELECT band, sig, count(*) AS cn FROM b$nb GROUP BY 1, 2),
+         |f$nb AS (SELECT b.doc_id, max(c.cn) >= 2 AS lsh_dup
+         |         FROM b$nb b JOIN c$nb c
+         |           ON b.band = c.band AND b.sig = c.sig
+         |         GROUP BY b.doc_id),
+         |m$nb AS (
+         |  SELECT $nb AS n_bands, ${NumHashes / nb} AS rows_per_band,
+         |    count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN lsh_dup AND ref_dup THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN lsh_dup AND NOT ref_dup THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT lsh_dup AND ref_dup THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT lsh_dup AND NOT ref_dup THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS tn
+         |  FROM f$nb JOIN ref USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val union = SweepBands.map { nb =>
+      s"""SELECT n_bands, rows_per_band, n_docs, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |       ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS lsh_precision,
+         |  CASE WHEN tp + fn = 0 THEN 0.0
+         |       ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS lsh_recall
+         |FROM m$nb""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(text, ' '),
+       |           tok -> list_reduce(list_transform(string_split(tok, ''),
+       |                  c -> CAST(ascii(c) AS BIGINT)),
+       |                  (acc, x) -> (acc * 131 + x) % $p)) AS th
+       |  FROM documents),
+       |gh AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(th) - 1, 2)),
+       |                i -> (((th[i] * 65599 + th[i+1]) % $p) * 65599
+       |                      + th[i+2]) % $p)) AS gh
+       |  FROM toks WHERE len(th) >= 3
+       |  UNION ALL
+       |  SELECT doc_id,
+       |         list_reduce(list_transform(string_split(text, ''),
+       |                     c -> CAST(ascii(c) AS BIGINT)),
+       |                     (acc, x) -> (acc * 131 + x) % $p) AS gh
+       |  FROM documents WHERE len(string_split(text, ' ')) < 3),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM gh GROUP BY doc_id),
+       |ref AS (SELECT doc_id, n_members >= 2 AS ref_dup
+       |        FROM (${Components.q83Sql})),
+       |$configs
+       |$union
+       |ORDER BY n_bands""".stripMargin
+  }
 }

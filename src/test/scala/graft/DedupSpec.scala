@@ -76,6 +76,25 @@ class DedupSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("q223 sweep: nested bands make candidate sets monotone in n_bands") {
+    // Band boundaries nest (16/nb rows per band, nb ∈ {2,4,8,16}), so an
+    // all-equal band at a coarser config forces all-equal sub-bands at
+    // every finer one: candidates can only be ADDED as n_bands grows.
+    // On the confusion counts that is: tp and fp nondecreasing, fn and tn
+    // nonincreasing, recall nondecreasing — with n_docs constant.
+    val rows = ops.Dedup.q223LshSweep(spark, SparkSuite.sf)
+      .orderBy(col("n_bands")).collect()
+    assert(rows.map(_.getAs[Int]("n_bands")).toSeq === Seq(2, 4, 8, 16))
+    assert(rows.map(_.getAs[Long]("n_docs")).distinct.length === 1)
+    rows.sliding(2).foreach { case Array(c, f) =>
+      assert(f.getAs[Long]("tp") >= c.getAs[Long]("tp"), "tp shrank")
+      assert(f.getAs[Long]("fp") >= c.getAs[Long]("fp"), "fp shrank")
+      assert(f.getAs[Long]("fn") <= c.getAs[Long]("fn"), "fn grew")
+      assert(f.getAs[Long]("tn") <= c.getAs[Long]("tn"), "tn grew")
+      assert(f.getAs[Double]("lsh_recall") >= c.getAs[Double]("lsh_recall"))
+    }
+  }
+
   test("ngram jaccard: q72 on fixture matches per-pair recomputation") {
     val out = ops.Dedup.q72NgramJaccard(spark, SparkSuite.sf)
     val row = out.head()
