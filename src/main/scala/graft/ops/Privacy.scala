@@ -204,4 +204,90 @@ object Privacy {
       |       count(*) >= 3 AS releasable
       |FROM fine GROUP BY c_nationkey, bal_sign
       |ORDER BY c_nationkey, bal_sign""".stripMargin
+
+  // --------------------------------------------- differential privacy
+
+  /** Geometric-mechanism parameters: α = 4/5, i.e. ε = ln(5/4) ≈ 0.223 for
+    * a sensitivity-1 count query; support truncated at ±[[DpTrunc]] (total
+    * truncated tail mass 2·α⁴¹/(1+α) ≈ 1.4·10⁻⁴, absorbed into the end
+    * bins — the standard truncated-geometric release). */
+  private val DpNum = BigInt(4)
+  private val DpDen = BigInt(5)
+  private val DpTrunc = 40
+  private val DpScale = BigInt(1) << 40
+
+  /** Exact CDF bins of the two-sided geometric distribution
+    * Pr(k) ∝ α^|k|: row (k, lo, hi) means noise = k iff the 40-bit uniform
+    * hash u falls in [lo, hi). Thresholds are ⌊2⁴⁰·F(k)⌋ computed in
+    * BigInt rationals — no float touches the mechanism, so the identical
+    * integer literals drive both engines.
+    *
+    * F(k<0) = α^|k|/(1+α) = 4^|k|·5 / (5^|k|·9);
+    * F(k≥0) = 1 − α^(k+1)/(1+α). */
+  private[graft] val dpThresholds: Seq[(Int, Long, Long)] = {
+    def ceilDiv(a: BigInt, b: BigInt): BigInt = (a + b - 1) / b
+    def t(k: Int): BigInt =
+      if (k < 0) {
+        val a = -k
+        (DpScale * DpNum.pow(a) * DpDen) / (DpDen.pow(a) * (DpNum + DpDen))
+      } else
+        DpScale - ceilDiv(DpScale * DpNum.pow(k + 1) * DpDen,
+          DpDen.pow(k + 1) * (DpNum + DpDen))
+    (-DpTrunc to DpTrunc).map { k =>
+      val lo = if (k == -DpTrunc) BigInt(0) else t(k - 1)
+      val hi = if (k == DpTrunc) DpScale else t(k)
+      (k, lo.toLong, hi.toLong)
+    }
+  }
+
+  /** ε printed into the release row: ln(5/4) as a FIXED decimal literal
+    * (not a runtime `ln` — the two engines' transcendental libraries are
+    * not bit-guaranteed; a shared literal is). */
+  private val DpEpsilonLit = "0.22314355131420976"
+
+  /** q224_dp_counts — ε-differentially-private per-source document counts
+    * via the truncated geometric mechanism (Ghosh–Roughgarden–Sundararajan:
+    * the discrete Laplace, universally optimal for sensitivity-1 counts).
+    * The noise is SEEDED: a 40-bit uniform from the stable source hash is
+    * inverse-CDF'd through exact integer thresholds, so the release is
+    * deterministic per (source, salt) — reproducible audits, and the DuckDB
+    * oracle replays it bit-for-bit. A production release would rotate the
+    * salt per publication; determinism-per-salt is exactly what makes a
+    * release auditable after the fact.
+    *
+    * Scale: one map-side-combinable count aggregate at source cardinality,
+    * then a broadcast range-join against the 81-row threshold table — no
+    * shuffle beyond the count's. */
+  def q224DpCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.StableHash
+    val per = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        pmod(StableHash.charMix62(col("source"), 17L), lit(DpScale.toLong)))
+    val thr = spark.createDataFrame(dpThresholds).toDF("noise", "lo", "hi")
+    per.join(broadcast(thr), col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("source"), col("n_true"),
+        col("noise").cast("long").as("noise"),
+        (col("n_true") + col("noise")).as("dp_count"),
+        expr(s"CAST($DpEpsilonLit AS DOUBLE)").as("epsilon"))
+      .orderBy(col("source"))
+  }
+
+  val q224Sql: String = {
+    val rows = dpThresholds
+      .map { case (k, lo, hi) => s"($k, ${lo}::BIGINT, ${hi}::BIGINT)" }
+      .mkString(",\n    ")
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_true,
+       |         (${graft.functions.StableHash.charMix62Sql("source", 17L)})
+       |           % ${DpScale.toLong} AS u
+       |  FROM documents GROUP BY source),
+       |thr(noise, lo, hi) AS (VALUES
+       |    $rows)
+       |SELECT source, n_true, CAST(noise AS BIGINT) AS noise,
+       |       n_true + CAST(noise AS BIGINT) AS dp_count,
+       |       CAST($DpEpsilonLit AS DOUBLE) AS epsilon
+       |FROM per JOIN thr ON u >= lo AND u < hi
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -252,6 +252,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q224: geometric-mechanism bins partition [0,2^40); widths decay ~α") {
+    val t = ops.Privacy.dpThresholds
+    // bins tile the uniform's whole range with no gap or overlap
+    assert(t.head._2 === 0L && t.last._3 === (1L << 40))
+    t.sliding(2).foreach { case Seq(a, b) => assert(a._3 === b._2) }
+    // Pr(k) ∝ α^|k| with α=4/5: adjacent INTERIOR bin widths obey
+    // 5·w(|k|+1) = 4·w(|k|) up to the two floors' rounding (|error| ≤ 9)
+    def w(k: Int) = { val r = t(k + 40); r._3 - r._2 }
+    (0 until 39).foreach { k =>
+      assert(math.abs(5 * w(k + 1) - 4 * w(k)) <= 9,
+        s"width decay broken at k=$k: ${w(k)} -> ${w(k + 1)}")
+      assert(math.abs(5 * w(-(k + 1)) - 4 * w(-k)) <= 9,
+        s"width decay broken at k=-$k")
+    }
+    // symmetric mechanism: Pr(k) = Pr(-k) on interior bins
+    (1 until 40).foreach(k => assert(math.abs(w(k) - w(-k)) <= 2))
+    // the release applies exactly this mechanism, keyed by the source hash
+    val out = ops.Privacy.q224DpCounts(spark, sf).collect()
+    out.foreach { r =>
+      val noise = r.getAs[Long]("noise")
+      assert(noise >= -40 && noise <= 40)
+      assert(r.getAs[Long]("dp_count") === r.getAs[Long]("n_true") + noise)
+    }
+    // noise actually varies across sources (the hash isn't degenerate)
+    assert(out.map(_.getAs[Long]("noise")).distinct.length > 1)
+  }
+
   test("q101: media dup groups cover the corpus; reps belong to groups") {
     val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
