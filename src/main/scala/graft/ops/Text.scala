@@ -804,4 +804,111 @@ object Text {
       |       trim(regexp_replace(regexp_replace(lower(text),
       |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- BPE trainer
+
+  /** Merge rounds the trainer unrolls (and the oracle replays as generated
+    * CTEs — the q201 pattern for data-independent loops). */
+  val BpeRounds = 3
+
+  /** Token separator inside the tokenization state string. Tokens are
+    * concatenations of corpus characters and never contain it, so a merge
+    * pattern `a SEP b` can only match at a real token boundary. */
+  private val BpeSep = "\u0001"
+
+  /** q225_bpe_train — [[BpeRounds]] rounds of byte-pair-encoding tokenizer
+    * TRAINING (q180 counts the initial pair frequencies; this actually
+    * learns the merge table): per round, count adjacent token pairs across
+    * the corpus, adopt the most frequent pair (ties broken lexicographically
+    * — fully deterministic), and re-tokenize. Returns the learned merges —
+    * the artifact a tokenizer ships.
+    *
+    * Two representation choices make this Spark-first and oracle-exact:
+    *
+    *  1. The corpus collapses to its WORD HISTOGRAM before any round (the
+    *     trick every production BPE trainer uses): iteration cost scales
+    *     with vocabulary, not corpus — at 100 TB the histogram is one
+    *     map-side-combinable aggregate and everything after is
+    *     vocab-cardinality.
+    *  2. Tokenization state is the word string with [[BpeSep]] between
+    *     tokens, so "merge pair (a,b) everywhere, leftmost-first" is plain
+    *     `replace(state, a‖SEP‖b, a‖b)` — left-to-right non-overlapping
+    *     replacement IS the BPE merge rule, identical in both engines, and
+    *     no list-fold machinery is needed.
+    *
+    * Per round: one narrow explode of the vocab-sized state frame, one
+    * pair-count hash aggregate (map-side combine), a 1-row TakeOrdered
+    * argmax broadcast back, and a codegen'd replace. State is checkpointed
+    * per round — the standard iterative-lineage discipline. */
+  def q225BpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Checkpoints.CutOps
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var state = words.select(
+      concat_ws(BpeSep, filter(split(col("word"), ""), t => t =!= ""))
+        .as("state"), col("n"))
+      .cutLineage()
+    val merges = (1 to BpeRounds).map { r =>
+      val t = split(col("state"), BpeSep)
+      val m = greatest(size(t) - 1, lit(0))
+      val pairs = state
+        .select(col("n"), explode(arrays_zip(
+          slice(t, lit(1), m).as("a"), slice(t, lit(2), m).as("b"))).as("z"))
+        .select(concat(col("z.a"), lit(BpeSep), col("z.b")).as("pair"),
+          col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("pair_count"))
+      val top = pairs.orderBy(desc("pair_count"), col("pair")).limit(1)
+        .cutLineage()
+      state = state.crossJoin(broadcast(top.select(col("pair"))))
+        .select(call_function("replace", col("state"), col("pair"),
+          translate(col("pair"), BpeSep, "")).as("state"), col("n"))
+        .cutLineage()
+      top.select(lit(r).as("round"),
+        element_at(split(col("pair"), BpeSep), 1).as("tok_a"),
+        element_at(split(col("pair"), BpeSep), 2).as("tok_b"),
+        translate(col("pair"), BpeSep, "").as("merged"),
+        col("pair_count"))
+    }
+    merges.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
+  /** Generated oracle for q225: the same word histogram, then per round a
+    * pair-count CTE, a LIMIT-1 argmax with the identical (count DESC,
+    * pair ASC) tie-break (BpeSep sorts below every corpus character in both
+    * engines' binary collation, so pair-string order equals (a, b) order),
+    * and a replace-based re-tokenization. */
+  val q225Sql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+         |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+         |               i -> t[i] || chr(1) || t[i+1])) AS pair, n
+         |        FROM (SELECT string_split(state, chr(1)) AS t, n
+         |              FROM s${r - 1}))
+         |  GROUP BY pair),
+         |m$r AS (SELECT pair, pair_count FROM p$r
+         |        ORDER BY pair_count DESC, pair LIMIT 1),
+         |s$r AS (SELECT replace(s.state, m.pair,
+         |                       replace(m.pair, chr(1), '')) AS state, s.n
+         |        FROM s${r - 1} s, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map { r =>
+      s"""SELECT $r AS round,
+         |  string_split(pair, chr(1))[1] AS tok_a,
+         |  string_split(pair, chr(1))[2] AS tok_b,
+         |  replace(pair, chr(1), '') AS merged, pair_count FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT array_to_string(string_split(word, ''), chr(1)) AS state,
+       |              n
+       |       FROM w),
+       |$rounds
+       |$union
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -31,4 +31,35 @@ class GrowthSpec extends AnyFunSuite {
       assert(r.getLong(4) === run, s"running total breaks at batch ${r.getLong(0)}")
     }
   }
+
+  test("q225 BPE trainer: known merge sequence on a planted corpus") {
+    import spark.implicits._
+    // "aaab"×3: round 1 counts (a,a)=6 > (a,b)=3 → merge aa; round 2 has
+    // (aa,a)=3 and (a,b)=3 tied — 'ab' < 'aaa' so the
+    // lexicographic tie-break adopts (a,b); round 3 must merge (aa,ab).
+    // This pins leftmost-first re-tokenization ("a a a b" → "aa a b", not
+    // "a aa b") AND the tie-break in one corpus.
+    val docs = Seq((0L, "aaab aaab"), (1L, "aaab")).toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q225BpeTrain(spark, dir).collect()
+    val got = out.map(r => (r.getAs[Int]("round"), r.getAs[String]("tok_a"),
+      r.getAs[String]("tok_b"), r.getAs[String]("merged"),
+      r.getAs[Long]("pair_count"))).toSeq
+    assert(got === Seq((1, "a", "a", "aa", 6L), (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("q225 BPE trainer: adopted pair counts never increase across rounds") {
+    // A merge removes the argmax pair; pairs it creates are bounded by its
+    // count and untouched pairs keep theirs — so the adopted count is
+    // nonincreasing. (Law of the mechanism, checked on the real fixture.)
+    val counts = Text.q225BpeTrain(spark, SparkSuite.sf)
+      .orderBy("round").collect().map(_.getAs[Long]("pair_count"))
+    assert(counts.length === Text.BpeRounds)
+    counts.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"adopted pair count grew: $a -> $b")
+    }
+  }
 }
