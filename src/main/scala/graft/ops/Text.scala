@@ -841,12 +841,21 @@ object Text {
     * argmax broadcast back, and a codegen'd replace. State is checkpointed
     * per round — the standard iterative-lineage discipline. */
   def q225BpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (merges, _) = bpeTrainLoop(Tables.documents(spark, sfDir))
+    merges.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
+  /** The trainer loop shared by q225 (returns the merge table) and q226
+    * (returns the fully-merged per-word state = the ENCODE of every word
+    * under the learned merges — BPE encoding applies the merges in learned
+    * order, which is exactly the state the trainer left behind). */
+  private def bpeTrainLoop(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
     import graft.ops.Checkpoints.CutOps
-    val words = Tables.documents(spark, sfDir)
+    val words = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    var state = words.select(
+    var state = words.select(col("word"),
       concat_ws(BpeSep, filter(split(col("word"), ""), t => t =!= ""))
         .as("state"), col("n"))
       .cutLineage()
@@ -862,8 +871,9 @@ object Text {
       val top = pairs.orderBy(desc("pair_count"), col("pair")).limit(1)
         .cutLineage()
       state = state.crossJoin(broadcast(top.select(col("pair"))))
-        .select(call_function("replace", col("state"), col("pair"),
-          translate(col("pair"), BpeSep, "")).as("state"), col("n"))
+        .select(col("word"), call_function("replace", col("state"),
+          col("pair"), translate(col("pair"), BpeSep, "")).as("state"),
+          col("n"))
         .cutLineage()
       top.select(lit(r).as("round"),
         element_at(split(col("pair"), BpeSep), 1).as("tok_a"),
@@ -871,7 +881,41 @@ object Text {
         translate(col("pair"), BpeSep, "").as("merged"),
         col("pair_count"))
     }
-    merges.reduce(_.unionByName(_)).orderBy(col("round"))
+    (merges, state)
+  }
+
+  /** q226_bpe_encode — ENCODE the corpus with the q225-learned merges and
+    * report per-source tokenizer fertility (BPE tokens per whitespace word)
+    * and compression (chars per BPE token) — the readout that tells a
+    * data-mix designer which sources are token-expensive under a given
+    * tokenizer. Encoding rides the trainer's final state: applying the
+    * merge table in learned order to a word IS the state the trainer left,
+    * so the encode step is a vocab-cardinality lookup, not a re-merge of
+    * the corpus.
+    *
+    * Scale: the corpus-side cost is one word explode; the join against the
+    * vocab-sized encode map is left unhinted (AQE broadcasts it at fixture
+    * scale; a 100 TB vocabulary shuffles on the word key). */
+  def q226BpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (_, st) = bpeTrainLoop(docs)
+    val enc = st.select(col("word"),
+      size(split(col("state"), BpeSep)).cast("long").as("n_tok"),
+      length(col("word")).cast("long").as("n_chr"))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(enc, "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_tokens"),
+        sum(col("n_chr")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        col("n_chars"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy(col("source"))
   }
 
   /** Generated oracle for q225: the same word histogram, then per round a
@@ -879,7 +923,10 @@ object Text {
     * pair ASC) tie-break (BpeSep sorts below every corpus character in both
     * engines' binary collation, so pair-string order equals (a, b) order),
     * and a replace-based re-tokenization. */
-  val q225Sql: String = {
+  /** The trainer CTE chain shared by [[q225Sql]] and [[q226Sql]]: word
+    * histogram, initial state, then per round (pair counts, argmax, merged
+    * state) — state CTEs carry the word for the encode join. */
+  private def bpeSqlCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (
          |  SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
@@ -890,25 +937,53 @@ object Text {
          |  GROUP BY pair),
          |m$r AS (SELECT pair, pair_count FROM p$r
          |        ORDER BY pair_count DESC, pair LIMIT 1),
-         |s$r AS (SELECT replace(s.state, m.pair,
+         |s$r AS (SELECT s.word, replace(s.state, m.pair,
          |                       replace(m.pair, chr(1), '')) AS state, s.n
          |        FROM s${r - 1} s, m$r m)""".stripMargin
     }.mkString(",\n")
+    s"""w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT word,
+       |              array_to_string(string_split(word, ''), chr(1)) AS state,
+       |              n
+       |       FROM w),
+       |$rounds""".stripMargin
+  }
+
+  val q225Sql: String = {
     val union = (1 to BpeRounds).map { r =>
       s"""SELECT $r AS round,
          |  string_split(pair, chr(1))[1] AS tok_a,
          |  string_split(pair, chr(1))[2] AS tok_b,
          |  replace(pair, chr(1), '') AS merged, pair_count FROM m$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH w AS (
-       |  SELECT word, CAST(count(*) AS BIGINT) AS n
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE word <> '' GROUP BY word),
-       |s0 AS (SELECT array_to_string(string_split(word, ''), chr(1)) AS state,
-       |              n
-       |       FROM w),
-       |$rounds
+    s"""WITH $bpeSqlCtes
        |$union
        |ORDER BY round""".stripMargin
   }
+
+  val q226Sql: String =
+    s"""WITH $bpeSqlCtes,
+       |enc AS (
+       |  SELECT word,
+       |         CAST(len(string_split(state, chr(1))) AS BIGINT) AS n_tok,
+       |         CAST(len(word) AS BIGINT) AS n_chr
+       |  FROM s$BpeRounds),
+       |dw AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       |         CAST(sum(n_chr) AS BIGINT) AS n_chars
+       |  FROM dw JOIN enc USING (word)
+       |  WHERE word <> '' GROUP BY source)
+       |SELECT source, n_words, n_bpe_tokens, n_chars,
+       |       CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |         AS fertility,
+       |       CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+       |         AS chars_per_token
+       |FROM agg ORDER BY source""".stripMargin
 }

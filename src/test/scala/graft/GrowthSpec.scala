@@ -51,6 +51,26 @@ class GrowthSpec extends AnyFunSuite {
       (3, "aa", "ab", "aaab", 3L)))
   }
 
+  test("q226 encode: tokenization conserves chars and bounds fertility") {
+    import org.apache.spark.sql.functions._
+    val rows = Text.q226BpeEncode(spark, SparkSuite.sf).collect()
+    rows.foreach { r =>
+      val (w, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("n_chars"))
+      // every word is ≥1 token, every token ≥1 char, merges only shrink
+      assert(w <= t && t <= c, s"token bounds violated: $w/$t/$c")
+      assert(r.getAs[Double]("fertility") === t.toDouble / w)
+    }
+    // chars are conserved: per-source totals equal a direct recompute
+    val direct = Tables.documents(spark, SparkSuite.sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source").agg(sum(length(col("w"))).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_chars") === direct(r.getAs[String]("source"))))
+  }
+
   test("q225 BPE trainer: adopted pair counts never increase across rounds") {
     // A merge removes the argmax pair; pairs it creates are bounded by its
     // count and untouched pairs keep theirs — so the adopted count is
