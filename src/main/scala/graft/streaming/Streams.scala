@@ -478,6 +478,51 @@ object Streams {
 
   val q136Sql: String = graft.ops.Events.q60Sql
 
+  /** q227_stream_enrich — [[streamStaticEnrich]] run end-to-end as a
+    * streaming query: the events fixture streams from a file source and
+    * every micro-batch left-joins the broadcast customer dimension — the
+    * most common production streaming shape (enrich-on-ingest), and the
+    * streaming twin of q10's broadcast dimension join. STATELESS by
+    * design: no watermark, no state store, nothing to finalize —
+    * AvailableNow drains the whole fixture and the output must equal the
+    * batch left join, which is exactly the oracle. Left join so unmatched
+    * facts flow through (an inner join on an incomplete dimension silently
+    * drops ingest data).
+    *
+    * Scale: the broadcast hint keeps each fact micro-batch from ever
+    * shuffling; the dimension is re-planned per batch (picking up slowly
+    * changing dims on restart) — a dimension past broadcast size belongs
+    * in a stream-stream changelog join (q119's shape) instead. */
+  def q227StreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = freshDir("graft-q227")
+    val in = stageOnce("q227in", sfDir) { dir =>
+      graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"))
+        .coalesce(1).write.parquet(s"$dir/in")
+    }
+    val schema = spark.read.parquet(s"$in/in").schema
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"),
+        col("c_mktsegment"))
+    streamStaticEnrich(
+        spark.readStream.schema(schema).parquet(s"$in/in"), dim, "user_id")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(s"$root/out")
+      .select(col("event_id"), col("user_id"), col("c_nationkey"),
+        col("c_mktsegment"))
+      .orderBy(col("event_id"))
+  }
+
+  val q227Sql: String =
+    """SELECT e.event_id, e.user_id, c.c_nationkey, c.c_mktsegment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   /** q219_stream_sessions — the CUSTOM stateful sessionizer
     * ([[sessionize]], flatMapGroupsWithState + event-time timeouts) run
     * end-to-end as a streaming query and hash-checked against the batch
