@@ -150,6 +150,84 @@ object TrainingData {
        |              AS DOUBLE) AS final_share
        |FROM quant ORDER BY source""".stripMargin
 
+  /** q228_mix_apply — APPLY the q204 mix weights to the corpus as
+    * deterministic per-document up/down-sampling: a document with weight w
+    * gets ⌊w⌋ copies plus one more iff its id-hash uniform falls below the
+    * fractional part (computed on the SAME 2^20-quantized weight q204
+    * reports, so the two queries can never disagree about the target).
+    * The q204→q228 pair is report→apply, the same arc as q225→q226: q204
+    * says what the mix SHOULD be, this materializes the per-source copy
+    * counts that realize it, with the achieved-vs-target rate in-row.
+    *
+    * Determinism & scale: weights are source-cardinality aggregates; the
+    * weight join is left unhinted (AQE broadcasts source-cardinality
+    * frames at any realistic source count; a web-scale hostname 'source'
+    * would shuffle on the key). Copy counts are exact integers from the
+    * quantized weight and a seeded integer hash — both engines replay
+    * them bit-for-bit; the rates are single IEEE divisions. */
+  def q228MixApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.StableHash
+    val bySource = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("chars"))
+    val tot = bySource.agg(
+      sum(col("chars")).as("tot_chars"),
+      count(lit(1)).as("n_sources"))
+    val wq = bySource.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(least(lit(MixCap),
+          (lit(1.0) / col("n_sources").cast("double")) /
+            (col("chars").cast("double") / col("tot_chars").cast("double")))
+          * lit(1L << 20)).cast("long").as("w_q"))
+    Tables.documents(spark, sfDir).select(col("source"), col("doc_id"))
+      .join(wq, "source")
+      .select(col("source"), col("w_q"),
+        (expr("w_q div 1048576") +
+          when(pmod(StableHash.intMix62(col("doc_id"), 23L),
+            lit(1L << 20)) < col("w_q") % lit(1L << 20), 1L)
+            .otherwise(0L)).as("copies"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("w_q")).as("w_q"),
+        sum(col("copies")).as("n_selected"))
+      .select(col("source"), col("n_docs"), col("w_q"), col("n_selected"),
+        (col("n_selected").cast("double") / col("n_docs").cast("double"))
+          .as("realized_rate"),
+        (col("w_q").cast("double") / lit(1048576.0)).as("target_rate"))
+      .orderBy(col("source"))
+  }
+
+  val q228Sql: String =
+    s"""WITH by_source AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(chars) AS BIGINT) AS tot_chars,
+       |         count(*) AS n_sources
+       |  FROM by_source),
+       |wq AS (
+       |  SELECT source,
+       |         CAST(floor(least($MixCap,
+       |           (1.0 / CAST(n_sources AS DOUBLE)) /
+       |             (CAST(chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)))
+       |           * 1048576) AS BIGINT) AS w_q
+       |  FROM by_source CROSS JOIN tot),
+       |sel AS (
+       |  SELECT d.source, q.w_q,
+       |         (q.w_q // 1048576) +
+       |         (CASE WHEN (${graft.functions.StableHash
+                  .intMix62Sql("d.doc_id", 23L)}) % 1048576
+       |                    < q.w_q % 1048576
+       |               THEN 1 ELSE 0 END) AS copies
+       |  FROM documents d JOIN wq q USING (source))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(max(w_q) AS BIGINT) AS w_q,
+       |       CAST(sum(copies) AS BIGINT) AS n_selected,
+       |       CAST(sum(copies) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS realized_rate,
+       |       CAST(max(w_q) AS DOUBLE) / CAST(1048576 AS DOUBLE)
+       |         AS target_rate
+       |FROM sel GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ OOV audit
 
   /** Vocabulary size for q205. */

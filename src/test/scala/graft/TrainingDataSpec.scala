@@ -304,4 +304,22 @@ class TrainingDataSpec extends AnyFunSuite {
       .count()
     assert(out.map(_.getAs[Long]("n_dup")).sum === direct)
   }
+
+  test("q228 applies exactly the q204-quantized weights, copies bounded") {
+    val apply228 = TrainingData.q228MixApply(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val report204 = TrainingData.q204MixWeights(spark, sf).collect()
+    assert(report204.length === apply228.size)
+    report204.foreach { r =>
+      val a = apply228(r.getAs[String]("source"))
+      // the sampler consumes the SAME 2^20 quantization q204 reports
+      assert(a.getAs[Long]("w_q") ===
+        math.floor(r.getAs[Double]("weight") * (1L << 20)).toLong)
+      // ⌊w⌋ copies always; at most one fractional extra per doc
+      val (n, sel, wq) = (a.getAs[Long]("n_docs"),
+        a.getAs[Long]("n_selected"), a.getAs[Long]("w_q"))
+      assert(sel >= n * (wq / 1048576) && sel <= n * (wq / 1048576 + 1),
+        s"copies out of bounds for ${r.getAs[String]("source")}")
+    }
+  }
 }
