@@ -173,6 +173,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agree >= 0.6, s"rank agreement $agree after quantization")
   }
 
+  test("q229 PQ/ADC: shortlist+rerank recovers the exact top-5") {
+    val sfDir = SparkSuite.sf
+    val adc = ops.Quantize.q229PqAdc(spark, sfDir)
+    val rows = adc.select("query_id", "cand_id", "rank", "in_exact")
+      .as[(Long, Long, Int, Long)].collect()
+    // exactly 5 ranked hits per query, ranks 1..5
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === 5, s"expected 5 queries, got ${byQ.keySet}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === Seq(1, 2, 3, 4, 5), s"query $q")
+    }
+    // the ADC shortlist covers 10% of the corpus; after exact rerank the
+    // emitted top-5 must mostly BE the exact top-5
+    val recall = rows.map(_._4).sum.toDouble / rows.length
+    assert(recall >= 0.6, s"mean in_exact $recall — shortlist misses NNs")
+    // no candidate equals its query; no duplicate candidates per query
+    assert(rows.forall(r => r._1 != r._2))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).distinct.length === rs.length, s"dup cand in $q")
+    }
+  }
+
   test("int8 storage form stays within tinyint range") {
     val e = Tables.embeddings(spark, SparkSuite.sf)
     val stats = e.select(explode(
