@@ -265,4 +265,80 @@ object Evaluation {
       |       (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
       |         / (CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS lift
       |FROM per CROSS JOIN tot ORDER BY decile""".stripMargin
+
+  // --------------------------------------------------------------- ROC AUC
+
+  /** q231_auc_rank — EXACT ROC-AUC via the Mann–Whitney rank-sum identity
+    * AUC = (R⁺ − P(P+1)/2)/(P·N), with textbook midrank tie handling —
+    * computed WITHOUT ranking rows. The classifier is q163's synthetic one
+    * flattened to binary (y = label<5) with an integer score = 4·y + noise
+    * in [−4, 4], overlapping the classes on [0, 4] so ties and errors are
+    * real. The
+    * whole computation folds to score-cardinality: per distinct score,
+    * (count, positives); a cumulative window over the handful of score
+    * values yields each score's midrank (doubled to stay integer:
+    * 2·mid = 2·cum_before + cnt + 1), and the doubled positive rank-sum
+    * R2 = Σ n_pos_s·(2·cum_before + cnt + 1) is an exact BIGINT in any
+    * partition order. One IEEE division makes the AUC; Gini = 2·AUC−1.
+    *
+    * Scale: one map-side-combinable aggregate whose shuffle is bounded by
+    * distinct-score cardinality, then a window over THAT (17 rows here —
+    * the unpartitioned window is over the aggregate, never data rows). A
+    * continuous scorer first quantizes to fixed-point buckets (q210's
+    * 2^20 discipline), which bounds cardinality and maps ties to buckets
+    * the same way in both engines. This is how AUC stays one pass at
+    * 10^11 scored rows. */
+  def q231AucRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = StableHash.intMix62(col("vec_id"), 29L)
+    val scored = Tables.embeddings(spark, sfDir)
+      .select(when(col("label") < 5, 1L).otherwise(0L).as("y"),
+        (when(col("label") < 5, 4L).otherwise(0L) +
+          pmod(h, lit(9L)) - 4L).as("score"))
+    val byScore = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("n_pos_s"))
+    val ranked = byScore.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranked
+      .agg(sum(col("cnt")).as("n"), sum(col("n_pos_s")).as("n_pos"),
+        sum(col("n_pos_s") * (col("cum_before") * 2 + col("cnt") + 1))
+          .as("rank_sum2"))
+      .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        col("rank_sum2"),
+        ((col("rank_sum2") - col("n_pos") * (col("n_pos") + 1))
+          .cast("double") /
+          (col("n_pos") * (col("n") - col("n_pos")) * 2).cast("double"))
+          .as("auc"))
+      .withColumn("gini", col("auc") * 2 - 1)
+  }
+
+  val q231Sql: String = {
+    val mix = StableHash.intMix62Sql("vec_id", 29L)
+    s"""WITH scored AS (
+       |  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |         (CASE WHEN label < 5 THEN 4 ELSE 0 END)
+       |           + ($mix) % 9 - 4 AS score
+       |  FROM embeddings),
+       |by_score AS (
+       |  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+       |         CAST(sum(y) AS BIGINT) AS n_pos_s
+       |  FROM scored GROUP BY score),
+       |ranked AS (
+       |  SELECT *, CAST(coalesce(sum(cnt) OVER (ORDER BY score
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         AS BIGINT) AS cum_before
+       |  FROM by_score),
+       |a AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+       |         CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+       |         CAST(sum(n_pos_s * (cum_before * 2 + cnt + 1)) AS BIGINT)
+       |           AS rank_sum2
+       |  FROM ranked)
+       |SELECT n, n_pos, n - n_pos AS n_neg, rank_sum2,
+       |       CAST(rank_sum2 - n_pos * (n_pos + 1) AS DOUBLE) /
+       |         CAST(n_pos * (n - n_pos) * 2 AS DOUBLE) AS auc,
+       |       (CAST(rank_sum2 - n_pos * (n_pos + 1) AS DOUBLE) /
+       |         CAST(n_pos * (n - n_pos) * 2 AS DOUBLE)) * 2 - 1 AS gini
+       |FROM a""".stripMargin
+  }
 }

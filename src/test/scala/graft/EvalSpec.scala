@@ -90,4 +90,32 @@ class EvalSpec extends AnyFunSuite {
       assert(math.abs(f1 - expect) < 1e-12)
     }
   }
+
+  test("q231 AUC: matches a naive pairwise recomputation with ties") {
+    val out = Evaluation.q231AucRank(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (n, nPos, nNeg) = (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+      r.getAs[Long]("n_neg"))
+    assert(n === nPos + nNeg)
+    val auc = r.getAs[Double]("auc")
+    // independent O(P·N) recomputation: AUC = (wins + ties/2) / (P·N)
+    import graft.functions.StableHash
+    val scored = Tables.embeddings(spark, sf)
+      .select(when(col("label") < 5, 1L).otherwise(0L).as("y"),
+        (when(col("label") < 5, 4L).otherwise(0L) +
+          pmod(StableHash.intMix62(col("vec_id"), 29L), lit(9L)) - 4L)
+          .as("score"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val pos = scored.filter(_._1 == 1L).map(_._2)
+    val neg = scored.filter(_._1 == 0L).map(_._2)
+    var wins2 = 0L // doubled: win=2, tie=1
+    for (p <- pos; q <- neg)
+      wins2 += (if (p > q) 2L else if (p == q) 1L else 0L)
+    val naive = wins2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(auc - naive) < 1e-12, s"auc $auc vs naive $naive")
+    // the synthetic scorer carries real signal but real overlap too
+    assert(auc > 0.6 && auc < 0.99, s"auc $auc out of expected band")
+    assert(math.abs(r.getAs[Double]("gini") - (2 * auc - 1)) < 1e-12)
+  }
 }
