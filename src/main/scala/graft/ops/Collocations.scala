@@ -137,4 +137,111 @@ object Collocations {
       |JOIN freq f2 ON f2.l_partkey = p2
       |CROSS JOIN nb
       |ORDER BY p1, p2""".stripMargin
+
+  /** Minimum support (baskets) at every Apriori level of q232. */
+  val TripleSupport = 2
+
+  /** q232_basket_triples — the level-3 Apriori step above q120's pairs,
+    * run the level-wise way that scales: (1) L1 = items with support ≥ s,
+    * and baskets PRUNED to L1 items (the Apriori downward-closure cut —
+    * infrequent items can join no frequent triple); (2) L2 = frequent
+    * pairs over the pruned baskets; (3) candidate triples generated by
+    * prefix-joining L2 with itself ((a,b)+(a,c), b<c) and PRUNED again by
+    * requiring the third sub-pair (b,c) ∈ L2; (4) support counted by
+    * semi-joining the pruned baskets' triple expansion against the
+    * candidate set. Downward closure makes steps 3–4 results identical to
+    * a brute triple count at the same threshold — the candidate machinery
+    * changes the COST, never the answer — which the spec asserts.
+    *
+    * Scale: triple expansion is (pruned basket size)³ per basket, never
+    * corpus³, and the candidate semi-join shrinks the aggregate's input
+    * to candidate-matching triples only; every aggregate is map-side
+    * combinable on item-tuple keys. Lift = n_abc·nb² / (n_a·n_b·n_c):
+    * integer products, one IEEE division. */
+  def q232BasketTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = TripleSupport
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    val nBaskets = items.select(col("l_orderkey")).distinct().count()
+    val freq = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    val l1 = freq.filter(col("n_item") >= s)
+    val pruned = items.join(l1.select(col("l_partkey")), Seq("l_partkey"),
+      "left_semi").localCheckpoint()
+    def side(n: Int) = pruned
+      .select(col("l_orderkey"), col("l_partkey").as(s"p$n"))
+    val l2 = side(1).join(side(2), Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= s)
+      .localCheckpoint()
+    val cands = l2.select(col("p1"), col("p2"))
+      .join(l2.select(col("p1"), col("p2").as("p3")), Seq("p1"))
+      .filter(col("p2") < col("p3"))
+      .join(l2.select(col("p1").as("p2"), col("p2").as("p3")),
+        Seq("p2", "p3"), "left_semi")
+    val triples = side(1)
+      .join(side(2), Seq("l_orderkey")).filter(col("p1") < col("p2"))
+      .join(side(3), Seq("l_orderkey")).filter(col("p2") < col("p3"))
+      .join(broadcast(cands), Seq("p1", "p2", "p3"), "left_semi")
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("n_triple"))
+      .filter(col("n_triple") >= s)
+    def f(n: Int) = freq
+      .select(col("l_partkey").as(s"p$n"), col("n_item").as(s"n$n"))
+    triples
+      .join(f(1), Seq("p1")).join(f(2), Seq("p2")).join(f(3), Seq("p3"))
+      .select(col("p1"), col("p2"), col("p3"), col("n_triple"),
+        col("n1"), col("n2"), col("n3"),
+        ((col("n_triple") * nBaskets * nBaskets).cast("double") /
+          (col("n1") * col("n2") * col("n3")).cast("double")).as("lift"))
+      .orderBy(col("p1"), col("p2"), col("p3"))
+  }
+
+  val q232Sql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |freq AS (
+       |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+       |  FROM items GROUP BY 1),
+       |pruned AS (
+       |  SELECT i.* FROM items i JOIN freq f ON i.l_partkey = f.l_partkey
+       |  WHERE f.n_item >= $TripleSupport),
+       |l2 AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_pair
+       |  FROM pruned a JOIN pruned b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TripleSupport),
+       |cands AS (
+       |  -- l2 rows are unique pairs, so these inner joins are exact
+       |  -- semi-joins (no row multiplication) — EXISTS phrased as joins
+       |  -- because DuckDB's decorrelation is pathological here
+       |  SELECT x.p1, x.p2, y.p2 AS p3
+       |  FROM l2 x
+       |  JOIN l2 y ON x.p1 = y.p1 AND x.p2 < y.p2
+       |  JOIN l2 z ON z.p1 = x.p2 AND z.p2 = y.p2),
+       |triples AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+       |         CAST(count(*) AS BIGINT) AS n_triple
+       |  FROM pruned a
+       |  JOIN pruned b ON a.l_orderkey = b.l_orderkey
+       |               AND a.l_partkey < b.l_partkey
+       |  JOIN pruned c ON a.l_orderkey = c.l_orderkey
+       |               AND b.l_partkey < c.l_partkey
+       |  JOIN cands k ON k.p1 = a.l_partkey AND k.p2 = b.l_partkey
+       |              AND k.p3 = c.l_partkey
+       |  GROUP BY 1, 2, 3 HAVING count(*) >= $TripleSupport),
+       |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
+       |SELECT t.p1, t.p2, t.p3, t.n_triple,
+       |       f1.n_item AS n1, f2.n_item AS n2, f3.n_item AS n3,
+       |       CAST(t.n_triple * nb.n_baskets * nb.n_baskets AS DOUBLE) /
+       |         CAST(f1.n_item * f2.n_item * f3.n_item AS DOUBLE) AS lift
+       |FROM triples t
+       |JOIN freq f1 ON f1.l_partkey = t.p1
+       |JOIN freq f2 ON f2.l_partkey = t.p2
+       |JOIN freq f3 ON f3.l_partkey = t.p3
+       |CROSS JOIN nb
+       |ORDER BY t.p1, t.p2, t.p3""".stripMargin
 }

@@ -32,6 +32,34 @@ class MiningSpec extends AnyFunSuite {
       (nPair * nBaskets).toDouble / (n1 * n2).toDouble)
   }
 
+  test("q232 candidate-pruned triples equal the brute triple count") {
+    val out = Collocations.q232BasketTriples(spark, sf).collect()
+    assert(out.nonEmpty, "fixture should contain support-2 triples")
+    val s = Collocations.TripleSupport.toLong
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_triple") >= s)
+      assert(r.getAs[Long]("p1") < r.getAs[Long]("p2"))
+      assert(r.getAs[Long]("p2") < r.getAs[Long]("p3"))
+    }
+    // brute force WITHOUT L1 pruning / candidate generation — downward
+    // closure says the level-wise machinery must not change the answer
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    def side(n: Int) =
+      items.select(col("l_orderkey"), col("l_partkey").as(s"p$n"))
+    val brute = side(1)
+      .join(side(2), Seq("l_orderkey")).filter(col("p1") < col("p2"))
+      .join(side(3), Seq("l_orderkey")).filter(col("p2") < col("p3"))
+      .groupBy("p1", "p2", "p3").count()
+      .filter(col("count") >= s)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val got = out.map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"),
+      r.getAs[Long]("p3")) -> r.getAs[Long]("n_triple")).toMap
+    assert(got === brute, "level-wise result diverges from brute count")
+  }
+
   test("q121 trailing-7d distinct equals a direct range count") {
     val out = Events.q121RollingDistinct(spark, sf).collect()
     assert(out.nonEmpty)
