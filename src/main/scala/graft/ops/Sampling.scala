@@ -218,4 +218,99 @@ object Sampling {
       |         / CAST(t.sum_w AS DOUBLE) AS kept_vs_expected
       |FROM tot t LEFT JOIN kept k ON k.lang = t.lang
       |ORDER BY t.lang""".stripMargin
+
+  // ------------------------------------------------- Neyman allocation
+
+  /** Sampling-budget divisor for q233: K = ⌊total docs / 5⌋ (a 20%
+    * budget), derived from the data so the query is scale-invariant. */
+  val NeymanBudgetDiv = 5
+
+  /** q233_neyman_alloc — variance-optimal (Neyman) stratified-sample
+    * ALLOCATION: given a total budget K, each stratum h gets
+    * n_h ∝ N_h·S_h, so high-variance strata are sampled harder — the
+    * design step that precedes q91's proportional executor when strata
+    * differ in spread (here: document length by source). The arithmetic
+    * is engineered exact end-to-end: the population-variance numerator
+    * VN_h = N_h·Σx² − (Σx)² is an exact BIGINT, and since
+    * S_h = √VN_h / N_h, the Neyman weight N_h·S_h is just √VN_h — ONE
+    * correctly-rounded IEEE sqrt (bit-identical in any engine), quantized
+    * to 2^20 fixed point for an exact integer weight total. Integer seats
+    * are dealt by LARGEST REMAINDER (Hamilton): base_h = ⌊K·w_h / W⌋,
+    * and the K − Σbase leftover seats go to the largest K·w_h mod W, ties
+    * on source — so Σ n_alloc = K EXACTLY, no float drift can gain or
+    * lose a seat.
+    *
+    * Scale: one map-side-combinable aggregate at stratum cardinality,
+    * then arithmetic + one window over that dozens-row frame (the
+    * unpartitioned window orders STRATA, never data rows); the result is
+    * the sampler's broadcast config. (Uncapped: a stratum with extreme
+    * variance could be allocated n_h > N_h; production would clamp and
+    * re-deal — the audit columns expose it, the fixture never trips it.) */
+  def q233NeymanAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_x"),
+        sum(col("n_chars") * col("n_chars")).as("sum_x2"))
+      .withColumn("var_num",
+        col("n_docs") * col("sum_x2") - col("sum_x") * col("sum_x"))
+      .withColumn("wq",
+        floor(sqrt(col("var_num").cast("double")) * lit(1L << 20))
+          .cast("long"))
+    val tot = per.agg(sum(col("wq")).as("w_tot"),
+      expr(s"sum(n_docs) div $NeymanBudgetDiv").as("k_budget"))
+    val dealt = per.crossJoin(broadcast(tot))
+      .withColumn("base", expr("k_budget * wq div w_tot"))
+      .withColumn("rem", expr("(k_budget * wq) % w_tot"))
+    val leftover = dealt.groupBy()
+      .agg((max(col("k_budget")) - sum(col("base"))).as("n_left"))
+    dealt.crossJoin(broadcast(leftover))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .select(col("source"), col("n_docs"), col("var_num"), col("wq"),
+        col("base"), col("rem"),
+        when(col("pos") <= col("n_left"), 1L).otherwise(0L).as("extra"))
+      .withColumn("n_alloc", col("base") + col("extra"))
+      .withColumn("rate",
+        col("n_alloc").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  val q233Sql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_x,
+       |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_x2
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT *, n_docs * sum_x2 - sum_x * sum_x AS var_num,
+       |         CAST(floor(sqrt(CAST(n_docs * sum_x2 - sum_x * sum_x
+       |           AS DOUBLE)) * 1048576) AS BIGINT) AS wq
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(sum(wq) AS BIGINT) AS w_tot,
+       |         CAST(sum(n_docs) // $NeymanBudgetDiv AS BIGINT) AS k_budget
+       |  FROM w),
+       |dealt AS (
+       |  SELECT w.*, t.k_budget,
+       |         (t.k_budget * w.wq) // t.w_tot AS base,
+       |         (t.k_budget * w.wq) % t.w_tot AS rem
+       |  FROM w CROSS JOIN tot t),
+       |lo AS (
+       |  SELECT CAST(max(k_budget) - sum(base) AS BIGINT) AS n_left
+       |  FROM dealt),
+       |ranked AS (
+       |  SELECT d.*, lo.n_left,
+       |         CAST(row_number() OVER (ORDER BY d.rem DESC, d.source)
+       |           AS BIGINT) AS pos
+       |  FROM dealt d CROSS JOIN lo)
+       |SELECT source, n_docs, var_num, wq, base, rem,
+       |       CAST(CASE WHEN pos <= n_left THEN 1 ELSE 0 END AS BIGINT)
+       |         AS extra,
+       |       base + (CASE WHEN pos <= n_left THEN 1 ELSE 0 END)
+       |         AS n_alloc,
+       |       CAST(base + (CASE WHEN pos <= n_left THEN 1 ELSE 0 END)
+       |            AS DOUBLE) / CAST(n_docs AS DOUBLE) AS rate
+       |FROM ranked ORDER BY source""".stripMargin
 }

@@ -322,4 +322,38 @@ class TrainingDataSpec extends AnyFunSuite {
         s"copies out of bounds for ${r.getAs[String]("source")}")
     }
   }
+
+  test("q233 Neyman seats sum to K exactly and match a BigInt re-deal") {
+    import graft.ops.Sampling
+    val out = Sampling.q233NeymanAlloc(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val k = docs.length / Sampling.NeymanBudgetDiv
+    assert(out.map(_.getAs[Long]("n_alloc")).sum === k.toLong,
+      "largest-remainder must conserve the budget exactly")
+    // independent BigInt recomputation of the whole deal
+    val wq = docs.groupBy(_._1).map { case (src, rows) =>
+      val n = BigInt(rows.length)
+      val sx = rows.map(r => BigInt(r._2)).sum
+      val sx2 = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      val vn = n * sx2 - sx * sx
+      src -> BigInt(math.floor(
+        math.sqrt(vn.toDouble) * (1L << 20)).toLong)
+    }
+    val wTot = wq.values.sum
+    val base = wq.map { case (s, w) => s -> (BigInt(k) * w / wTot) }
+    val rem = wq.map { case (s, w) => s -> (BigInt(k) * w % wTot) }
+    val nLeft = (BigInt(k) - base.values.sum).toInt
+    val extras = rem.toSeq.sortBy { case (s, r) => (-r, s) }
+      .take(nLeft).map(_._1).toSet
+    out.foreach { r =>
+      val s = r.getAs[String]("source")
+      val expect = base(s) + (if (extras(s)) 1 else 0)
+      assert(BigInt(r.getAs[Long]("n_alloc")) === expect, s"seats for $s")
+      assert(r.getAs[Long]("var_num") >= 0L)
+      assert(r.getAs[Long]("n_alloc") <= r.getAs[Long]("n_docs"),
+        s"uncapped allocation binds on the fixture for $s")
+    }
+  }
 }
