@@ -102,4 +102,80 @@ object Regression {
       |       (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
       |         / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
       |FROM f ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------- correlation matrix
+
+  /** Measures correlated by q234, in output order. */
+  val CorrMeasures = Seq("quantity", "extendedprice", "discount", "tax")
+
+  /** q234_corr_matrix — pairwise Pearson correlation over the lineitem
+    * measures in ONE pass: q157's exact-co-moment discipline generalized
+    * to the full upper triangle. All four measures are embedded as
+    * ×100-scaled integers (scaling cancels out of r), every Σx / Σx² /
+    * Σxy accumulates in decimal(38,0) (lossless, order-insensitive
+    * partial aggregation — per-row cents² already reaches 10¹⁴), and each
+    * correlation is numerator/√denx·√deny over exact integers with IEEE
+    * arithmetic only in the last three ops. The feature-redundancy screen
+    * a modeling pipeline runs before training.
+    *
+    * Scale: a single map-side-combinable aggregate producing 15 sums —
+    * one fact-table scan for the whole matrix, never one pass per pair;
+    * the 6 output rows are projections of that one broadcast-size row
+    * (localCheckpoint'd so the union of projections cannot re-run the
+    * scan). D measures cost D(D+1)/2 + D sums in the same single pass. */
+  def q234CorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    def scaled(m: String) =
+      (col(s"l_$m").cast("decimal(18,2)") * 100).cast("long").as(m)
+    val ms = CorrMeasures
+    val pairs = for {
+      (a, i) <- ms.zipWithIndex; (b, j) <- ms.zipWithIndex if i <= j
+    } yield (a, b)
+    val base = Tables.lineitem(spark, sfDir).select(ms.map(scaled): _*)
+    val sums = ms.map(m => sum(d38(col(m))).as(s"s_$m")) ++
+      pairs.map { case (a, b) =>
+        sum(d38(col(a)) * d38(col(b))).as(s"p_${a}_$b")
+      }
+    val agg1 = base.agg(count(lit(1)).as("n"), sums: _*).localCheckpoint()
+    def den(m: String) = sqrt(
+      (d38(col("n")) * col(s"p_${m}_$m") - col(s"s_$m") * col(s"s_$m"))
+        .cast("double"))
+    val rows = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
+      agg1.select(lit(a).as("m1"), lit(b).as("m2"), col("n"),
+        ((d38(col("n")) * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+          .cast("double") / (den(a) * den(b))).as("corr"))
+    }
+    rows.reduce(_.union(_)).orderBy(col("m1"), col("m2"))
+  }
+
+  val q234Sql: String = {
+    val ms = CorrMeasures
+    val pairs = for {
+      (a, i) <- ms.zipWithIndex; (b, j) <- ms.zipWithIndex if i <= j
+    } yield (a, b)
+    val scaledCols = ms.map(m =>
+      s"CAST(CAST(l_$m AS DECIMAL(18,2)) * 100 AS BIGINT) AS $m")
+      .mkString(",\n       |         ")
+    val sumCols = (ms.map(m => s"sum(CAST($m AS HUGEINT)) AS s_$m") ++
+      pairs.map { case (a, b) =>
+        s"sum(CAST($a AS HUGEINT) * CAST($b AS HUGEINT)) AS p_${a}_$b"
+      }).mkString(",\n       |         ")
+    def den(m: String) =
+      s"sqrt(CAST(CAST(n AS HUGEINT) * p_${m}_$m - s_$m * s_$m AS DOUBLE))"
+    val selects = pairs.filter { case (a, b) => a != b }
+      .map { case (a, b) =>
+        s"""SELECT '$a' AS m1, '$b' AS m2, n,
+           |       CAST(CAST(n AS HUGEINT) * p_${a}_$b - s_$a * s_$b
+           |            AS DOUBLE) / (${den(a)} * ${den(b)}) AS corr
+           |FROM s""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH base AS (
+       |  SELECT $scaledCols
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         $sumCols
+       |  FROM base)
+       |SELECT * FROM ($selects) ORDER BY m1, m2""".stripMargin
+  }
 }

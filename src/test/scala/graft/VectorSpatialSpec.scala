@@ -60,6 +60,41 @@ class VectorSpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("q234 corr matrix: symmetric-free triangle matches direct Pearson") {
+    val rows = Regression.q234CorrMatrix(spark, sf).collect()
+    assert(rows.length === 6)
+    val raw = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax")).collect()
+      .map(r => Map(
+        "quantity" -> math.rint(r.getDouble(0) * 100),
+        "extendedprice" -> math.rint(r.getDouble(1) * 100),
+        "discount" -> math.rint(r.getDouble(2) * 100),
+        "tax" -> math.rint(r.getDouble(3) * 100)))
+    def pearson(a: String, b: String): Double = {
+      val n = raw.length.toDouble
+      val sa = raw.map(_(a)).sum; val sb = raw.map(_(b)).sum
+      val sab = raw.map(m => m(a) * m(b)).sum
+      val saa = raw.map(m => m(a) * m(a)).sum
+      val sbb = raw.map(m => m(b) * m(b)).sum
+      (n * sab - sa * sb) /
+        (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b || Regression.CorrMeasures.indexOf(a) <
+        Regression.CorrMeasures.indexOf(b))
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 && c <= 1.0, s"$a-$b corr $c")
+      assert(math.abs(c - pearson(a, b)) < 1e-9, s"$a-$b")
+    }
+    // no strong-correlation expectation: globally, extendedprice is
+    // dominated by per-part unit price variance, so even the price-
+    // quantity pair sits near zero on this fixture (q157 sees the
+    // within-flag slope instead). The matrix's job is exactness, checked
+    // above for all six pairs.
+  }
+
   test("q158 concurrency: peak matches a per-day brute force") {
     val out = Intervals.q158Concurrency(spark, sf).collect()
     assert(out.nonEmpty)
