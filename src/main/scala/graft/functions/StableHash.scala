@@ -75,6 +75,25 @@ object StableHash {
     s"((($e) * $A1 + $salt) % $P1) * 2147483648" +
       s" + ((($e) * $A2 + $salt) % $P2)"
 
+  /** [[intMix62]] with a COLUMN salt — for replicate/table dimensions
+    * where the salt is data (e.g. a bootstrap replicate index), keeping
+    * the key itself below 2³¹. The salt enters MULTIPLICATIVELY
+    * (lane·(salt+1) mod p), never additively: an additive salt merely
+    * shifts a congruential lane by a constant, so salt and salt+1 would
+    * yield CONSECUTIVE hash values — measured on q235, 64 "independent"
+    * bootstrap replicates collapsed to one resample slid by one unit and
+    * the CI came out 30× too narrow. Bounds: key < 2³¹ (as [[intMix62]])
+    * and 0 ≤ salt < 2³² (lane·(salt+1) < 2⁶³). */
+  def intMix62Col(key: Column, salt: Column): Column =
+    shiftleft(pmod(pmod(key * lit(A1) + lit(11L), lit(P1)) * (salt + 1),
+      lit(P1)), 31) +
+      pmod(pmod(key * lit(A2) + lit(11L), lit(P2)) * (salt + 1), lit(P2))
+
+  /** DuckDB SQL twin of [[intMix62Col]]. */
+  def intMix62ColSql(e: String, saltE: String): String =
+    s"((((($e) * $A1 + 11) % $P1) * (($saltE) + 1)) % $P1) * 2147483648" +
+      s" + (((($e) * $A2 + 11) % $P2) * (($saltE) + 1)) % $P2"
+
   /** Order-statistics-grade string hash: [[charPoly62]]'s two 31-bit lanes
     * each re-mixed through a wrapping congruential map before composition.
     * The raw char polynomial is fine as an equality key but its LOW TAIL is

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -134,6 +134,121 @@ object Robust {
        |FROM bucketed
        |GROUP BY bucket
        |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------- Poisson bootstrap
+
+  /** Bootstrap replicate count for q235. */
+  val BootB = 64
+
+  /** Truncated-Poisson(1) weight ceiling for q235 (P(X>5) ≈ 6·10⁻⁴,
+    * folded into w=5 — the standard truncation). */
+  val BootWMax = 5
+
+  /** Cumulative Poisson(1) thresholds on the 2^20 grid: u < t(k) ⇒ weight
+    * k; computed once here and inlined as identical literals into both
+    * engines. */
+  val bootThresholds: Seq[Long] = {
+    val pmf = (0 until BootWMax).scanLeft(math.exp(-1.0)) {
+      case (p, k) => p / (k + 1.0)
+    } // p(0)..p(WMax), p(k) = e^-1/k!
+    pmf.take(BootWMax).scanLeft(0.0)(_ + _).tail // cdf(0)..cdf(WMax-1)
+      .map(c => math.floor(c * (1L << 20)).toLong)
+  }
+
+  /** q235_poisson_bootstrap — a 95% bootstrap confidence interval for the
+    * mean line-item price, by the only bootstrap that scales: POISSON
+    * resampling (each row enters replicate b with weight ~Poisson(1),
+    * independent per (row, b) — no sampling-without-replacement pass, no
+    * global row count needed up front). Weights are deterministic: the
+    * (row id, replicate) mix folded to 2^20 and cut at the inlined
+    * truncated-Poisson(1) CDF thresholds, so both engines draw the SAME
+    * resamples. Replicate means are exact-integer Σw·x/Σw with one IEEE
+    * division; the interval is ORDER STATISTICS of the [[BootB]] replicate
+    * means (ranks 2 and 63 of 64 ≈ the 2.5/97.5 percentiles — discrete
+    * selection, no interpolation, the q112/q115 rule).
+    *
+    * Scale: the ×B row expansion is map-side only (a generated sequence,
+    * no join), and the aggregate groups by replicate — map-side combine
+    * reduces each task to B partial rows, so the shuffle is B·tasks rows
+    * regardless of data size. The window ranks B=64 aggregate rows,
+    * never data. At 100 TB this is one scan, B counters per task — the
+    * same plan Poisson bootstrap was invented for. */
+  def q235PoissonBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.StableHash
+    val rid = col("l_orderkey") * 8 + col("l_linenumber")
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val base = Tables.lineitem(spark, sfDir)
+      .select(rid.as("rid"), cents.as("x"))
+    val u = pmod(StableHash.intMix62Col(col("rid"), col("b")),
+      lit(1L << 20))
+    // fold from the LARGEST threshold so the smallest lands outermost —
+    // first-match-wins must test u < t(0) before u < t(1)
+    val w = bootThresholds.zipWithIndex.reverse
+      .foldLeft(lit(BootWMax.toLong): Column) {
+        case (acc, (t, k)) => when(u < t, lit(k.toLong)).otherwise(acc)
+      }
+    val reps = base
+      .select(col("rid"), col("x"),
+        explode(sequence(lit(0L), lit(BootB - 1L))).as("b"))
+      .select(col("b"), col("x"), w.as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        (col("swx").cast("double") / col("sw").cast("double")).as("m"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("m"), col("b"))))
+    val full = base.agg(count(lit(1)).as("n_rows"),
+      (sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .as("est_mean"))
+    reps.agg(
+        max(when(col("rnk") === 2, col("m"))).as("lo95"),
+        max(when(col("rnk") === BootB - 1, col("m"))).as("hi95"),
+        min(col("m")).as("min_rep"), max(col("m")).as("max_rep"))
+      .crossJoin(broadcast(full))
+      .select(col("n_rows"), lit(BootB.toLong).as("n_replicates"),
+        col("est_mean"), col("lo95"), col("hi95"),
+        col("min_rep"), col("max_rep"))
+  }
+
+  val q235Sql: String = {
+    import graft.functions.StableHash
+    val mix = StableHash.intMix62ColSql("rid", "b")
+    val wCase = bootThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE $BootWMax END")
+    s"""WITH base AS (
+       |  SELECT l_orderkey * 8 + l_linenumber AS rid,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+       |              AS BIGINT) AS x
+       |  FROM lineitem),
+       |expanded AS (
+       |  SELECT b, x, ($mix) % ${1L << 20} AS u
+       |  FROM base, range($BootB) t(b)),
+       |reps AS (
+       |  SELECT b,
+       |         CAST(sum(($wCase) * x) AS BIGINT) AS swx,
+       |         CAST(sum($wCase) AS BIGINT) AS sw
+       |  FROM expanded GROUP BY b),
+       |means AS (
+       |  SELECT b, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m,
+       |         row_number() OVER (ORDER BY CAST(swx AS DOUBLE)
+       |           / CAST(sw AS DOUBLE), b) AS rnk
+       |  FROM reps),
+       |full_s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |           AS est_mean
+       |  FROM base)
+       |SELECT n_rows, CAST($BootB AS BIGINT) AS n_replicates, est_mean,
+       |       (SELECT max(CASE WHEN rnk = 2 THEN m END) FROM means)
+       |         AS lo95,
+       |       (SELECT max(CASE WHEN rnk = ${BootB - 1} THEN m END)
+       |        FROM means) AS hi95,
+       |       (SELECT min(m) FROM means) AS min_rep,
+       |       (SELECT max(m) FROM means) AS max_rep
+       |FROM full_s""".stripMargin
+  }
 
   // ---------------------------------------------------- weighted median
 

@@ -146,4 +146,32 @@ class WeightedStatsSpec extends AnyFunSuite {
         "median latency is non-negative (purchase at/after signup)")
     }
   }
+
+  test("q235: bootstrap CI brackets the estimate; weights are Poisson-ish") {
+    import org.apache.spark.sql.functions._
+    val r = Robust.q235PoissonBootstrap(spark, SparkSuite.sf).collect().head
+    val (est, lo, hi) = (r.getAs[Double]("est_mean"),
+      r.getAs[Double]("lo95"), r.getAs[Double]("hi95"))
+    assert(lo < hi, s"lo $lo !< hi $hi")
+    assert(lo <= est && est <= hi,
+      s"estimate $est outside its own CI [$lo, $hi]")
+    assert(r.getAs[Double]("min_rep") <= lo && hi <= r.getAs[Double]("max_rep"))
+    assert(r.getAs[Long]("n_replicates") === Robust.BootB.toLong)
+    // CI width sanity: a mean over n≈6000 with sd≈sqrt half the mean scale
+    // must be a small fraction of the estimate, not a multiple of it
+    assert((hi - lo) / est < 0.2, s"CI implausibly wide: [$lo,$hi] vs $est")
+    // thresholds really are the Poisson(1) CDF on the 2^20 grid
+    val cdf = Robust.bootThresholds.map(_.toDouble / (1L << 20))
+    val expect = Seq(0.3679, 0.7358, 0.9197, 0.9810, 0.9963)
+    cdf.zip(expect).foreach { case (c, e) =>
+      assert(math.abs(c - e) < 5e-4, s"cdf $c vs $e") }
+    // the truncated mean weight stays within 1% of 1 — resamples are
+    // the right size on average
+    val meanW = Robust.bootThresholds.indices
+      .map(k => k.toDouble * (math.exp(-1.0) / (1 to k).product)).sum +
+      Robust.BootWMax.toDouble *
+        (1.0 - math.exp(-1.0) * (0 to Robust.BootWMax - 1)
+          .map(k => 1.0 / (1 to k).product).sum)
+    assert(math.abs(meanW - 1.0) < 0.01, s"truncated mean weight $meanW")
+  }
 }
