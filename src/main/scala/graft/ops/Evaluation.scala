@@ -341,4 +341,99 @@ object Evaluation {
        |         CAST(n_pos * (n - n_pos) * 2 AS DOUBLE)) * 2 - 1 AS gini
        |FROM a""".stripMargin
   }
+
+  // ------------------------------------------------------ kNN classification
+
+  /** Probe count and neighborhood size for q236. */
+  val KnnProbes = 100
+  val KnnK = 5
+
+  /** q236_knn_classify — leave-one-out k-NN classification accuracy over
+    * the embedding corpus: for each probe vector, take its [[KnnK]]
+    * nearest neighbors (squared L2 on the int8-quantized corpus — exact
+    * integer distances, the q229 discipline) excluding itself, predict
+    * the majority neighbor label (ties → smaller label), and report
+    * per-class probe counts, hits, and accuracy. The end-to-end quality
+    * gate for the whole vector stack: q152/q189 measure whether retrieval
+    * finds the right IDS; this measures how much LABEL structure the
+    * geometry actually carries (on the synthetic fixture: none — labels
+    * are random w.r.t. the vectors, so accuracy ≈ 10-class chance, which
+    * is precisely what the metric should and does report).
+    *
+    * Scale: probes are a [[KnnProbes]]-row broadcast against one corpus
+    * scan (the q75 shape — swap in the q74/q76 bucketed kernels unchanged
+    * when N demands); the per-probe top-k is a partitioned window over
+    * corpus candidates, the vote is a (probe × ≤k-label) aggregate, and
+    * the report is class-cardinality. Every distance, rank, and vote is
+    * exact-integer with total-order ties. */
+  def q236KnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val qz = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        Quantize.quantizeInt(col("embedding")).as("qv"))
+    val probes = qz.filter(col("vec_id") < KnnProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("y"),
+        col("qv").as("pq"))
+    val wP = Window.partitionBy(col("probe_id"))
+    val neigh = qz.select(col("vec_id").as("cand_id"),
+        col("label").as("cand_label"), col("qv"))
+      .crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("y"), col("cand_id"), col("cand_label"),
+        Quantize.intL2sq(col("pq"), col("qv")).as("d2"))
+      .withColumn("rk",
+        row_number().over(wP.orderBy(col("d2"), col("cand_id"))))
+      .filter(col("rk") <= KnnK)
+    val votes = neigh.groupBy(col("probe_id"), col("y"), col("cand_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(
+        wP.orderBy(col("n_votes").desc, col("cand_label"))))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("y"), col("cand_label").as("yhat"))
+    votes.groupBy(col("y").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("yhat") === col("y"), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("accuracy",
+        col("n_hits").cast("double") / col("n_probes").cast("double"))
+      .orderBy(col("label"))
+  }
+
+  val q236Sql: String =
+    s"""WITH qz AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         list_transform(embedding, x -> CAST(round(
+       |           CAST(x AS DOUBLE) /
+       |           (list_max(list_transform(embedding,
+       |              y -> abs(CAST(y AS DOUBLE)))) / 127.0)) AS BIGINT))
+       |           AS qv
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, label AS y, qv AS pq
+       |  FROM qz WHERE vec_id < $KnnProbes),
+       |p AS (
+       |  SELECT probe_id, y, c.vec_id AS cand_id, c.label AS cand_label,
+       |         unnest(c.qv) AS cx, unnest(pq) AS px
+       |  FROM qz c, probes WHERE c.vec_id <> probe_id),
+       |d AS (
+       |  SELECT probe_id, y, cand_id, cand_label,
+       |         CAST(sum((cx - px) * (cx - px)) AS BIGINT) AS d2
+       |  FROM p GROUP BY 1, 2, 3, 4),
+       |nn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY d2, cand_id) AS rk
+       |  FROM d),
+       |votes AS (
+       |  SELECT probe_id, y, cand_label, count(*) AS n_votes
+       |  FROM nn WHERE rk <= $KnnK GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT probe_id, y, cand_label AS yhat,
+       |         row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY n_votes DESC, cand_label) AS vr
+       |  FROM votes)
+       |SELECT y AS label, CAST(count(*) AS BIGINT) AS n_probes,
+       |       CAST(sum(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_hits,
+       |       CAST(sum(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS DOUBLE) /
+       |         CAST(count(*) AS DOUBLE) AS accuracy
+       |FROM pred WHERE vr = 1
+       |GROUP BY y ORDER BY label""".stripMargin
 }

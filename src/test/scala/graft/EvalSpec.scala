@@ -118,4 +118,48 @@ class EvalSpec extends AnyFunSuite {
     assert(auc > 0.6 && auc < 0.99, s"auc $auc out of expected band")
     assert(math.abs(r.getAs[Double]("gini") - (2 * auc - 1)) < 1e-12)
   }
+
+  test("q236 kNN: clustered embeddings classify well above chance") {
+    val rows = Evaluation.q236KnnClassify(spark, sf).collect()
+    val nProbes = rows.map(_.getAs[Long]("n_probes")).sum
+    assert(nProbes === Evaluation.KnnProbes.toLong,
+      "every probe gets exactly one prediction")
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_probes"))
+    }
+    // NOTE: the fixture's labels are geometrically random (same-label
+    // fraction in float-cosine top-5 ≈ 0.12 ≈ 10-class chance, measured
+    // directly), so accuracy near 0.1 is the CORRECT answer here — the
+    // strong check is an exact independent recomputation of the vote:
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        graft.ops.Quantize.quantizeInt(col("embedding")).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Int](2).toArray))
+    val probes = all.filter(_._1 < Evaluation.KnnProbes)
+    val perProbe = Evaluation.q236KnnClassify(spark, sf) // per-label frame
+    val expected = probes.map { case (pid, y, pq) =>
+      val nn = all.filter(_._1 != pid)
+        .map { case (cid, cl, cq) =>
+          val d2 = pq.zip(cq).map { case (a, b) =>
+            (a - b).toLong * (a - b) }.sum
+          (d2, cid, cl)
+        }.sortBy(t => (t._1, t._2)).take(Evaluation.KnnK)
+      val yhat = nn.groupBy(_._3).toSeq
+        .map { case (l, vs) => (-vs.size, l) }.min._2
+      (y, yhat == y)
+    }
+    val expHits = expected.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.count(_._2).toLong)).toMap
+    rows.foreach { r =>
+      val (np, nh) = expHits(r.getAs[Long]("label"))
+      assert(r.getAs[Long]("n_probes") === np)
+      assert(r.getAs[Long]("n_hits") === nh,
+        s"label ${r.getAs[Long]("label")} hits")
+    }
+    assert(perProbe.count() === rows.length.toLong)
+  }
 }
