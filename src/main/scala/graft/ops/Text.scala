@@ -491,6 +491,100 @@ object Text {
       |FROM per_doc CROSS JOIN total t
       |ORDER BY doc_id""".stripMargin
 
+  /** q237_bigram_lm — bigram language-model cross-entropy per SOURCE:
+    * q148's unigram prior upgraded one Markov order. Train add-one-
+    * smoothed bigram probabilities on the corpus itself
+    * (p(w₂|w₁) = (c₁₂+1)/(c₁+V), c₁ = bigram-prefix count, V = distinct
+    * token count), then score each source's token stream:
+    * bits/bigram = Σ cnt·(log2(c₁+V) − log2(c₁₂+1)) / n_bigrams. A
+    * source whose word SEQUENCES are predictable scores low even when
+    * its unigram mix looks normal — the fluency signal unigram scoring
+    * cannot see, and the per-source panel is the ingest-stream drift
+    * alarm. Determinism: every log2 argument is an exact integer and
+    * every product term is rounded ONCE to DECIMAL(18,6) before the
+    * exact decimal sum (the q148/q143 rule); the closing division is the
+    * only unrounded IEEE op.
+    *
+    * Scale: gram generation is map-side (carried source column — no
+    * join-back); the model is two vocabulary-bounded aggregates; scoring
+    * joins the (source, gram) count frame against the bigram/prefix
+    * model frames on gram keys — shuffles bounded by |bigram vocab|,
+    * never the corpus. V arrives as a broadcast single-row frame. */
+  def q237BigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val grams = Curation.nGrams(
+      docs.select(col("doc_id"), col("source"), col("text")), 2,
+      carry = Seq("source"))
+    val sg = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val bg = grams.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+    val c1 = bg
+      .select(split(col("gram"), " ").getItem(0).as("w1"), col("c12"))
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val nd = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    sg
+      .join(bg, Seq("gram"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("source"), col("cnt"),
+        (col("cnt").cast("double") *
+          (log2(col("c1") + col("v")) - log2(col("c12") + 1)))
+          .cast("decimal(18,6)").as("t_dec"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("t_dec")).as("bits_dec"))
+      .join(nd, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("bits_dec").cast("double").as("sum_bits"),
+        (col("bits_dec").cast("double") /
+          col("n_bigrams").cast("double")).as("bits_per_bigram"))
+      .orderBy(col("source"))
+  }
+
+  val q237Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT source, t[i+1] || ' ' || t[i+2] AS gram
+      |  FROM toks, UNNEST(range(0, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 2),
+      |sg AS (SELECT source, gram, count(*) AS cnt
+      |       FROM grams GROUP BY 1, 2),
+      |bg AS (SELECT gram, count(*) AS c12 FROM grams GROUP BY 1),
+      |c1 AS (SELECT string_split(gram, ' ')[1] AS w1,
+      |              CAST(sum(c12) AS BIGINT) AS c1
+      |       FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |            FROM documents)),
+      |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM documents GROUP BY 1),
+      |terms AS (
+      |  SELECT sg.source, sg.cnt,
+      |         CAST(CAST(sg.cnt AS DOUBLE) *
+      |              (log2(c1.c1 + v.v) - log2(bg.c12 + 1))
+      |              AS DECIMAL(18,6)) AS t_dec
+      |  FROM sg
+      |  JOIN bg ON sg.gram = bg.gram
+      |  JOIN c1 ON string_split(sg.gram, ' ')[1] = c1.w1
+      |  CROSS JOIN v),
+      |per AS (
+      |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |         sum(t_dec) AS bits_dec
+      |  FROM terms GROUP BY source)
+      |SELECT p.source, nd.n_docs, p.n_bigrams,
+      |       CAST(p.bits_dec AS DOUBLE) AS sum_bits,
+      |       CAST(p.bits_dec AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+      |         AS bits_per_bigram
+      |FROM per p JOIN nd ON p.source = nd.source
+      |ORDER BY p.source""".stripMargin
+
   /** q137_inverted_index — posting-list construction, the retrieval-side
     * twin of q56's TF-IDF: per (term, doc) the ordered position list and
     * term frequency, rolled up per term with document frequency, corpus

@@ -154,6 +154,40 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q237 bigram LM: bounds hold and a tiny corpus matches by hand") {
+    val out = ops.Text.q237BigramLm(spark, sf).collect()
+    assert(out.length === 20)
+    out.foreach { r =>
+      val bpb = r.getAs[Double]("bits_per_bigram")
+      // add-one smoothing keeps every probability in (0, 1): bits > 0;
+      // and cannot exceed log2(c1 + V) ≤ log2(2·corpus bigrams)
+      assert(bpb > 0.0, s"${r.getString(0)} bits $bpb")
+      assert(r.getAs[Long]("n_bigrams") > 0L)
+    }
+    // hand-check: corpus of two docs, same source
+    //  d1: "a b a b"  -> bigrams: (a b), (b a), (a b)
+    //  d2: "a c"      -> bigrams: (a c)
+    // c12: (a b)=2, (b a)=1, (a c)=1; c1: a=3, b=1; V = {a,b,c} = 3
+    // bits = 2·(log2(3+3)-log2(2+1)) + 1·(log2(1+3)-log2(1+1))
+    //      + 1·(log2(3+3)-log2(1+1))  over 4 bigrams
+    val sp = spark
+    import sp.implicits._
+    val tiny = Seq((0L, "s", "a b a b"), (1L, "s", "a c"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q237tiny").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ops.Text.q237BigramLm(spark, dir).collect().head
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6 // the DECIMAL(18,6) round
+    val expBits = r6(2.0 * (math.log(6.0 / 3.0) / math.log(2.0))) +
+      r6(math.log(4.0 / 2.0) / math.log(2.0)) +
+      r6(math.log(6.0 / 2.0) / math.log(2.0))
+    assert(got.getAs[Long]("n_bigrams") === 4L)
+    assert(got.getAs[Long]("n_docs") === 2L)
+    assert(math.abs(got.getAs[Double]("sum_bits") - expBits) < 1e-6)
+    assert(math.abs(got.getAs[Double]("bits_per_bigram") - expBits / 4.0)
+      < 1e-6)
+  }
+
   test("q149 source overlap: intersection bounded by set sizes") {
     val out = ops.Corpus.q149SourceOverlap(spark, sf).collect()
     assert(out.nonEmpty)
