@@ -585,6 +585,93 @@ object Text {
       |FROM per p JOIN nd ON p.source = nd.source
       |ORDER BY p.source""".stripMargin
 
+  /** q238_ccnet_buckets — perplexity bucketing (the CCNet recipe): score
+    * every document with the q148 unigram cross-entropy, rank WITHIN its
+    * source, and cut each source into head / middle / tail thirds by
+    * predictability (head = lowest bits/token ≈ most fluent). Downstream,
+    * pretraining keeps head+middle and drops or downweights tail — this
+    * query materializes that partition plan with per-bucket volume and
+    * score boundaries. Thirds use exact integer quotas (rk·3 ≤ n), ties
+    * on (bits, doc_id) — a total order, since the bits double is itself
+    * cross-engine deterministic (q148's rounded-decimal discipline).
+    *
+    * Scale: scoring is q148's shape (vocabulary-bounded shuffles, source
+    * and n_chars CARRIED through the per-doc aggregate — never joined
+    * back); the rank is a window partitioned by source — thousands of
+    * independent partitions; the report is (source × 3) rows. */
+  def q238CcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_corpus"))
+    val total = vocab.agg(sum(col("c_corpus")).as("n_corpus"))
+    val scored = toks
+      .groupBy(col("doc_id"), col("source"), col("n_chars"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(vocab), "tok")
+      .groupBy(col("doc_id"), col("source"), col("n_chars"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum((col("cnt").cast("double") * log2(col("c_corpus")))
+          .cast("decimal(18,6)")).as("sum_clogc_dec"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log2(col("n_corpus")) -
+          col("sum_clogc_dec").cast("double") /
+            col("n_tokens").cast("double")).as("bits"))
+    val w = Window.partitionBy(col("source"))
+    scored
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("bits"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n"), "head")
+          .when(col("rk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("bits")).as("min_bits"), max(col("bits")).as("max_bits"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val q238Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, n_chars,
+      |         unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |clean AS (SELECT * FROM toks WHERE tok <> ''),
+      |vocab AS (SELECT tok, count(*) AS c_corpus FROM clean GROUP BY tok),
+      |total AS (SELECT CAST(sum(c_corpus) AS BIGINT) AS n_corpus
+      |          FROM vocab),
+      |tf AS (SELECT doc_id, source, n_chars, tok, count(*) AS cnt
+      |       FROM clean GROUP BY 1, 2, 3, 4),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.source, tf.n_chars,
+      |         log2(t.n_corpus) -
+      |           CAST(sum(CAST(CAST(tf.cnt AS DOUBLE) * log2(v.c_corpus)
+      |                         AS DECIMAL(18,6))) AS DOUBLE)
+      |           / CAST(sum(tf.cnt) AS DOUBLE) AS bits
+      |  FROM tf JOIN vocab v ON tf.tok = v.tok CROSS JOIN total t
+      |  GROUP BY tf.doc_id, tf.source, tf.n_chars, t.n_corpus),
+      |ranked AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY bits, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM scored),
+      |bucketed AS (
+      |  SELECT source, n_chars, bits,
+      |         CASE WHEN rk * 3 <= n THEN 'head'
+      |              WHEN rk * 3 <= n * 2 THEN 'middle'
+      |              ELSE 'tail' END AS bucket
+      |  FROM ranked)
+      |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       min(bits) AS min_bits, max(bits) AS max_bits
+      |FROM bucketed GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
+
   /** q137_inverted_index — posting-list construction, the retrieval-side
     * twin of q56's TF-IDF: per (term, doc) the ordered position list and
     * term frequency, rolled up per term with document frequency, corpus

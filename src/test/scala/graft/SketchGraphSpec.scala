@@ -188,6 +188,33 @@ class SketchGraphSpec extends AnyFunSuite {
       < 1e-6)
   }
 
+  test("q238 buckets: thirds partition each source; head scores lowest") {
+    val out = ops.Text.q238CcnetBuckets(spark, sf).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    // per-source doc totals reconcile with the corpus
+    val srcSizes = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rows) =>
+      val n = rows.map(_.getAs[Long]("n_docs")).sum
+      assert(n === srcSizes(src), s"$src total")
+      val byBucket = rows.map(r =>
+        r.getString(1) -> (r.getAs[Long]("n_docs"),
+          r.getAs[Double]("min_bits"), r.getAs[Double]("max_bits"))).toMap
+      // integer-quota thirds: sizes differ by at most 1
+      val sizes = byBucket.values.map(_._1)
+      assert(sizes.max - sizes.min <= 1L, s"$src sizes $sizes")
+      // score bands are ordered: head ≤ middle ≤ tail
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+        t <- byBucket.get("tail")
+      } {
+        assert(h._3 <= m._2 + 1e-12, s"$src head/middle overlap")
+        assert(m._3 <= t._2 + 1e-12, s"$src middle/tail overlap")
+      }
+    }
+  }
+
   test("q149 source overlap: intersection bounded by set sizes") {
     val out = ops.Corpus.q149SourceOverlap(spark, sf).collect()
     assert(out.nonEmpty)
