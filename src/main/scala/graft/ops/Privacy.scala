@@ -291,6 +291,74 @@ object Privacy {
        |ORDER BY source""".stripMargin
   }
 
+  /** Per-record clip bound for q239 — inside the fixture's n_chars range
+    * (48..553) so clipping VISIBLY binds and the audit column is live. */
+  val DpClip = 400L
+
+  /** q239_dp_sum — ε-DP per-source CHARACTER-VOLUME release, the sum-query
+    * companion to q224's counts, via the granularity mechanism (clip +
+    * snap + lattice noise, the construction in Google's DP library):
+    * (1) each document contributes min(n_chars, [[DpClip]]) — bounding
+    * per-record sensitivity to C; (2) the clipped sum is SNAPPED to the
+    * C-lattice (round-half-up, exact integer ⌊(2S+C)/(2C)⌋·C), so
+    * neighboring datasets differ by at most ONE lattice step; (3) one
+    * sensitivity-1 truncated-geometric draw (the q224 mechanism and
+    * threshold table, independent salt) is added IN LATTICE UNITS:
+    * dp_sum = snap(S) + C·k. All integers end-to-end — no float ever
+    * touches the mechanism — and the release is seeded-deterministic per
+    * (source, salt), replayed bit-for-bit by the oracle. The audit
+    * columns (n_clipped, true vs clipped sum) quantify the clipping bias
+    * a real release must budget for.
+    *
+    * Scale: identical to q224 — one map-side-combinable aggregate at
+    * source cardinality plus an 81-row broadcast range-join. */
+  def q239DpSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.StableHash
+    val c = DpClip
+    val per = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("true_sum"),
+        sum(least(col("n_chars"), lit(c))).as("clipped_sum"),
+        sum(when(col("n_chars") > c, 1L).otherwise(0L)).as("n_clipped"))
+      .withColumn("u",
+        pmod(StableHash.charMix62(col("source"), 23L), lit(DpScale.toLong)))
+    val thr = spark.createDataFrame(dpThresholds).toDF("noise", "lo", "hi")
+    per.join(broadcast(thr), col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("source"), col("n_docs"), col("true_sum"),
+        col("clipped_sum"), col("n_clipped"),
+        col("noise").cast("long").as("noise_k"),
+        (expr(s"(2 * clipped_sum + $c) div ${2 * c}") * c +
+          col("noise") * c).as("dp_sum"),
+        expr(s"CAST($DpEpsilonLit AS DOUBLE)").as("epsilon"))
+      .orderBy(col("source"))
+  }
+
+  val q239Sql: String = {
+    val c = DpClip
+    val rows = dpThresholds
+      .map { case (k, lo, hi) => s"($k, ${lo}::BIGINT, ${hi}::BIGINT)" }
+      .mkString(",\n    ")
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS true_sum,
+       |         CAST(sum(least(n_chars, $c)) AS BIGINT) AS clipped_sum,
+       |         CAST(sum(CASE WHEN n_chars > $c THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_clipped,
+       |         (${graft.functions.StableHash.charMix62Sql("source", 23L)})
+       |           % ${DpScale.toLong} AS u
+       |  FROM documents GROUP BY source),
+       |thr(noise, lo, hi) AS (VALUES
+       |    $rows)
+       |SELECT source, n_docs, true_sum, clipped_sum, n_clipped,
+       |       CAST(noise AS BIGINT) AS noise_k,
+       |       ((2 * clipped_sum + $c) // ${2 * c}) * $c
+       |         + CAST(noise AS BIGINT) * $c AS dp_sum,
+       |       CAST($DpEpsilonLit AS DOUBLE) AS epsilon
+       |FROM per JOIN thr ON u >= lo AND u < hi
+       |ORDER BY source""".stripMargin
+  }
+
   // --------------------------------------------------------- t-closeness
 
   /** Release threshold for q230: a class passes if EMD ≤ 0.2. */

@@ -279,6 +279,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("noise")).distinct.length > 1)
   }
 
+  test("q239: DP sum = snap(clip) + C*k; clipping audit reconciles") {
+    import org.apache.spark.sql.functions._
+    val c = ops.Privacy.DpClip
+    val out = ops.Privacy.q239DpSum(spark, sf).collect()
+    val direct = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("s"),
+        sum(least(col("n_chars"), lit(c))).as("cs"),
+        sum(when(col("n_chars") > c, 1L).otherwise(0L)).as("nc"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    out.foreach { r =>
+      val (s, cs, nc) = direct(r.getString(0))
+      assert(r.getAs[Long]("true_sum") === s)
+      assert(r.getAs[Long]("clipped_sum") === cs)
+      assert(r.getAs[Long]("n_clipped") === nc)
+      val k = r.getAs[Long]("noise_k")
+      assert(k >= -40 && k <= 40)
+      val snap = (2 * cs + c) / (2 * c) * c
+      assert(math.abs(snap - cs) <= c / 2, "snap within half a granule")
+      assert(r.getAs[Long]("dp_sum") === snap + k * c,
+        s"${r.getString(0)} mechanism identity")
+    }
+    // clipping binds somewhere on the fixture (the audit column is live)
+    assert(out.map(_.getAs[Long]("n_clipped")).sum > 0L)
+    // and the q239 salt draws independently of q224's
+    val k224 = ops.Privacy.q224DpCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("noise")).toMap
+    val differs = out.count(r =>
+      k224(r.getString(0)) != r.getAs[Long]("noise_k"))
+    assert(differs > 0, "q239 noise must not replay q224's draws")
+  }
+
   test("q101: media dup groups cover the corpus; reps belong to groups") {
     val out = ops.Multimodal.q101MediaDedup(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
