@@ -296,4 +296,87 @@ object Merge {
       |SELECT status, count(*) AS n_rows,
       |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
+  // ------------------------------------------------------------ CDC replay
+
+  /** q240_cdc_replay — change-data-capture log compaction with TOMBSTONE
+    * semantics, the maintenance op q38's MERGE does not cover: fold an
+    * ordered op log (insert / update / delete per key) into final table
+    * state. The log is derived deterministically from events (op by id
+    * hash: ~10% D, ~20% I, rest U; order = (ts, event_id) — a total
+    * order, so "last" is well-defined). A key whose LAST op is a delete
+    * is ABSENT from the final state; earlier deletes with later
+    * re-inserts survive and are counted as resurrections — the lifecycle
+    * audit a lakehouse compaction job reports. Output: live keys with
+    * last value/ts plus per-key op counts.
+    *
+    * Scale: ONE shuffle on the key; the fold is a per-key window over
+    * that partitioning (arrival-bounded per key) and the op counts ride
+    * the same aggregate. This is exactly the shape Delta/Hudi log
+    * compaction lowers to; at 100 TB the only growth axis is keys, which
+    * partition. Resurrections = D ops strictly before the last op, exact
+    * integers. */
+  def q240CdcReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.StableHash
+    val opCol = {
+      val h = pmod(StableHash.intMix62(col("event_id"), 41L), lit(10L))
+      when(h === 0L, "D").when(h <= 2L, "I").otherwise("U")
+    }
+    val log = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        opCol.as("op"))
+    val w = Window.partitionBy(col("user_id"))
+    val ranked = log
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("ts").desc, col("event_id").desc)))
+    val folded = ranked
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updates"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+        sum(when(col("op") === "D" && col("rn") > 1, 1L).otherwise(0L))
+          .as("n_resurrections"),
+        max(when(col("rn") === 1, col("op"))).as("last_op"),
+        max(when(col("rn") === 1, col("value"))).as("last_value"),
+        max(when(col("rn") === 1, col("ts"))).as("last_ts"))
+    folded.filter(col("last_op") =!= "D")
+      .select(col("user_id"), col("n_ops"), col("n_inserts"),
+        col("n_updates"), col("n_deletes"), col("n_resurrections"),
+        col("last_op"), col("last_value"), col("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val q240Sql: String = {
+    val h = s"(${graft.functions.StableHash.intMix62Sql("event_id", 41L)}) % 10"
+    s"""WITH log AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         CASE WHEN ($h) = 0 THEN 'D'
+       |              WHEN ($h) <= 2 THEN 'I'
+       |              ELSE 'U' END AS op
+       |  FROM events),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |           ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM log),
+       |folded AS (
+       |  SELECT user_id,
+       |         CAST(count(*) AS BIGINT) AS n_ops,
+       |         CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_inserts,
+       |         CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_updates,
+       |         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_deletes,
+       |         CAST(sum(CASE WHEN op = 'D' AND rn > 1 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_resurrections,
+       |         max(CASE WHEN rn = 1 THEN op END) AS last_op,
+       |         max(CASE WHEN rn = 1 THEN value END) AS last_value,
+       |         max(CASE WHEN rn = 1 THEN ts END) AS last_ts
+       |  FROM ranked GROUP BY user_id)
+       |SELECT user_id, n_ops, n_inserts, n_updates, n_deletes,
+       |       n_resurrections, last_op, last_value, last_ts
+       |FROM folded WHERE last_op <> 'D'
+       |ORDER BY user_id""".stripMargin
+  }
 }

