@@ -210,6 +210,117 @@ object Events {
       |FROM views LEFT JOIN conv USING (view_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Funnel window for q241: the whole 3-step sequence must complete
+    * within 2 h of the anchor view (exact epoch-µs arithmetic). */
+  val FunnelWindowUs = 7200000000L
+
+  /** q241_window_funnel — the ClickHouse-`windowFunnel` shape: for each
+    * anchor `view`, how DEEP does the ordered sequence
+    * view → click → purchase get within [[FunnelWindowUs]] of the view,
+    * with GREEDY-EARLIEST step matching (step k+1 is the first qualifying
+    * event strictly after the matched step k — matching the earliest
+    * click can only help, since any purchase after a later click is also
+    * after the earliest one). q96 measures one edge of this funnel; this
+    * is the full-depth distribution product analytics actually reads,
+    * plus the mean full-funnel latency for completed sequences.
+    *
+    * Scale: two equi-joins on user_id with time-band residuals — pair
+    * space bounded by per-user event counts, never corpus²; each step
+    * resolves with a map-side-combinable min per anchor; the report is a
+    * 3-row depth histogram. Timestamps compare as exact epoch-µs
+    * integers; latency means are exact-integer sums with one division. */
+  def q241WindowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ep"), col("event_type"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ep").as("view_ep"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ep").as("click_ep"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ep").as("buy_ep"))
+    val step2 = views.join(clicks, Seq("user_id"))
+      .where(col("click_ep") > col("view_ep") &&
+        col("click_ep") <= col("view_ep") + FunnelWindowUs)
+      .groupBy(col("view_id"))
+      .agg(min(col("click_ep")).as("first_click_ep"))
+    val step3 = views.join(step2, Seq("view_id"))
+      .join(purchases, Seq("user_id"))
+      .where(col("buy_ep") > col("first_click_ep") &&
+        col("buy_ep") <= col("view_ep") + FunnelWindowUs)
+      .groupBy(col("view_id"))
+      .agg(min(col("buy_ep")).as("first_buy_ep"))
+    val depths = views
+      .join(step2, Seq("view_id"), "left")
+      .join(step3, Seq("view_id"), "left")
+      .select(col("view_ep"),
+        (lit(1) + when(col("first_click_ep").isNotNull, 1).otherwise(0) +
+          when(col("first_buy_ep").isNotNull, 1).otherwise(0)).as("depth"),
+        (col("first_buy_ep") - col("view_ep")).as("full_us"))
+    val tot = depths.agg(count(lit(1)).as("n_views"))
+    depths.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(col("full_us")).as("sum_full_us"))
+      .crossJoin(broadcast(tot))
+      .select(col("depth"), col("n_anchors"),
+        (col("n_anchors").cast("double") / col("n_views").cast("double"))
+          .as("share"),
+        when(col("depth") === 3,
+          col("sum_full_us").cast("double") /
+            col("n_anchors").cast("double") / 1000000.0)
+          .as("mean_full_funnel_sec"))
+      .orderBy(col("depth"))
+  }
+
+  val q241Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ep, event_type
+       |  FROM events),
+       |views AS (
+       |  SELECT event_id AS view_id, user_id, ep AS view_ep
+       |  FROM ev WHERE event_type = 'view'),
+       |clicks AS (
+       |  SELECT user_id, ep AS click_ep FROM ev
+       |  WHERE event_type = 'click'),
+       |purchases AS (
+       |  SELECT user_id, ep AS buy_ep FROM ev
+       |  WHERE event_type = 'purchase'),
+       |step2 AS (
+       |  SELECT view_id, min(click_ep) AS first_click_ep
+       |  FROM views JOIN clicks USING (user_id)
+       |  WHERE click_ep > view_ep
+       |    AND click_ep <= view_ep + $FunnelWindowUs
+       |  GROUP BY view_id),
+       |step3 AS (
+       |  SELECT v.view_id, min(buy_ep) AS first_buy_ep
+       |  FROM views v JOIN step2 s USING (view_id)
+       |  JOIN purchases p USING (user_id)
+       |  WHERE buy_ep > s.first_click_ep
+       |    AND buy_ep <= v.view_ep + $FunnelWindowUs
+       |  GROUP BY v.view_id),
+       |depths AS (
+       |  SELECT v.view_ep,
+       |         1 + (CASE WHEN s2.first_click_ep IS NOT NULL
+       |                   THEN 1 ELSE 0 END)
+       |           + (CASE WHEN s3.first_buy_ep IS NOT NULL
+       |                   THEN 1 ELSE 0 END) AS depth,
+       |         s3.first_buy_ep - v.view_ep AS full_us
+       |  FROM views v
+       |  LEFT JOIN step2 s2 USING (view_id)
+       |  LEFT JOIN step3 s3 USING (view_id)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_views FROM depths)
+       |SELECT depth, CAST(count(*) AS BIGINT) AS n_anchors,
+       |       CAST(count(*) AS DOUBLE) / CAST(t.n_views AS DOUBLE)
+       |         AS share,
+       |       CASE WHEN depth = 3
+       |            THEN CAST(sum(full_us) AS DOUBLE)
+       |                 / CAST(count(*) AS DOUBLE) / 1000000.0
+       |       END AS mean_full_funnel_sec
+       |FROM depths CROSS JOIN tot t
+       |GROUP BY depth, t.n_views
+       |ORDER BY depth""".stripMargin
+
   /** q97_cohort — weekly retention matrix: users cohorted by first-signup
     * week, retention = fraction of the cohort active in each later week.
     * The other product-analytics staple next to the funnel (q96).

@@ -32,6 +32,36 @@ class MiningSpec extends AnyFunSuite {
       (nPair * nBaskets).toDouble / (n1 * n2).toDouble)
   }
 
+  test("q241 funnel depths: histogram covers all views; brute-force agrees") {
+    val out = graft.ops.Events.q241WindowFunnel(spark, sf).collect()
+    val nViews = Tables.events(spark, sf)
+      .filter(col("event_type") === "view").count()
+    assert(out.map(_.getAs[Long]("n_anchors")).sum === nViews)
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    // brute-force recompute per anchor on the collected event log
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val t = graft.ops.Events.FunnelWindowUs
+    val depths = evs.filter(_._3 == "view").map { case (u, vep, _) =>
+      val clicks = evs.filter(e => e._1 == u && e._3 == "click" &&
+        e._2 > vep && e._2 <= vep + t).map(_._2)
+      if (clicks.isEmpty) 1
+      else {
+        val fc = clicks.min
+        val buys = evs.filter(e => e._1 == u && e._3 == "purchase" &&
+          e._2 > fc && e._2 <= vep + t)
+        if (buys.isEmpty) 2 else 3
+      }
+    }
+    val expHist = depths.groupBy(identity).view.mapValues(_.size.toLong)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_anchors") ===
+        expHist.getOrElse(r.getAs[Int]("depth"), 0L),
+        s"depth ${r.getAs[Int]("depth")}")
+    }
+  }
+
   test("q232 candidate-pruned triples equal the brute triple count") {
     val out = Collocations.q232BasketTriples(spark, sf).collect()
     assert(out.nonEmpty, "fixture should contain support-2 triples")
