@@ -230,6 +230,85 @@ object Graph {
       |FROM deg d LEFT JOIN pern p ON p.node = d.node
       |ORDER BY part""".stripMargin
 
+  /** q242_clustering_spectrum — the clustering-coefficient spectrum C(k)
+    * of the co-purchase graph, plus the GLOBAL transitivity in the same
+    * frame: per degree bucket (nodes with ≥ 2 neighbors), the
+    * wedge-weighted mean clustering coefficient Σtri / Σwedges — which
+    * within a single-degree bucket equals the plain mean of 2t/(d(d−1)),
+    * since every node there closes the same C(d,2) wedges — and in the
+    * ROLLUP total row (degree = −1 sentinel) equals 3·Δ/Σwedges, the
+    * textbook transitivity, because Σ n_tri counts each triangle three
+    * times. One operator, one formula, both statistics — and no per-node
+    * IEEE division is ever summed (the order-dependence trap): every
+    * bucket does exact integer Σtri / Σwedges ONCE. Declining C(k) is the
+    * hierarchical-structure signature; transitivity ≫ random is the
+    * small-world test — the two standard reads of q139's raw counts.
+    *
+    * Scale: everything after [[triangleCounts]] (q139's engine — the
+    * O(m^1.5)-bounded adjacency-intersection closing) is a
+    * degree-cardinality ROLLUP aggregate with map-side combine. */
+  def q242ClusteringSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    triangleCounts(e)
+      .filter(col("degree") >= 2)
+      .select(col("degree"), col("n_tri"),
+        expr("degree * (degree - 1) div 2").as("wedges"))
+      .rollup(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("n_tri")).as("sum_tri"),
+        sum(col("wedges")).as("sum_wedges"))
+      .select(coalesce(col("degree"), lit(-1L)).as("degree"),
+        col("n_nodes"), col("sum_tri"), col("sum_wedges"),
+        (col("sum_tri").cast("double") / col("sum_wedges").cast("double"))
+          .as("coef"))
+      .orderBy(col("degree"))
+  }
+
+  val q242Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |      FROM items a JOIN items b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, count(*) AS degree FROM (
+      |          SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+      |        GROUP BY node),
+      |ork AS (SELECT e.pa, e.pb,
+      |               da.degree * 4294967296 + e.pa AS ka,
+      |               db.degree * 4294967296 + e.pb AS kb
+      |        FROM e JOIN deg da ON da.node = e.pa
+      |               JOIN deg db ON db.node = e.pb),
+      |o AS (SELECT CASE WHEN ka < kb THEN pa ELSE pb END AS src,
+      |             CASE WHEN ka < kb THEN pb ELSE pa END AS dst,
+      |             greatest(ka, kb) AS kd
+      |      FROM ork),
+      |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |        FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.kd < e2.kd
+      |        JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |pern AS (SELECT node, count(*) AS n_tri FROM (
+      |           SELECT a AS node FROM tri
+      |           UNION ALL SELECT b FROM tri
+      |           UNION ALL SELECT c FROM tri)
+      |         GROUP BY node),
+      |base AS (
+      |  SELECT d.degree, coalesce(p.n_tri, 0) AS n_tri,
+      |         d.degree * (d.degree - 1) // 2 AS wedges
+      |  FROM deg d LEFT JOIN pern p ON p.node = d.node
+      |  WHERE d.degree >= 2)
+      |SELECT coalesce(degree, -1) AS degree,
+      |       CAST(count(*) AS BIGINT) AS n_nodes,
+      |       CAST(sum(n_tri) AS BIGINT) AS sum_tri,
+      |       CAST(sum(wedges) AS BIGINT) AS sum_wedges,
+      |       CAST(sum(n_tri) AS DOUBLE) / CAST(sum(wedges) AS DOUBLE)
+      |         AS coef
+      |FROM base GROUP BY ROLLUP(degree)
+      |ORDER BY degree""".stripMargin
+
   /** q140_link_predict — common-neighbor link prediction over the
     * repeat-co-purchase graph (part pairs bought together in ≥ 2 distinct
     * orders — the support filter is what makes open-neighborhood

@@ -188,6 +188,33 @@ class SketchGraphSpec extends AnyFunSuite {
       < 1e-6)
   }
 
+  test("q242 spectrum: rollup row IS transitivity; buckets reconcile") {
+    val out = ops.Graph.q242ClusteringSpectrum(spark, sf).collect()
+    val total = out.find(_.getAs[Long]("degree") == -1L).get
+    val buckets = out.filter(_.getAs[Long]("degree") != -1L)
+    // rollup reconciles with the buckets exactly
+    assert(buckets.map(_.getAs[Long]("n_nodes")).sum ===
+      total.getAs[Long]("n_nodes"))
+    assert(buckets.map(_.getAs[Long]("sum_tri")).sum ===
+      total.getAs[Long]("sum_tri"))
+    assert(buckets.map(_.getAs[Long]("sum_wedges")).sum ===
+      total.getAs[Long]("sum_wedges"))
+    // every coefficient is a valid ratio in [0, 1]
+    out.foreach { r =>
+      val c = r.getAs[Double]("coef")
+      assert(c >= 0.0 && c <= 1.0, s"degree ${r.getAs[Long]("degree")}: $c")
+      assert(r.getAs[Long]("sum_tri") <= r.getAs[Long]("sum_wedges"))
+    }
+    // transitivity identity vs q139's raw counts: Σ n_tri = 3Δ over
+    // degree≥2 nodes, wedges = Σ C(d,2)
+    val raw = ops.Graph.q139Triangles(spark, sf).collect()
+      .filter(_.getAs[Long]("degree") >= 2)
+    assert(raw.map(_.getAs[Long]("n_tri")).sum ===
+      total.getAs[Long]("sum_tri"))
+    assert(raw.map(r => { val d = r.getAs[Long]("degree")
+      d * (d - 1) / 2 }).sum === total.getAs[Long]("sum_wedges"))
+  }
+
   test("q238 buckets: thirds partition each source; head scores lowest") {
     val out = ops.Text.q238CcnetBuckets(spark, sf).collect()
     val bySrc = out.groupBy(_.getString(0))
