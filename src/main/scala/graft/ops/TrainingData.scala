@@ -1221,4 +1221,64 @@ object TrainingData {
        |LEFT JOIN train_digests t ON a.digest = t.digest
        |WHERE a.split <> 'train'
        |GROUP BY a.split ORDER BY a.split""".stripMargin
+
+  // ------------------------------------------- temperature-scaled mixing
+
+  /** q243_temp_mix — temperature-scaled sampling weights, the multilingual
+    * pretraining recipe (XLM-R's p_i^α family): at temperature α = 1/2,
+    * source i samples with share ∝ √p_i — big sources are damped, tail
+    * sources boosted, without q204's hard cap. α = 1/2 is chosen
+    * deliberately: √ of an exact integer is CORRECTLY-ROUNDED IEEE (the
+    * only transcendental-free power), so the whole weight table is
+    * cross-engine exact — a general p^0.3 needs pow(), whose libm is not
+    * bit-guaranteed, and would take the q148 round-then-sum discipline
+    * instead. Since shares normalize, √p_i ∝ √chars_i: the weight is
+    * √(exact char mass), quantized to 2^20 fixed point, integer-summed
+    * (never a float sum — q233's rule), ONE division per share. `boost`
+    * = sampled-share / natural-share is the in-row audit: > 1 means the
+    * source is upsampled.
+    *
+    * Scale: one map-side-combinable aggregate at source cardinality plus
+    * arithmetic on that dozens-row frame with a broadcast total — the
+    * output is the broadcast config for a q144-style weighted sampler. */
+  def q243TempMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("wq",
+        floor(sqrt(col("chars").cast("double")) * lit(1L << 20))
+          .cast("long"))
+    val tot = per.agg(sum(col("chars")).as("tot_chars"),
+      sum(col("wq")).as("tot_wq"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("chars"), col("wq"),
+        (col("chars").cast("double") / col("tot_chars").cast("double"))
+          .as("p_share"),
+        (col("wq").cast("double") / col("tot_wq").cast("double"))
+          .as("w_share"))
+      .withColumn("boost", col("w_share") / col("p_share"))
+      .orderBy(col("source"))
+  }
+
+  val q243Sql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT *, CAST(floor(sqrt(CAST(chars AS DOUBLE)) * 1048576)
+      |                 AS BIGINT) AS wq
+      |  FROM per),
+      |tot AS (
+      |  SELECT CAST(sum(chars) AS BIGINT) AS tot_chars,
+      |         CAST(sum(wq) AS BIGINT) AS tot_wq
+      |  FROM w)
+      |SELECT source, n_docs, chars, wq,
+      |       CAST(chars AS DOUBLE) / CAST(tot_chars AS DOUBLE) AS p_share,
+      |       CAST(wq AS DOUBLE) / CAST(tot_wq AS DOUBLE) AS w_share,
+      |       (CAST(wq AS DOUBLE) / CAST(tot_wq AS DOUBLE)) /
+      |         (CAST(chars AS DOUBLE) / CAST(tot_chars AS DOUBLE))
+      |         AS boost
+      |FROM w CROSS JOIN tot
+      |ORDER BY source""".stripMargin
 }

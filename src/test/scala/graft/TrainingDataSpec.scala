@@ -323,6 +323,30 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q243 temperature mix: shares normalize; damping direction holds") {
+    val out = graft.ops.TrainingData.q243TempMix(spark, sf).collect()
+    assert(math.abs(out.map(_.getAs[Double]("p_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_.getAs[Double]("w_share")).sum - 1.0) < 1e-9)
+    out.foreach { r =>
+      val (p, w, b) = (r.getAs[Double]("p_share"),
+        r.getAs[Double]("w_share"), r.getAs[Double]("boost"))
+      assert(math.abs(b - w / p) < 1e-12)
+      // α=1/2 damps above-average sources, boosts below-average ones
+      // (w ∝ √p, so w_share ⋛ p_share exactly when p ⋚ the √-weighted
+      // pivot); verify the monotone consequence: boost is ANTITONE in p
+      assert(b > 0.0)
+      // weight really is floor(√chars·2^20)
+      val wq = r.getAs[Long]("wq")
+      assert(wq === math.floor(
+        math.sqrt(r.getAs[Long]("chars").toDouble) * (1L << 20)).toLong)
+    }
+    val sorted = out.sortBy(_.getAs[Double]("p_share"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("boost") >= b.getAs[Double]("boost") - 1e-12,
+        "boost must decrease as natural share grows")
+    }
+  }
+
   test("q233 Neyman seats sum to K exactly and match a BigInt re-deal") {
     import graft.ops.Sampling
     val out = Sampling.q233NeymanAlloc(spark, sf).collect()
