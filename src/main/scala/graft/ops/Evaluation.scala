@@ -397,6 +397,85 @@ object Evaluation {
       .orderBy(col("label"))
   }
 
+  /** Action count for q244's policies. */
+  val IpsK = 5
+
+  /** q244_ips_eval — OFF-policy evaluation by inverse propensity scoring:
+    * given logs from a uniform exploration policy (action = id-hash mod
+    * [[IpsK]], propensity exactly 1/K), estimate the value a DIFFERENT
+    * deterministic target policy would have achieved: V_IPS =
+    * (1/n)·Σ r·K·1[a_log = a_tgt], and the self-normalized SNIPS variant
+    * Σr·w / Σw. Reward = 1 iff the logged action equals the context's
+    * true best (label mod K). Because the fixture is synthetic, the
+    * target's TRUE value is also computable — emitted in-row, so the
+    * estimate and its ground truth sit side by side (IPS is unbiased:
+    * the spec checks the estimate lands within sampling error). The
+    * counterfactual-evaluation step every recommendation/ranking
+    * pipeline runs before shipping a policy, reduced to ONE exact
+    * integer aggregate.
+    *
+    * Scale: one map-side-combinable global aggregate — five counters
+    * over a scan; no joins, no shuffle beyond the single-row combine.
+    * Every estimate is an integer ratio with one IEEE division. */
+  def q244IpsEval(spark: SparkSession, sfDir: String): DataFrame = {
+    // intMix62Col, NOT intMix62-with-two-salts: additive salts 51/52
+    // would make the two draws differ by a CONSTANT (a_tgt ≡ a_log+4
+    // mod 5 — zero matches, the exact correlation documented on
+    // intMix62Col); the multiplicative salt decorrelates the policies
+    val aLog = pmod(StableHash.intMix62Col(col("vec_id"), lit(51L)),
+      lit(IpsK.toLong))
+    val aTgt = pmod(StableHash.intMix62Col(col("vec_id"), lit(52L)),
+      lit(IpsK.toLong))
+    val best = pmod(col("label").cast("long"), lit(IpsK.toLong))
+    val r = when(aLog === best, 1L).otherwise(0L)
+    val matched = when(aLog === aTgt, 1L).otherwise(0L)
+    Tables.embeddings(spark, sfDir)
+      .select(r.as("r"), matched.as("m"),
+        when(aTgt === best, 1L).otherwise(0L).as("tgt_hit"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r")).as("n_reward"),
+        sum(col("m")).as("n_match"),
+        sum(col("r") * col("m")).as("n_match_reward"),
+        sum(col("tgt_hit")).as("n_tgt_hit"))
+      .select(col("n"), col("n_reward"), col("n_match"),
+        col("n_match_reward"),
+        (col("n_reward").cast("double") / col("n").cast("double"))
+          .as("v_logging"),
+        ((col("n_match_reward") * IpsK).cast("double") /
+          col("n").cast("double")).as("v_ips"),
+        (col("n_match_reward").cast("double") / col("n_match")
+          .cast("double")).as("v_snips"),
+        (col("n_tgt_hit").cast("double") / col("n").cast("double"))
+          .as("v_true"))
+  }
+
+  val q244Sql: String = {
+    val aLog = s"(${StableHash.intMix62ColSql("vec_id", "51")}) % $IpsK"
+    val aTgt = s"(${StableHash.intMix62ColSql("vec_id", "52")}) % $IpsK"
+    s"""WITH base AS (
+       |  SELECT CASE WHEN ($aLog) = CAST(label AS BIGINT) % $IpsK
+       |              THEN 1 ELSE 0 END AS r,
+       |         CASE WHEN ($aLog) = ($aTgt) THEN 1 ELSE 0 END AS m,
+       |         CASE WHEN ($aTgt) = CAST(label AS BIGINT) % $IpsK
+       |              THEN 1 ELSE 0 END AS tgt_hit
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(r) AS BIGINT) AS n_reward,
+       |         CAST(sum(m) AS BIGINT) AS n_match,
+       |         CAST(sum(r * m) AS BIGINT) AS n_match_reward,
+       |         CAST(sum(tgt_hit) AS BIGINT) AS n_tgt_hit
+       |  FROM base)
+       |SELECT n, n_reward, n_match, n_match_reward,
+       |       CAST(n_reward AS DOUBLE) / CAST(n AS DOUBLE) AS v_logging,
+       |       CAST(n_match_reward * $IpsK AS DOUBLE) / CAST(n AS DOUBLE)
+       |         AS v_ips,
+       |       CAST(n_match_reward AS DOUBLE) / CAST(n_match AS DOUBLE)
+       |         AS v_snips,
+       |       CAST(n_tgt_hit AS DOUBLE) / CAST(n AS DOUBLE) AS v_true
+       |FROM a""".stripMargin
+  }
+
   val q236Sql: String =
     s"""WITH qz AS (
        |  SELECT vec_id, CAST(label AS BIGINT) AS label,

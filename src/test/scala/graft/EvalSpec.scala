@@ -119,6 +119,27 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("gini") - (2 * auc - 1)) < 1e-12)
   }
 
+  test("q244 IPS: unbiased-estimator identities and sampling-error band") {
+    val r = Evaluation.q244IpsEval(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    assert(n === 500L)
+    // counters nest: matched rewards <= rewards, matched rewards <= matches
+    assert(r.getAs[Long]("n_match_reward") <= r.getAs[Long]("n_reward"))
+    assert(r.getAs[Long]("n_match_reward") <= r.getAs[Long]("n_match"))
+    val (vIps, vSnips, vTrue) = (r.getAs[Double]("v_ips"),
+      r.getAs[Double]("v_snips"), r.getAs[Double]("v_true"))
+    // uniform logging: matches ≈ n/K; both estimates near the true value
+    // within a generous 4-sigma Monte Carlo band for n=500, p≈0.2:
+    // sd(IPS) ≈ sqrt(K·p/n) ≈ 0.045 → band ±0.18
+    assert(math.abs(vIps - vTrue) < 0.18, s"IPS $vIps vs true $vTrue")
+    assert(math.abs(vSnips - vTrue) < 0.18, s"SNIPS $vSnips vs $vTrue")
+    // identities re-derived from the exact counters
+    assert(vIps === r.getAs[Long]("n_match_reward").toDouble *
+      Evaluation.IpsK / n.toDouble)
+    assert(vSnips === r.getAs[Long]("n_match_reward").toDouble /
+      r.getAs[Long]("n_match").toDouble)
+  }
+
   test("q236 kNN: clustered embeddings classify well above chance") {
     val rows = Evaluation.q236KnnClassify(spark, sf).collect()
     val nProbes = rows.map(_.getAs[Long]("n_probes")).sum
