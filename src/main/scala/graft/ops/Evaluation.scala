@@ -397,6 +397,76 @@ object Evaluation {
       .orderBy(col("label"))
   }
 
+  /** q245_calibration — the reliability diagram + expected calibration
+    * error for q231's synthetic scorer, all in EXACT rational arithmetic:
+    * the score s ∈ [−4, 8] maps to predicted probability p̂ = (s+4)/12,
+    * so per score bin both p̂ and the empirical rate are integer ratios,
+    * and the bin's calibration gap |p̂ − rate| has the exact numerator
+    * |(s+4)·n_b − 12·pos_b|. A ROLLUP over the bin frame then gives the
+    * whole diagram AND the summary in one formula: for a single-score
+    * group, gap-sum/(12·n) IS that bin's |p̂ − rate|; for the total row
+    * (score = −100 sentinel), it is the textbook frequency-weighted ECE
+    * Σ (n_b/N)·|p̂_b − rate_b|. AUC (q231) measures discrimination; this
+    * measures whether the scores MEAN what they claim — the other half
+    * of classifier eval, and no per-bin IEEE division is ever summed.
+    *
+    * Scale: one score-cardinality aggregate (map-side combinable) then a
+    * ROLLUP over ~13 bin rows. Continuous scorers first quantize to
+    * fixed-point buckets, as q231 notes. */
+  def q245Calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = StableHash.intMix62(col("vec_id"), 29L)
+    val bins = Tables.embeddings(spark, sfDir)
+      .select(when(col("label") < 5, 1L).otherwise(0L).as("y"),
+        (when(col("label") < 5, 4L).otherwise(0L) +
+          pmod(h, lit(9L)) - 4L).as("score"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"))
+      .select(col("score"), col("n_b"), col("pos_b"),
+        ((col("score") + 4) * col("n_b")).as("s4n"),
+        abs((col("score") + 4) * col("n_b") - col("pos_b") * 12).as("t"))
+    bins.rollup(col("score"))
+      .agg(sum(col("n_b")).as("n_rows"), sum(col("pos_b")).as("n_pos"),
+        sum(col("s4n")).as("s4n"), sum(col("t")).as("t"))
+      .select(coalesce(col("score"), lit(-100L)).as("score"),
+        col("n_rows"), col("n_pos"),
+        (col("s4n").cast("double") / (col("n_rows") * 12).cast("double"))
+          .as("p_hat"),
+        (col("n_pos").cast("double") / col("n_rows").cast("double"))
+          .as("rate"),
+        (col("t").cast("double") / (col("n_rows") * 12).cast("double"))
+          .as("cal_gap"))
+      .orderBy(col("score"))
+  }
+
+  val q245Sql: String = {
+    val mix = StableHash.intMix62Sql("vec_id", 29L)
+    s"""WITH scored AS (
+       |  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |         (CASE WHEN label < 5 THEN 4 ELSE 0 END)
+       |           + ($mix) % 9 - 4 AS score
+       |  FROM embeddings),
+       |bins AS (
+       |  SELECT score, CAST(count(*) AS BIGINT) AS n_b,
+       |         CAST(sum(y) AS BIGINT) AS pos_b
+       |  FROM scored GROUP BY score),
+       |terms AS (
+       |  SELECT score, n_b, pos_b,
+       |         (score + 4) * n_b AS s4n,
+       |         abs((score + 4) * n_b - pos_b * 12) AS t
+       |  FROM bins)
+       |SELECT coalesce(score, -100) AS score,
+       |       CAST(sum(n_b) AS BIGINT) AS n_rows,
+       |       CAST(sum(pos_b) AS BIGINT) AS n_pos,
+       |       CAST(sum(s4n) AS DOUBLE) / CAST(sum(n_b) * 12 AS DOUBLE)
+       |         AS p_hat,
+       |       CAST(sum(pos_b) AS DOUBLE) / CAST(sum(n_b) AS DOUBLE)
+       |         AS rate,
+       |       CAST(sum(t) AS DOUBLE) / CAST(sum(n_b) * 12 AS DOUBLE)
+       |         AS cal_gap
+       |FROM terms GROUP BY ROLLUP(score)
+       |ORDER BY score""".stripMargin
+  }
+
   /** Action count for q244's policies. */
   val IpsK = 5
 

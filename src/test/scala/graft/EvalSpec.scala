@@ -140,6 +140,31 @@ class EvalSpec extends AnyFunSuite {
       r.getAs[Long]("n_match").toDouble)
   }
 
+  test("q245 calibration: rollup row is the weighted ECE; bins exact") {
+    val out = Evaluation.q245Calibration(spark, sf).collect()
+    val total = out.find(_.getAs[Long]("score") == -100L).get
+    val bins = out.filter(_.getAs[Long]("score") != -100L)
+    assert(bins.map(_.getAs[Long]("n_rows")).sum ===
+      total.getAs[Long]("n_rows"))
+    bins.foreach { r =>
+      val s = r.getAs[Long]("score")
+      // p_hat really is (s+4)/12 and gap really is |p_hat - rate|
+      assert(math.abs(r.getAs[Double]("p_hat") - (s + 4) / 12.0) < 1e-12)
+      assert(math.abs(r.getAs[Double]("cal_gap") -
+        math.abs(r.getAs[Double]("p_hat") - r.getAs[Double]("rate")))
+        < 1e-12, s"bin $s gap")
+      assert(r.getAs[Double]("rate") >= 0.0 &&
+        r.getAs[Double]("rate") <= 1.0)
+    }
+    // total row: ECE equals the hand-computed weighted sum of bin gaps
+    val n = total.getAs[Long]("n_rows").toDouble
+    val ece = bins.map(r =>
+      r.getAs[Long]("n_rows") / n * r.getAs[Double]("cal_gap")).sum
+    assert(math.abs(total.getAs[Double]("cal_gap") - ece) < 1e-12)
+    assert(total.getAs[Double]("cal_gap") >= 0.0 &&
+      total.getAs[Double]("cal_gap") <= 1.0)
+  }
+
   test("q236 kNN: clustered embeddings classify well above chance") {
     val rows = Evaluation.q236KnnClassify(spark, sf).collect()
     val nProbes = rows.map(_.getAs[Long]("n_probes")).sum
