@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -272,6 +273,90 @@ object Events {
           .as("mean_full_funnel_sec"))
       .orderBy(col("depth"))
   }
+
+  /** q246_sax_motifs — Symbolic Aggregate approXimation of the daily
+    * revenue series: z-normalize the per-day order totals against the
+    * whole series (exact decimal sums feed the mean; the variance
+    * numerator n·Σx²−(Σx)² stays exact in decimal(38,0)/HUGEINT; σ is one
+    * correctly-rounded sqrt), map each day to a 4-letter alphabet at the
+    * standard Gaussian quartile breakpoints ±0.6745 and 0, and count
+    * every 3-day symbol motif — the discretize-then-index recipe behind
+    * symbolic time-series search (SAX), giving a grep-able
+    * representation of "revenue shape". Frequent motifs are recurring
+    * local patterns; rare ones are anomaly candidates. Every z-score is
+    * the same short IEEE chain on identical operands in both engines;
+    * the breakpoint compare then yields identical symbols.
+    *
+    * Scale: the aggregate is fact-scale map-side-combinable; everything
+    * after runs at DAY cardinality (2.4 k rows) — the lead() window over
+    * the series and the motif count are series ops, the same contract as
+    * q175/q177. Output is motif-alphabet bounded (≤ 64 rows). */
+  def q246SaxMotifs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("cents"))
+    val mom = daily.agg(count(lit(1)).as("n"),
+      sum(d38(col("cents"))).as("sx"),
+      sum(d38(col("cents")) * d38(col("cents"))).as("sxx"))
+    val stats = mom.select(col("n"),
+      (col("sx").cast("double") / col("n").cast("double")).as("mu"),
+      sqrt((d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+        .cast("double")).as("sd_num")) // σ·n = √(n·Σx²−(Σx)²)
+    val sym = daily.crossJoin(broadcast(stats))
+      .select(col("day"),
+        // z = (x−μ)·n / σn — one subtract, one multiply, one divide
+        ((col("cents").cast("double") - col("mu")) *
+          col("n").cast("double") / col("sd_num")).as("z"))
+      .select(col("day"),
+        when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
+          .when(col("z") < 0.6745, "c").otherwise("d").as("sym"))
+    val w = Window.orderBy(col("day"))
+    sym
+      .withColumn("s2", lead(col("sym"), 1).over(w))
+      .withColumn("s3", lead(col("sym"), 2).over(w))
+      .filter(col("s3").isNotNull)
+      .select(concat(col("sym"), col("s2"), col("s3")).as("motif"))
+      .groupBy(col("motif")).agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("motif"))
+  }
+
+  val q246Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |mom AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+      |         CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+      |              AS HUGEINT) AS sxx
+      |  FROM daily),
+      |stats AS (
+      |  SELECT n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |         sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+      |           AS sd_num
+      |  FROM mom),
+      |sym AS (
+      |  SELECT day,
+      |         CASE WHEN z < -0.6745 THEN 'a'
+      |              WHEN z < 0.0 THEN 'b'
+      |              WHEN z < 0.6745 THEN 'c'
+      |              ELSE 'd' END AS sym
+      |  FROM (SELECT day,
+      |               (CAST(cents AS DOUBLE) - mu) * CAST(n AS DOUBLE)
+      |                 / sd_num AS z
+      |        FROM daily CROSS JOIN stats)),
+      |tri AS (
+      |  SELECT sym || lead(sym, 1) OVER (ORDER BY day)
+      |             || lead(sym, 2) OVER (ORDER BY day) AS motif,
+      |         lead(sym, 2) OVER (ORDER BY day) AS s3
+      |  FROM sym)
+      |SELECT motif, CAST(count(*) AS BIGINT) AS n_windows
+      |FROM tri WHERE s3 IS NOT NULL
+      |GROUP BY motif ORDER BY motif""".stripMargin
 
   val q241Sql: String =
     s"""WITH ev AS (

@@ -228,4 +228,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.values.map(_._1).sum ===
       raw.count(_._3 == "purchase").toLong, "every purchase attributed")
   }
+
+  test("q246 SAX: windows tile the series; symbols match a direct z-scan") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Events.q246SaxMotifs(spark, SparkSuite.sf).collect()
+    val daily = Tables.orders(spark, SparkSuite.sf)
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("cents"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val n = daily.length
+    assert(out.map(_.getAs[Long]("n_windows")).sum === (n - 2).toLong,
+      "3-day windows must tile the whole series")
+    // recompute symbols with BigInt-exact moments and the same z chain
+    val sx = daily.map(d => BigInt(d._2)).sum
+    val sxx = daily.map(d => BigInt(d._2) * BigInt(d._2)).sum
+    val mu = sx.toDouble / n
+    val sdNum = math.sqrt((BigInt(n) * sxx - sx * sx).toDouble)
+    val syms = daily.map { case (_, c) =>
+      val z = (c.toDouble - mu) * n / sdNum
+      if (z < -0.6745) 'a' else if (z < 0.0) 'b'
+      else if (z < 0.6745) 'c' else 'd'
+    }
+    val expect = syms.sliding(3).map(_.mkString).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      assert(expect.getOrElse(r.getString(0), 0L) ===
+        r.getAs[Long]("n_windows"), s"motif ${r.getString(0)}")
+    }
+    // alphabet is roughly balanced on a z-normalized series (quartile
+    // breakpoints): every letter appears somewhere
+    assert("abcd".forall(ch => syms.contains(ch)))
+  }
 }
