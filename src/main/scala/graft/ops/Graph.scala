@@ -230,6 +230,114 @@ object Graph {
       |FROM deg d LEFT JOIN pern p ON p.node = d.node
       |ORDER BY part""".stripMargin
 
+  /** q247_modularity — Newman modularity of the co-purchase graph under
+    * the BRAND partition: Q = Σ_c (m_c/m − (d_c/2m)²), computed as the
+    * exact-integer form Σ_c (4m·m_c − d_c²) / (4m²) — every per-community
+    * numerator is a BIGINT, contributions add linearly, and a ROLLUP
+    * total row (brand = '*') IS the modularity, with ONE division per
+    * emitted row (q242's trick, applied to community structure). Q > 0
+    * means brands cluster in co-purchase behavior beyond degree chance;
+    * per-brand contributions localize which communities carry it. The
+    * community-QUALITY measure that complements q83/q68's community
+    * DISCOVERY and q139/q242's local structure.
+    *
+    * Scale: one edge build (the q139 shape), a broadcast part→brand
+    * join, then brand-cardinality aggregates; the rollup runs over ~25
+    * community rows. Nothing rescales with corpus beyond the edge list
+    * itself. */
+  def q247Modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+      .cutLineage()
+    val brand = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"))
+    val eb = e
+      .join(broadcast(brand.select(col("p_partkey").as("pa"),
+        col("p_brand").as("ba"))), Seq("pa"))
+      .join(broadcast(brand.select(col("p_partkey").as("pb"),
+        col("p_brand").as("bb"))), Seq("pb"))
+      .cutLineage()
+    val mTot = eb.agg(count(lit(1)).as("m"))
+    val intra = eb.filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("community")).agg(count(lit(1)).as("m_c"))
+    val degC = eb
+      .select(col("ba").as("community"))
+      .unionAll(eb.select(col("bb").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("d_c"))
+    val nodes = brand
+      .join(e.select(col("pa").as("p_partkey"))
+        .unionAll(e.select(col("pb").as("p_partkey"))).distinct(),
+        Seq("p_partkey"), "left_semi")
+      .groupBy(col("p_brand").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val per = nodes
+      .join(degC, Seq("community"), "left")
+      .join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mTot))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("d_c"), lit(0L)).as("d_c"),
+        coalesce(col("m_c"), lit(0L)).as("m_c"), col("m"))
+      .withColumn("t_num",
+        col("m") * col("m_c") * 4 - col("d_c") * col("d_c"))
+    per.rollup(col("community"))
+      .agg(sum(col("n_nodes")).as("n_nodes"), sum(col("d_c")).as("d_c"),
+        sum(col("m_c")).as("m_c"), sum(col("t_num")).as("t_num"),
+        max(col("m")).as("m"))
+      .select(coalesce(col("community"), lit("*")).as("community"),
+        col("n_nodes"), col("d_c"), col("m_c"),
+        (col("t_num").cast("double") /
+          (col("m") * col("m") * 4).cast("double")).as("q_contrib"))
+      .orderBy(col("community"))
+  }
+
+  val q247Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |      FROM items a JOIN items b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |eb AS (
+      |  SELECT e.pa, e.pb, x.p_brand AS ba, y.p_brand AS bb
+      |  FROM e JOIN part x ON x.p_partkey = e.pa
+      |         JOIN part y ON y.p_partkey = e.pb),
+      |mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eb),
+      |intra AS (
+      |  SELECT ba AS community, CAST(count(*) AS BIGINT) AS m_c
+      |  FROM eb WHERE ba = bb GROUP BY 1),
+      |degc AS (
+      |  SELECT community, CAST(count(*) AS BIGINT) AS d_c FROM (
+      |    SELECT ba AS community FROM eb
+      |    UNION ALL SELECT bb FROM eb)
+      |  GROUP BY 1),
+      |nodes AS (
+      |  SELECT p.p_brand AS community, CAST(count(*) AS BIGINT) AS n_nodes
+      |  FROM part p
+      |  WHERE p.p_partkey IN (SELECT pa FROM e UNION SELECT pb FROM e)
+      |  GROUP BY 1),
+      |per AS (
+      |  SELECT n.community, n.n_nodes,
+      |         coalesce(d.d_c, 0) AS d_c,
+      |         coalesce(i.m_c, 0) AS m_c,
+      |         mt.m,
+      |         mt.m * coalesce(i.m_c, 0) * 4
+      |           - coalesce(d.d_c, 0) * coalesce(d.d_c, 0) AS t_num
+      |  FROM nodes n
+      |  LEFT JOIN degc d ON d.community = n.community
+      |  LEFT JOIN intra i ON i.community = n.community
+      |  CROSS JOIN mt)
+      |SELECT coalesce(community, '*') AS community,
+      |       CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+      |       CAST(sum(d_c) AS BIGINT) AS d_c,
+      |       CAST(sum(m_c) AS BIGINT) AS m_c,
+      |       CAST(sum(t_num) AS DOUBLE)
+      |         / CAST(max(m) * max(m) * 4 AS DOUBLE) AS q_contrib
+      |FROM per GROUP BY ROLLUP(community)
+      |ORDER BY community""".stripMargin
+
   /** q242_clustering_spectrum — the clustering-coefficient spectrum C(k)
     * of the co-purchase graph, plus the GLOBAL transitivity in the same
     * frame: per degree bucket (nodes with ≥ 2 neighbors), the

