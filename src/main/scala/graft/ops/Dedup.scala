@@ -375,6 +375,61 @@ object Dedup {
       |JOIN sizes s2 ON s2.doc_id = d2
       |ORDER BY d1, d2""".stripMargin
 
+  /** q248_containment — ASYMMETRIC near-duplicate detection: for each
+    * banded candidate pair, the containment coefficient
+    * C = |A∩B| / min(|A|,|B|) over distinct 3-gram sets, with the
+    * contained (smaller-set) document identified in-row. Jaccard (q72)
+    * misses the quote/boilerplate case this catches: a short document
+    * pasted verbatim into a much longer one has LOW Jaccard (the union is
+    * big) but containment ≈ 1 — the "near-superset" relation a curation
+    * pipeline must treat as a duplicate of the smaller doc, not a novel
+    * document. Same candidate machinery as q72 ([[bandedGramPairs]]), so
+    * the two screens share one gram pass in production.
+    *
+    * Scale: identical shape to q72 — gram-hash-keyed candidate join
+    * bounded by the band window, sizes joined at doc cardinality, one
+    * division per pair. */
+  def q248Containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = hashedGrams(Tables.documents(spark, sfDir))
+    val sizes = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    bandedGramPairs(grams, 10L)
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"), col("n_inter"),
+        least(col("n1"), col("n2")).as("n_small"),
+        (col("n_inter") / least(col("n1"), col("n2"))).as("containment"),
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+          .as("contained_doc"))
+      .withColumn("near_superset", col("containment") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q248Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT g1.doc_id AS d1, g2.doc_id AS d2, count(*) AS n_inter
+      |  FROM grams g1 JOIN grams g2
+      |    ON g1.gram = g2.gram
+      |   AND g2.doc_id > g1.doc_id AND g2.doc_id <= g1.doc_id + 10
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, n_inter,
+      |       least(s1.n, s2.n) AS n_small,
+      |       n_inter / least(s1.n, s2.n) AS containment,
+      |       CASE WHEN s1.n <= s2.n THEN d1 ELSE d2 END AS contained_doc,
+      |       n_inter / least(s1.n, s2.n) >= 0.5 AS near_superset
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |ORDER BY d1, d2""".stripMargin
+
   /** q172_lsh_audit — does the approximate dedup find what the exact one
     * finds? Confusion-matrix audit of MinHash+LSH cluster membership
     * ([[minhashClusters]], "in a multi-doc cluster") against the exact

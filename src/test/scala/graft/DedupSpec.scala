@@ -108,4 +108,35 @@ class DedupSpec extends AnyFunSuite {
     val expected = g1.intersect(g2).size.toDouble / g1.union(g2).size
     assert(math.abs(row.getAs[Double]("jaccard") - expected) < 1e-12)
   }
+
+  test("q248 containment: a planted quote scores ~1 where jaccard is low") {
+    // real-fixture pairs: containment >= jaccard always, contained doc
+    // has the smaller gram set
+    val rows = ops.Dedup.q248Containment(spark, SparkSuite.sf).collect()
+    val jac = ops.Dedup.q72NgramJaccard(spark, SparkSuite.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("d1"), r.getAs[Long]("d2"))
+      val c = r.getAs[Double]("containment")
+      assert(c >= jac(key) - 1e-12, s"$key containment < jaccard")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Boolean]("near_superset") === (c >= 0.5))
+    }
+    // planted case: doc B = doc A's text + a long unique tail → the pair
+    // must flag near-superset with containment 1 while jaccard is small
+    val sp = spark
+    import sp.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val tail = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("q248tiny").toString
+    Seq((0L, a), (1L, a + " " + tail)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = ops.Dedup.q248Containment(spark, dir).collect()
+    val p = planted.find(r => r.getAs[Long]("d1") == 0L &&
+      r.getAs[Long]("d2") == 1L).get
+    assert(p.getAs[Double]("containment") === 1.0)
+    assert(p.getAs[Long]("contained_doc") === 0L)
+    assert(p.getAs[Boolean]("near_superset"))
+  }
 }
