@@ -269,15 +269,18 @@ object Graph {
       .select(col("ba").as("community"))
       .unionAll(eb.select(col("bb").as("community")))
       .groupBy(col("community")).agg(count(lit(1)).as("d_c"))
+    // edge-touched node ids are bounded by |part| (a dimension) —
+    // broadcast them into the semi-join; the community-cardinality
+    // frames (~25 rows) broadcast onto the node spine likewise
     val nodes = brand
-      .join(e.select(col("pa").as("p_partkey"))
-        .unionAll(e.select(col("pb").as("p_partkey"))).distinct(),
+      .join(broadcast(e.select(col("pa").as("p_partkey"))
+        .unionAll(e.select(col("pb").as("p_partkey"))).distinct()),
         Seq("p_partkey"), "left_semi")
       .groupBy(col("p_brand").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
     val per = nodes
-      .join(degC, Seq("community"), "left")
-      .join(intra, Seq("community"), "left")
+      .join(broadcast(degC), Seq("community"), "left")
+      .join(broadcast(intra), Seq("community"), "left")
       .crossJoin(broadcast(mTot))
       .select(col("community"), col("n_nodes"),
         coalesce(col("d_c"), lit(0L)).as("d_c"),

@@ -356,4 +356,48 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(p).length
     assert(joins <= 3, s"unexpected join count $joins:\n$p")
   }
+
+  test("q229 PQ: codebook and probe frames broadcast; no cartesian scan") {
+    val p = plan(ops.Quantize.q229PqAdc(spark, sf))
+    assert(p.contains("BroadcastExchange"), s"nothing broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in the ADC path:\n$p")
+  }
+
+  test("q234 corr matrix: projections read the checkpoint, not parquet") {
+    // the 15-sum aggregate runs ONCE (eager localCheckpoint inside the
+    // builder); the returned union of 6 pair projections must not contain
+    // a parquet scan — re-scanning lineitem per pair is exactly the
+    // failure mode the checkpoint exists to prevent
+    val p = plan(ops.Regression.q234CorrMatrix(spark, sf))
+    assert(!p.contains("FileScan parquet"),
+      s"pair projections re-scan the fact table:\n$p")
+    assert(p.contains("Union"), p)
+  }
+
+  test("q235 bootstrap: no join anywhere — replicate means are one aggregate") {
+    val p = plan(ops.Robust.q235PoissonBootstrap(spark, sf))
+    val joins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length
+    assert(joins === 0, s"shuffled join in the bootstrap path:\n$p")
+    assert(p.contains("Generate"), s"replicate explode missing:\n$p")
+  }
+
+  test("q236 kNN: probe set broadcasts against one corpus scan") {
+    val p = plan(ops.Evaluation.q236KnnClassify(spark, sf))
+    assert(p.contains("BroadcastExchange"), s"probes not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept in:\n$p")
+  }
+
+  test("q247 modularity: community joins broadcast, no shuffled join") {
+    // the heavy work (edge build + brand join) is behind an eager
+    // checkpoint; everything downstream joins community-cardinality
+    // frames — those must broadcast, never sort-merge. The one parquet
+    // scan left is the part DIMENSION feeding the node spine.
+    val p = plan(ops.Graph.q247Modularity(spark, sf))
+    assert(!p.contains("SortMergeJoin"), s"shuffled join downstream:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"fact re-scan downstream ($scans):\n$p")
+  }
 }
