@@ -699,6 +699,154 @@ object Streams {
        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
        |ORDER BY key, total, arrived""".stripMargin
 
+  // ------------------------------------------------------------ stream CDC
+
+  /** Per-key CDC fold state: op counters + the argmax-(ts, id) op. */
+  case class CdcState(nOps: Long, nIns: Long, nUpd: Long, nDel: Long,
+      lastTs: Long, lastId: Long, lastOp: String, lastValue: Double)
+
+  /** Running emission of [[CdcProcessor]] — one row per (key, batch). */
+  case class CdcUpdate(key: Long, n_ops: Long, n_inserts: Long,
+      n_updates: Long, n_deletes: Long, last_ts_us: Long, last_id: Long,
+      last_op: String, last_value: Double)
+
+  /** The q240 CDC compaction fold as STREAMING STATE: counters are
+    * commutative sums and "last op" is an argmax over the total order
+    * (ts, event_id) — a commutative-monoid merge, so the fold's result
+    * is independent of how the log is split into batches (the staged
+    * replay deliberately interleaves time ranges across batches to
+    * prove it). State is one fixed-size record per live key. */
+  class CdcProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String, Double), CdcUpdate] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[CdcState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CdcState]("cdc",
+        org.apache.spark.sql.Encoders.product[CdcState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CdcUpdate] = {
+      var s = if (st.exists()) st.get()
+        else CdcState(0L, 0L, 0L, 0L, Long.MinValue, Long.MinValue, "", 0.0)
+      while (rows.hasNext) {
+        val (_, ts, id, op, v) = rows.next()
+        s = CdcState(
+          s.nOps + 1,
+          s.nIns + (if (op == "I") 1 else 0),
+          s.nUpd + (if (op == "U") 1 else 0),
+          s.nDel + (if (op == "D") 1 else 0),
+          if (ts > s.lastTs || (ts == s.lastTs && id > s.lastId)) ts
+          else s.lastTs,
+          if (ts > s.lastTs || (ts == s.lastTs && id > s.lastId)) id
+          else s.lastId,
+          if (ts > s.lastTs || (ts == s.lastTs && id > s.lastId)) op
+          else s.lastOp,
+          if (ts > s.lastTs || (ts == s.lastTs && id > s.lastId)) v
+          else s.lastValue)
+      }
+      st.update(s)
+      Iterator.single(CdcUpdate(key, s.nOps, s.nIns, s.nUpd, s.nDel,
+        s.lastTs, s.lastId, s.lastOp, s.lastValue))
+    }
+  }
+
+  /** q249_stream_cdc — [[graft.ops.Merge.q240CdcReplay]] run as a REAL
+    * streaming query through [[CdcProcessor]] (transformWithState +
+    * RocksDB state store) and verified against the SAME DuckDB oracle as
+    * the batch operator — batch/stream parity for the lakehouse
+    * compaction fold, the q219-sessionizer treatment applied to CDC. The
+    * log is staged as two files split by event-id PARITY, so each
+    * batch's time range fully overlaps the other's: any
+    * arrival-order-dependence in the fold would flip `last_*` columns
+    * and fail the hash. Emissions are running totals (update mode); the
+    * read-back keeps each key's final state (max n_ops — monotone per
+    * touch), derives resurrections as deletes-before-last, and drops
+    * keys whose final op is a tombstone.
+    *
+    * Scale: state is one fixed-width record per live key, partitioned by
+    * key; emissions are one row per (key, batch). Exactly the compaction
+    * service shape. */
+  def q249StreamCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.StableHash
+    val root = freshDir("graft-q249")
+    val in = stageOnce("q249in", sfDir) { dir =>
+      val h = pmod(StableHash.intMix62(col("event_id"), 41L), lit(10L))
+      val log = graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          when(h === 0L, "D").when(h <= 2L, "I").otherwise("U").as("op"))
+      def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = freshDir("graft-q249-stage")
+        df.coalesce(1).write.parquet(s"$tmp/p")
+        val part = new java.io.File(s"$tmp/p").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(dir, name)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime): scala.Unit
+      }
+      val base = System.currentTimeMillis() - 600000L
+      stageBatch(log.filter(col("event_id") % 2 === 0), "b0.parquet", base)
+      stageBatch(log.filter(col("event_id") % 2 =!= 0), "b1.parquet",
+        base + 60000L)
+    }
+    val schema = spark.read.parquet(in).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("user_id").as("_1"), col("ts_us").as("_2"),
+        col("event_id").as("_3"), col("op").as("_4"), col("value").as("_5"))
+      .as[(Long, Long, Long, String, Double)]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      src.groupByKey(_._1)
+        .transformWithState(new CdcProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: Dataset[CdcUpdate], _: Long) =>
+          batch.write.mode("append").parquet(s"$root/out")
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(s"$root/out")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("n_ops").desc)))
+      .filter(col("rn") === 1)
+      .filter(col("last_op") =!= "D")
+      .select(col("key").as("user_id"), col("n_ops"), col("n_inserts"),
+        col("n_updates"), col("n_deletes"),
+        (col("n_deletes") -
+          when(col("last_op") === "D", 1L).otherwise(0L))
+          .as("n_resurrections"),
+        col("last_op"), col("last_value"),
+        timestamp_micros(col("last_ts_us")).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Shared oracle with the batch operator — parity is the point. */
+  val q249Sql: String = graft.ops.Merge.q240Sql
+
   /** Batch oracle: 30-minute-gap sessions with end = last event + gap and
     * exact cents sums — the q62 gaps-and-islands shape with the
     * sessionizer's [start, last+gap) window convention. */

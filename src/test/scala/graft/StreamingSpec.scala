@@ -289,4 +289,20 @@ class StreamingSpec extends AnyFunSuite {
           .sortBy(t => (t._1, t._2)).toSeq)
     } finally q.stop()
   }
+
+  test("q249 streamed CDC fold equals the batch compaction row-for-row") {
+    val sf = SparkSuite.sf
+    val stream = graft.streaming.Streams.q249StreamCdc(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6),
+        r.getDouble(7), r.getTimestamp(8))).toSet
+    val batch = graft.ops.Merge.q240CdcReplay(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6),
+        r.getDouble(7), r.getTimestamp(8))).toSet
+    assert(stream === batch,
+      s"stream-vs-batch diff: ${stream.diff(batch).take(3)} / " +
+        s"${batch.diff(stream).take(3)}")
+    assert(batch.nonEmpty)
+  }
 }
