@@ -319,4 +319,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum === nDocs)
     assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(1)))
   }
+
+  test("q250 curation v2: ledger accounting is exact per source") {
+    import org.apache.spark.sql.functions._
+    val out = ops.TrainingPipeline.q250CurationV2(spark, sf).collect()
+    val rawSizes = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var wShareSum = 0.0
+    out.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Long]("n_raw") === rawSizes(src), s"$src raw")
+      // the ledger balances: raw = dedup cut + tail cut + kept
+      assert(r.getAs[Long]("n_raw") ===
+        r.getAs[Long]("n_dedup_cut") + r.getAs[Long]("n_tail_cut") +
+          r.getAs[Long]("n_kept"), s"$src balance")
+      // the tail cut is about a third of survivors (integer-quota thirds
+      // of n_raw - n_dedup_cut)
+      val surv = r.getAs[Long]("n_raw") - r.getAs[Long]("n_dedup_cut")
+      // kept = #{rk : 3·rk ≤ 2·surv} = ⌊2·surv/3⌋ exactly
+      assert(r.getAs[Long]("n_kept") === surv * 2 / 3,
+        s"$src kept ${r.getAs[Long]("n_kept")} of $surv")
+      wShareSum += r.getAs[Double]("w_share")
+      assert(r.getAs[Double]("per_doc_boost") > 0.0)
+    }
+    assert(math.abs(wShareSum - 1.0) < 1e-9, s"shares sum $wShareSum")
+    // the sf0.001 fixture contains at least one containment duplicate
+    // pair at sf0.01 — at this sf the dedup stage may be empty, but the
+    // column must never go negative
+    assert(out.forall(_.getAs[Long]("n_dedup_cut") >= 0L))
+  }
 }
