@@ -44,6 +44,83 @@ object Incremental {
     * incrementally, and emit the merged state (avg derived at read time).
     * The oracle recomputes from scratch — hash equality proves the
     * incremental path is exact. */
+  /** Delta membership predicates for q251 — deterministic "new arrivals"
+    * slices of each side of the view. */
+  val IvmOrderMod = 20L
+  val IvmOrderRem = 7L
+  val IvmCustMod = 25L
+  val IvmCustRem = 3L
+
+  /** q251_ivm_join — incremental view maintenance for a JOIN view, the
+    * companion to q106's aggregate maintenance: V = orders ⋈ customer is
+    * kept up to date under simultaneous inserts on BOTH sides by the
+    * textbook delta algebra
+    * `V_new = V_old ∪ (ΔO ⋈ C_old) ∪ (O_old ⋈ ΔC) ∪ (ΔO ⋈ ΔC)` — three
+    * delta joins whose inputs are the small new batches (and one
+    * old-fact × new-dim term that prunes to the ΔC keys), never a rescan
+    * of V_old's join. The Spark side BUILDS the view incrementally and
+    * reports per market segment, attributing every row to the term that
+    * produced it; the ORACLE computes the full join from scratch and
+    * derives the same attribution from the membership predicates — so
+    * the hash match IS the proof that the maintenance algebra loses and
+    * invents nothing.
+    *
+    * Scale: the three delta terms join |Δ|-sized frames (broadcast the
+    * delta side); the V_old term is carried as counts only here — a real
+    * maintenance job appends the delta rows to the stored view, cost
+    * O(|Δ| + |ΔC-matched history|), the entire point of IVM at 100 TB. */
+  def q251IvmJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        (pmod(col("o_orderkey"), lit(IvmOrderMod)) === IvmOrderRem)
+          .as("is_new"))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (pmod(col("c_custkey"), lit(IvmCustMod)) === IvmCustRem)
+          .as("c_new"))
+    val oldO = o.filter(!col("is_new")); val dO = o.filter(col("is_new"))
+    val oldC = c.filter(!col("c_new"));  val dC = c.filter(col("c_new"))
+    def term(fact: DataFrame, dim: DataFrame, name: String) = fact
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("cents"), lit(name).as("term"))
+    val vNew = term(oldO, oldC, "base")
+      .unionAll(term(dO, oldC, "dO_C"))
+      .unionAll(term(oldO, dC, "O_dC"))
+      .unionAll(term(dO, dC, "dO_dC"))
+    vNew.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("sum_cents"),
+        sum(when(col("term") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("term") === "dO_C", 1L).otherwise(0L)).as("n_do_c"),
+        sum(when(col("term") === "O_dC", 1L).otherwise(0L)).as("n_o_dc"),
+        sum(when(col("term") === "dO_dC", 1L).otherwise(0L)).as("n_do_dc"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q251Sql: String =
+    s"""WITH v AS (
+       |  SELECT c.c_mktsegment,
+       |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+       |              AS BIGINT) AS cents,
+       |         o.o_orderkey % $IvmOrderMod = $IvmOrderRem AS o_new,
+       |         c.c_custkey % $IvmCustMod = $IvmCustRem AS c_new
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+       |SELECT c_mktsegment,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       |       CAST(sum(CASE WHEN NOT o_new AND NOT c_new THEN 1 ELSE 0
+       |                END) AS BIGINT) AS n_base,
+       |       CAST(sum(CASE WHEN o_new AND NOT c_new THEN 1 ELSE 0
+       |                END) AS BIGINT) AS n_do_c,
+       |       CAST(sum(CASE WHEN NOT o_new AND c_new THEN 1 ELSE 0
+       |                END) AS BIGINT) AS n_o_dc,
+       |       CAST(sum(CASE WHEN o_new AND c_new THEN 1 ELSE 0
+       |                END) AS BIGINT) AS n_do_dc
+       |FROM v GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   def q106IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val cutoff = "1997-01-01"

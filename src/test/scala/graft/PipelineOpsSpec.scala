@@ -152,6 +152,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q251 IVM: the four delta terms tile the full join exactly") {
+    import org.apache.spark.sql.functions._
+    val out = ops.Incremental.q251IvmJoin(spark, sf).collect()
+    // per segment: term counts sum to the row count
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === r.getAs[Long]("n_base") +
+        r.getAs[Long]("n_do_c") + r.getAs[Long]("n_o_dc") +
+        r.getAs[Long]("n_do_dc"), s"${r.getString(0)} tiling")
+    }
+    // the incrementally-built view equals the naive full join
+    val full = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    out.foreach { r =>
+      val (n, cents) = full(r.getString(0))
+      assert(r.getAs[Long]("n_rows") === n, s"${r.getString(0)} rows")
+      assert(r.getAs[Long]("sum_cents") === cents, s"${r.getString(0)} sum")
+    }
+    // every delta term is genuinely populated on the fixture
+    assert(out.map(_.getAs[Long]("n_do_c")).sum > 0L)
+    assert(out.map(_.getAs[Long]("n_o_dc")).sum > 0L)
+    assert(out.map(_.getAs[Long]("n_do_dc")).sum > 0L)
+  }
+
   test("q106: incremental merge equals full recompute for any cutoff") {
     val li = Tables.lineitem(spark, sf)
     val keys = Seq("l_returnflag", "l_linestatus")
