@@ -230,6 +230,109 @@ object Graph {
       |FROM deg d LEFT JOIN pern p ON p.node = d.node
       |ORDER BY part""".stripMargin
 
+  /** BFS hop bound for q252 (the "six degrees" audit depth). */
+  val BfsMaxHops = 6
+
+  /** q252_bfs_layers — breadth-first reachability layers from the hub of
+    * the co-purchase graph (the max-degree part, ties to the smaller id):
+    * for each hop 0..[[BfsMaxHops]], how many parts sit EXACTLY that many
+    * hops away, plus an unreached bucket (hop = −1). The layer profile is
+    * the small-world / connectivity read (how much of the catalog is
+    * within k recommendation hops of the hub) and the frontier pattern is
+    * the third iterative-graph shape in the engine — layered EXPANSION
+    * with a visited set — beside value iteration (q114) and min-label
+    * fixpoint (q83/q201).
+    *
+    * Scale: each round joins the FRONTIER (shrinking) against the edge
+    * list on the frontier's key and anti-joins the visited set — shuffle
+    * is frontier-sized, the edge frame is built once and reused, and the
+    * round count is the fixed hop bound, with lineage cut per round
+    * ([[Checkpoints]]). min_node per layer makes the output
+    * order-independent beyond counts. */
+  def q252BfsLayers(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+      .cutLineage()
+    // both directions once, so each round is one equi-join
+    val adj = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
+      .toDF("src", "dst").cutLineage()
+    val seed = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("node")).cutLineage()
+    var frontier = seed
+    var visited = seed.withColumn("hop", lit(0L))
+    var hop = 0L
+    while (hop < BfsMaxHops) {
+      hop += 1
+      val next = adj
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .cutLineage()
+      visited = visited.unionAll(next.withColumn("hop", lit(hop)))
+        .cutLineage()
+      frontier = next
+    }
+    val nodes = adj.select(col("src").as("node")).distinct()
+    val layers = visited.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+    val unreached = nodes
+      .join(visited.select(col("node")), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"))
+      .select(lit(-1L).as("hop"), col("n_nodes"), col("min_node"))
+      .filter(col("n_nodes") > 0)
+    layers.unionAll(unreached).orderBy(col("hop"))
+  }
+
+  val q252Sql: String = {
+    // unrolled frontier expansion: rK = neighbors(r(K-1)) minus visited
+    // AS MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs, so the
+    // r/v chains re-expand their whole ancestry at every reference —
+    // exponential in the hop bound (measured minutes at sf0.01, 0.2 s
+    // materialized). EXCEPT (not NOT IN) keeps each round one hash anti.
+    val rounds = (1 to BfsMaxHops).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT DISTINCT a.dst AS node
+         |  FROM adj a JOIN r${k - 1} f ON a.src = f.node
+         |  EXCEPT SELECT node FROM v${k - 1}),
+         |v$k AS MATERIALIZED (SELECT node FROM v${k - 1}
+         |        UNION ALL SELECT node FROM r$k)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val layerRows = (0 to BfsMaxHops).map(k =>
+      s"SELECT ${k} AS hop, CAST(count(*) AS BIGINT) AS n_nodes," +
+        s" min(node) AS min_node FROM r$k")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM items a JOIN items b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |adj AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
+       |        UNION ALL SELECT pb, pa FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT src AS node FROM deg
+       |       ORDER BY deg DESC, src LIMIT 1),
+       |v0 AS MATERIALIZED (SELECT node FROM r0)$rounds,
+       |nodes AS (SELECT DISTINCT src AS node FROM adj),
+       |unodes AS (SELECT node FROM nodes
+       |           EXCEPT SELECT node FROM v$BfsMaxHops),
+       |un AS (
+       |  SELECT -1 AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         min(node) AS min_node
+       |  FROM unodes)
+       |SELECT CAST(hop AS BIGINT) AS hop, n_nodes, min_node FROM (
+       |$layerRows
+       |UNION ALL
+       |SELECT hop, n_nodes, min_node FROM un)
+       |WHERE n_nodes > 0
+       |ORDER BY hop""".stripMargin
+  }
+
   /** q247_modularity — Newman modularity of the co-purchase graph under
     * the BRAND partition: Q = Σ_c (m_c/m − (d_c/2m)²), computed as the
     * exact-integer form Σ_c (4m·m_c − d_c²) / (4m²) — every per-community

@@ -188,6 +188,38 @@ class SketchGraphSpec extends AnyFunSuite {
       < 1e-6)
   }
 
+  test("q252 BFS layers match a driver-side BFS exactly") {
+    val out = ops.Graph.q252BfsLayers(spark, sf).collect()
+      .map(r => r.getAs[Long]("hop") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("min_node"))).toMap
+    // driver-side BFS on the collected edge list
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+      .flatMap(ls => ls.map(_._2).distinct.sorted.combinations(2))
+      .map(p => (p(0), p(1))).toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val seed = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, d) => (-d, n) }.head._1
+    var frontier = Set(seed); var seen = Set(seed)
+    val layers = scala.collection.mutable.Map(0L -> Set(seed))
+    for (h <- 1 to ops.Graph.BfsMaxHops) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+      if (next.nonEmpty) layers(h.toLong) = next
+      seen ++= next; frontier = next
+    }
+    layers.foreach { case (h, ns) =>
+      assert(out(h) === ((ns.size.toLong, ns.min)), s"hop $h")
+    }
+    val unreached = adj.keySet -- seen
+    if (unreached.nonEmpty)
+      assert(out(-1L) === ((unreached.size.toLong, unreached.min)))
+    else assert(!out.contains(-1L))
+    assert(out(0L)._1 === 1L)
+  }
+
   test("q247 modularity: identities hold; a 2-clique toy graph scores 0.5") {
     val out = ops.Graph.q247Modularity(spark, sf).collect()
     val total = out.find(_.getString(0) == "*").get
