@@ -467,6 +467,113 @@ object Evaluation {
        |ORDER BY score""".stripMargin
   }
 
+  /** q253_fairness — demographic-parity and equalized-odds audit of
+    * q163's synthetic classifier, flattened to the binary task y =
+    * (label < 5), across a protected-attribute proxy g = vec_id mod 2:
+    * per group the selection rate P(ŷ=1), TPR and FPR, and in the same
+    * row their cross-group gaps plus the four-fifths-rule ratio
+    * min(sel)/max(sel) — the pre-deployment fairness screen that
+    * complements accuracy (q163/q236), discrimination (q231) and
+    * calibration (q245). Ten exact integer counters in ONE
+    * map-side-combinable aggregate; every rate is a single division and
+    * every gap a single IEEE subtract of identical operands in both
+    * engines.
+    *
+    * Scale: one scan, one combine to a single row — group count D costs
+    * 5·D counters, never a second pass. */
+  def q253Fairness(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = StableHash.intMix62(col("vec_id"), 7L)
+    val predLabel = when(pmod(h, lit(4L)) === 0L,
+      pmod(col("label") + 1L + pmod(h, lit(9L)), lit(10L)))
+      .otherwise(col("label").cast("long"))
+    val base = Tables.embeddings(spark, sfDir)
+      .select(pmod(col("vec_id"), lit(2L)).as("g"),
+        when(col("label") < 5, 1L).otherwise(0L).as("y"),
+        when(predLabel < 5, 1L).otherwise(0L).as("yhat"))
+    def cnt(g: Int, cond: Column, name: String) =
+      sum(when(col("g") === g.toLong && cond, 1L).otherwise(0L)).as(name)
+    val agg1 = base.agg(
+      cnt(0, lit(true), "n0"), cnt(1, lit(true), "n1"),
+      cnt(0, col("y") === 1L, "pos0"), cnt(1, col("y") === 1L, "pos1"),
+      cnt(0, col("yhat") === 1L, "sel0"), cnt(1, col("yhat") === 1L, "sel1"),
+      cnt(0, col("y") === 1L && col("yhat") === 1L, "tp0"),
+      cnt(1, col("y") === 1L && col("yhat") === 1L, "tp1"),
+      cnt(0, col("y") === 0L && col("yhat") === 1L, "fp0"),
+      cnt(1, col("y") === 0L && col("yhat") === 1L, "fp1"))
+    def rate(num: String, den: Column) =
+      col(num).cast("double") / den.cast("double")
+    agg1.select(col("n0"), col("n1"),
+      rate("sel0", col("n0")).as("sel_rate0"),
+      rate("sel1", col("n1")).as("sel_rate1"),
+      abs(rate("sel0", col("n0")) - rate("sel1", col("n1")))
+        .as("dp_diff"),
+      (least(rate("sel0", col("n0")), rate("sel1", col("n1"))) /
+        greatest(rate("sel0", col("n0")), rate("sel1", col("n1"))))
+        .as("dp_ratio"),
+      rate("tp0", col("pos0")).as("tpr0"),
+      rate("tp1", col("pos1")).as("tpr1"),
+      abs(rate("tp0", col("pos0")) - rate("tp1", col("pos1")))
+        .as("tpr_diff"),
+      rate("fp0", col("n0") - col("pos0")).as("fpr0"),
+      rate("fp1", col("n1") - col("pos1")).as("fpr1"),
+      abs(rate("fp0", col("n0") - col("pos0")) -
+        rate("fp1", col("n1") - col("pos1"))).as("fpr_diff"))
+  }
+
+  val q253Sql: String = {
+    val h = StableHash.intMix62Sql("vec_id", 7L)
+    s"""WITH scored AS (
+       |  SELECT vec_id % 2 AS g,
+       |         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |         CASE WHEN (CASE WHEN ($h) % 4 = 0
+       |                    THEN (CAST(label AS BIGINT) + 1 + ($h) % 9) % 10
+       |                    ELSE CAST(label AS BIGINT) END) < 5
+       |              THEN 1 ELSE 0 END AS yhat
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN g = 0 AND y = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS pos0,
+       |    CAST(sum(CASE WHEN g = 1 AND y = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS pos1,
+       |    CAST(sum(CASE WHEN g = 0 AND yhat = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS sel0,
+       |    CAST(sum(CASE WHEN g = 1 AND yhat = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS sel1,
+       |    CAST(sum(CASE WHEN g = 0 AND y = 1 AND yhat = 1 THEN 1 ELSE 0
+       |             END) AS BIGINT) AS tp0,
+       |    CAST(sum(CASE WHEN g = 1 AND y = 1 AND yhat = 1 THEN 1 ELSE 0
+       |             END) AS BIGINT) AS tp1,
+       |    CAST(sum(CASE WHEN g = 0 AND y = 0 AND yhat = 1 THEN 1 ELSE 0
+       |             END) AS BIGINT) AS fp0,
+       |    CAST(sum(CASE WHEN g = 1 AND y = 0 AND yhat = 1 THEN 1 ELSE 0
+       |             END) AS BIGINT) AS fp1
+       |  FROM scored)
+       |SELECT n0, n1,
+       |       CAST(sel0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS sel_rate0,
+       |       CAST(sel1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS sel_rate1,
+       |       abs(CAST(sel0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+       |           - CAST(sel1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS dp_diff,
+       |       least(CAST(sel0 AS DOUBLE) / CAST(n0 AS DOUBLE),
+       |             CAST(sel1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+       |       greatest(CAST(sel0 AS DOUBLE) / CAST(n0 AS DOUBLE),
+       |                CAST(sel1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       |         AS dp_ratio,
+       |       CAST(tp0 AS DOUBLE) / CAST(pos0 AS DOUBLE) AS tpr0,
+       |       CAST(tp1 AS DOUBLE) / CAST(pos1 AS DOUBLE) AS tpr1,
+       |       abs(CAST(tp0 AS DOUBLE) / CAST(pos0 AS DOUBLE)
+       |           - CAST(tp1 AS DOUBLE) / CAST(pos1 AS DOUBLE))
+       |         AS tpr_diff,
+       |       CAST(fp0 AS DOUBLE) / CAST(n0 - pos0 AS DOUBLE) AS fpr0,
+       |       CAST(fp1 AS DOUBLE) / CAST(n1 - pos1 AS DOUBLE) AS fpr1,
+       |       abs(CAST(fp0 AS DOUBLE) / CAST(n0 - pos0 AS DOUBLE)
+       |           - CAST(fp1 AS DOUBLE) / CAST(n1 - pos1 AS DOUBLE))
+       |         AS fpr_diff
+       |FROM a""".stripMargin
+  }
+
   /** Action count for q244's policies. */
   val IpsK = 5
 

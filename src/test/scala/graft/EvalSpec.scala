@@ -165,6 +165,26 @@ class EvalSpec extends AnyFunSuite {
       total.getAs[Double]("cal_gap") <= 1.0)
   }
 
+  test("q253 fairness: gaps recompute from exact counters; hash-blind") {
+    val r = Evaluation.q253Fairness(spark, sf).collect().head
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") === 500L)
+    Seq("sel_rate0", "sel_rate1", "tpr0", "tpr1", "fpr0", "fpr1",
+      "dp_diff", "tpr_diff", "fpr_diff", "dp_ratio").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+    }
+    assert(math.abs(r.getAs[Double]("dp_diff") -
+      math.abs(r.getAs[Double]("sel_rate0") -
+        r.getAs[Double]("sel_rate1"))) < 1e-15)
+    assert(math.abs(r.getAs[Double]("tpr_diff") -
+      math.abs(r.getAs[Double]("tpr0") - r.getAs[Double]("tpr1"))) < 1e-15)
+    // the protected attribute is a HASH-INDEPENDENT parity of the id and
+    // the classifier's error gate is hash-driven: group gaps should be
+    // small sampling noise, not structural (n≈250/group, 4σ ≈ 0.13)
+    assert(r.getAs[Double]("dp_diff") < 0.15, "parity gap implausibly big")
+    assert(r.getAs[Double]("dp_ratio") > 0.7)
+  }
+
   test("q236 kNN: clustered embeddings classify well above chance") {
     val rows = Evaluation.q236KnnClassify(spark, sf).collect()
     val nProbes = rows.map(_.getAs[Long]("n_probes")).sum
