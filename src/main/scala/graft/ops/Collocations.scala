@@ -244,4 +244,105 @@ object Collocations {
        |JOIN freq f3 ON f3.l_partkey = t.p3
        |CROSS JOIN nb
        |ORDER BY t.p1, t.p2, t.p3""".stripMargin
+
+  /** Minimum co-basket support for a q254 rule. */
+  val RuleSupport = 3
+
+  /** q254_assoc_rules — directed association rules over the frequent part
+    * pairs q120 mines: each unordered pair {x, y} with support ≥
+    * [[RuleSupport]] yields BOTH rules x→y and y→x, scored with the
+    * standard rule metrics:
+    *
+    *   confidence(x→y) = n_xy / n_x          (how often y follows x)
+    *   lift            = n_xy·nb / (n_x·n_y) (symmetric association)
+    *   leverage        = P(xy) − P(x)·P(y)   (additive excess co-occurrence)
+    *   conviction      = (1 − P(y)) / (1 − confidence), NULL at conf = 1
+    *
+    * Every metric is a short per-row chain of IEEE ops over exact BIGINT
+    * counts — no aggregated doubles anywhere — so the oracle replays each
+    * value bit-identically (the q120 discipline). Conviction's conf = 1
+    * pole is surfaced as NULL via nullif rather than ±Inf: an infinite
+    * conviction means "y always fires with x", which downstream ranking
+    * treats as a separate class, not a sortable magnitude.
+    *
+    * Scale: everything downstream of the pair counts is pair-cardinality —
+    * the rule expansion is a 2× union of the support-filtered pair list,
+    * and the antecedent/consequent frequency joins key on single items.
+    * The only corpus-sized work is q120's (basket-size²-bounded) pair
+    * count, reused here unchanged; the 1-row basket total broadcasts. */
+  def q254AssocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    val nBaskets = items.select(col("l_orderkey")).distinct().count()
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= RuleSupport)
+    // both directions: {x,y} → (x⇒y) and (y⇒x)
+    val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"),
+        col("n_pair"))
+      .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
+        col("n_pair")))
+    val freq = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    val nb = lit(nBaskets).cast("double")
+    val conf = col("n_pair").cast("double") / col("n_a").cast("double")
+    rules
+      .join(freq.select(col("l_partkey").as("ante"),
+        col("n_item").as("n_a")), Seq("ante"))
+      .join(freq.select(col("l_partkey").as("cons"),
+        col("n_item").as("n_c")), Seq("cons"))
+      .select(col("ante"), col("cons"), col("n_pair"), col("n_a"),
+        col("n_c"),
+        conf.as("confidence"),
+        ((col("n_pair") * lit(nBaskets)).cast("double") /
+          (col("n_a") * col("n_c")).cast("double")).as("lift"),
+        (col("n_pair").cast("double") / nb -
+          (col("n_a").cast("double") / nb) *
+          (col("n_c").cast("double") / nb)).as("leverage"),
+        ((lit(1.0) - col("n_c").cast("double") / nb) /
+          nullif(lit(1.0) - conf, lit(0.0))).as("conviction"))
+      .orderBy(col("ante"), col("cons"))
+  }
+
+  val q254Sql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       |         CAST(count(*) AS BIGINT) AS n_pair
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $RuleSupport),
+       |rules AS (
+       |  SELECT p1 AS ante, p2 AS cons, n_pair FROM pairs
+       |  UNION ALL
+       |  SELECT p2 AS ante, p1 AS cons, n_pair FROM pairs),
+       |freq AS (
+       |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+       |  FROM items GROUP BY 1),
+       |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
+       |SELECT r.ante, r.cons, r.n_pair,
+       |       fa.n_item AS n_a, fc.n_item AS n_c,
+       |       CAST(r.n_pair AS DOUBLE) / CAST(fa.n_item AS DOUBLE)
+       |         AS confidence,
+       |       CAST(r.n_pair * nb.n_baskets AS DOUBLE) /
+       |         CAST(fa.n_item * fc.n_item AS DOUBLE) AS lift,
+       |       CAST(r.n_pair AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) -
+       |         (CAST(fa.n_item AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)) *
+       |         (CAST(fc.n_item AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE))
+       |         AS leverage,
+       |       (1.0 - CAST(fc.n_item AS DOUBLE) /
+       |          CAST(nb.n_baskets AS DOUBLE)) /
+       |         nullif(1.0 - CAST(r.n_pair AS DOUBLE) /
+       |           CAST(fa.n_item AS DOUBLE), 0.0) AS conviction
+       |FROM rules r
+       |JOIN freq fa ON fa.l_partkey = r.ante
+       |JOIN freq fc ON fc.l_partkey = r.cons
+       |CROSS JOIN nb
+       |ORDER BY r.ante, r.cons""".stripMargin
 }

@@ -841,4 +841,217 @@ object Graph {
        |GROUP BY e.src, kth.k, conv.converged
        |ORDER BY e.src""".stripMargin
   }
+
+  // ------------------------------------------------------------- HITS
+
+  /** q255 quantization unit (2²⁰), iteration depth, and report size. */
+  val HitsQ: Long = 1L << 20
+  val HitsRounds = 2
+  val HitsTopK = 10
+
+  /** q255_hits — HITS hubs-and-authorities over the directed bipartite
+    * purchase graph (customer → part, distinct edges from orders ⋈
+    * lineitem): customers are hubs (they point), parts are authorities
+    * (they are pointed at). [[HitsRounds]] mutual-reinforcement rounds —
+    * auth(p) = Σ_{c→p} hub(c), hub(c) = Σ_{c→p} auth(p) — then the top
+    * [[HitsTopK]] of each side by final score. Complements q114's
+    * PageRank (endogenous importance on the undirected graph) with the
+    * hub/authority decomposition the directed view supports.
+    *
+    * Determinism: Kleinberg normalizes with an L2 norm each round, which
+    * needs sqrt and float sums — both engine-divergent. This uses the
+    * equivalent MAX normalization instead: scores are BIGINT, each round
+    * rescales by `score · 2²⁰ div max(score)` in integer division, and
+    * ranking order under max-scaling equals L2-scaling order (both are
+    * positive per-round scalar multiples of the same raw vector, modulo
+    * the ≤ 1-unit floor truncation the 2²⁰ headroom makes rank-inert).
+    * Integer sums, integer max, integer div — the oracle replays every
+    * score exactly. Round 1's hub input is uniform 2²⁰, so auth₁
+    * collapses to indeg · 2²⁰ — computed that way, skipping a join.
+    *
+    * Scale: each half-round is one (node, score)-against-edges equi-join
+    * plus a map-side-combinable sum keyed by node — shuffle is edge-
+    * cardinality ids+longs, never the fact table; the 1-row max
+    * broadcasts; the deduplicated edge frame is checkpointed once and
+    * reused by all 2·[[HitsRounds]] half-rounds. Headroom: score·2²⁰
+    * caps at maxdeg·2⁴⁰, overflowing BIGINT past ~2²³ (≈8M) distinct
+    * neighbors on one node; past that, drop to 2¹⁰ quantization (the
+    * q204 discipline). Top-k is the q94 single-reduction form at k·2
+    * rows. */
+  def q255Hits(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        col("l_partkey").cast("long").as("part"))
+      .distinct()
+      .cutLineage()
+    val indeg = edges.groupBy(col("part")).agg(count(lit(1)).as("indeg"))
+    val outdeg = edges.groupBy(col("cust")).agg(count(lit(1)).as("outdeg"))
+    // score · 2²⁰ div max — the integer max-normalization shared by both
+    // halves; the 1-row max rides in on a broadcast
+    def rescale(scores: DataFrame, key: String): DataFrame =
+      scores.crossJoin(broadcast(scores.agg(max(col("s")).as("mx"))))
+        .select(col(key), expr(s"s * ${HitsQ}L div mx").as("s"))
+    var auth = rescale(indeg.select(col("part"),
+      (col("indeg") * HitsQ).as("s")), "part")
+    var hub: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      hub = rescale(edges
+        .join(auth.select(col("part"), col("s").as("as")), Seq("part"))
+        .groupBy(col("cust")).agg(sum(col("as")).as("s")), "cust")
+      auth = rescale(edges
+        .join(hub.select(col("cust"), col("s").as("hs")), Seq("cust"))
+        .groupBy(col("part")).agg(sum(col("hs")).as("s")), "part")
+    }
+    // limit-after-sort lowers to TakeOrderedAndProject (one reduction, no
+    // global shuffle); the rank window then orders HitsTopK rows only
+    def top(scores: DataFrame, key: String, deg: DataFrame,
+        side: String): DataFrame =
+      scores.join(deg, Seq(key))
+        .orderBy(col("s").desc, col(key)).limit(HitsTopK)
+        .select(lit(side).as("side"),
+          row_number().over(
+            Window.orderBy(col("s").desc, col(key))).as("rnk"),
+          col(key).as("node"), col("s").as("score"),
+          col(deg.columns(1)).as("degree"))
+    top(auth, "part", indeg, "authority")
+      .unionAll(top(hub, "cust", outdeg, "hub"))
+      .orderBy(col("side"), col("rnk"))
+  }
+
+  val q255Sql: String = {
+    val q = HitsQ
+    // unrolled half-rounds; aK/hK are raw sums, aKq/hKq max-rescaled
+    val rounds = (1 to HitsRounds).map { k =>
+      s"""h$k AS (SELECT cust, CAST(sum(aq) AS BIGINT) AS s
+         |  FROM edges JOIN a${k - 1}q USING (part) GROUP BY cust),
+         |h${k}q AS MATERIALIZED (
+         |  SELECT cust, s * $q // (SELECT max(s) FROM h$k) AS hq FROM h$k),
+         |a$k AS (SELECT part, CAST(sum(hq) AS BIGINT) AS s
+         |  FROM edges JOIN h${k}q USING (cust) GROUP BY part),
+         |a${k}q AS MATERIALIZED (
+         |  SELECT part, s * $q // (SELECT max(s) FROM a$k) AS aq FROM a$k)"""
+        .stripMargin
+    }.mkString(",\n", ",\n", "")
+    val last = HitsRounds
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |indeg AS (SELECT part, CAST(count(*) AS BIGINT) AS indeg
+       |          FROM edges GROUP BY part),
+       |outdeg AS (SELECT cust, CAST(count(*) AS BIGINT) AS outdeg
+       |           FROM edges GROUP BY cust),
+       |a0 AS (SELECT part, indeg * $q AS s FROM indeg),
+       |a0q AS MATERIALIZED (
+       |  SELECT part, s * $q // (SELECT max(s) FROM a0) AS aq FROM a0)$rounds,
+       |ranked AS (
+       |  SELECT 'authority' AS side,
+       |         row_number() OVER (ORDER BY aq DESC, part) AS rnk,
+       |         part AS node, aq AS score, indeg AS degree
+       |  FROM a${last}q JOIN indeg USING (part)
+       |  UNION ALL
+       |  SELECT 'hub' AS side,
+       |         row_number() OVER (ORDER BY hq DESC, cust) AS rnk,
+       |         cust AS node, hq AS score, outdeg AS degree
+       |  FROM h${last}q JOIN outdeg USING (cust))
+       |SELECT side, CAST(rnk AS INT) AS rnk, node, score, degree
+       |FROM ranked WHERE rnk <= $HitsTopK
+       |ORDER BY side, rnk""".stripMargin
+  }
+
+  // ------------------------------------------------- label propagation
+
+  /** q256 synchronous rounds. */
+  val LpaRounds = 3
+
+  /** q256_label_prop — synchronous label-propagation community detection
+    * (Raghavan et al. 2007) over the undirected part co-purchase graph
+    * (q252's adjacency): every node starts labeled with its own id, and
+    * each round simultaneously adopts the label MOST FREQUENT among its
+    * neighbors. After [[LpaRounds]] rounds, communities are reported as
+    * (label, n_nodes, min_node). Complements q247 (modularity SCORES a
+    * given partition) and q83 (components find connectivity, not
+    * density): LPA DISCOVERS the dense groups.
+    *
+    * Classic LPA breaks ties randomly and is therefore unreproducible;
+    * this variant pins the argmax totally — highest neighbor-label count,
+    * then SMALLEST label — by packing (count, label) into one BIGINT,
+    * `n · 2³¹ + (2³¹ − 1 − label)`, and taking max_by. The pack is
+    * injective for label < 2³¹ (labels are always node ids, so one guard
+    * covers every round) — out-of-range ids raise in BOTH engines rather
+    * than silently aliasing the argmax (the q213 discipline). Integer
+    * counts and integer packing: the oracle replays every round exactly.
+    *
+    * Scale: each round shuffles (dst, label) pairs — edge cardinality
+    * with map-side combine on the pair key — then one node-cardinality
+    * argmax; the adjacency is deduplicated once and reused; lineage is
+    * cut per round ([[Checkpoints]]). Round count is fixed, not
+    * convergence-polled: no driver-side fixpoint probe on the hot path
+    * (q83's component solver shows the convergence-checked form). Label
+    * skew (a community's label is every member's message) is a hash-
+    * aggregate hot key, which AQE splits. */
+  def q256LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+      .cutLineage()
+    val adj = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
+      .toDF("src", "dst").cutLineage()
+    val pack = when(col("label").between(0L, 2147483647L),
+      col("n") * lit(2147483648L) + (lit(2147483647L) - col("label")))
+      .otherwise(raise_error(
+        lit("q256 packed-argmax bound: label outside [0, 2^31)")))
+    var labels = adj.select(col("src").as("node"))
+      .distinct().withColumn("label", col("node"))
+    for (_ <- 1 to LpaRounds) {
+      labels = adj
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), pack).as("label"))
+        .select(col("dst").as("node"), col("label"))
+        .cutLineage()
+    }
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(col("label"))
+  }
+
+  val q256Sql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""m$k AS (
+         |  SELECT a.dst, l.label, CAST(count(*) AS BIGINT) AS n
+         |  FROM adj a JOIN l${k - 1} l ON a.src = l.node
+         |  GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT dst AS node,
+         |         max_by(label, CASE
+         |           WHEN label BETWEEN 0 AND 2147483647
+         |           THEN n * 2147483648 + (2147483647 - label)
+         |           ELSE error('q256 packed-argmax bound') END) AS label
+         |  FROM m$k GROUP BY dst)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM items a JOIN items b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |adj AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
+       |        UNION ALL SELECT pb, pa FROM e),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM adj)$rounds
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+       |       min(node) AS min_node
+       |FROM l$LpaRounds
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
 }

@@ -333,4 +333,36 @@ class MiningSpec extends AnyFunSuite {
       assert(m.get((b, a)).forall(_ === n))
     }
   }
+
+  test("q254 rules: both directions per pair, metric identities hold") {
+    val rows = Collocations.q254AssocRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.map(r =>
+      (r.getAs[Long]("ante"), r.getAs[Long]("cons")) -> r).toMap
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[Long]("ante"), r.getAs[Long]("cons"))
+      // mirror rule exists with the same pair support and the SAME lift
+      // (lift is symmetric); confidence ratio flips with the frequencies
+      val m = byKey((c, a))
+      assert(m.getAs[Long]("n_pair") === r.getAs[Long]("n_pair"))
+      assert(m.getAs[Double]("lift") === r.getAs[Double]("lift"))
+      // confidence = support/freq(ante), bounded (0, 1]
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(conf ===
+        r.getAs[Long]("n_pair").toDouble / r.getAs[Long]("n_a").toDouble)
+      // conviction is NULL exactly when confidence = 1
+      assert(r.isNullAt(r.fieldIndex("conviction")) === (conf == 1.0))
+      // leverage and lift agree in sign about independence
+      val lev = r.getAs[Double]("leverage")
+      val lift = r.getAs[Double]("lift")
+      assert((lev > 0) === (lift > 1.0) || lev == 0.0)
+    }
+    // spot-check one rule's confidence against direct counts
+    val r = rows(rows.length / 2)
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nA = items.filter(col("l_partkey") === r.getAs[Long]("ante")).count()
+    assert(r.getAs[Long]("n_a") === nA)
+  }
 }

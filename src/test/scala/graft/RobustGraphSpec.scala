@@ -165,4 +165,81 @@ class RobustGraphSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("q255 HITS: shape, score bounds, and brute-force round replay") {
+    val rows = Graph.q255Hits(spark, sf).collect()
+    val (auths, hubs) = rows.partition(_.getAs[String]("side") == "authority")
+    assert(auths.length === Graph.HitsTopK && hubs.length === Graph.HitsTopK)
+    // max-normalized: rank 1 holds the unit score, scores non-increasing
+    Seq(auths, hubs).foreach { side =>
+      assert(side.head.getAs[Long]("score") === Graph.HitsQ)
+      assert(side.map(_.getAs[Int]("rnk")).toSeq === (1 to Graph.HitsTopK))
+      val s = side.map(_.getAs[Long]("score")).toSeq
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+    // replay the iteration in local Scala over the collected edge list
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.map { case (k, v) => k -> v * Graph.HitsQ / mx }
+    }
+    var auth = rescale(edges.groupBy(_._2).map { case (p, es) =>
+      p -> es.size * Graph.HitsQ })
+    var hub = Map.empty[Long, Long]
+    for (_ <- 1 to Graph.HitsRounds) {
+      hub = rescale(edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum })
+      auth = rescale(edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum })
+    }
+    auths.foreach { r =>
+      assert(auth(r.getAs[Long]("node")) === r.getAs[Long]("score"))
+    }
+    hubs.foreach { r =>
+      assert(hub(r.getAs[Long]("node")) === r.getAs[Long]("score"))
+    }
+    // and the top-10 IS the global argmax set under (score desc, node asc)
+    val wantTop = auth.toSeq.sortBy { case (n, s) => (-s, n) }
+      .take(Graph.HitsTopK).map(_._1)
+    assert(auths.map(_.getAs[Long]("node")).toSeq === wantTop)
+  }
+
+  test("q256 LPA: partition of the node set; local synchronous replay") {
+    val rows = Graph.q256LabelProp(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the adjacency locally and replay the synchronous rounds
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byBasket = items.toSeq.groupBy(_._1).values
+    val und = byBasket.flatMap { es =>
+      val ps = es.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to Graph.LpaRounds) {
+      labels = adj.map { case (node, nbrs) =>
+        val counts = nbrs.groupBy(labels).map { case (l, v) => l -> v.size }
+        // highest count, then smallest label — the pinned argmax
+        node -> counts.toSeq.sortBy { case (l, n) => (-n, l) }.head._1
+      }
+    }
+    val want = labels.groupBy(_._2).map { case (l, m) =>
+      l -> (m.size.toLong, m.keys.min)
+    }
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (n, mn) = want(r.getAs[Long]("label"))
+      assert(r.getAs[Long]("n_nodes") === n)
+      assert(r.getAs[Long]("min_node") === mn)
+    }
+    // communities partition the node set
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum === adj.size.toLong)
+  }
 }
