@@ -892,10 +892,16 @@ object Graph {
     val indeg = edges.groupBy(col("part")).agg(count(lit(1)).as("indeg"))
     val outdeg = edges.groupBy(col("cust")).agg(count(lit(1)).as("outdeg"))
     // score · 2²⁰ div max — the integer max-normalization shared by both
-    // halves; the 1-row max rides in on a broadcast
-    def rescale(scores: DataFrame, key: String): DataFrame =
+    // halves; the 1-row max rides in on a broadcast. The raw sum frame is
+    // materialized FIRST: rescale reads it twice (max agg + main), and
+    // without the cut each round's recompute doubles through the nested
+    // lineage — 2^(2·rounds) replays of the first join. Node-sized frame,
+    // cheap to pin.
+    def rescale(scores0: DataFrame, key: String): DataFrame = {
+      val scores = scores0.cutLineage()
       scores.crossJoin(broadcast(scores.agg(max(col("s")).as("mx"))))
         .select(col(key), expr(s"s * ${HitsQ}L div mx").as("s"))
+    }
     var auth = rescale(indeg.select(col("part"),
       (col("indeg") * HitsQ).as("s")), "part")
     var hub: DataFrame = null
