@@ -400,4 +400,25 @@ class PlanSpec extends AnyFunSuite {
     val scans = "FileScan parquet".r.findAllIn(p).length
     assert(scans <= 1, s"fact re-scan downstream ($scans):\n$p")
   }
+
+  test("q255 HITS: 1-row max broadcasts; top-k is a single reduction") {
+    // the half-round sums sit behind per-round checkpoints, so the final
+    // plan must read checkpointed score frames, broadcast the 1-row max
+    // (never a shuffled join against it), and lower the per-side top-10
+    // to TakeOrderedAndProject — no global sort of the node set.
+    val p = plan(ops.Graph.q255Hits(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not single-pass:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cross join:\n$p")
+  }
+
+  test("q256 LPA: no parquet re-scan downstream of the edge checkpoint") {
+    // every round joins the checkpointed adjacency against a node-sized
+    // label frame — the fact table must never be re-read per round
+    val p = plan(ops.Graph.q256LabelProp(spark, sf))
+    assert(!"FileScan parquet".r.findAllIn(p).hasNext,
+      s"fact re-scan downstream of checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
