@@ -1060,4 +1060,103 @@ object Graph {
        |GROUP BY label
        |ORDER BY label""".stripMargin
   }
+
+  // ------------------------------------------------------------- SSSP
+
+  /** q257 relaxation rounds and report size. */
+  val SsspRounds = 6
+  val SsspTopK = 15
+
+  /** q257_sssp — single-source shortest paths by [[SsspRounds]] rounds of
+    * Bellman-Ford relaxation over the WEIGHTED part co-purchase graph:
+    * edge weight `100 div n_shared + 1` (more shared baskets → shorter
+    * hop), integer throughout, so relaxation is exact-min arithmetic with
+    * nothing for the engines to disagree on. Source = the max-degree hub
+    * (q252's seed). Returns the [[SsspTopK]] closest nodes by
+    * (distance, node) plus the reached-node count on every row. Distinct
+    * from q252's BFS — hop count ignores weights; this is the
+    * cost-weighted metric a curation pipeline uses for graph-proximity
+    * features.
+    *
+    * Semantics pin: K-round Bellman-Ford yields exact shortest distances
+    * among paths of ≤ K edges — the bound both engines unroll
+    * identically, converged or not (the spec checks convergence on the
+    * fixture; production raises K or loops to fixpoint like q83).
+    *
+    * Scale: each round is one (frontier ⋈ edges) equi-join producing
+    * edge-cardinality (node, candidate) pairs, then a map-side-
+    * combinable min keyed by node — the same Pregel-without-Pregel shape
+    * as q114, lineage cut per round. The weighted edge list is built
+    * once (basket-size²-bounded pair expansion, one count aggregate) and
+    * checkpointed; the 1-row reached-count broadcasts; top-k lowers to
+    * TakeOrderedAndProject. */
+  def q257Sssp(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_shared"))
+    val adj = pairs
+      .unionAll(pairs.select(col("pb").as("pa"), col("pa").as("pb"),
+        col("n_shared")))
+      .select(col("pa").as("src"), col("pb").as("dst"),
+        expr("100 div n_shared + 1").as("w"))
+      .cutLineage()
+    val seed = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("node"), lit(0L).as("d"))
+    var dist = seed.cutLineage()
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = adj
+        .join(dist.select(col("node").as("src"), col("d")), Seq("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .cutLineage()
+    }
+    val reached = dist.agg(count(lit(1)).as("n_reached"))
+    dist.orderBy(col("d"), col("node")).limit(SsspTopK)
+      .select(
+        row_number().over(Window.orderBy(col("d"), col("node"))).as("rnk"),
+        col("node"), col("d").as("dist"))
+      .crossJoin(broadcast(reached))
+      .orderBy(col("rnk"))
+  }
+
+  val q257Sql: String = {
+    val rounds = (1 to SsspRounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT a.dst AS node, f.d + a.w AS d
+         |    FROM adj a JOIN d${k - 1} f ON a.src = f.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |adj AS MATERIALIZED (
+       |  SELECT pa AS src, pb AS dst, 100 // n_shared + 1 AS w FROM pairs
+       |  UNION ALL
+       |  SELECT pb, pa, 100 // n_shared + 1 FROM pairs),
+       |d0 AS MATERIALIZED (
+       |  SELECT src AS node, CAST(0 AS BIGINT) AS d
+       |  FROM (SELECT src, count(*) AS deg FROM adj GROUP BY src
+       |        ORDER BY deg DESC, src LIMIT 1))$rounds,
+       |reached AS (SELECT CAST(count(*) AS BIGINT) AS n_reached
+       |            FROM d$SsspRounds)
+       |SELECT CAST(row_number() OVER (ORDER BY d, node) AS INT) AS rnk,
+       |       node, CAST(d AS BIGINT) AS dist, n_reached
+       |FROM d$SsspRounds CROSS JOIN reached
+       |ORDER BY d, node LIMIT $SsspTopK""".stripMargin
+  }
 }

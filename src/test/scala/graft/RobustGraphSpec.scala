@@ -242,4 +242,43 @@ class RobustGraphSpec extends AnyFunSuite {
     // communities partition the node set
     assert(rows.map(_.getAs[Long]("n_nodes")).sum === adj.size.toLong)
   }
+
+  test("q257 SSSP: local Bellman-Ford replay; K rounds converged here") {
+    val rows = Graph.q257Sssp(spark, sf).collect()
+    assert(rows.length === Graph.SsspTopK)
+    assert(rows.head.getAs[Long]("dist") === 0L) // the source itself
+    // weighted adjacency rebuilt locally
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val shared = items.toSeq.groupBy(_._1).values.flatMap { es =>
+      val ps = es.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).map { case (e, v) => e -> v.size.toLong }
+    val adj = shared.toSeq.flatMap { case ((a, b), n) =>
+      val w = 100L / n + 1
+      Seq((a, b, w), (b, a, w))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(e => (e._2, e._3)) }
+    val deg = adj.map { case (n, es) => n -> es.size }
+    val seed = deg.toSeq.sortBy { case (n, d) => (-d, n) }.head._1
+    var dist = Map(seed -> 0L)
+    for (_ <- 1 to Graph.SsspRounds) {
+      val relaxed = dist.toSeq.flatMap { case (u, du) =>
+        adj(u).map { case (v, w) => (v, du + w) }
+      } ++ dist.toSeq
+      dist = relaxed.groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    // K rounds actually converged on the fixture (one more round is a
+    // no-op) — so the ≤ K-edge distances ARE the shortest distances
+    val once = (dist.toSeq ++ dist.toSeq.flatMap { case (u, du) =>
+      adj(u).map { case (v, w) => (v, du + w) }
+    }).groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+    assert(once === dist)
+    val want = dist.toSeq.sortBy { case (n, d) => (d, n) }
+      .take(Graph.SsspTopK)
+    assert(rows.map(r => (r.getAs[Long]("node"), r.getAs[Long]("dist")))
+      .toSeq === want)
+    rows.foreach(r => assert(r.getAs[Long]("n_reached") === dist.size.toLong))
+  }
 }
