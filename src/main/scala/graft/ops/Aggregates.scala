@@ -873,4 +873,70 @@ object Aggregates {
       |SELECT mask, count(*) AS n_user_days,
       |       bit_count(mask) AS n_types
       |FROM masks GROUP BY mask ORDER BY mask""".stripMargin
+
+  /** q258_hhi — Herfindahl–Hirschman supplier-concentration index per
+    * nation: HHI = Σ_s (revenue_s / total)² over each nation's suppliers,
+    * plus the effective supplier count 1/HHI (the "numbers-equivalent" —
+    * 4 equal suppliers → HHI 0.25 → effective 4). The procurement-risk
+    * rollup q129's demand-side share report doesn't cover: q129 says who
+    * SPENDS, this says how concentrated the SUPPLY side is.
+    *
+    * Determinism: per-supplier revenue is an exact BIGINT cents sum
+    * (decimal line values × 100 per row, the q160 idiom); the squared
+    * mass Σ cents² accumulates in DECIMAL(38,0) (the q107 co-moment
+    * idiom — exact, order-independent); HHI is then ONE per-row IEEE
+    * chain cast·mul·div on the exact aggregates, and the effective count
+    * one further division on the same value — both engines replay the
+    * chain bit-identically.
+    *
+    * Scale: one fact scan; supplier and nation are broadcast dimensions;
+    * both aggregates are map-side combinable keyed by (nation, supplier)
+    * then nation — supplier cardinality bounds every shuffle. */
+  def q258Hhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val per = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), cents.as("cents"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(col("cents")).as("cents"))
+    per.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cents")).as("total_cents"),
+        sum(d38(col("cents")) * d38(col("cents"))).as("sq"))
+      .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+        (col("sq").cast("double") /
+          (col("total_cents").cast("double") *
+            col("total_cents").cast("double"))).as("hhi"))
+      .withColumn("effective_suppliers", lit(1.0) / col("hhi"))
+      .orderBy(col("n_name"))
+  }
+
+  val q258Sql: String =
+    """WITH per AS (
+      |  SELECT n_name, s_suppkey,
+      |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |                       AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name, s_suppkey),
+      |agg AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |         CAST(sum(cents) AS BIGINT) AS total_cents,
+      |         CAST(sum(CAST(cents AS DECIMAL(38,0)) *
+      |                  CAST(cents AS DECIMAL(38,0))) AS DOUBLE) /
+      |           (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+      |           AS hhi
+      |  FROM per GROUP BY n_name)
+      |SELECT n_name, n_suppliers, total_cents, hhi,
+      |       1.0 / hhi AS effective_suppliers
+      |FROM agg
+      |ORDER BY n_name""".stripMargin
 }

@@ -112,4 +112,37 @@ class InformationSpec extends AnyFunSuite {
     // always share a sign; only 6dp rounding can dip one below zero
     rows.foreach { r => assert(r._5 >= -1e-6, s"bin ${r._1} term sign") }
   }
+
+  test("q258 HHI: bounds, effective-count inverse, direct recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Aggregates.q258Hhi(spark, SparkSuite.sf).collect()
+    assert(rows.nonEmpty)
+    // per-(nation, supplier) cents recomputed independently
+    val cents = Tables.lineitem(spark, SparkSuite.sf)
+      .join(Tables.supplier(spark, SparkSuite.sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, SparkSuite.sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("c"))
+      .collect()
+      .groupBy(_.getAs[String]("n_name"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("c")) }
+    rows.foreach { r =>
+      val nat = r.getAs[String]("n_name")
+      val cs = cents(nat)
+      val n = r.getAs[Long]("n_suppliers")
+      assert(n === cs.length.toLong)
+      assert(r.getAs[Long]("total_cents") === cs.sum)
+      val hhi = r.getAs[Double]("hhi")
+      // 1/n ≤ HHI ≤ 1, with equality iff uniform / monopoly
+      assert(hhi >= 1.0 / n - 1e-12 && hhi <= 1.0)
+      val t = cs.sum.toDouble
+      val want = cs.map(c => BigDecimal(c) * BigDecimal(c)).sum.toDouble /
+        (t * t)
+      assert(math.abs(hhi - want) < 1e-12, s"$nat: $hhi vs $want")
+      assert(r.getAs[Double]("effective_suppliers") === 1.0 / hhi)
+    }
+  }
 }
