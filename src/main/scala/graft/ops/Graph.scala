@@ -142,6 +142,20 @@ object Graph {
       .orderBy(col("part"))
   }
 
+  /** Session conf: oriented-edge-count ceiling for the broadcast-adjacency
+    * triangle closing in [[triangleCounts]]. The broadcast ships ~one long
+    * per edge (the out-adjacency arrays), so the default — 8M edges ≈
+    * 64 MB of payload — keeps the driver+executor copies comfortably
+    * inside default memory; a graph above it takes the wedge self-join
+    * path whose closing probe is a SHUFFLE_HASH join that never
+    * materializes the adjacency on one machine. Set lower to force the
+    * shuffle path (the 100 TB configuration), higher only with the driver
+    * memory to back it. */
+  val TriangleBroadcastMaxEdgesKey = "spark.graft.triangleBroadcastMaxEdges"
+
+  /** Default for [[TriangleBroadcastMaxEdgesKey]]: 8M oriented edges. */
+  val TriangleBroadcastMaxEdgesDefault = 8000000L
+
   /** Per-node triangle counts of the undirected simple graph `e`
     * (columns `pa` < `pb`, deduplicated). Returns (node, degree, n_tri)
     * for every edge-touched node. */
@@ -169,29 +183,68 @@ object Graph {
         col("pa"), col("pb"))
       .select(
         when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("src"),
-        when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("dst"))
+        when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("dst"),
+        // orientation key of the DESTINATION endpoint — the wedge-path
+        // tie-break (kd(v) < kd(w) ⟺ the closing edge is oriented v→w)
+        greatest(col("ka"), col("kb")).as("kd"))
       .cutLineage()
-    // Adjacency-intersection closing instead of a wedge-stream join: a
-    // triangle {u,v,w} (orientation order u→v, u→w, v→w) is found at edge
-    // (u,v) as w ∈ N⁺(u) ∩ N⁺(v). Materializing the O(m^1.5) wedge stream
-    // (35M rows at sf0.1) and joining it back was measured at 10 s; the
-    // per-edge codegen'd `array_intersect` against broadcast out-adjacency
-    // arrays never materializes wedges at all, and its intermediate is the
-    // triangle list itself (~1M rows). Out-arrays are orientation-bounded
-    // at O(√m) entries, so the broadcast is ~m longs total; a graph whose
-    // adjacency outgrows broadcast falls back to the wedge self-join with
-    // a SHUFFLE_HASH closing probe — either way, no 35M-row sort.
-    // NOT checkpointed despite the two broadcast consumers: serializing
-    // the array column costs more than re-running the aggregate over the
-    // already-checkpointed narrow edge frame (measured 5.1 s → 6.2 s).
-    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
-    val tri = o.select(col("src").as("u"), col("dst").as("v"))
-      .join(broadcast(adj.select(col("src").as("u"), col("nbrs").as("nu"))),
-        Seq("u"))
-      .join(broadcast(adj.select(col("src").as("v"), col("nbrs").as("nv"))),
-        Seq("v"))
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    // SIZE GATE on the closing strategy. `o` is checkpointed, so the
+    // count is a narrow scan of materialized blocks, not a recompute —
+    // the same cheap cardinality AQE would read from shuffle stats.
+    val spark = o.sparkSession
+    val maxBroadcastEdges = spark.conf
+      .getOption(TriangleBroadcastMaxEdgesKey).map(_.toLong)
+      .getOrElse(TriangleBroadcastMaxEdgesDefault)
+    val orientedEdges = o.count()
+    // Triangle {u,v,w} (orientation order u→v, u→w, v→w) — two closing
+    // strategies behind the gate, both producing each triangle once:
+    //
+    //  - BROADCAST ADJACENCY (m ≤ gate): found at edge (u,v) as
+    //    w ∈ N⁺(u) ∩ N⁺(v). Materializing the O(m^1.5) wedge stream
+    //    (35M rows at sf0.1) and joining it back was measured at 10 s;
+    //    the per-edge codegen'd `array_intersect` against broadcast
+    //    out-adjacency arrays never materializes wedges at all, and its
+    //    intermediate is the triangle list itself (~1M rows). Out-arrays
+    //    are orientation-bounded at O(√m) entries, ~m longs total.
+    //    NOT checkpointed despite the two broadcast consumers:
+    //    serializing the array column costs more than re-running the
+    //    aggregate over the already-checkpointed narrow edge frame
+    //    (measured 5.1 s → 6.2 s).
+    //
+    //  - WEDGE SELF-JOIN (m > gate): at 10¹⁰ edges the adjacency
+    //    broadcast is ~80 GB and dies on the driver, so pair the
+    //    out-edges of each source (the O(m^1.5) wedge stream, kd-ordered
+    //    so each unordered pair is generated once, in closing-edge
+    //    orientation) and close with a SHUFFLE_HASH probe against the
+    //    oriented edge list — hash, not sort-merge: the probe side is
+    //    the wedge stream and sorting it is the 10 s failure mode above.
+    //    Everything is partitioned; nothing data-proportional converges
+    //    on one machine.
+    val tri =
+      if (orientedEdges <= maxBroadcastEdges) {
+        val adj =
+          o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+        o.select(col("src").as("u"), col("dst").as("v"))
+          .join(
+            broadcast(adj.select(col("src").as("u"), col("nbrs").as("nu"))),
+            Seq("u"))
+          .join(
+            broadcast(adj.select(col("src").as("v"), col("nbrs").as("nv"))),
+            Seq("v"))
+          .select(col("u"), col("v"),
+            explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      } else {
+        val wedges = o
+          .select(col("src").as("u"), col("dst").as("v"), col("kd").as("kv"))
+          .join(o.select(col("src").as("u"), col("dst").as("w"),
+            col("kd").as("kw")), Seq("u"))
+          .filter(col("kv") < col("kw"))
+          .select(col("u"), col("v"), col("w"))
+        wedges.join(
+          o.select(col("src").as("v"), col("dst").as("w")).hint("shuffle_hash"),
+          Seq("v", "w"))
+          .select(col("u"), col("v"), col("w"))
+      }
     val perNode = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))

@@ -73,6 +73,30 @@ class BenchContractSpec extends AnyFunSuite {
         "the self-join + distinct recomputes per consumer")
   }
 
+  test("q139 pin: both sides of the triangle-closing size gate") {
+    // Below the gate (default conf) the closing must be the broadcast
+    // adjacency intersection — array_intersect over broadcast-joined
+    // out-arrays, no shuffled join in the closing. Above the gate
+    // (forced with gate=0) it must be the wedge self-join closed by a
+    // SHUFFLE_HASH probe — no data-proportional broadcast anywhere.
+    val below = formattedPlan("q139_triangles")
+    assert(below.contains("array_intersect"),
+      "gate's broadcast side lost the adjacency-intersection closing")
+    assert(below.contains("BroadcastHashJoin"),
+      "gate's broadcast side: adjacency joins are no longer broadcast")
+    spark.conf.set(graft.ops.Graph.TriangleBroadcastMaxEdgesKey, "0")
+    try {
+      val above = formattedPlan("q139_triangles")
+      assert(above.contains("ShuffledHashJoin"),
+        "gate's shuffle side: the wedge closing probe must be a " +
+          "shuffled hash join (sort-merge re-sorts the O(m^1.5) stream)")
+      assert(!above.contains("array_intersect"),
+        "gate=0 still builds broadcast adjacency arrays — the fallback " +
+          "is not actually engaged")
+    } finally
+      spark.conf.unset(graft.ops.Graph.TriangleBroadcastMaxEdgesKey)
+  }
+
   test("q139/q140 pin: deterministic wedge/pair cardinalities (sf0.001)") {
     // Cost ∝ these counts. The fixture is seeded, so they are constants;
     // a regenerated fixture that moves them explains a bench move as

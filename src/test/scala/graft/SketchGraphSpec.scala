@@ -49,6 +49,27 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(brute > 0)
   }
 
+  test("triangleCounts: wedge fallback equals broadcast path (gate=0)") {
+    // Same fixture graph through both sides of the size gate: default
+    // conf takes the broadcast-adjacency closing, gate 0 forces every
+    // graph onto the wedge self-join + SHUFFLE_HASH probe (the 100 TB
+    // path). Full (node, degree, n_tri) frames must be identical.
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select("pa", "pb").distinct().localCheckpoint()
+    val viaBroadcast = Graph.triangleCounts(e).orderBy("node").collect()
+    spark.conf.set(Graph.TriangleBroadcastMaxEdgesKey, "0")
+    try {
+      val viaWedge = Graph.triangleCounts(e).orderBy("node").collect()
+      assert(viaBroadcast.toSeq === viaWedge.toSeq)
+      assert(viaBroadcast.nonEmpty)
+    } finally spark.conf.unset(Graph.TriangleBroadcastMaxEdgesKey)
+  }
+
   test("commonNeighborPairs: square — diagonals share both neighbors") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("pa", "pb")
     val out = Graph.commonNeighborPairs(e).orderBy("a", "b")
