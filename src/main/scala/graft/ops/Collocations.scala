@@ -91,19 +91,15 @@ object Collocations {
     * scalar (basket count) is a metadata-cheap count reused as a literal.
     */
   def q120BasketPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // four consumers read the distinct item set (both pair-join sides, the
-    // frequency frame, the basket count) — materialize the narrow frame
-    // once instead of re-scanning lineitem per consumer
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
+    // the distinct item set feeds several lineages (the pair build, the
+    // frequency frame, the basket count) — [[CoPurchase.itemsCut]] hands
+    // back either the suite-shared materialization or a one-query
+    // localCheckpoint, never a per-consumer lineitem re-scan
+    val items = CoPurchase.itemsCut(spark, sfDir)
     val nBaskets = items.select(col("l_orderkey")).distinct().count()
-    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
-        Seq("l_orderkey"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("n_pair"))
+    val pairs = CoPurchase.pairsOver(spark, sfDir, items)
+      .select(col("pa").as("p1"), col("pb").as("p2"),
+        col("n_shared").as("n_pair"))
       .filter(col("n_pair") >= 3)
     val freq = items.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_item"))
@@ -160,9 +156,7 @@ object Collocations {
     * integer products, one IEEE division. */
   def q232BasketTriples(spark: SparkSession, sfDir: String): DataFrame = {
     val s = TripleSupport
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
+    val items = CoPurchase.itemsCut(spark, sfDir)
     val nBaskets = items.select(col("l_orderkey")).distinct().count()
     val freq = items.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_item"))
@@ -171,11 +165,14 @@ object Collocations {
       "left_semi").localCheckpoint()
     def side(n: Int) = pruned
       .select(col("l_orderkey"), col("l_partkey").as(s"p$n"))
-    val l2 = side(1).join(side(2), Seq("l_orderkey"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= s)
+    // L2 from the SHARED pair counts, not a pruned-basket re-count: a
+    // pair's support is bounded by either item's support, so Apriori
+    // pruning cannot change any count that survives the threshold —
+    // the spec asserts this equivalence against the pruned re-count.
+    val l2 = CoPurchase.pairsOver(spark, sfDir, items)
+      .filter(col("n_shared") >= s)
+      .select(col("pa").as("p1"), col("pb").as("p2"),
+        col("n_shared").as("n_pair"))
       .localCheckpoint()
     val cands = l2.select(col("p1"), col("p2"))
       .join(l2.select(col("p1"), col("p2").as("p3")), Seq("p1"))
@@ -271,16 +268,11 @@ object Collocations {
     * The only corpus-sized work is q120's (basket-size²-bounded) pair
     * count, reused here unchanged; the 1-row basket total broadcasts. */
   def q254AssocRules(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
+    val items = CoPurchase.itemsCut(spark, sfDir)
     val nBaskets = items.select(col("l_orderkey")).distinct().count()
-    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
-        Seq("l_orderkey"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("n_pair"))
+    val pairs = CoPurchase.pairsOver(spark, sfDir, items)
+      .select(col("pa").as("p1"), col("pb").as("p2"),
+        col("n_shared").as("n_pair"))
       .filter(col("n_pair") >= RuleSupport)
     // both directions: {x,y} → (x⇒y) and (y⇒x)
     val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"),

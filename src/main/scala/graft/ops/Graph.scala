@@ -127,20 +127,10 @@ object Graph {
     * direction and the wedge-pair dedup in both engines. Counts are
     * integers end-to-end — the oracle replays them exactly.
     */
-  def q139Triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    // No (orderkey, partkey) pre-distinct: the pair-level distinct below
-    // already collapses repeated lines, so the extra exchange would only
-    // dedup what the next shuffle dedups anyway.
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
-    triangleCounts(e).withColumnRenamed("node", "part")
+  def q139Triangles(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCounts(CoPurchase.edges(spark, sfDir))
+      .withColumnRenamed("node", "part")
       .orderBy(col("part"))
-  }
 
   /** Session conf: oriented-edge-count ceiling for the broadcast-adjacency
     * triangle closing in [[triangleCounts]]. The broadcast ships ~one long
@@ -303,14 +293,7 @@ object Graph {
     * ([[Checkpoints]]). min_node per layer makes the output
     * order-independent beyond counts. */
   def q252BfsLayers(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
-      .cutLineage()
+    val e = CoPurchase.edges(spark, sfDir).cutLineage()
     // both directions once, so each round is one equi-join
     val adj = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
       .toDF("src", "dst").cutLineage()
@@ -402,14 +385,7 @@ object Graph {
     * community rows. Nothing rescales with corpus beyond the edge list
     * itself. */
   def q247Modularity(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
-      .cutLineage()
+    val e = CoPurchase.edges(spark, sfDir).cutLineage()
     val brand = Tables.part(spark, sfDir)
       .select(col("p_partkey"), col("p_brand"))
     val eb = e
@@ -515,14 +491,7 @@ object Graph {
     * O(m^1.5)-bounded adjacency-intersection closing) is a
     * degree-cardinality ROLLUP aggregate with map-side combine. */
   def q242ClusteringSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
-    triangleCounts(e)
+    triangleCounts(CoPurchase.edges(spark, sfDir))
       .filter(col("degree") >= 2)
       .select(col("degree"), col("n_tri"),
         expr("degree * (degree - 1) div 2").as("wedges"))
@@ -587,14 +556,8 @@ object Graph {
     * the oracle replays it bit-exactly.
     */
   def q140LinkPredict(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val sup = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2)
+    val sup = CoPurchase.pairs(spark, sfDir)
+      .filter(col("n_shared") >= 2)
       .select(col("pa"), col("pb"))
     commonNeighborPairs(sup)
       .orderBy(desc("common"), col("a"), col("b"))
@@ -1054,14 +1017,7 @@ object Graph {
     * skew (a community's label is every member's message) is a hash-
     * aggregate hot key, which AQE splits. */
   def q256LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
-      .cutLineage()
+    val e = CoPurchase.edges(spark, sfDir).cutLineage()
     val adj = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
       .toDF("src", "dst").cutLineage()
     val pack = when(col("label").between(0L, 2147483647L),
@@ -1145,14 +1101,7 @@ object Graph {
     * TakeOrderedAndProject. */
   def q257Sssp(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n_shared"))
+    val pairs = CoPurchase.pairs(spark, sfDir)
     val adj = pairs
       .unionAll(pairs.select(col("pb").as("pa"), col("pa").as("pb"),
         col("n_shared")))
