@@ -847,6 +847,144 @@ object Streams {
   /** Shared oracle with the batch operator — parity is the point. */
   val q249Sql: String = graft.ops.Merge.q240Sql
 
+  /** Number of arrival micro-batches q259 stages. */
+  val LateBatches = 4
+
+  /** Watermark delay for q259, in minutes. */
+  val LateDelayMin = 30
+
+  /** q259_stream_late — the watermark/late-data path as an ORACLE row:
+    * a windowed streaming aggregate where the watermark REALLY drops
+    * rows, hash-checked against a DuckDB replay of Spark's own
+    * semantics. The events fixture is globally time-sorted, so late
+    * arrival is manufactured deterministically: rows are ranked by
+    * (ts, event_id), split into [[LateBatches]] arrival quartiles, and a
+    * hash-chosen ~1/7 of rows ([[graft.functions.StableHash.intMix62]],
+    * replayable in SQL) is shifted TWO batches later — those rows arrive
+    * a quartile (~days) after their event time, far beyond the
+    * [[LateDelayMin]]-minute delay, so all but the window-boundary
+    * stragglers are dropped. Files are staged with ordered mtimes and
+    * consumed with maxFilesPerTrigger=1, making the batch sequence — and
+    * therefore the watermark trajectory — deterministic.
+    *
+    * The oracle replays the exact rule Spark's streaming aggregation
+    * applies — measured here and pinned in StreamingSpec, because it is
+    * subtler than the docs suggest. Spark ≥3.4 carries TWO watermarks
+    * per batch: the EVICTION watermark (max event time through batch
+    * b−1, minus delay) decides which windows finalize at the end of
+    * batch b, while the LATE-DATA filter uses the PREVIOUS batch's
+    * eviction watermark — max event time through batch b−2, minus
+    * delay. An input row is dropped iff its WINDOW END is at or below
+    * that lagged watermark (the filter is on the group's finality, not
+    * the row's own timestamp). The two-batch lag is why a one-batch
+    * shift would never drop anything in a back-to-back drain: rows must
+    * arrive two batches after their event-time cohort to be late. The
+    * identical threshold on both sides also means a surviving late row
+    * can never target an already-emitted window — no duplicates, which
+    * the spec asserts. The q136 flush sentinel in the last file pushes
+    * the final watermark past every real window so append mode emits
+    * them all.
+    *
+    * Scale: same bounded-state shape as q136 — state is windows inside
+    * the watermark horizon × type cardinality; the drop filter runs
+    * map-side before any shuffle. The staging rank is a test-fixture
+    * device, not part of the operator. */
+  def q259StreamLate(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = freshDir("graft-q259")
+    val k = LateBatches
+    val in = stageOnce("q259in", sfDir) { dir =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("ts"), col("event_type"), col("value"), col("event_id"))
+      val n = ev.count()
+      val shifted = pmod(
+        graft.functions.StableHash.intMix62(col("event_id"), 59L),
+        lit(7L)) === 0L
+      val ranked = ev
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+        .withColumn("batch",
+          least(lit(k - 1), expr(s"((rn - 1) * $k) div ${n}L") +
+            when(shifted, 2L).otherwise(0L)))
+      def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = freshDir("graft-q259-stage")
+        df.coalesce(1).write.parquet(s"$tmp/p")
+        val part = new java.io.File(s"$tmp/p").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(dir, name)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime): scala.Unit
+      }
+      val base = System.currentTimeMillis() - 600000L
+      for (b <- 0 until k) {
+        val part = ranked.filter(col("batch") === b)
+          .select(col("ts"), col("event_type"), col("value"))
+        val withFlush =
+          if (b == k - 1)
+            part.unionByName(ev.agg(max(col("ts")).as("m"))
+              .select(expr("m + INTERVAL '10' HOUR").as("ts"),
+                lit("__flush").as("event_type"), lit(0.0).as("value")))
+          else part
+        stageBatch(withFlush, s"b$b.parquet", base + b * 60000L)
+      }
+    }
+    val schema = spark.read.parquet(in).schema
+    windowedCounts(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      "1 hour", s"$LateDelayMin minutes")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(s"$root/out")
+      .filter(col("event_type") =!= "__flush")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** DuckDB replay of the watermark trajectory and drop rule (Scaladoc
+    * above): batch assignment, per-batch high-water marks, the LAGGED
+    * (2 PRECEDING — late-events watermark trails eviction by one batch)
+    * window-end drop filter, then the q60 aggregate over survivors. */
+  val q259Sql: String = {
+    val mix = graft.functions.StableHash.intMix62Sql("event_id", 59L)
+    val delayUs = LateDelayMin * 60L * 1000000L
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(ts) AS us, value,
+       |         row_number() OVER (ORDER BY ts, event_id) AS rn,
+       |         count(*) OVER () AS n,
+       |         ($mix) % 7 = 0 AS shifted
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type, us, value,
+       |         least(${LateBatches - 1}, ((rn - 1) * $LateBatches) // n +
+       |           CASE WHEN shifted THEN 2 ELSE 0 END) AS batch
+       |  FROM ev),
+       |bmax AS (SELECT batch, max(us) AS mx FROM b GROUP BY batch),
+       |wm AS (
+       |  SELECT batch,
+       |         max(mx) OVER (ORDER BY batch
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+       |           - $delayUs AS w
+       |  FROM bmax),
+       |kept AS (
+       |  SELECT b.event_type, b.us, b.value
+       |  FROM b JOIN wm USING (batch)
+       |  WHERE wm.w IS NULL
+       |     OR ((b.us // 3600000000) + 1) * 3600000000 > wm.w)
+       |SELECT make_timestamp((us // 3600000000) * 3600000000)
+       |         AS window_start,
+       |       event_type, count(*) AS n_events,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |         AS sum_value
+       |FROM kept GROUP BY 1, 2
+       |ORDER BY window_start, event_type""".stripMargin
+  }
+
   /** Batch oracle: 30-minute-gap sessions with end = last event + gap and
     * exact cents sums — the q62 gaps-and-islands shape with the
     * sessionizer's [start, last+gap) window convention. */

@@ -305,4 +305,68 @@ class StreamingSpec extends AnyFunSuite {
         s"${batch.diff(stream).take(3)}")
     assert(batch.nonEmpty)
   }
+
+  test("late filter lags eviction by one batch (q259's semantics pin)") {
+    // Spark >= 3.4 two-watermark design, measured and relied on by
+    // q259's oracle: eviction uses max event time through batch b-1,
+    // the late-data filter uses batch b-2. Four single-file batches:
+    //   b0: t=10000   b1: t=20000
+    //   b2: t=100 (window end 110 <= late-wm 10000 -> DROPPED)
+    //       t=19000 (end 19010 > late-wm 10000 -> KEPT, though it is
+    //        below the eviction wm 20000 — the one-batch grace)
+    //   b3: flush t=30000 (own window never closes)
+    // If a Spark upgrade changes the lag or the boundary rule, this
+    // fails before the q259 oracle mismatch does, with the story in
+    // hand.
+    val sp = spark
+    import sp.implicits._
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val dir = Files.createTempDirectory("graft-wmlag").toString
+    val base = System.currentTimeMillis() - 600000L
+    def stage(i: Int, rows: Seq[(Timestamp, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-wmlag-stage").toString
+      rows.toDF("ts", "k").coalesce(1).write.parquet(s"$tmp/p")
+      val part = new java.io.File(s"$tmp/p").listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(dir, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(base + i * 60000L): scala.Unit
+    }
+    stage(0, Seq((t(10000), "b0")))
+    stage(1, Seq((t(20000), "b1")))
+    stage(2, Seq((t(100), "lag2-late"), (t(19000), "lag1-late")))
+    stage(3, Seq((t(30000), "flush")))
+    val schema = spark.read.parquet(dir).schema
+    val root = Files.createTempDirectory("graft-wmlag-out").toString
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val emitted = spark.read.parquet(s"$root/out")
+      .select(col("k")).collect().map(_.getString(0)).toSet
+    assert(emitted === Set("b0", "b1", "lag1-late"),
+      s"watermark lag semantics moved: emitted $emitted")
+  }
+
+  test("q259 drops real late rows, emits no duplicate windows (sf0.001)") {
+    val sf = SparkSuite.sf
+    val out = graft.streaming.Streams.q259StreamLate(spark, sf)
+      .localCheckpoint()
+    val input = Tables.events(spark, sf).count()
+    val kept = out.agg(sum(col("n_events"))).head.getLong(0)
+    assert(kept < input, s"no rows dropped (kept $kept of $input) — " +
+      "the late-shift fixture is vacuous")
+    assert(kept > input / 2, s"only $kept of $input kept — drop rule " +
+      "far too aggressive")
+    val dup = out.groupBy(col("window_start"), col("event_type"))
+      .count().filter(col("count") > 1).count()
+    assert(dup === 0L, "duplicate (window, type) emissions — a late row " +
+      "re-opened an evicted window")
+  }
 }
