@@ -121,6 +121,106 @@ object Incremental {
        |FROM v GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** Delta membership predicates for q260 — the held-out insert batch and
+    * the base subset the delete delta removes (disjoint by remainder). */
+  val IvmAggMod = 20L
+  val IvmAggInsRem = 7L
+  val IvmAggDelRem = 11L
+
+  /** Signed per-group partial state: n_rows/sum_cents fold the row SIGN
+    * (+1 insert, −1 delete), n_inserted/n_deleted record the attribution.
+    * Signed states form a group (every delta has an inverse), which is
+    * what makes DELETE maintainable for sum/count — and precisely what
+    * min/max lack (no inverse: a deleted minimum forces a per-group
+    * rescan), which is why q260's view carries none. */
+  def signedState(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("sign")).as("n_rows"),
+        sum(col("sign") * col("cents")).as("sum_cents"),
+        sum(when(col("sign") > 0, 1L).otherwise(0L)).as("n_inserted"),
+        sum(when(col("sign") < 0, 1L).otherwise(0L)).as("n_deleted"))
+
+  /** Fold one signed delta state into the view: union the state rows,
+    * re-aggregate (all four columns are sums — merging IS adding), and
+    * evict groups the deltas emptied (n_rows = 0). Associative and
+    * batchable: delta ∘ delta = batch of both, which the spec asserts. */
+  def applyDelta(view: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    view.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_cents")).as("sum_cents"),
+        sum(col("n_inserted")).as("n_inserted"),
+        sum(col("n_deleted")).as("n_deleted"))
+      .filter(col("n_rows") > 0)
+
+  /** q260_ivm_agg — incremental maintenance of a GROUPED-AGGREGATE view
+    * under inserts AND deletes, completing q106 (insert-only aggregate
+    * maintenance) and q251 (join-view delta algebra): the per-(returnflag,
+    * linestatus) revenue view is maintained by folding SIGNED deltas —
+    * insert rows at +1, delete rows at −1 — into the stored state, never
+    * rescanning the base. The oracle recomputes the final membership
+    * (base − deletes + inserts) from scratch; hash equality proves the
+    * signed fold loses and invents nothing, including the per-group
+    * insert/delete attribution carried through the merge.
+    *
+    * Scale: each maintenance step aggregates ONLY the delta batch
+    * (map-side combine to |groups| state rows) and merges state frames —
+    * O(|Δ| + |groups|) per batch, the nightly-rollup shape at 100 TB.
+    * Exact-integer cents keep the fold order-independent; the one IEEE
+    * division (avg) happens at read time. */
+  def q260IvmAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        pmod(col("l_orderkey"), lit(IvmAggMod)).as("slot"))
+    val base = li.filter(col("slot") =!= IvmAggInsRem)
+      .withColumn("sign", lit(1L))
+    val delta = li.filter(col("slot") === IvmAggInsRem)
+      .withColumn("sign", lit(1L))
+      .unionByName(li.filter(col("slot") === IvmAggDelRem)
+        .withColumn("sign", lit(-1L)))
+    val v0 = signedState(base, keys)
+      // the stored view's own attribution columns start at zero — only
+      // maintenance traffic counts as inserted/deleted
+      .withColumn("n_inserted", lit(0L)).withColumn("n_deleted", lit(0L))
+    applyDelta(v0, signedState(delta, keys), keys)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sum_cents"), col("n_inserted"), col("n_deleted"),
+        (col("sum_cents").cast("double") / col("n_rows").cast("double"))
+          .as("avg_cents"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q260Sql: String =
+    // the FULL recompute of base − deletes + inserts (membership
+    // collapses to slot <> delete-remainder since inserts re-enter)
+    s"""WITH li AS (
+       |  SELECT l_returnflag, l_linestatus,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+       |              AS BIGINT) AS cents,
+       |         l_orderkey % $IvmAggMod AS slot
+       |  FROM lineitem)
+       |SELECT l_returnflag, l_linestatus,
+       |       CAST(count(*) FILTER (WHERE slot <> $IvmAggDelRem)
+       |            AS BIGINT) AS n_rows,
+       |       CAST(sum(cents) FILTER (WHERE slot <> $IvmAggDelRem)
+       |            AS BIGINT) AS sum_cents,
+       |       CAST(count(*) FILTER (WHERE slot = $IvmAggInsRem)
+       |            AS BIGINT) AS n_inserted,
+       |       CAST(count(*) FILTER (WHERE slot = $IvmAggDelRem)
+       |            AS BIGINT) AS n_deleted,
+       |       CAST(sum(cents) FILTER (WHERE slot <> $IvmAggDelRem)
+       |            AS DOUBLE) /
+       |         CAST(count(*) FILTER (WHERE slot <> $IvmAggDelRem)
+       |              AS DOUBLE) AS avg_cents
+       |FROM li GROUP BY l_returnflag, l_linestatus
+       |HAVING count(*) FILTER (WHERE slot <> $IvmAggDelRem) > 0
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   def q106IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val cutoff = "1997-01-01"

@@ -182,6 +182,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_do_dc")).sum > 0L)
   }
 
+  test("q260 IVM agg: delta ∘ delta = batch, and the fold matches a " +
+    "direct recompute with eviction") {
+    import org.apache.spark.sql.functions._
+    import ops.Incremental._
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        pmod(col("l_orderkey"), lit(IvmAggMod)).as("slot"))
+      .localCheckpoint()
+    val base = li.filter(col("slot") =!= IvmAggInsRem)
+      .withColumn("sign", lit(1L))
+    val ins = li.filter(col("slot") === IvmAggInsRem)
+      .withColumn("sign", lit(1L))
+    val del = li.filter(col("slot") === IvmAggDelRem)
+      .withColumn("sign", lit(-1L))
+    val v0 = signedState(base, keys)
+      .withColumn("n_inserted", lit(0L)).withColumn("n_deleted", lit(0L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(keys.map(col): _*).collect().toSeq
+    // associativity: applying the two deltas one at a time equals
+    // applying their union in one batch
+    val sequential =
+      applyDelta(applyDelta(v0, signedState(ins, keys), keys),
+        signedState(del, keys), keys)
+    val batched =
+      applyDelta(v0, signedState(ins.unionByName(del), keys), keys)
+    assert(rows(sequential) === rows(batched))
+    // the maintained view equals a from-scratch recompute of the final
+    // membership (base − deletes + inserts)
+    val direct = li.filter(col("slot") =!= IvmAggDelRem)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+    assert(rows(batched.select(col(keys.head), col(keys(1)),
+        col("n_rows"), col("sum_cents"))) === rows(direct))
+    // eviction: deleting an entire group removes its state row
+    val only = li.limit(1).withColumn("sign", lit(1L)).localCheckpoint()
+    val tiny = signedState(only, keys)
+      .withColumn("n_inserted", lit(0L)).withColumn("n_deleted", lit(0L))
+    val killed = applyDelta(tiny,
+      signedState(only.withColumn("sign", lit(-1L)), keys), keys)
+    assert(killed.count() === 0L, "emptied group not evicted")
+    // deletes are genuinely populated on the fixture
+    assert(del.count() > 0L)
+  }
+
   test("q106: incremental merge equals full recompute for any cutoff") {
     val li = Tables.lineitem(spark, sf)
     val keys = Seq("l_returnflag", "l_linestatus")
