@@ -83,7 +83,12 @@ object StableHash {
     * yield CONSECUTIVE hash values — measured on q235, 64 "independent"
     * bootstrap replicates collapsed to one resample slid by one unit and
     * the CI came out 30× too narrow. Bounds: key < 2³¹ (as [[intMix62]])
-    * and 0 ≤ salt < 2³² (lane·(salt+1) < 2⁶³). */
+    * and 0 ≤ salt, salt + 1 < P2 — NOT the looser 2³² the overflow
+    * arithmetic alone would allow: any salt with salt+1 ≡ 0 (mod P1 or
+    * P2) — e.g. salt = P1−1 = 2147483646 — multiplies that lane to 0
+    * for EVERY key, silently collapsing the hash to half its bits.
+    * Replicate dimensions are far below P2 in practice; a caller
+    * approaching it must re-derive the salt (e.g. salt % (P2−1)). */
   def intMix62Col(key: Column, salt: Column): Column =
     shiftleft(pmod(pmod(key * lit(A1) + lit(11L), lit(P1)) * (salt + 1),
       lit(P1)), 31) +

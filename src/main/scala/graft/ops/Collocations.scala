@@ -192,8 +192,14 @@ object Collocations {
       .join(f(1), Seq("p1")).join(f(2), Seq("p2")).join(f(3), Seq("p3"))
       .select(col("p1"), col("p2"), col("p3"), col("n_triple"),
         col("n1"), col("n2"), col("n3"),
-        ((col("n_triple") * nBaskets * nBaskets).cast("double") /
-          (col("n1") * col("n2") * col("n3")).cast("double")).as("lift"))
+        // lift in IEEE from the start: the BIGINT product n_triple·nb²
+        // (and the n1·n2·n3 denominator) can pass 2⁶³ at large scale,
+        // where Spark's ANSI mode throws but DuckDB raises differently —
+        // a silent engine divergence waiting to happen. The double chain
+        // is associativity-mirrored in the oracle; at fixture scale every
+        // product is < 2⁵³ so the values are bit-identical either way.
+        ((col("n_triple").cast("double") * nBaskets * nBaskets) /
+          (col("n1").cast("double") * col("n2") * col("n3"))).as("lift"))
       .orderBy(col("p1"), col("p2"), col("p3"))
   }
 
@@ -233,8 +239,10 @@ object Collocations {
        |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
        |SELECT t.p1, t.p2, t.p3, t.n_triple,
        |       f1.n_item AS n1, f2.n_item AS n2, f3.n_item AS n3,
-       |       CAST(t.n_triple * nb.n_baskets * nb.n_baskets AS DOUBLE) /
-       |         CAST(f1.n_item * f2.n_item * f3.n_item AS DOUBLE) AS lift
+       |       -- double from the start, association mirroring the Spark
+       |       -- chain: the BIGINT products can overflow at scale
+       |       (CAST(t.n_triple AS DOUBLE) * nb.n_baskets * nb.n_baskets) /
+       |         (CAST(f1.n_item AS DOUBLE) * f2.n_item * f3.n_item) AS lift
        |FROM triples t
        |JOIN freq f1 ON f1.l_partkey = t.p1
        |JOIN freq f2 ON f2.l_partkey = t.p2

@@ -305,10 +305,12 @@ object Merge {
     * state. The log is derived deterministically from events (op by id
     * hash: ~10% D, ~20% I, rest U; order = (ts, event_id) — a total
     * order, so "last" is well-defined). A key whose LAST op is a delete
-    * is ABSENT from the final state; earlier deletes with later
-    * re-inserts survive and are counted as resurrections — the lifecycle
-    * audit a lakehouse compaction job reports. Output: live keys with
-    * last value/ts plus per-key op counts.
+    * is ABSENT from the final state; a surviving key's NON-FINAL deletes
+    * are counted (`n_nonfinal_deletes` — every D strictly before the
+    * last op, whether or not an I follows it; a true resurrection count
+    * would additionally require a later insert) — the lifecycle audit a
+    * lakehouse compaction job reports. Output: live keys with last
+    * value/ts plus per-key op counts.
     *
     * Scale: ONE shuffle on the key; the fold is a per-key window over
     * that partitioning (arrival-bounded per key) and the op counts ride
@@ -336,13 +338,13 @@ object Merge {
         sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updates"),
         sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
         sum(when(col("op") === "D" && col("rn") > 1, 1L).otherwise(0L))
-          .as("n_resurrections"),
+          .as("n_nonfinal_deletes"),
         max(when(col("rn") === 1, col("op"))).as("last_op"),
         max(when(col("rn") === 1, col("value"))).as("last_value"),
         max(when(col("rn") === 1, col("ts"))).as("last_ts"))
     folded.filter(col("last_op") =!= "D")
       .select(col("user_id"), col("n_ops"), col("n_inserts"),
-        col("n_updates"), col("n_deletes"), col("n_resurrections"),
+        col("n_updates"), col("n_deletes"), col("n_nonfinal_deletes"),
         col("last_op"), col("last_value"), col("last_ts"))
       .orderBy(col("user_id"))
   }
@@ -369,13 +371,13 @@ object Merge {
        |         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
        |           AS n_deletes,
        |         CAST(sum(CASE WHEN op = 'D' AND rn > 1 THEN 1 ELSE 0 END)
-       |              AS BIGINT) AS n_resurrections,
+       |              AS BIGINT) AS n_nonfinal_deletes,
        |         max(CASE WHEN rn = 1 THEN op END) AS last_op,
        |         max(CASE WHEN rn = 1 THEN value END) AS last_value,
        |         max(CASE WHEN rn = 1 THEN ts END) AS last_ts
        |  FROM ranked GROUP BY user_id)
        |SELECT user_id, n_ops, n_inserts, n_updates, n_deletes,
-       |       n_resurrections, last_op, last_value, last_ts
+       |       n_nonfinal_deletes, last_op, last_value, last_ts
        |FROM folded WHERE last_op <> 'D'
        |ORDER BY user_id""".stripMargin
   }

@@ -764,8 +764,8 @@ object Streams {
     * arrival-order-dependence in the fold would flip `last_*` columns
     * and fail the hash. Emissions are running totals (update mode); the
     * read-back keeps each key's final state (max n_ops — monotone per
-    * touch), derives resurrections as deletes-before-last, and drops
-    * keys whose final op is a tombstone.
+    * touch), derives `n_nonfinal_deletes` as deletes-before-last, and
+    * drops keys whose final op is a tombstone.
     *
     * Scale: state is one fixed-width record per live key, partitioned by
     * key; emissions are one row per (key, batch). Exactly the compaction
@@ -838,7 +838,7 @@ object Streams {
         col("n_updates"), col("n_deletes"),
         (col("n_deletes") -
           when(col("last_op") === "D", 1L).otherwise(0L))
-          .as("n_resurrections"),
+          .as("n_nonfinal_deletes"),
         col("last_op"), col("last_value"),
         timestamp_micros(col("last_ts_us")).as("last_ts"))
       .orderBy(col("user_id"))

@@ -231,7 +231,7 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getAs[String]("last_op") != "D")
       assert(r.getAs[Long]("n_ops") === r.getAs[Long]("n_inserts") +
         r.getAs[Long]("n_updates") + r.getAs[Long]("n_deletes"))
-      assert(r.getAs[Long]("n_resurrections") <= r.getAs[Long]("n_deletes"))
+      assert(r.getAs[Long]("n_nonfinal_deletes") <= r.getAs[Long]("n_deletes"))
     }
     // dropped keys really ended on a tombstone: every key of the raw log
     // is either released or its last op is D
