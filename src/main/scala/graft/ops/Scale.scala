@@ -83,12 +83,21 @@ object Scale {
     * carry a stable discriminator column into the hash — a deterministic
     * salt cannot split byte-identical rows.
     *
-    * When to reach for it: the dimension is too big to broadcast AND the
-    * fact side's key histogram has a head so hot that AQE's skew splitting
-    * can't help — AQE splits a skewed MAP-side partition, but all rows of
-    * one key still hash to ONE reduce partition; salting is the only way to
-    * spread a single key. Replication cost is |dim| × salts rows — keep
-    * `salts` ~ (hot-key rows / target partition rows), not in the hundreds. */
+    * When to reach for it vs trusting AQE's skew-join (measured in
+    * SKEW_AQE_NOTE_r7.md, pinned in ScaleSpec): AQE CAN split a skewed
+    * reduce partition (duplicating the matching dim rows), but only when
+    * all of (a) the key has an OUTLIER hot value — skew is defined
+    * relative to the median partition, so a low-cardinality key whose
+    * few partitions are all equally huge never qualifies; (b) the hot
+    * key's rows arrive through MANY map tasks — splitting happens at
+    * mapper boundaries, so a layout that concentrates the key per task
+    * (clustered/sorted input, one row group, a coalesced upstream)
+    * silently defeats it; and (c) both join children are bare
+    * Sort(shuffle) — a dim that passes through distinct()/an aggregate
+    * disqualifies the join from the rule entirely. Salt when any of the
+    * three fails; it is layout- and shape-independent. Replication cost
+    * is |dim| × salts rows — keep `salts` ~ (hot-key rows / target
+    * partition rows), not in the hundreds. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salts: Int, saltCols: Seq[String] = Nil): DataFrame = {
     // saltCols: same narrowing contract as [[saltedAggregate]] — default

@@ -37,4 +37,80 @@ class ScaleSpec extends AnyFunSuite {
     // synthetic fixture, so no column sort is total here
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  // ---- AQE skew-join pins (SKEW_AQE_NOTE_r7.md) -------------------------
+  // The salt-vs-AQE decision rule is measured, not assumed. Two pins:
+  // q84's low-cardinality uniform shape must stay un-split by AQE at ANY
+  // threshold (median-relative definition sees no outlier → salting is
+  // the only fix), and the outlier-hot-key shape with real multi-mapper
+  // input MUST be split (so we notice if the AQE path we point users to
+  // stops working). Both pins read the final adaptive plan after
+  // execution — a pre-execution plan always reports isFinalPlan=false
+  // and never contains skew markers.
+
+  private def withSkewConfs[A](body: => A): A = {
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1024",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally keys.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect(): scala.Unit // materialize so the adaptive plan finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("AQE pin: uniform low-cardinality skew is never split — salt it") {
+    withSkewConfs {
+      val li = Tables.lineitem(spark, SparkSuite.sf)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      // bare-shuffle dim side (range, not distinct) so the rule's plan
+      // pattern matches and the ONLY reason it can decline is the sizes
+      val dim = spark.range(0, 3)
+        .select(when(col("id") === 0, "A").when(col("id") === 1, "N")
+          .otherwise("R").as("l_returnflag"),
+          concat(lit("f_"), col("id")).as("label"))
+      val plan = finalPlan(li.join(dim.hint("merge"), Seq("l_returnflag"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n")))
+      assert(plan.contains("isFinalPlan=true"))
+      assert(!plan.contains("skew="),
+        "AQE now splits uniform low-cardinality keys — the salt-vs-AQE " +
+          "guidance in SKEW_AQE_NOTE_r7.md needs re-measuring")
+    }
+  }
+
+  test("AQE pin: outlier hot key with real mappers IS split by AQE") {
+    withSkewConfs {
+      // one key with ~half the rows among ~1000 normal keys; repartition
+      // creates real map tasks (the single-row-group fixture otherwise
+      // funnels every row through one mapper and mapper-boundary
+      // splitting cannot fire — the note's finding #2). sf0.1 on
+      // purpose: the sf0.001 partitions compress below the granularity
+      // where the splitter produces >1 piece, and the pin must exercise
+      // the path that actually fires.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      try {
+        val fact = Tables.lineitem(spark, "/root/testdata/sf0.1")
+          .select(when(pmod(col("l_orderkey"), lit(2L)) === 0L, lit(0L))
+            .otherwise(pmod(col("l_orderkey"), lit(997L)) + 1L).as("k"),
+            col("l_extendedprice"))
+          .repartition(12)
+        val dim = spark.range(0L, 998L)
+          .select(col("id").as("k"),
+            concat(lit("g_"), col("id")).as("label"))
+        val plan = finalPlan(fact.join(dim.hint("merge"), Seq("k"))
+          .groupBy(col("label")).agg(count(lit(1)).as("n")))
+        assert(plan.contains("isFinalPlan=true"))
+        assert(plan.contains("skew=true"),
+          "AQE no longer splits the outlier-hot-key shape it is trusted " +
+            "with in SKEW_AQE_NOTE_r7.md — re-measure before relying on it")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
 }
