@@ -148,8 +148,22 @@ object Graph {
 
   /** Per-node triangle counts of the undirected simple graph `e`
     * (columns `pa` < `pb`, deduplicated). Returns (node, degree, n_tri)
-    * for every edge-touched node. */
-  def triangleCounts(e: DataFrame): DataFrame = {
+    * for every edge-touched node, MATERIALIZED (see the tail note in
+    * [[triangleCountsPlan]]). */
+  def triangleCounts(e: DataFrame): DataFrame =
+    // Materialize the node-cardinality result: callers end in a
+    // determinism orderBy whose RangePartitioning SAMPLES its child
+    // before sorting it — without this cut the sampling pass re-executes
+    // the whole closing join (measured at the sf1 scale point: the wedge
+    // path re-ran and q139's sorted form cost 3× its nosort form). The
+    // frame is |nodes| rows of three longs — the cut is noise.
+    triangleCountsPlan(e).cutLineage()
+
+  /** [[triangleCounts]] WITHOUT the final materialization — the full
+    * declarative plan, exposed so BenchContractSpec can pin both sides
+    * of the closing-strategy gate (the cut in the public method hides
+    * the closing join behind a checkpoint scan). */
+  def triangleCountsPlan(e: DataFrame): DataFrame = {
     // Materialize the edge list FIRST: `e` arrives as an arbitrary (often
     // expensive — q139's is a fact-table self-join + distinct) subtree, and
     // this operator consumes it from three independent lineages (the degree

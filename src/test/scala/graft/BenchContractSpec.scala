@@ -79,14 +79,20 @@ class BenchContractSpec extends AnyFunSuite {
     // out-arrays, no shuffled join in the closing. Above the gate
     // (forced with gate=0) it must be the wedge self-join closed by a
     // SHUFFLE_HASH probe — no data-proportional broadcast anywhere.
-    val below = formattedPlan("q139_triangles")
+    // Inspected on the PRE-CUT plan (triangleCountsPlan): the public
+    // method materializes the node-cardinality result, which hides the
+    // closing join behind a checkpoint scan.
+    def closingPlan() = graft.ops.Graph
+      .triangleCountsPlan(graft.ops.CoPurchase.edges(spark, SparkSuite.sf))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val below = closingPlan()
     assert(below.contains("array_intersect"),
       "gate's broadcast side lost the adjacency-intersection closing")
     assert(below.contains("BroadcastHashJoin"),
       "gate's broadcast side: adjacency joins are no longer broadcast")
     spark.conf.set(graft.ops.Graph.TriangleBroadcastMaxEdgesKey, "0")
     try {
-      val above = formattedPlan("q139_triangles")
+      val above = closingPlan()
       assert(above.contains("ShuffledHashJoin"),
         "gate's shuffle side: the wedge closing probe must be a " +
           "shuffled hash join (sort-merge re-sorts the O(m^1.5) stream)")
