@@ -128,15 +128,14 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash+LSH near-duplicate clustering over any (doc_id, text) frame:
-    * banded signatures bucket candidate duplicates; each document reports the
-    * minimum doc_id among its bucket-mates as its cluster representative
-    * (docs with no near-dup report themselves). */
-  def minhashClusters(docs: DataFrame): DataFrame = {
+  /** LSH band-bucket rows (doc_id, band, sig) for any (doc_id, text)
+    * frame — the INDEX rows a standing corpus materializes once and every
+    * later batch probes ([[q261IncrementalLsh]]). Band key = polynomial
+    * fold of the band's signature rows mod p (not murmur3 `hash`), so the
+    * oracle can recompute it: acc ← (acc·65599 + sig_j) mod p. Bounds:
+    * acc < 2³¹, ·65599 < 2⁴⁸ — overflow-free. LAZY — callers cut. */
+  def bandBuckets(docs: DataFrame): DataFrame = {
     val signed = signatures(docs)
-    // Band key = polynomial fold of the band's signature rows mod p (not
-    // murmur3 `hash`), so the oracle can recompute it: acc ← (acc·65599 +
-    // sig_j) mod p. Bounds: acc < 2³¹, ·65599 < 2⁴⁸ — overflow-free.
     val bandCols = (0 until NumBands).map { b =>
       val fold = (b * NumHashes / NumBands until (b + 1) * NumHashes / NumBands)
         .map(j => col(s"sig_$j"))
@@ -144,6 +143,17 @@ object Dedup {
           (acc, s) => pmod(acc * lit(65599L) + s, lit(MinhashP)))
       struct(lit(b).as("band"), fold.as("sig"))
     }
+    signed
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.sig").as("sig"))
+  }
+
+  /** MinHash+LSH near-duplicate clustering over any (doc_id, text) frame:
+    * banded signatures bucket candidate duplicates; each document reports the
+    * minimum doc_id among its bucket-mates as its cluster representative
+    * (docs with no near-dup report themselves). */
+  def minhashClusters(docs: DataFrame): DataFrame = {
     // Bucket minima via groupBy + join-back, NOT a whole-bucket window: a
     // window partitioned by (band, sig) routes every row of a bucket to ONE
     // task, so a mega-bucket (millions of identical boilerplate docs) becomes
@@ -159,10 +169,7 @@ object Dedup {
     // is garbage-collected. ~16 bytes × bands per doc, spillable. (Same
     // executor-loss trade-off as lshNearDups — see Similarity.scala; a
     // long-lived cluster job would use a reliable checkpoint dir.)
-    val buckets = signed
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .cutLineage()
+    val buckets = bandBuckets(docs).cutLineage()
     val minima = buckets
       .groupBy(col("band"), col("sig"))
       .agg(min(col("doc_id")).as("bucket_rep"))
@@ -186,7 +193,10 @@ object Dedup {
     * ([[minhashCoeffs]], fixed seed) are embedded as literals — the q52Sql
     * generator pattern. Mirrors [[wordGrams]] indexing (raw split, empties
     * kept) and [[gramsWithFallback]]'s whole-text gram for <3-token docs. */
-  val q70Sql: String = {
+  /** Shared oracle CTE chain `toks → gh → sigs → buckets` over
+    * `documents` — the SQL twin of [[bandBuckets]]; q70's and q261's
+    * oracles both splice it ahead of their own tails. */
+  private def lshBucketsCte: String = {
     val p = MinhashP
     val sigCols = minhashCoeffs.zipWithIndex.map { case ((a, b), j) =>
       s"min((gh * $a + $b) % $p) AS sig_$j"
@@ -197,7 +207,7 @@ object Dedup {
         .foldLeft("CAST(0 AS BIGINT)")((acc, s) => s"(($acc) * 65599 + $s) % $p")
       s"SELECT doc_id, $b AS band, $fold AS sig FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id,
        |         list_transform(string_split(text, ' '),
        |           tok -> list_reduce(list_transform(string_split(tok, ''),
@@ -221,7 +231,11 @@ object Dedup {
        |         $sigCols
        |  FROM gh GROUP BY doc_id),
        |buckets AS (
-       |  $bands),
+       |  $bands)""".stripMargin
+  }
+
+  val q70Sql: String =
+    s"""WITH $lshBucketsCte,
        |minima AS (SELECT band, sig, min(doc_id) AS bucket_rep
        |           FROM buckets GROUP BY 1, 2),
        |reps AS (
@@ -230,7 +244,91 @@ object Dedup {
        |  GROUP BY b.doc_id)
        |SELECT doc_id, cluster_rep, cluster_rep < doc_id AS is_duplicate
        |FROM reps ORDER BY doc_id""".stripMargin
+
+  /** Incoming-batch membership predicate for q261 (mirrors q206's
+    * every-10th-document split so the two incremental audits — exact and
+    * near-dup — read the same snapshot boundary). */
+  val IncrementalLshMod = 10L
+
+  /** q261_incremental_lsh — cross-snapshot NEAR-duplicate detection, the
+    * MinHash analogue of q206's exact incremental dedup: the incoming
+    * batch (every 10th document) probes the standing corpus's
+    * MATERIALIZED band index instead of re-clustering the whole corpus.
+    * Each incoming document reports the minimum corpus doc sharing any
+    * LSH bucket (`corpus_rep`), the minimum EARLIER batch doc sharing a
+    * bucket (`batch_rep` — within-batch dups must not slip through just
+    * because the corpus has not seen them), and a verdict:
+    * dup_corpus ≻ dup_batch ≻ novel.
+    *
+    * Scale: the corpus side is touched ONLY through its (band, sig) →
+    * min-doc index — one aggregated row per bucket, the thing a real
+    * pipeline stores and appends to; it is never re-signed and never
+    * re-scanned per batch. The batch computes its own signatures (k
+    * map-side `min` aggregates over batch grams only) and the probe
+    * shuffles (band, sig) keyed rows — index-row-count × probe-bucket
+    * joins, never text, never all-pairs. Mega-buckets arrive
+    * pre-collapsed to one row by the index aggregation. This is the
+    * O(|Δ|) near-dup admission check a 100 TB corpus runs per ingest. */
+  def q261IncrementalLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val incoming = docs.filter(col("doc_id") % IncrementalLshMod === 0)
+    val corpus = docs.filter(col("doc_id") % IncrementalLshMod =!= 0)
+    // the standing index: aggregated to one row per bucket BEFORE any
+    // probe touches it (in production this frame is a stored table)
+    val index = bandBuckets(corpus.select(col("doc_id"), col("text")))
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("corpus_rep"))
+      .cutLineage()
+    // probe rows: materialized once, consumed by both the corpus probe
+    // and the within-batch self-check
+    val probe = bandBuckets(incoming.select(col("doc_id"), col("text")))
+      .cutLineage()
+    val corpusHit = probe.join(index, Seq("band", "sig"))
+      .groupBy(col("doc_id")).agg(min(col("corpus_rep")).as("corpus_rep"))
+    val batchMin = probe.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("batch_min"))
+    val batchHit = probe.join(batchMin, Seq("band", "sig"))
+      .filter(col("batch_min") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("batch_min")).as("batch_rep"))
+    incoming.select(col("doc_id"), col("source"))
+      .join(corpusHit, Seq("doc_id"), "left")
+      .join(batchHit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("corpus_rep"),
+        col("batch_rep"),
+        when(col("corpus_rep").isNotNull, "dup_corpus")
+          .when(col("batch_rep").isNotNull, "dup_batch")
+          .otherwise("novel").as("verdict"))
+      .orderBy(col("doc_id"))
   }
+
+  val q261Sql: String =
+    s"""WITH $lshBucketsCte,
+       |idx AS (
+       |  SELECT band, sig, min(doc_id) AS corpus_rep FROM buckets
+       |  WHERE doc_id % $IncrementalLshMod <> 0 GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT * FROM buckets WHERE doc_id % $IncrementalLshMod = 0),
+       |bmin AS (
+       |  SELECT band, sig, min(doc_id) AS batch_min FROM probe
+       |  GROUP BY 1, 2),
+       |chit AS (
+       |  SELECT p.doc_id, min(i.corpus_rep) AS corpus_rep
+       |  FROM probe p JOIN idx i ON p.band = i.band AND p.sig = i.sig
+       |  GROUP BY 1),
+       |bhit AS (
+       |  SELECT p.doc_id, min(b.batch_min) AS batch_rep
+       |  FROM probe p JOIN bmin b ON p.band = b.band AND p.sig = b.sig
+       |  WHERE b.batch_min < p.doc_id GROUP BY 1)
+       |SELECT d.doc_id, d.source, c.corpus_rep, b.batch_rep,
+       |       CASE WHEN c.corpus_rep IS NOT NULL THEN 'dup_corpus'
+       |            WHEN b.batch_rep IS NOT NULL THEN 'dup_batch'
+       |            ELSE 'novel' END AS verdict
+       |FROM documents d
+       |LEFT JOIN chit c ON c.doc_id = d.doc_id
+       |LEFT JOIN bhit b ON b.doc_id = d.doc_id
+       |WHERE d.doc_id % $IncrementalLshMod = 0
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- SimHash
 

@@ -139,4 +139,55 @@ class DedupSpec extends AnyFunSuite {
     assert(p.getAs[Long]("contained_doc") === 0L)
     assert(p.getAs[Boolean]("near_superset"))
   }
+
+  test("q261 incremental LSH: internally consistent and subsumed by q70") {
+    val sf = SparkSuite.sf
+    val out = Dedup.q261IncrementalLsh(spark, sf).localCheckpoint()
+    val m = Dedup.IncrementalLshMod
+    // the split is real and the audit non-vacuous
+    assert(out.filter(col("doc_id") % m =!= 0).count() === 0L)
+    assert(out.filter(col("verdict") === "dup_corpus").count() > 0L)
+    assert(out.filter(col("verdict") === "novel").count() > 0L)
+    // verdict precedence and representative provenance
+    assert(out.filter(col("verdict") === "dup_corpus" &&
+      col("corpus_rep").isNull).count() === 0L)
+    assert(out.filter(col("corpus_rep").isNotNull &&
+      col("corpus_rep") % m === 0).count() === 0L,
+      "corpus_rep must be a standing-corpus document")
+    assert(out.filter(col("batch_rep").isNotNull &&
+      (col("batch_rep") % m =!= 0 || col("batch_rep") >= col("doc_id")))
+      .count() === 0L, "batch_rep must be an EARLIER batch document")
+    // subsumption: if the full corpus-wide clustering (q70) marks an
+    // incoming doc as a duplicate, its smaller bucket-mate is either a
+    // corpus doc or an earlier batch doc — the incremental probe must
+    // have seen one of the two
+    val full = Dedup.q70MinhashLsh(spark, sf)
+      .filter(col("doc_id") % m === 0 && col("is_duplicate"))
+      .select(col("doc_id"))
+    val missed = full.join(out.filter(col("corpus_rep").isNull &&
+      col("batch_rep").isNull), Seq("doc_id"), "left_semi")
+    assert(missed.count() === 0L,
+      "q70 found a duplicate the incremental probe missed")
+  }
+
+  test("q261's aggregated index probes like the raw corpus buckets") {
+    // The scale claim: pre-aggregating the index to one row per bucket
+    // loses nothing. Probe the RAW corpus bucket rows and compare.
+    val sf = SparkSuite.sf
+    val m = Dedup.IncrementalLshMod
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val all = Dedup.bandBuckets(docs).localCheckpoint()
+    val probe = all.filter(col("doc_id") % m === 0)
+    val raw = probe.join(
+      all.filter(col("doc_id") % m =!= 0)
+        .select(col("band"), col("sig"), col("doc_id").as("cd")),
+      Seq("band", "sig"))
+      .groupBy(col("doc_id")).agg(min(col("cd")).as("corpus_rep"))
+    val viaIndex = Dedup.q261IncrementalLsh(spark, sf)
+      .filter(col("corpus_rep").isNotNull)
+      .select(col("doc_id"), col("corpus_rep"))
+    assert(raw.exceptAll(viaIndex).isEmpty &&
+      viaIndex.exceptAll(raw).isEmpty)
+  }
 }
