@@ -160,6 +160,151 @@ object Centroids {
        |FROM stats s JOIN shifts h USING (cid)
        |ORDER BY s.cid""".stripMargin
 
+  /** Lloyd rounds q262 trains for (fixed, like q252's hop bound — no
+    * driver-side convergence poll on the hot path; shift_l1 per round IS
+    * the convergence readout). */
+  val KmeansRounds = 3
+
+  /** q262_kmeans_train — the FULL Lloyd loop over the embedding corpus,
+    * completing q66's single step: [[KmeansRounds]] rounds of
+    * assign-to-nearest + exact integer centroid update, emitting one
+    * audit row per (round, cluster): membership, inertia, and the L1
+    * centroid shift that round produced. Inertia is non-increasing
+    * across rounds (spec-asserted) — the training curve of the
+    * diversity-sampling workhorse, computed entirely in the engine.
+    *
+    * Determinism across engines: centroids stay INTEGER (componentwise
+    * `sum div count` over the 2²⁰-quantized, offset-to-non-negative
+    * components — both engines floor-divide non-negative operands
+    * identically), so assignments, inertia, and shifts replay exactly;
+    * the oracle unrolls the rounds as CTEs (the q252 materialized-CTE
+    * pattern). A cluster that empties keeps its previous centroid
+    * (LEFT JOIN + coalesce in both engines) — deterministic, no
+    * reseeding randomness.
+    *
+    * Scale: the per-round loop is q66's step — the k·dim centroid frame
+    * broadcasts (tiny), assignment is a broadcast join on `pos` + one
+    * hash aggregate to N·k rows (never N·k·dim), the argmin is a
+    * k-row-per-vector window, and the update is one more hash
+    * aggregate. Per-round lineage is cut ([[Checkpoints]]); the
+    * exploded quantized corpus is materialized ONCE and re-read every
+    * round rather than re-exploded. */
+  def q262KmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Checkpoints.CutOps
+    import org.apache.spark.sql.expressions.Window
+    val k = KmeansK
+    val qv = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        (floor(col("v").cast("double") * lit(KmeansScale.toDouble))
+          .cast("long") + lit(KmeansScale)).as("q"))
+      .cutLineage()
+    var cent = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+      .cutLineage()
+    val spine = cent.select(col("cid")).distinct().cutLineage()
+    var rounds = Seq.empty[DataFrame]
+    for (r <- 1 to KmeansRounds) {
+      val dists = qv
+        .join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq")))
+          .as("dist"))
+      val members = dists
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist"), col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("dist"))
+      val newc = members.join(qv, Seq("vec_id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("sum(q) div count(1)").as("ncq"))
+      val nextCent = cent
+        .join(newc, Seq("cid", "pos"), "left")
+        .select(col("cid"), col("pos"),
+          coalesce(col("ncq"), col("cq")).as("cq"))
+        .cutLineage()
+      val shifts = cent.select(col("cid"), col("pos"),
+          col("cq").as("prev_cq"))
+        .join(nextCent, Seq("cid", "pos"))
+        .groupBy(col("cid"))
+        .agg(sum(abs(col("cq") - col("prev_cq"))).as("shift_l1"))
+      val stats = members.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+      rounds = rounds :+ spine
+        .join(stats, Seq("cid"), "left")
+        .join(shifts, Seq("cid"), "left")
+        .select(lit(r.toLong).as("round"), col("cid"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          coalesce(col("inertia"), lit(0L)).as("inertia"),
+          coalesce(col("shift_l1"), lit(0L)).as("shift_l1"))
+      cent = nextCent
+    }
+    rounds.reduce(_.unionByName(_)).orderBy(col("round"), col("cid"))
+  }
+
+  /** Generated oracle for q262: [[KmeansRounds]] Lloyd rounds unrolled
+    * as CTEs (dists → argmin members → integer update per round), the
+    * q252 materialized-CTE pattern. */
+  val q262Sql: String = {
+    val roundCtes = (1 to KmeansRounds).map { r =>
+      val prev = if (r == 1) "cent0" else s"cent${r - 1}"
+      s"""d$r AS (
+         |  SELECT v.vec_id, c.cid,
+         |         sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+         |  FROM qv v JOIN $prev c ON v.pos = c.pos
+         |  GROUP BY 1, 2),
+         |m$r AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY dist, cid) AS rk
+         |    FROM d$r) WHERE rk = 1),
+         |n$r AS (
+         |  SELECT m.cid, q.pos, sum(q.q) // count(*) AS ncq
+         |  FROM m$r m JOIN qv q ON q.vec_id = m.vec_id
+         |  GROUP BY 1, 2),
+         |cent$r AS (
+         |  SELECT c.cid, c.pos, coalesce(n.ncq, c.cq) AS cq
+         |  FROM $prev c LEFT JOIN n$r n
+         |    ON n.cid = c.cid AND n.pos = c.pos),
+         |st$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round, s.cid,
+         |         coalesce(m.n_members, 0) AS n_members,
+         |         coalesce(m.inertia, 0) AS inertia,
+         |         coalesce(h.shift_l1, 0) AS shift_l1
+         |  FROM spine s
+         |  LEFT JOIN (
+         |    SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |           CAST(sum(dist) AS BIGINT) AS inertia
+         |    FROM m$r GROUP BY 1) m ON m.cid = s.cid
+         |  LEFT JOIN (
+         |    SELECT c.cid, CAST(sum(abs(cn.cq - c.cq)) AS BIGINT)
+         |             AS shift_l1
+         |    FROM $prev c JOIN cent$r cn
+         |      ON cn.cid = c.cid AND cn.pos = c.pos
+         |    GROUP BY 1) h ON h.cid = s.cid)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to KmeansRounds)
+      .map(r => s"SELECT * FROM st$r").mkString("\n  UNION ALL\n  ")
+    s"""WITH pe AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, pos,
+       |         CAST(floor(CAST(v AS DOUBLE) * $KmeansScale.0) AS BIGINT)
+       |           + $KmeansScale AS q
+       |  FROM pe),
+       |cent0 AS (
+       |  SELECT vec_id AS cid, pos, q AS cq FROM qv WHERE vec_id < $KmeansK),
+       |spine AS (SELECT DISTINCT cid FROM cent0),
+       |$roundCtes
+       |SELECT round, cid, n_members, inertia, shift_l1 FROM (
+       |  $union)
+       |ORDER BY round, cid""".stripMargin
+  }
+
   val q79Sql: String =
     """WITH pe AS (
       |  SELECT label, unnest(embedding) AS v,

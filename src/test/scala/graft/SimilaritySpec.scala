@@ -83,6 +83,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q262 kmeans train: round 1 IS q66's step; inertia non-increasing") {
+    val out = ops.Centroids.q262KmeansTrain(spark, SparkSuite.sf)
+      .collect()
+    val byRound = out.groupBy(_.getLong(0))
+    assert(byRound.keySet === (1L to ops.Centroids.KmeansRounds).toSet)
+    // membership conservation per round
+    val n = Tables.embeddings(spark, SparkSuite.sf).count()
+    byRound.values.foreach(rs => assert(rs.map(_.getLong(2)).sum === n))
+    // round 1 equals the standalone Lloyd step on (members, inertia,
+    // shift) — the loop's first iteration is exactly q66
+    val step = ops.Centroids.q66KmeansStep(spark, SparkSuite.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    val round1 = byRound(1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(round1 === step)
+    // Lloyd descent: total inertia never increases round over round
+    // (integer-floored centroids could in principle wobble by ~2^-20
+    // relative; on the seeded fixture the descent is strict or equal)
+    val totals = (1L to ops.Centroids.KmeansRounds)
+      .map(r => byRound(r).map(_.getLong(3)).sum)
+    totals.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"inertia increased: $totals")
+    }
+    // the loop actually moved something after round 1
+    assert(byRound(1L).map(_.getLong(4)).sum > 0L)
+  }
+
   test("IVF top-k is a valid ANN: subset of probed lists, sane recall") {
     val sfDir = SparkSuite.sf
     val ivf = ops.Similarity.q76IvfTopk(spark, sfDir)
