@@ -31,6 +31,27 @@ object WarehouseSink {
     properties.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
   }
 
+  /** Staged JDBC load — the reference's actual Redshift shape
+    * (`etl.py:45-55` writes through an S3 tempdir) modeled end-to-end
+    * rather than as a blind direct append: the frame is materialized ONCE
+    * to a staging directory (the durable handoff — at warehouse scale the
+    * bulk COPY reads these files directly), and the JDBC load reads the
+    * STAGED COPY, never the upstream lineage. Consequences the direct
+    * path lacks: a failed or retried load re-reads cheap staged files
+    * instead of recomputing the whole pipeline; the staged dir doubles as
+    * the load audit trail; and the upstream job can release its resources
+    * before the warehouse ingests. Returns the staged row count (the
+    * number a load-verification step compares against the warehouse-side
+    * count). Staging files are LEFT IN PLACE — retention is the caller's
+    * lifecycle policy, as with the reference's tempdir. */
+  def stagedJdbcLoad(df: DataFrame, stagingDir: String, url: String,
+      table: String, properties: Map[String, String] = Map.empty): Long = {
+    df.write.mode(SaveMode.Overwrite).parquet(stagingDir)
+    val staged = df.sparkSession.read.parquet(stagingDir)
+    jdbcAppend(staged, url, table, properties).save()
+    staged.count()
+  }
+
   /** Raw-zone writer: the reference's `raw/fhvhv/{year}/...` layout
     * (`save_nyc_data_to_s3.py:42-44`) as a real partitioned parquet write —
     * read-side partition pruning replaces its hand-built key strings. */

@@ -159,6 +159,32 @@ class SourcesSpec extends AnyFunSuite {
       ops.Pipeline.tripKey).count() === 0)
   }
 
+  test("staged JDBC load lands via the staging dir and is retryable " +
+    "from staged files alone") {
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftstage;create=true"
+    val trips = Schemas.conform(
+      ops.Pipeline.syntheticTripsRaw(spark, SparkSuite.sf),
+      Schemas.fhvhvTripdata, Schemas.fhvhvRenames)
+      .orderBy(col("dispatching_base_num")).limit(150)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-staging").toString + "/batch1"
+    val n = WarehouseSink.stagedJdbcLoad(trips, staging, url,
+      "trips_staged", props)
+    assert(n === 150L)
+    def readBack = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "trips_staged")
+      .option("driver", props("driver")).load()
+    assert(readBack.count() === 150)
+    assert(readBack.exceptAll(trips).isEmpty &&
+      trips.exceptAll(readBack).isEmpty)
+    // the staged copy is the durable handoff: a retry loads from the
+    // FILES, with the upstream lineage gone entirely
+    val staged = spark.read.parquet(staging)
+    WarehouseSink.jdbcAppend(staged, url, "trips_staged", props).save()
+    assert(readBack.count() === 300)
+  }
+
   test("raw-zone compaction shrinks file counts without changing data") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("compact").toString
