@@ -67,6 +67,22 @@ def main() -> None:
                o_custkey + {{i}} * {CUST_OFF} AS o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM '{SRC}/orders.parquet'""")
+    # embeddings: vec_id shifted; components CIRCULARLY ROTATED by the
+    # replica index — norm- and intra-replica-geometry-preserving, but
+    # cross-replica cosines scramble, so exact copies do not flood the
+    # ANN/near-dup candidate generators with replication artifacts.
+    emb_selects = " UNION ALL ".join(
+        f"""SELECT vec_id + {i} * 2000 AS vec_id,
+               list_slice(embedding, {i + 1}, 64)
+                 || list_slice(embedding, 1, {i}) AS embedding,
+               label
+            FROM '{SRC}/embeddings.parquet'""" for i in range(REPLICAS))
+    con.execute(
+        f"COPY ({emb_selects}) TO '{OUT}/embeddings.parquet' "
+        "(FORMAT PARQUET)")
+    n = con.execute(
+        f"SELECT count(*) FROM '{OUT}/embeddings.parquet'").fetchone()[0]
+    print(f"[make_sf1] embeddings: {n} rows")
     doc_selects = " UNION ALL ".join(
         f"""SELECT doc_id + {i} * {DOC_OFF} AS doc_id,
                translate(text, '{LOWER}{UPPER}',
