@@ -307,6 +307,76 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q263_lsh_balance — the operational guardrail for LSH at scale: the
+    * per-band bucket-size distribution, measured instead of argued. For
+    * each band: bucket count, docs, the LARGEST bucket, the p95 bucket
+    * (exact order-statistic pick — (band, sig) keys are unique, so the
+    * row_number tie-break is total), the candidate-pair total
+    * Σ s·(s−1)/2 — the actual cost driver of every LSH join downstream
+    * (q70/q74/q261) — and the singleton share. A band whose max bucket
+    * grows super-linearly with corpus size, or whose candidate pairs
+    * outpace docs, is the signal to re-tune bands/rows or cap buckets
+    * BEFORE the band join melts; this query is the thing a 100 TB
+    * pipeline alerts on.
+    *
+    * Scale: one aggregate over the (band, sig) bucket frame (map-side
+    * combinable — a mega-bucket collapses to one row per input
+    * partition before the shuffle), then band-cardinality windows. The
+    * corpus text never moves; only bucket keys do. */
+  def q263LshBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = bandBuckets(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")))
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("s"))
+      .cutLineage() // feeds the per-band aggregate AND the p95 pick
+    val agg = sizes.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("s")).as("n_docs"),
+        max(col("s")).as("max_bucket"),
+        sum(expr("s * (s - 1) div 2")).as("n_cand_pairs"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_singletons"))
+    val pick = Window.partitionBy(col("band"))
+      .orderBy(col("s"), col("sig"))
+    val p95 = sizes
+      .withColumn("rk", row_number().over(pick))
+      .join(agg.select(col("band"), col("n_buckets")), Seq("band"))
+      .filter(col("rk") === greatest(lit(1L),
+        expr("(n_buckets * 95) div 100")))
+      .select(col("band"), col("s").as("p95_bucket"))
+    agg.join(p95, Seq("band"))
+      .select(col("band"), col("n_buckets"), col("n_docs"),
+        col("max_bucket"), col("p95_bucket"), col("n_cand_pairs"),
+        col("n_singletons"))
+      .orderBy(col("band"))
+  }
+
+  val q263Sql: String =
+    s"""WITH $lshBucketsCte,
+       |sizes AS (
+       |  SELECT band, sig, CAST(count(*) AS BIGINT) AS s
+       |  FROM buckets GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+       |         CAST(sum(s) AS BIGINT) AS n_docs,
+       |         CAST(max(s) AS BIGINT) AS max_bucket,
+       |         CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_cand_pairs,
+       |         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_singletons
+       |  FROM sizes GROUP BY 1),
+       |p95 AS (
+       |  SELECT r.band, r.s AS p95_bucket
+       |  FROM (SELECT band, sig, s,
+       |               row_number() OVER (PARTITION BY band
+       |                 ORDER BY s, sig) AS rk
+       |        FROM sizes) r
+       |  JOIN agg a ON a.band = r.band
+       |  WHERE r.rk = greatest(1, (a.n_buckets * 95) // 100))
+       |SELECT a.band, a.n_buckets, a.n_docs, a.max_bucket, p.p95_bucket,
+       |       a.n_cand_pairs, a.n_singletons
+       |FROM agg a JOIN p95 p ON p.band = a.band
+       |ORDER BY a.band""".stripMargin
+
   val q261Sql: String =
     s"""WITH $lshBucketsCte,
        |idx AS (

@@ -170,6 +170,34 @@ class DedupSpec extends AnyFunSuite {
       "q70 found a duplicate the incremental probe missed")
   }
 
+  test("q263 bucket-balance identities reconcile with the bucket frame") {
+    val sf = SparkSuite.sf
+    val out = Dedup.q263LshBalance(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nb, nd, mx, p95, pairs, singles) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // every doc lands in exactly one bucket per band
+      assert(nd === docs)
+      // order statistics are coherent and the pair count is bounded by
+      // what the max bucket alone could generate times bucket count
+      assert(p95 <= mx && mx <= nd && singles <= nb)
+      assert(pairs >= mx * (mx - 1) / 2)
+      // singletons generate no candidate pairs: a fully-singleton band
+      // must report zero pairs
+      if (singles == nb) assert(pairs === 0L)
+    }
+    // the candidate-pair total per band equals a direct recomputation
+    val direct = Dedup.bandBuckets(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("s"))
+      .groupBy(col("band"))
+      .agg(sum(expr("s * (s - 1) div 2")).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(5) === direct(r.getInt(0))))
+  }
+
   test("q261's aggregated index probes like the raw corpus buckets") {
     // The scale claim: pre-aggregating the index to one row per bucket
     // loses nothing. Probe the RAW corpus bucket rows and compare.
