@@ -807,8 +807,11 @@ object Aggregates {
       .select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(spark, sfDir)
       .select(col("n_nationkey"), col("n_name"))
+    // customer is SF-PROPORTIONAL (scales with the fact table) — its
+    // join is unhinted, AQE sizes it at runtime; nation is a true
+    // 25-row dimension and keeps the static broadcast hint
     val per = o
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
@@ -889,7 +892,8 @@ object Aggregates {
     * one further division on the same value — both engines replay the
     * chain bit-identically.
     *
-    * Scale: one fact scan; supplier and nation are broadcast dimensions;
+    * Scale: one fact scan; nation is a broadcast dimension, supplier is
+    * SF-proportional and joins unhinted (AQE sizes it at runtime);
     * both aggregates are map-side combinable keyed by (nation, supplier)
     * then nation — supplier cardinality bounds every shuffle. */
   def q258Hhi(spark: SparkSession, sfDir: String): DataFrame = {
@@ -900,9 +904,11 @@ object Aggregates {
     val n = Tables.nation(spark, sfDir)
       .select(col("n_nationkey"), col("n_name"))
     val d38 = (c: Column) => c.cast("decimal(38,0)")
+    // supplier is SF-PROPORTIONAL — unhinted (AQE decides); nation is
+    // the bounded 25-row dimension and keeps the broadcast hint
     val per = Tables.lineitem(spark, sfDir)
       .select(col("l_suppkey"), cents.as("cents"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("s_suppkey"))
       .agg(sum(col("cents")).as("cents"))

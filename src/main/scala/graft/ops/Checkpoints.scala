@@ -29,9 +29,18 @@ object Checkpoints {
     * localCheckpoint to reliable checkpoints. */
   val DirKey = "spark.graft.checkpointDir"
 
+  /** Session conf key: PLAN-AUDIT SEAM, test-only. When "true", [[cut]]
+    * is a no-op, so a query's FULL declarative plan — including the
+    * subtrees normally executed eagerly behind a localCheckpoint — is
+    * visible to `optimizedPlan` walkers (BenchContractSpec's broadcast
+    * and global-window pins). Never set it for real runs: iterative ops
+    * rely on the cut to keep round-over-round plans bounded. */
+  val NoCutKey = "spark.graft.noCut"
+
   /** Materialize `df` and cut its lineage using the configured strategy. */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    if (spark.conf.getOption(NoCutKey).contains("true")) return df
     spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext

@@ -199,8 +199,11 @@ object Components {
     * packed unique BIGINT key (n_chars·2³³ + doc_id — DuckDB's `arg_max`
     * takes no composite key, so the tie-break is engineered into one
     * ordering integer, the q118 pattern). One extra group-cardinality
-    * aggregate + broadcast join over the q83 labeling; the corpus text
-    * never shuffles.
+    * aggregate joined back over the q83 labeling; the corpus text never
+    * shuffles. The representative frame is COMPONENT-cardinality —
+    * duplicate groups grow with the corpus, so it must NOT be hint-
+    * broadcast (at 100 TB it is billions of rows); the join is unhinted
+    * and AQE broadcasts it only while its measured size qualifies.
     */
   def q147RepRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -217,7 +220,7 @@ object Components {
           .otherwise(raise_error(
             lit("q147 packed-key bound: doc_id outside [0, 2^33)"))
             .cast("long"))).as("rep_doc"))
-    labeled.join(broadcast(reps), Seq("component"))
+    labeled.join(reps, Seq("component"))
       .select(col("doc_id"), col("component"), col("n_members"),
         col("n_chars"), col("rep_doc"),
         (col("doc_id") === col("rep_doc")).as("is_kept"))

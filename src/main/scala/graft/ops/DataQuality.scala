@@ -314,13 +314,13 @@ object DataQuality {
     *
     * Scale: the per-value aggregate collapses the row count to distinct
     * values BEFORE any ordered pass (map-side combinable); the cumulative
-    * pass here is a single-partition window over those distinct values —
-    * fine to ~10⁷ distincts. Past that, the drift check you actually want
-    * is the binned ECDF (quantize x first, same code on ≤10⁴ bins) or the
-    * two-pass partition-offset prefix sum; the exact-value form is the
-    * auditable reference both reduce to. */
+    * pass is [[Scale.globalCumSum]] — the two-pass partition-offset
+    * prefix sum (range-partition on v, local running sums, broadcast
+    * per-partition offsets) — so the distinct-value frame, which scales
+    * with SF, never funnels through one task the way the
+    * single-partition `Window.orderBy` form it replaced did. Long sums
+    * regroup exactly. */
   def q161KsTest(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = (col("l_extendedprice").cast("decimal(18,2)") * 100)
       .cast("long")
     val counts = Tables.lineitem(spark, sfDir)
@@ -329,11 +329,9 @@ object DataQuality {
       .groupBy(col("v"))
       .agg(sum(when(col("side") === "R", 1L).otherwise(0L)).as("nr"),
         sum(when(col("side") === "A", 1L).otherwise(0L)).as("na"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .select(col("v"), sum(col("nr")).over(w).as("cr"),
-        sum(col("na")).over(w).as("ca"))
+    val cum = Scale.globalCumSum(counts, Seq(col("v")),
+        Seq("nr" -> "cr", "na" -> "ca"))
+      .select(col("v"), col("cr"), col("ca"))
     val tot = cum.agg(max(col("cr")).as("n_r"), max(col("ca")).as("n_a"))
     cum.crossJoin(broadcast(tot))
       .agg(max(col("n_r")).as("n_r"), max(col("n_a")).as("n_a"),

@@ -200,21 +200,23 @@ object Evaluation {
     * Everything is integer counts until the final IEEE divisions.
     *
     * Deciles are assigned from the rank in the TOTAL order (score desc,
-    * key) — ntile semantics, deterministic under ties. Scale note: a
-    * global rank is inherently a total sort (range-partitioned SortExec,
-    * same machinery as every deterministic output here); the window that
-    * numbers rows after it is the local-mode simplification of a
-    * partition-offset pass. Cardinality after the per-decile aggregate
-    * is 10 rows.
+    * key) — ntile semantics, deterministic under ties. The rank is the
+    * distributed partition-offset pass ([[Scale.globalRank]]:
+    * range-partition on the order, rank locally, add broadcast
+    * per-partition offsets) — the orders frame scales with SF, so the
+    * single-partition `Window.orderBy` row_number it replaces would
+    * serialize the table through one task at 100×. Cardinality after
+    * the per-decile aggregate is 10 rows.
     */
   def q179Gains(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice").as("score"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
     val n = scored.agg(count(lit(1)).as("n"))
-    val ranked = scored.crossJoin(broadcast(n))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(desc("score"), col("o_orderkey"))))
+    val ranked = Scale.globalRank(scored,
+        Seq(desc("score"), col("o_orderkey")))
+      .withColumn("rn", col("rank_idx") + 1L).drop("rank_idx")
+      .crossJoin(broadcast(n))
       .withColumn("decile",
         least(lit(10), expr("(10 * (rn - 1)) div n + 1")).cast("int"))
     val per = ranked.groupBy(col("decile"))

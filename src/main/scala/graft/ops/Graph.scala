@@ -394,19 +394,29 @@ object Graph {
     * community-QUALITY measure that complements q83/q68's community
     * DISCOVERY and q139/q242's local structure.
     *
-    * Scale: one edge build (the q139 shape), a broadcast part→brand
-    * join, then brand-cardinality aggregates; the rollup runs over ~25
-    * community rows. Nothing rescales with corpus beyond the edge list
-    * itself. */
+    * Scale: one edge build (the q139 shape), part→brand joins, then
+    * brand-cardinality aggregates; the rollup runs over ~25 community
+    * rows. Nothing rescales with corpus beyond the edge list itself.
+    *
+    * NO forced broadcasts anywhere in this query: part is
+    * SF-PROPORTIONAL (TPC-H part grows linearly with the fact table —
+    * at the 100 TB design point the part→brand projection is billions
+    * of keys, and a `broadcast()` hint would pin it to the driver
+    * regardless of size). All join strategies are left to AQE, which
+    * reads the REAL post-shuffle sizes at runtime: at any SF where a
+    * side fits under the threshold AQE broadcasts it (the ~25-row
+    * community aggregates always qualify); past the threshold it keeps
+    * a shuffled join. Plan-pinned in BenchContractSpec: zero broadcast
+    * hints in the optimized plan. */
   def q247Modularity(spark: SparkSession, sfDir: String): DataFrame = {
     val e = CoPurchase.edges(spark, sfDir).cutLineage()
     val brand = Tables.part(spark, sfDir)
       .select(col("p_partkey"), col("p_brand"))
     val eb = e
-      .join(broadcast(brand.select(col("p_partkey").as("pa"),
-        col("p_brand").as("ba"))), Seq("pa"))
-      .join(broadcast(brand.select(col("p_partkey").as("pb"),
-        col("p_brand").as("bb"))), Seq("pb"))
+      .join(brand.select(col("p_partkey").as("pa"),
+        col("p_brand").as("ba")), Seq("pa"))
+      .join(brand.select(col("p_partkey").as("pb"),
+        col("p_brand").as("bb")), Seq("pb"))
       .cutLineage()
     val mTot = eb.agg(count(lit(1)).as("m"))
     val intra = eb.filter(col("ba") === col("bb"))
@@ -415,19 +425,22 @@ object Graph {
       .select(col("ba").as("community"))
       .unionAll(eb.select(col("bb").as("community")))
       .groupBy(col("community")).agg(count(lit(1)).as("d_c"))
-    // edge-touched node ids are bounded by |part| (a dimension) —
-    // broadcast them into the semi-join; the community-cardinality
-    // frames (~25 rows) broadcast onto the node spine likewise
+    // edge-touched node ids scale with |part| — SF-proportional, so the
+    // semi-join is unhinted (AQE broadcasts it only while it measures
+    // small); the community-cardinality frames (~25 rows) likewise reach
+    // the node spine through AQE's runtime-sized decision, and the 1-row
+    // total joins via a nested-loop cross join whose build side is
+    // statically bounded (maxRows=1)
     val nodes = brand
-      .join(broadcast(e.select(col("pa").as("p_partkey"))
-        .unionAll(e.select(col("pb").as("p_partkey"))).distinct()),
+      .join(e.select(col("pa").as("p_partkey"))
+        .unionAll(e.select(col("pb").as("p_partkey"))).distinct(),
         Seq("p_partkey"), "left_semi")
       .groupBy(col("p_brand").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
     val per = nodes
-      .join(broadcast(degC), Seq("community"), "left")
-      .join(broadcast(intra), Seq("community"), "left")
-      .crossJoin(broadcast(mTot))
+      .join(degC, Seq("community"), "left")
+      .join(intra, Seq("community"), "left")
+      .crossJoin(mTot)
       .select(col("community"), col("n_nodes"),
         coalesce(col("d_c"), lit(0L)).as("d_c"),
         coalesce(col("m_c"), lit(0L)).as("m_c"), col("m"))
@@ -780,17 +793,21 @@ object Graph {
     // k = p75 of the degree distribution: a one-row statistics read, the
     // same driver-side parameter derivation a cost-based planner makes
     // before picking a strategy (and the same exception to the
-    // no-collect rule as the loop-control counts below).
+    // no-collect rule as the loop-control counts below). The rank is
+    // the distributed partition-offset pass ([[Scale.globalRank]]) over
+    // the node-cardinality degree frame — SF-proportional, so the
+    // single-partition Window.orderBy + partitionBy-less count() pair
+    // this replaces would serialize it at 100×; n arrives by a separate
+    // driver-side count (loop-control class, like the rounds below).
     // Tie-break note: the oracle orders its degree rank by (d, src-string)
     // while this side orders by (d, src-long). Safe: a tie-break permutes
     // rows only WITHIN an equal-d run, and the value selected at position
     // ⌈3n/4⌉ is d itself, so every within-run order yields the same k.
-    import org.apache.spark.sql.expressions.Window
-    val kVal = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .select(col("d"), row_number().over(
-          Window.orderBy(col("d"), col("src"))).as("rn"),
-        count(lit(1)).over(Window.partitionBy()).as("n"))
-      .filter(col("rn") === expr("(3 * n + 3) div 4"))
+    val degs = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .cutLineage()
+    val nDegs = degs.count()
+    val kVal = Scale.globalRank(degs, Seq(col("d"), col("src")))
+      .filter(col("rank_idx") === lit((3L * nDegs + 3L) / 4L - 1L))
       .select(col("d")).head().getLong(0)
     // Each round shrinks the EDGE frame too (not just the node set), so
     // later rounds join ever-smaller inputs; and peeling is idempotent at

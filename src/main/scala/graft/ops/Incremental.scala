@@ -82,13 +82,21 @@ object Incremental {
           .as("c_new"))
     val oldO = o.filter(!col("is_new")); val dO = o.filter(col("is_new"))
     val oldC = c.filter(!col("c_new"));  val dC = c.filter(col("c_new"))
+    // Broadcast ONLY the delta side of each term — the IVM contract is
+    // that |Δ| is batch-bounded (a day's arrivals), never SF-bounded, so
+    // ΔO/ΔC are the only frames a 100 TB run may pin to every executor.
+    // The base term joins two ~full-size frames: no hint, AQE picks (it
+    // broadcasts oldC at fixture scale because it MEASURES small, which
+    // is exactly the decision a hint would have frozen wrongly at 100×).
+    // Plan-pinned in BenchContractSpec: base term unhinted, exactly the
+    // three delta terms hinted, hinted side always the Δ frame.
     def term(fact: DataFrame, dim: DataFrame, name: String) = fact
-      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("cents"), lit(name).as("term"))
     val vNew = term(oldO, oldC, "base")
-      .unionAll(term(dO, oldC, "dO_C"))
-      .unionAll(term(oldO, dC, "O_dC"))
-      .unionAll(term(dO, dC, "dO_dC"))
+      .unionAll(term(broadcast(dO), oldC, "dO_C"))
+      .unionAll(term(oldO, broadcast(dC), "O_dC"))
+      .unionAll(term(dO, broadcast(dC), "dO_dC"))
     vNew.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("cents")).as("sum_cents"),

@@ -39,10 +39,12 @@ object Normalize {
     val ranked = docs
       .withColumn("r", row_number().over(bySrc))
       .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
-    val global = docs
-      .select(col("n_chars").as("g_val"))
-      .withColumn("g", row_number().over(
-        Window.orderBy(col("g_val"))))
+    // global order statistics via the distributed partition-offset rank
+    // (the documents frame scales with SF — a partitionBy-less
+    // Window.orderBy here would route the whole corpus through one task)
+    val global = Scale.globalRank(
+        docs.select(col("n_chars").as("g_val")), Seq(col("g_val")))
+      .withColumn("g", col("rank_idx") + 1L).drop("rank_idx")
     val n = docs.agg(count(lit(1)).as("n_total"))
     ranked.crossJoin(broadcast(n))
       .withColumn("g_idx",

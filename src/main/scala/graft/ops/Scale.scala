@@ -319,6 +319,81 @@ object Scale {
       |FROM ranked r CROSS JOIN tot t
       |WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin
 
+  /** The q111 skew-report shape as decision inputs for [[skewAwareJoin]]:
+    * key cardinality, the hottest value's share, and how many MAP tasks
+    * the hottest key's rows arrive through (AQE can only split a skewed
+    * reduce partition at mapper boundaries). */
+  final case class SkewStats(nRows: Long, nDistinct: Long,
+      topShare: Double, topKeyMapperSpread: Int) {
+    /** q111's skew factor: hottest-key count over the mean per-key
+      * count. ≈1 means uniform; AQE's OptimizeSkewedJoin needs an
+      * OUTLIER (skew is defined against the MEDIAN partition). */
+    def skewFactor: Double = topShare * nDistinct
+  }
+
+  sealed trait SkewStrategy
+  /** Manual two-phase salt ([[saltedJoin]]). */
+  case object Salt extends SkewStrategy
+  /** Plain shuffle join; AQE's runtime skew split handles the outlier. */
+  case object TrustAqe extends SkewStrategy
+
+  /** An outlier below this skew factor is no outlier: the hot partition
+    * is within ~2× the mean, so the median-relative trigger of
+    * `OptimizeSkewedJoin` never fires — and doesn't need to. */
+  val OutlierSkewFactor = 2.0
+
+  /** SKEW_AQE_NOTE_r7's measured decision rule, as code. Salt when ANY
+    * of AQE's three documented preconditions fails (each is a unit-tested
+    * case in ScaleSpec):
+    *
+    *  1. the dim side passes through an aggregate/distinct — the skew
+    *     rule pattern-matches BOTH children as bare Sort(shuffle); a
+    *     HashAggregate between shuffle and sort disqualifies the join
+    *     silently (note finding 3);
+    *  2. uniform low-cardinality key — skew is defined relative to the
+    *     MEDIAN partition, so N equally-huge partitions have no outlier
+    *     and AQE does nothing while most reducers idle (finding 1:
+    *     q84's 3-flag shape, "number of skewed partitions: 0");
+    *  3. the hot key's rows arrive through ONE map task — splits happen
+    *     at mapper boundaries, so clustered/sorted layouts, one huge
+    *     row group, or a coalesced upstream defeat the split (finding
+    *     2: `createSkewPartitionSpecs` returned None until the input
+    *     had real mapper spread).
+    *
+    * Otherwise — genuine outlier key, multi-mapper spread, bare shuffle
+    * children — trust AQE: it splits with the REAL runtime sizes and
+    * costs no dim replication (salting costs |dim|×salts). */
+  def chooseSkewStrategy(stats: SkewStats, dimAggregated: Boolean,
+      partitions: Int = 32): SkewStrategy = {
+    val lowCardinality = stats.nDistinct < partitions
+    val noOutlier = stats.skewFactor < OutlierSkewFactor
+    val mapperConcentrated = stats.topKeyMapperSpread <= 1
+    if (dimAggregated || (lowCardinality && noOutlier) || mapperConcentrated)
+      Salt
+    else TrustAqe
+  }
+
+  /** True when `dim`'s plan contains an aggregate (incl. `distinct()`)
+    * — the shape that silently disqualifies AQE's skew rule. Checked on
+    * the OPTIMIZED plan, where Distinct has been rewritten to Aggregate. */
+  def dimAggregated(dim: DataFrame): Boolean =
+    dim.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined
+
+  /** Skew-aware equi-join: consult the q111-shaped `stats` (and the dim
+    * plan shape) and pick [[saltedJoin]] or a plain join that AQE's
+    * runtime skew split will handle. The demo/manual form stays q84;
+    * this is the policy a pipeline calls when the key profile comes from
+    * a prior q111 run rather than a human. */
+  def skewAwareJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      stats: SkewStats, salts: Int = 16, saltCols: Seq[String] = Nil,
+      partitions: Int = 32): DataFrame =
+    chooseSkewStrategy(stats, dimAggregated(dim), partitions) match {
+      case Salt     => saltedJoin(fact, dim, keys, salts, saltCols)
+      case TrustAqe => fact.join(dim, keys)
+    }
+
   /** Distributed exact global rank (0-based, dense input order) over a total
     * order — the scalable replacement for a global-window `row_number()`,
     * which Spark executes in ONE partition. Three phases, all distributed:
@@ -336,9 +411,22 @@ object Scale {
   def globalRank(df: DataFrame, order: Seq[Column],
       partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import Checkpoints.CutOps
+    // The CUT below is load-bearing for CORRECTNESS, not a cost tweak:
+    // the sorted frame feeds two consumers (the per-partition offset
+    // aggregate and the final ranked join). RangePartitioner SAMPLES its
+    // child with an RDD-id-derived seed, so if the planner fails to
+    // reuse the exchange the two consumers see DIFFERENT partition
+    // boundaries — offsets computed under one partitioning applied to
+    // pids of another, silently shifting every rank near a boundary
+    // (observed live at sf0.01 before the cut: q179's decile-1 count
+    // moved by 2 between runs). Materializing once pins one boundary
+    // set for both reads; cost is one row-size write of the frame, the
+    // same class as every iterative cut.
     val sorted = df.repartitionByRange(partitions, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
+      .cutLineage()
     val offsets = sorted.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_offset",
@@ -351,5 +439,58 @@ object Scale {
       .join(broadcast(offsets), "_pid")
       .withColumn("rank_idx", col("_offset") + col("_rn") - 1L)
       .drop("_pid", "_rn", "_offset")
+  }
+
+  /** Distributed exact running (prefix) SUM over a total order — the
+    * scalable replacement for `sum(x).over(Window.orderBy(...))`, which
+    * Spark executes by routing the WHOLE frame through one partition
+    * (`Exchange SinglePartition`). Same three-phase shape as
+    * [[globalRank]]: range-partition + local sort on `order`; local
+    * running sums per partition (windows partitioned by
+    * `spark_partition_id` — parallel); add each partition's start offset
+    * from the ≤ #partitions-row per-partition total frame. Exact for
+    * associative sums (long / decimal — NOT double, where regrouping
+    * changes the rounding); each `(in, out)` pair in `values` adds a
+    * running-sum column `out` of input column `in`.
+    *
+    * `order` must be a total order for per-row determinism; a non-total
+    * order still yields the same MULTISET of (row, cum) pairs per equal-
+    * key run boundary it would under any stable global sort only if ties
+    * carry equal values — pass a unique tiebreaker, same contract as
+    * [[globalRank]] and the oracle sort. */
+  def globalCumSum(df: DataFrame, order: Seq[Column],
+      values: Seq[(String, String)], partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Checkpoints.CutOps
+    // Same load-bearing cut as [[globalRank]]: two consumers of a
+    // sampled range partitioning must read ONE materialized boundary
+    // set, or per-partition offsets can disagree with the pids they
+    // are joined back onto.
+    val sorted = df.repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .cutLineage()
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-partition totals: ≤ #partitions rows — ITS single-partition
+    // window is over that bounded frame, never the data
+    val totals = sorted.groupBy(col("_pid"))
+      .agg(values.map { case (in, _) => sum(col(in)).as(s"_t_$in") }.head,
+        values.drop(1).map { case (in, _) => sum(col(in)).as(s"_t_$in") }: _*)
+    val offsets = totals
+      .select(col("_pid") +: values.map { case (in, out) =>
+        val dt = totals.schema(s"_t_$in").dataType
+        coalesce(sum(col(s"_t_$in")).over(wOff), lit(0).cast(dt))
+          .as(s"_off_$out") }: _*)
+    val within = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = values.foldLeft(sorted) { case (d, (in, out)) =>
+      d.withColumn(s"_loc_$out", sum(col(in)).over(within))
+    }
+    val summed = withLocal.join(broadcast(offsets), "_pid")
+    values.foldLeft(summed) { case (d, (_, out)) =>
+      d.withColumn(out, col(s"_off_$out") + col(s"_loc_$out"))
+    }.drop("_pid" +: values.flatMap { case (_, out) =>
+      Seq(s"_off_$out", s"_loc_$out") }: _*)
   }
 }

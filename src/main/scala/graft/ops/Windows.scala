@@ -273,23 +273,27 @@ object Windows {
     *
     * Determinism: the cumulative sum runs over DECIMAL partials in a total
     * order (revenue desc, partkey), and the share divides two decimal-
-    * derived doubles — both engines see identical operands. The unbounded
-    * cumulative window is a single global sort — acceptable because the
-    * frame is the AGGREGATED part table (|parts| rows, not |lineitem|);
-    * the heavy input reduces in a hash aggregate first. */
+    * derived doubles — both engines see identical operands. The running
+    * sum is [[Scale.globalCumSum]] — range-partitioned local sums plus
+    * broadcast per-partition offsets — because the frame is the
+    * AGGREGATED part table: |part| rows, which SCALES WITH SF, so the
+    * single-partition `Window.orderBy` form this replaced serializes at
+    * 100× (decimal addition is associative, so the regrouped sum is
+    * bit-identical). The grand total is a 1-row aggregate broadcast by
+    * cross join, and the aggregate is cut once so the cum pass and the
+    * total read the same materialization. */
   def q98Pareto(spark: SparkSession, sfDir: String): DataFrame = {
+    import Checkpoints.CutOps
     val byPart = graft.Tables.lineitem(spark, sfDir)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
         .as("revenue_dec"))
-    val ord = Window.orderBy(col("revenue_dec").desc, col("l_partkey"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byPart
-      .withColumn("cum_dec", sum(col("revenue_dec")).over(cum))
-      .withColumn("total_dec",
-        sum(col("revenue_dec")).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
+      .cutLineage()
+    val tot = byPart.agg(sum(col("revenue_dec")).as("total_dec"))
+    Scale.globalCumSum(byPart,
+        Seq(col("revenue_dec").desc, col("l_partkey")),
+        Seq("revenue_dec" -> "cum_dec"))
+      .crossJoin(broadcast(tot))
       .select(col("l_partkey"),
         col("revenue_dec").cast("double").as("revenue"),
         (col("cum_dec").cast("double") / col("total_dec").cast("double"))

@@ -103,6 +103,93 @@ class BenchContractSpec extends AnyFunSuite {
       spark.conf.unset(graft.ops.Graph.TriangleBroadcastMaxEdgesKey)
   }
 
+  test("broadcast-hint audit: no forced broadcast of an SF-proportional " +
+    "frame (q247/q147/q129/q258)") {
+    // The r6/r7 verdict family: a broadcast() hint that is harmless at
+    // sf0.1 pins billions of rows to the driver at the 100 TB point.
+    // q247/q147 are audited with the checkpoint seam open so the
+    // subtrees normally executed behind a localCheckpoint stay visible
+    // (they build lazily — neither has an eager count in its body).
+    import graft.plans.PlanAudit
+    spark.conf.set(graft.ops.Checkpoints.NoCutKey, "true")
+    try {
+      Seq("q247_modularity", "q147_rep_retention").foreach { n =>
+        val bad = PlanAudit.broadcastHintedSides(df(n))
+        assert(bad.isEmpty,
+          s"$n carries forced broadcast hints: ${bad.map(_._1)} — " +
+            "strategy choices there belong to AQE's runtime sizing")
+      }
+    } finally spark.conf.unset(graft.ops.Checkpoints.NoCutKey)
+    // q129/q258 keep their nation hint (25 rows, bounded); the audit
+    // flags only hinted sides that reach an SF-proportional leaf
+    Seq("q129_share", "q258_hhi").foreach { n =>
+      val bad = PlanAudit.sfProportionalBroadcasts(df(n))
+      assert(bad.isEmpty, s"$n: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("q251 pin: only the delta sides are broadcast-hinted") {
+    // IVM contract: |Δ| is batch-bounded, the base/old frames are
+    // SF-bounded. Exactly three hints (dO, dC, dC), each on a frame
+    // whose mod-filter is the POSITIVE delta predicate; the base term's
+    // join carries no hint at all.
+    import graft.plans.PlanAudit
+    val sides = PlanAudit.broadcastHintedSides(df("q251_ivm_join"))
+    assert(sides.size == 3,
+      s"expected the 3 delta-side hints, found ${sides.size}")
+    sides.foreach { case (_, side) =>
+      val conds = side.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.toString
+      }
+      // delta frame ⟺ a POSITIVE pmod predicate on its own key (the
+      // optimizer also infers the join partner's negated predicate onto
+      // the side via the equi-condition — ignore those)
+      def positiveOn(c: String, key: String): Boolean = {
+        val i = c.indexOf(s"pmod($key")
+        i >= 0 && !(i >= 5 && c.regionMatches(i - 5, "NOT (", 0, 5))
+      }
+      assert(conds.nonEmpty && conds.forall(c =>
+        positiveOn(c, "o_orderkey") || positiveOn(c, "c_custkey")),
+        s"hinted side is not a delta frame (filters: $conds)")
+    }
+    val joins = df("q251_ivm_join").queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.count(j =>
+      j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty) >= 1,
+      "the base (old×old) term must join unhinted — AQE decides")
+  }
+
+  test("global-window audit: no partitionBy-less Window over an " +
+    "SF-proportional frame (q98/q161/q179/q187/q201/q116)") {
+    // The r7 verdict's second scale-killer family: Window.orderBy with
+    // no partitionBy routes its whole input through ONE task. The five
+    // converted queries (plus q116, the original globalRank adopter)
+    // may keep global windows ONLY over the bounded per-partition
+    // offset frame inside Scale.globalRank/globalCumSum (≤ #partitions
+    // rows, grouped by _pid) or over frames that never touch an
+    // SF-proportional leaf (10-row decile frames behind a checkpoint).
+    // Audited with the checkpoint seam open so nothing hides behind a
+    // cut. q201's body runs its k-core loop eagerly while building —
+    // bounded rounds at sf0.001.
+    import graft.plans.PlanAudit
+    spark.conf.set(graft.ops.Checkpoints.NoCutKey, "true")
+    try {
+      Seq("q98_pareto", "q161_ks_test", "q179_gains",
+          "q187_quantile_norm", "q116_discretize").foreach { n =>
+        val bad = PlanAudit.suspectGlobalWindows(df(n))
+        assert(bad.isEmpty, s"$n: ${bad.mkString("; ")}")
+      }
+    } finally spark.conf.unset(graft.ops.Checkpoints.NoCutKey)
+    // q201 executes per-round counts during construction; with cuts
+    // ACTIVE its registered plan must still show no suspect window
+    // (the p75 rank and loop frames sit behind cuts — what remains
+    // visible is the final projection chain)
+    val bad201 = PlanAudit.suspectGlobalWindows(df("q201_kcore"))
+    assert(bad201.isEmpty, s"q201_kcore: ${bad201.mkString("; ")}")
+  }
+
   test("q139/q140 pin: deterministic wedge/pair cardinalities (sf0.001)") {
     // Cost ∝ these counts. The fixture is seeded, so they are constants;
     // a regenerated fixture that moves them explains a bench move as

@@ -389,12 +389,25 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-side shuffle join crept in:\n$p")
   }
 
-  test("q247 modularity: community joins broadcast, no shuffled join") {
-    // the heavy work (edge build + brand join) is behind an eager
-    // checkpoint; everything downstream joins community-cardinality
-    // frames — those must broadcast, never sort-merge. The one parquet
-    // scan left is the part DIMENSION feeding the node spine.
-    val p = plan(ops.Graph.q247Modularity(spark, sf))
+  test("q247 modularity: community joins land as runtime broadcasts " +
+    "under AQE") {
+    // r8: the forced broadcast() hints are GONE (part is SF-proportional
+    // — a hint that is harmless at sf0.1 pins billions of keys to the
+    // driver at 100×; BenchContractSpec pins zero hints). The static
+    // plan therefore starts as sort-merge; this pin asserts AQE's
+    // runtime sizing CONVERTS the community-cardinality joins to
+    // broadcasts at fixture scale — de-hinting traded a frozen choice
+    // for the same fast plan, not for a slower one. Must inspect the
+    // FINALIZED adaptive plan (collect on the df itself; the noop-save
+    // helper finalizes a clone, not this queryExecution).
+    val df = ops.Graph.q247Modularity(spark, sf)
+    df.collect(): scala.Unit
+    // keep only the Final Plan section — the adaptive toString appends
+    // the Initial Plan, whose pre-runtime sort-merge joins are exactly
+    // what AQE is being asserted to have replaced
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("isFinalPlan=true"), p)
     assert(!p.contains("SortMergeJoin"), s"shuffled join downstream:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
     val scans = "FileScan parquet".r.findAllIn(p).length

@@ -240,6 +240,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("distributed global cum-sum equals a single-partition running sum") {
+    val sp = spark
+    import sp.implicits._
+    val dataGen = Gen.chooseNum(1, 60)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(-50, 50), Gen.chooseNum(-1000L, 1000L))))
+    samples(dataGen, 8).foreach { rows =>
+      // unique tiebreaker idx makes the order total (the operator contract)
+      val df = rows.zipWithIndex.map { case ((k, x), i) =>
+        (k, x, i.toLong) }.toDF("k", "x", "idx")
+      val got = graft.ops.Scale.globalCumSum(df,
+        Seq(col("k"), col("idx")), Seq("x" -> "cx"), partitions = 4)
+        .collect().map(r => r.getAs[Long]("idx") -> r.getAs[Long]("cx"))
+        .toMap
+      val expected = rows.zipWithIndex
+        .map { case ((k, x), i) => (k, i.toLong, x) }
+        .sortBy { case (k, i, _) => (k, i) }
+        .scanLeft((0L, 0L)) { case ((_, acc), (_, i, x)) => (i, acc + x) }
+        .drop(1).toMap
+      assert(got === expected, s"rows=$rows")
+    }
+  }
+
   test("exact-quota rank-cut split partitions any group into val/test/train") {
     val sp = spark
     import sp.implicits._
