@@ -377,6 +377,118 @@ object Dedup {
        |FROM agg a JOIN p95 p ON p.band = a.band
        |ORDER BY a.band""".stripMargin
 
+  /** Default bucket cap for [[bandBucketsCapped]]: far above the fixture's
+    * measured max (q263: 4 at sf0.1 AND at the sf1 scale point — flat), so
+    * production recall is untouched; a corpus whose boilerplate mega-bucket
+    * crosses it degrades gracefully instead of melting the band join. */
+  val LshBucketCap = 64
+
+  /** [[bandBuckets]] annotated with each bucket's size `s` and a `kept`
+    * flag (`s <= cap`) — the ACTION a 100 TB pipeline takes when q263's
+    * balance report shows a mega-bucket. A bucket of s docs drives
+    * s·(s−1)/2 candidate pairs in every downstream join (q70/q74/q261);
+    * one boilerplate bucket of 10⁶ identical headers is 5·10¹¹ pairs —
+    * the whole stage. Capping SKIPS those buckets from candidate
+    * generation with explicit accounting (q264 reports pairs generated
+    * vs skipped) rather than letting the join melt; a doc in a skipped
+    * bucket still reaches every other band, so recall degrades only for
+    * pairs whose ONLY collision is the mega-bucket — exactly the pairs
+    * that are near-dups of half the corpus and get caught by exact-hash
+    * dedup (q36) anyway. The size annotate is one map-side-combinable
+    * aggregate + a (band,sig)-keyed join back — the mega-bucket collapses
+    * to one row per input partition before the shuffle. */
+  def bandBucketsCapped(docs: DataFrame, cap: Int = LshBucketCap): DataFrame = {
+    val buckets = bandBuckets(docs).cutLineage()
+    val sizes = buckets.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("s"))
+    buckets.join(sizes, Seq("band", "sig"))
+      .withColumn("kept", col("s") <= cap)
+  }
+
+  /** [[minhashClusters]] over capped buckets: cluster representatives are
+    * computed from KEPT buckets only; a document all of whose buckets were
+    * capped (possible only when every band collides into a mega-bucket)
+    * falls back to representing itself — the doc spine is preserved by a
+    * left join, never dropped. With `cap` ≥ the corpus's max bucket this
+    * is bit-identical to [[minhashClusters]] (spec-asserted). */
+  def minhashClustersCapped(docs: DataFrame, cap: Int = LshBucketCap): DataFrame = {
+    val annotated = bandBucketsCapped(docs, cap).cutLineage()
+    val kept = annotated.filter(col("kept"))
+    val minima = kept
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("bucket_rep"))
+    val reps = kept
+      .join(minima, Seq("band", "sig"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bucket_rep")).as("kept_rep"))
+    docs.select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("is_duplicate", col("cluster_rep") < col("doc_id"))
+      .cutLineage()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Caps q264 reports at: a forced-skip demonstration (2 — the fixture
+    * HAS buckets above it, so the skip accounting is exercised in the
+    * oracle-checked row) and the production default. */
+  private val Q264Caps = Seq(2, LshBucketCap)
+
+  /** q264_lsh_capped — the capped-bucket accounting report: per (cap,
+    * band), how many buckets the cap would skip and the candidate-pair
+    * cost split into generated vs skipped. The operational complement of
+    * q263's balance report: q263 WATCHES the distribution, this measures
+    * what the cap ACTION costs (pairs_skipped = recall exposure,
+    * pairs_generated = the bounded join the pipeline actually runs). At
+    * the production cap the fixture skips nothing (max bucket 4, measured
+    * flat at both scale points); cap=2 forces real skips so the
+    * accounting path itself is oracle-verified, not just compiled.
+    *
+    * Scale: one bucket-size aggregate (map-side combinable), exploded
+    * ×|caps| (a constant), re-aggregated at (cap, band) cardinality —
+    * ≤ 8 output rows. Text never moves. */
+  def q264LshCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = bandBuckets(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")))
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("s"))
+    sizes
+      .withColumn("cap", explode(array(Q264Caps.map(lit): _*)))
+      .groupBy(col("cap"), col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("s") > col("cap"), 1L).otherwise(0L))
+          .as("n_capped_buckets"),
+        sum(when(col("s") > col("cap"), col("s")).otherwise(0L))
+          .as("docs_in_capped"),
+        sum(when(col("s") <= col("cap"), expr("s * (s - 1) div 2"))
+          .otherwise(0L)).as("pairs_generated"),
+        sum(when(col("s") > col("cap"), expr("s * (s - 1) div 2"))
+          .otherwise(0L)).as("pairs_skipped"))
+      .orderBy(col("cap"), col("band"))
+  }
+
+  val q264Sql: String =
+    s"""WITH $lshBucketsCte,
+       |sizes AS (
+       |  SELECT band, sig, CAST(count(*) AS BIGINT) AS s
+       |  FROM buckets GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT c.cap, z.band, z.s
+       |  FROM sizes z CROSS JOIN
+       |       (SELECT unnest([${Q264Caps.mkString(", ")}]) AS cap) c)
+       |SELECT cap, band, CAST(count(*) AS BIGINT) AS n_buckets,
+       |       CAST(sum(CASE WHEN s > cap THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_capped_buckets,
+       |       CAST(sum(CASE WHEN s > cap THEN s ELSE 0 END) AS BIGINT)
+       |         AS docs_in_capped,
+       |       CAST(sum(CASE WHEN s <= cap THEN s * (s - 1) // 2
+       |                ELSE 0 END) AS BIGINT) AS pairs_generated,
+       |       CAST(sum(CASE WHEN s > cap THEN s * (s - 1) // 2
+       |                ELSE 0 END) AS BIGINT) AS pairs_skipped
+       |FROM capped GROUP BY cap, band
+       |ORDER BY cap, band""".stripMargin
+
   val q261Sql: String =
     s"""WITH $lshBucketsCte,
        |idx AS (

@@ -198,6 +198,55 @@ class DedupSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(5) === direct(r.getInt(0))))
   }
 
+  test("capped LSH: recall unchanged at the production cap, graceful and " +
+    "accounted when the cap bites") {
+    val sf = SparkSuite.sf
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // Production cap: q263 measured max bucket 4 at sf0.1 AND the sf1
+    // point, far under LshBucketCap — so capped clustering must be
+    // bit-identical to the uncapped q70 form on the fixture.
+    val uncapped = Dedup.minhashClusters(docs)
+      .select("doc_id", "cluster_rep", "is_duplicate").collect().toSeq
+    val capped = Dedup.minhashClustersCapped(docs)
+      .select("doc_id", "cluster_rep", "is_duplicate").collect().toSeq
+    assert(capped === uncapped, "recall changed at the production cap")
+    // cap=1 skips EVERY multi-doc bucket: nobody can see a bucket-mate,
+    // so every doc must survive as its own singleton representative —
+    // the doc spine is preserved, never dropped
+    val all1 = Dedup.minhashClustersCapped(docs, cap = 1).collect()
+    assert(all1.length === docs.count())
+    all1.foreach { r =>
+      assert(r.getAs[Long]("cluster_rep") === r.getAs[Long]("doc_id"))
+      assert(!r.getAs[Boolean]("is_duplicate"))
+    }
+    // planted mega-bucket: the capped variant still clusters the pair
+    // whose buckets stay small while skipping the boilerplate bucket
+    val planted = corpus // 0,1 exact dups; 2 near-dup of 0
+    val rep = Dedup.minhashClustersCapped(planted, cap = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_rep")).toMap
+    assert(rep(1L) === 0L && rep(2L) === 0L)
+    // accounting identity vs q263: generated + skipped = the band's
+    // candidate-pair total, at every reported cap
+    val balance = Dedup.q263LshBalance(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(5)).toMap
+    Dedup.q264LshCapped(spark, sf).collect().foreach { r =>
+      val (band, gen, skip) = (r.getInt(1),
+        r.getAs[Long]("pairs_generated"), r.getAs[Long]("pairs_skipped"))
+      assert(gen + skip === balance(band),
+        s"cap=${r.getInt(0)} band=$band: $gen + $skip != ${balance(band)}")
+      // buckets are partitioned exactly into kept and capped
+      assert(r.getAs[Long]("n_capped_buckets") <=
+        r.getAs[Long]("n_buckets"))
+    }
+    // the cap=2 demo row must actually exercise the skip path (the
+    // fixture has buckets of size 3–4)
+    val demo = Dedup.q264LshCapped(spark, sf).collect()
+      .filter(_.getInt(0) == 2)
+    assert(demo.exists(_.getAs[Long]("pairs_skipped") > 0L),
+      "cap=2 skipped nothing — the accounting path is untested")
+  }
+
   test("q261's aggregated index probes like the raw corpus buckets") {
     // The scale claim: pre-aggregating the index to one row per bucket
     // loses nothing. Probe the RAW corpus bucket rows and compare.

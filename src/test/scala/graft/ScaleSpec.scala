@@ -113,4 +113,78 @@ class ScaleSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
+
+  // ---- skewAwareJoin: SKEW_AQE_NOTE_r7's decision rule as code. Each of
+  // the three documented AQE failure modes must route to Salt; the shape
+  // AQE handles must route to TrustAqe.
+
+  test("skew rule: uniform low-cardinality key → salt (AQE sees no outlier)") {
+    // q84's shape: 3 keys, each ~1/3 — skewFactor ≈ 1, far below any
+    // median-relative trigger, yet 29 of 32 reducers idle
+    val s = Scale.SkewStats(nRows = 600000L, nDistinct = 3L,
+      topShare = 0.34, topKeyMapperSpread = 8)
+    assert(Scale.chooseSkewStrategy(s, dimAggregated = false) == Scale.Salt)
+  }
+
+  test("skew rule: aggregated dim side → salt (AQE pattern never matches)") {
+    // even a perfect outlier profile is ignored when the dim passes
+    // through distinct()/an aggregate — the rule requires BOTH children
+    // to be bare Sort(shuffle)
+    val outlier = Scale.SkewStats(nRows = 1000000L, nDistinct = 1000L,
+      topShare = 0.5, topKeyMapperSpread = 12)
+    assert(Scale.chooseSkewStrategy(outlier, dimAggregated = true) ==
+      Scale.Salt)
+    // and the plan-shape detector actually detects distinct()
+    val dimDistinct = Tables.lineitem(spark, SparkSuite.sf)
+      .select(col("l_returnflag")).distinct()
+    assert(Scale.dimAggregated(dimDistinct))
+    assert(!Scale.dimAggregated(
+      Tables.nation(spark, SparkSuite.sf).select(col("n_nationkey"))))
+  }
+
+  test("skew rule: mapper-concentrated hot key → salt (splits happen at " +
+    "mapper boundaries)") {
+    val s = Scale.SkewStats(nRows = 1000000L, nDistinct = 1000L,
+      topShare = 0.5, topKeyMapperSpread = 1)
+    assert(Scale.chooseSkewStrategy(s, dimAggregated = false) == Scale.Salt)
+  }
+
+  test("skew rule: outlier key, multi-mapper spread, bare children → AQE") {
+    val s = Scale.SkewStats(nRows = 1000000L, nDistinct = 1000L,
+      topShare = 0.5, topKeyMapperSpread = 12)
+    assert(Scale.chooseSkewStrategy(s, dimAggregated = false) ==
+      Scale.TrustAqe)
+  }
+
+  test("skewAwareJoin: both branches produce the plain-join result") {
+    val li = Tables.lineitem(spark, SparkSuite.sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val dim = li.select(col("l_returnflag")).distinct()
+      .select(col("l_returnflag"),
+        concat(lit("flag_"), col("l_returnflag")).as("label"))
+    def agg(j: org.apache.spark.sql.DataFrame) = j
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .orderBy(col("label")).collect().toSeq
+    val expected = agg(li.join(dim, Seq("l_returnflag")))
+    // salted branch (aggregated dim forces it regardless of stats)
+    val salted = Scale.skewAwareJoin(li, dim, Seq("l_returnflag"),
+      Scale.SkewStats(600000L, 3L, 0.34, 8),
+      saltCols = Seq("l_returnflag", "l_extendedprice"))
+    assert(salted.columns.contains("label") &&
+      !salted.columns.contains("__salt"))
+    assert(agg(salted) === expected)
+    // AQE branch: outlier stats + un-aggregated dim → plain join, no salt
+    val dimBare = spark.range(0, 3)
+      .select(when(col("id") === 0, "A").when(col("id") === 1, "N")
+        .otherwise("R").as("l_returnflag"),
+        concat(lit("flag_"), when(col("id") === 0, "A")
+          .when(col("id") === 1, "N").otherwise("R")).as("label"))
+    val aqe = Scale.skewAwareJoin(li, dimBare, Seq("l_returnflag"),
+      Scale.SkewStats(1000000L, 1000L, 0.5, 12))
+    assert(!aqe.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "TrustAqe branch must not salt")
+    assert(agg(aqe) === expected)
+  }
 }
