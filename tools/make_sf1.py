@@ -67,6 +67,28 @@ def main() -> None:
                o_custkey + {{i}} * {CUST_OFF} AS o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM '{SRC}/orders.parquet'""")
+    # r8: the SF-proportional dimensions, key-shifted in lockstep with the
+    # fact FKs above, so the de-broadcast campaign (q247/q251/q129/q258 —
+    # joins against part/customer/supplier) measures with intact FK
+    # containment at the 10x point. Same weak scaling: each replica's
+    # facts reference exactly its replica's dim rows.
+    replicate("customer", f"""
+        SELECT c_custkey + {{i}} * {CUST_OFF} AS c_custkey,
+               c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM '{SRC}/customer.parquet'""")
+    replicate("supplier", f"""
+        SELECT s_suppkey + {{i}} * {SUPP_OFF} AS s_suppkey,
+               s_name, s_nationkey, s_acctbal
+        FROM '{SRC}/supplier.parquet'""")
+    replicate("part", f"""
+        SELECT p_partkey + {{i}} * {PART_OFF} AS p_partkey,
+               p_name, p_brand, p_type, p_size, p_retailprice
+        FROM '{SRC}/part.parquet'""")
+    # nation/region are TRUE bounded dimensions — copied, not replicated
+    for dim in ("nation", "region"):
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{dim}.parquet') "
+                    f"TO '{OUT}/{dim}.parquet' (FORMAT PARQUET)")
+        print(f"[make_sf1] {dim}: copied unscaled")
     # embeddings: vec_id shifted; components CIRCULARLY ROTATED by the
     # replica index — norm- and intra-replica-geometry-preserving, but
     # cross-replica cosines scramble, so exact copies do not flood the
