@@ -465,4 +465,66 @@ object Curation {
        |FROM n LEFT JOIN pd USING (doc_id)
        |ORDER BY n.doc_id""".stripMargin
   }
+
+  // ------------------------------------------------- q265 shard plan
+
+  /** Export shard fan-out for q265 — fixed so the round-robin deal (and
+    * therefore the oracle) is deterministic. At 100 TB this is the shard
+    * COUNT knob a pipeline sets to its writer parallelism. */
+  val ShardCount = 16
+
+  /** q265_shard_plan — token-balanced shard assignment for training-data
+    * export: the step between a curated corpus and the fixed-size shard
+    * files a data loader streams. Documents are ranked by (token count
+    * desc, doc_id) and dealt round-robin across [[ShardCount]] shards —
+    * the sorted round-robin ("longest first") static balancer, which
+    * bounds the token spread between any two shards by one document per
+    * deal cycle. The output is the plan's audit row per shard: doc count,
+    * token total, largest document, and the global max/min shard totals
+    * (equal-ish totals = healthy plan).
+    *
+    * Scale: the rank over ALL documents is the SF-proportional step, and
+    * it runs through [[Scale.globalRank]] (range-partition + local rank +
+    * broadcast offsets) — not a single-partition `Window.orderBy`, which
+    * is exactly the shape the round-8 plan audit forbids. Everything
+    * after the rank is a [[ShardCount]]-cardinality aggregate; the
+    * max/min spread frame is ONE row and broadcast by hint. */
+  def q265ShardPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+    val ranked = Scale.globalRank(toks,
+      Seq(col("tokens").desc, col("doc_id")))
+    val shards = ranked
+      .withColumn("shard_id", col("rank_idx") % ShardCount)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("shard_tokens"),
+        max(col("tokens")).as("largest_doc"))
+    val spread = shards.agg(
+      max(col("shard_tokens")).as("max_shard_tokens"),
+      min(col("shard_tokens")).as("min_shard_tokens"))
+    shards.crossJoin(broadcast(spread)).orderBy(col("shard_id"))
+  }
+
+  val q265Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |           AS tokens
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, tokens,
+       |         row_number() OVER (ORDER BY tokens DESC, doc_id) - 1
+       |           AS rank_idx
+       |  FROM toks),
+       |shards AS (
+       |  SELECT rank_idx % $ShardCount AS shard_id, count(*) AS n_docs,
+       |         CAST(sum(tokens) AS BIGINT) AS shard_tokens,
+       |         max(tokens) AS largest_doc
+       |  FROM ranked GROUP BY 1)
+       |SELECT shard_id, n_docs, shard_tokens, largest_doc,
+       |       (SELECT max(shard_tokens) FROM shards) AS max_shard_tokens,
+       |       (SELECT min(shard_tokens) FROM shards) AS min_shard_tokens
+       |FROM shards ORDER BY shard_id""".stripMargin
 }

@@ -1167,4 +1167,69 @@ object Text {
        |       CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
        |         AS chars_per_token
        |FROM agg ORDER BY source""".stripMargin
+
+  // -------------------------------------------- q266 vocab coverage
+
+  /** Requested vocabulary sizes for the q266 coverage curve; the largest
+    * exceeds the fixture's 31-term vocabulary on purpose so the clamp
+    * path (k_eff < vocab_k) is exercised by the oracle. */
+  val CoverageKs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+
+  /** q266_vocab_coverage — the tokenizer-budget readout: for each
+    * candidate vocabulary size K, what fraction of all corpus tokens
+    * would a top-K (by frequency) vocabulary cover? Terms are ranked by
+    * (frequency desc, term); the coverage at K is the cumulative token
+    * count through rank K, clamped to the actual vocabulary size.
+    * Emitted as exact integers (covered/total) — the consumer divides.
+    *
+    * Scale: the term-frequency table is vocabulary-cardinality, and web
+    * vocabularies GROW with the corpus (Heaps' law — hundreds of
+    * millions of distinct terms at 100 TB), so the rank and the running
+    * sum both run distributed: [[Scale.globalRank]] +
+    * [[Scale.globalCumSum]] over (freq desc, term), never a
+    * single-partition `Window.orderBy`. The K probe table is 6 constant
+    * rows crossed with a 1-row total frame — broadcast by hint, the
+    * allowed constant-cardinality shape. */
+  def q266VocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val order = Seq(col("c").desc, col("term"))
+    val ranked = Scale.globalCumSum(Scale.globalRank(freq, order),
+      order, Seq("c" -> "covered_tokens"))
+      .select((col("rank_idx") + 1L).as("r"), col("covered_tokens"))
+    val tot = freq.agg(sum(col("c")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    import spark.implicits._
+    val ks = CoverageKs.toDF("vocab_k")
+    ks.crossJoin(broadcast(tot))
+      .withColumn("k_eff", least(col("vocab_k"), col("vocab_size")))
+      .join(ranked, col("k_eff") === col("r"))
+      .select(col("vocab_k"), col("k_eff"), col("covered_tokens"),
+        col("total_tokens"))
+      .orderBy(col("vocab_k"))
+  }
+
+  val q266Sql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       |freq AS (
+       |  SELECT term, count(*) AS c FROM tok WHERE term <> '' GROUP BY 1),
+       |ranked AS (
+       |  SELECT term, c,
+       |         row_number() OVER (ORDER BY c DESC, term) AS r,
+       |         CAST(sum(c) OVER (ORDER BY c DESC, term
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS covered_tokens
+       |  FROM freq),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+       |               count(*) AS vocab_size FROM freq),
+       |ks AS (SELECT CAST(unnest([${CoverageKs.mkString(", ")}]) AS BIGINT)
+       |         AS vocab_k)
+       |SELECT ks.vocab_k, least(ks.vocab_k, tot.vocab_size) AS k_eff,
+       |       r.covered_tokens, tot.total_tokens
+       |FROM ks CROSS JOIN tot
+       |JOIN ranked r ON r.r = least(ks.vocab_k, tot.vocab_size)
+       |ORDER BY ks.vocab_k""".stripMargin
 }

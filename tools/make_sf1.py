@@ -21,7 +21,15 @@ Only the tables the iterative family reads are scaled:
               Rotation keeps lengths (n_chars) and intra-replica
               duplicate structure bit-identical.
 
-Usage: python3 tools/make_sf1.py [outdir]   (default /tmp/graft-sf1)
+Usage: python3 tools/make_sf1.py [outdir] [replicas]
+       (defaults /tmp/graft-sf1, 10; replicas=20 builds the sf2 point
+       for the round-8 scaling-exponent campaign)
+
+Replica cap: 26. The per-replica Caesar rotation has only 26 distinct
+permutations — replica 26 would be byte-identical text to replica 0
+under new doc_ids, i.e. a planted corpus-wide near-dup layer that
+densifies q83/q70 quadratically and measures the replication artifact,
+not the engine.
 """
 import sys
 
@@ -29,7 +37,8 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+assert 1 <= REPLICAS <= 26, "text rotation supports at most 26 replicas"
 ORD_OFF, PART_OFF, SUPP_OFF, CUST_OFF, DOC_OFF = (
     150000, 20000, 1000, 15000, 5000)
 
