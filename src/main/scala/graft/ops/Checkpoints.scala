@@ -29,18 +29,38 @@ object Checkpoints {
     * localCheckpoint to reliable checkpoints. */
   val DirKey = "spark.graft.checkpointDir"
 
-  /** Session conf key: PLAN-AUDIT SEAM, test-only. When "true", [[cut]]
-    * is a no-op, so a query's FULL declarative plan — including the
-    * subtrees normally executed eagerly behind a localCheckpoint — is
-    * visible to `optimizedPlan` walkers (BenchContractSpec's broadcast
-    * and global-window pins). Never set it for real runs: iterative ops
-    * rely on the cut to keep round-over-round plans bounded. */
+  /** RETIRED session conf key, kept only so [[cut]] can fail fast on it.
+    * The plan-audit seam used to be this conf; a conf travels in copied
+    * cluster configs, and a stray `spark.graft.noCut=true` would turn
+    * the CORRECTNESS-load-bearing cut in `Scale.globalRank` /
+    * `globalCumSum` into a no-op — executed queries would return
+    * silently shifted ranks near range-partition boundaries (the exact
+    * live corruption the cut fixed). The seam is now [[withNoCut]], a
+    * code-only dynamic scope no config file can set. */
   val NoCutKey = "spark.graft.noCut"
+
+  private val noCutScope = new scala.util.DynamicVariable[Boolean](false)
+
+  /** PLAN-AUDIT SEAM, test-only. Inside `body`, [[cut]] is a no-op, so a
+    * query's FULL declarative plan — including the subtrees normally
+    * executed eagerly behind a localCheckpoint — is visible to
+    * `optimizedPlan` walkers (BenchContractSpec's broadcast and
+    * global-window pins). Plans BUILT inside the scope must be
+    * inspected, never executed: iterative ops rely on the cut both to
+    * keep round-over-round plans bounded and, in globalRank/globalCumSum,
+    * to pin one sampled range-boundary set for two consumers. Thread-
+    * scoped by construction — a copied cluster config cannot enable it. */
+  def withNoCut[T](body: => T): T = noCutScope.withValue(true)(body)
 
   /** Materialize `df` and cut its lineage using the configured strategy. */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (spark.conf.getOption(NoCutKey).contains("true")) return df
+    require(spark.conf.getOption(NoCutKey).isEmpty,
+      s"$NoCutKey is set but no longer honored: the no-cut plan-audit " +
+        "seam is code-only (Checkpoints.withNoCut) because executing an " +
+        "uncut plan silently corrupts globalRank/globalCumSum offsets. " +
+        "Unset the conf; tests wrap construction in withNoCut instead.")
+    if (noCutScope.value) return df
     spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext

@@ -21,8 +21,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    broadcast per-partition offsets).
   *
   * The audits run against `optimizedPlan` (hints are resolved onto Join
-  * nodes there) with [[graft.ops.Checkpoints.NoCutKey]] set, so subtrees
-  * normally executed eagerly behind a localCheckpoint stay visible.
+  * nodes there) with construction wrapped in
+  * [[graft.ops.Checkpoints.withNoCut]], so subtrees normally executed
+  * eagerly behind a localCheckpoint stay visible.
   */
 object PlanAudit {
 
@@ -38,7 +39,7 @@ object PlanAudit {
 
   /** Leaf tables a subtree scans, by parquet file name; leaves whose
     * provenance is invisible (LogicalRDD from a checkpoint, LocalRelation)
-    * contribute nothing — run under NoCutKey for full visibility. */
+    * contribute nothing — build under withNoCut for full visibility. */
   def leafTables(p: LogicalPlan): Set[String] = {
     val file = "([A-Za-z0-9_]+)\\.parquet".r
     p.collectLeaves().flatMap {
@@ -51,6 +52,34 @@ object PlanAudit {
       case _ => Nil
     }.toSet
   }
+
+  /** The plan node `p` resolves to once order-preserving, cardinality-
+    * preserving-or-reducing wrappers are stripped: Project and Filter
+    * never grow a frame, and Window adds columns without adding rows.
+    * Used to classify a node's IMMEDIATE input — deliberately NOT a
+    * whole-subtree search, which would whitelist anything merely
+    * downstream of a safe frame (the round-8 audit loophole: any
+    * global window built on a globalRank OUTPUT had the `_pid`
+    * aggregate somewhere in its lineage and slipped through). */
+  @annotation.tailrec
+  private def stripWrappers(p: LogicalPlan): LogicalPlan = p match {
+    case pr: Project => stripWrappers(pr.child)
+    case f: Filter   => stripWrappers(f.child)
+    case w: Window   => stripWrappers(w.child)
+    case other       => other
+  }
+
+  /** True iff `p` IS (modulo Project/Filter/Window wrappers) the
+    * per-partition offset frame of `Scale.globalRank`/`globalCumSum`:
+    * an Aggregate grouped by the synthetic `_pid`. Such a frame has at
+    * most #partitions rows regardless of scale factor — the one shape
+    * that is always safe to broadcast or to rank in a single task. */
+  private def isPidOffsetFrame(p: LogicalPlan): Boolean =
+    stripWrappers(p) match {
+      case a: Aggregate => a.groupingExpressions.exists(
+        _.references.exists(_.name == "_pid"))
+      case _ => false
+    }
 
   /** One offending join side. */
   final case class BadBroadcast(side: String, tables: Set[String]) {
@@ -75,6 +104,13 @@ object PlanAudit {
           .filter { case (_, h, _) => isBroadcast(h) }
           .filter { case (_, _, side) =>
             !side.maxRows.exists(_ <= MaxRowsAllowed) }
+          // the `_pid`-grouped offset frame inside globalRank/globalCumSum
+          // is ≤ #partitions rows but carries no static maxRows (it is a
+          // grouped Aggregate) and its leaves reach the SF-proportional
+          // input being ranked — exempt it by SHAPE (immediate structure,
+          // not lineage), or every globalRank adopter audited under the
+          // no-cut seam reports its own legitimate offsets broadcast
+          .filter { case (_, _, side) => !isPidOffsetFrame(side) }
           .flatMap { case (name, _, side) =>
             val bad = leafTables(side).intersect(SfProportional)
             if (bad.nonEmpty) Some(BadBroadcast(name, bad)) else None
@@ -110,19 +146,34 @@ object PlanAudit {
       case w: Window if w.partitionSpec.isEmpty =>
         val order = w.orderSpec.map(_.child.references.toSeq
           .map(_.name).mkString("+"))
-        val pidFrame = w.child.collectFirst {
-          case a: Aggregate if a.groupingExpressions.exists(
-            _.references.exists(_.name == "_pid")) => a
-        }.isDefined
-        GlobalWindow(order, leafTables(w.child), pidFrame)
+        // classify from the window's IMMEDIATE child (through row-
+        // preserving wrappers only): the child must BE the `_pid`
+        // offset aggregate, not merely have one somewhere in its
+        // lineage — a collectFirst over the whole subtree whitelisted
+        // any global window built DOWNSTREAM of a globalRank output
+        GlobalWindow(order, leafTables(w.child), isPidOffsetFrame(w.child))
     }
 
+  /** Every empty-partitionSpec Window whose input is statically bounded:
+    * `child.maxRows` propagates through Project/Filter/Window from a
+    * GlobalLimit, a LocalRelation, or a literal frame, so a rank over a
+    * `limit(k)` result (the TakeOrderedAndProject + re-rank idiom in the
+    * top-k queries) is provably ≤ k rows at ANY scale factor. */
+  private def isRowBounded(p: LogicalPlan): Boolean =
+    p.maxRows.exists(_ <= MaxRowsAllowed)
+
   /** The audit verdict for one query: global windows whose child reaches
-    * an SF-proportional leaf and is NOT the bounded partition-offset
-    * frame. Tiny-frame windows (per-decile, per-round audit frames) pass
-    * automatically when their child is an aggregate over a bounded
-    * domain — the caller pins those by exact census where they exist. */
+    * an SF-proportional leaf and is NEITHER the bounded partition-offset
+    * frame NOR statically row-bounded (rank-after-limit). Windows over
+    * aggregates of bounded DOMAINS (day grids, deciles, per-source
+    * frames) carry no static row bound — the caller pins those by exact
+    * census with a written justification (AuditSweepSpec). */
   def suspectGlobalWindows(df: DataFrame): Seq[GlobalWindow] =
-    globalWindows(df).filter(w =>
-      w.childTables.intersect(SfProportional).nonEmpty && !w.offsetFrame)
+    df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty &&
+          !isRowBounded(w.child) && !isPidOffsetFrame(w.child) &&
+          leafTables(w.child).intersect(SfProportional).nonEmpty =>
+        GlobalWindow(w.orderSpec.map(_.child.references.toSeq
+          .map(_.name).mkString("+")), leafTables(w.child), offsetFrame = false)
+    }
 }

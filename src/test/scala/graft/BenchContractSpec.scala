@@ -111,15 +111,21 @@ class BenchContractSpec extends AnyFunSuite {
     // subtrees normally executed behind a localCheckpoint stay visible
     // (they build lazily — neither has an eager count in its body).
     import graft.plans.PlanAudit
-    spark.conf.set(graft.ops.Checkpoints.NoCutKey, "true")
-    try {
+    graft.ops.Checkpoints.withNoCut {
       Seq("q247_modularity", "q147_rep_retention").foreach { n =>
         val bad = PlanAudit.broadcastHintedSides(df(n))
         assert(bad.isEmpty,
           s"$n carries forced broadcast hints: ${bad.map(_._1)} — " +
             "strategy choices there belong to AQE's runtime sizing")
       }
-    } finally spark.conf.unset(graft.ops.Checkpoints.NoCutKey)
+      // the globalRank/globalCumSum adopters legitimately broadcast
+      // their ≤ #partitions-row `_pid` offset frame — the audit must
+      // exempt that by shape and still flag any other hinted side
+      Seq("q265_shard_plan", "q266_vocab_coverage").foreach { n =>
+        val bad = PlanAudit.sfProportionalBroadcasts(df(n))
+        assert(bad.isEmpty, s"$n: ${bad.mkString("; ")}")
+      }
+    }
     // q129/q258 keep their nation hint (25 rows, bounded); the audit
     // flags only hinted sides that reach an SF-proportional leaf
     Seq("q129_share", "q258_hhi").foreach { n =>
@@ -174,14 +180,14 @@ class BenchContractSpec extends AnyFunSuite {
     // cut. q201's body runs its k-core loop eagerly while building —
     // bounded rounds at sf0.001.
     import graft.plans.PlanAudit
-    spark.conf.set(graft.ops.Checkpoints.NoCutKey, "true")
-    try {
+    graft.ops.Checkpoints.withNoCut {
       Seq("q98_pareto", "q161_ks_test", "q179_gains",
-          "q187_quantile_norm", "q116_discretize").foreach { n =>
+          "q187_quantile_norm", "q116_discretize",
+          "q265_shard_plan", "q266_vocab_coverage").foreach { n =>
         val bad = PlanAudit.suspectGlobalWindows(df(n))
         assert(bad.isEmpty, s"$n: ${bad.mkString("; ")}")
       }
-    } finally spark.conf.unset(graft.ops.Checkpoints.NoCutKey)
+    }
     // q201 executes per-round counts during construction; with cuts
     // ACTIVE its registered plan must still show no suspect window
     // (the p75 rank and loop frames sit behind cuts — what remains

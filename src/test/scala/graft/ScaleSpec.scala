@@ -187,4 +187,49 @@ class ScaleSpec extends AnyFunSuite {
       "TrustAqe branch must not salt")
     assert(agg(aqe) === expected)
   }
+
+  test("plan audit: globalRank's own plan is clean, but a global window " +
+    "DOWNSTREAM of it is still flagged") {
+    import graft.ops.Checkpoints
+    import graft.plans.PlanAudit
+    val o = Tables.orders(spark, SparkSuite.sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Checkpoints.withNoCut {
+      val ranked = Scale.globalRank(o,
+        Seq(col("o_totalprice"), col("o_orderkey")))
+      // the utility's own uncut plan: its only partitionBy-less window
+      // is the ≤ #partitions-row `_pid` offset frame (whitelisted by
+      // shape), and its offsets broadcast hint is exempted the same way
+      assert(PlanAudit.suspectGlobalWindows(ranked).isEmpty,
+        "globalRank's internal offset window must be whitelisted")
+      assert(PlanAudit.sfProportionalBroadcasts(ranked).isEmpty,
+        "globalRank's offsets broadcast must be exempted by shape")
+      // the round-8 audit loophole: a single-partition window added ON
+      // TOP of the ranked output carries the `_pid` aggregate somewhere
+      // in its lineage — classification by lineage search whitelisted
+      // it; classification by immediate child shape must flag it
+      val downstream = ranked.withColumn("cum",
+        sum(col("o_totalprice")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank_idx"))))
+      assert(PlanAudit.suspectGlobalWindows(downstream).nonEmpty,
+        "single-partition window downstream of globalRank was " +
+          "silently whitelisted — the audit regressed to lineage search")
+    }
+  }
+
+  test("cut fails fast when the retired noCut session conf is set") {
+    import graft.ops.Checkpoints
+    // The conf used to silently disable the correctness-load-bearing
+    // cut in globalRank/globalCumSum (offsets computed under one
+    // sampled partitioning, joined onto another). A copied config must
+    // now produce a loud error at the first cut, not shifted ranks.
+    spark.conf.set(Checkpoints.NoCutKey, "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Checkpoints.cut(Tables.orders(spark, SparkSuite.sf))
+      }
+      assert(e.getMessage.contains("withNoCut"))
+    } finally spark.conf.unset(Checkpoints.NoCutKey)
+  }
 }
