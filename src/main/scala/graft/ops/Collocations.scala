@@ -47,11 +47,16 @@ object Collocations {
     val lift = round(
       col("n_xy").cast("double") * col("n_tok") * col("n_tok") /
         (col("n_big").cast("double") * col("n1") * col("n2")), 6)
+    // the unigram frame is vocabulary-cardinality — Heaps-law sublinear
+    // but unbounded, so it carries no hint: AQE broadcasts it at runtime
+    // while it fits and shuffles the join when a web-scale vocab doesn't.
+    // The min-support filter on the probe side is what keeps either plan
+    // cheap; tot (2 counters) stays hinted.
     bn
       .filter(col("n_xy") >= minSupport)
       .crossJoin(broadcast(tot))
-      .join(broadcast(un.select(col("w").as("w1"), col("n").as("n1"))), "w1")
-      .join(broadcast(un.select(col("w").as("w2"), col("n").as("n2"))), "w2")
+      .join(un.select(col("w").as("w1"), col("n").as("n1")), "w1")
+      .join(un.select(col("w").as("w2"), col("n").as("n2")), "w2")
       .select(col("w1"), col("w2"), col("n_xy"), lift.as("lift"))
       .orderBy(desc("lift"), col("w1"), col("w2"))
   }

@@ -34,8 +34,10 @@ object Encoding {
         col("l_suppkey").as("suppkey"), col("l_quantity"), y.as("y"))
     val stats = li.groupBy(col("suppkey"))
       .agg(sum(col("y")).as("s_y"), count(lit(1)).as("n"))
+    // stats is supplier-cardinality (SF-linear) — no hint; AQE
+    // broadcasts it while it fits and shuffles the join at 100 TB
     li.filter(col("l_quantity") === 50.0)
-      .join(broadcast(stats), Seq("suppkey"))
+      .join(stats, Seq("suppkey"))
       .select(col("line_id"), col("suppkey"), col("y"),
         when(col("n") > 1,
           (col("s_y") - col("y")).cast("double") /

@@ -101,8 +101,12 @@ object Relational {
     val c  = Tables.customer(spark, sfDir)
     val n  = Tables.nation(spark, sfDir)
     val r  = Tables.region(spark, sfDir)
+    // customer is SF-proportional — no hint; AQE broadcasts it at runtime
+    // when the post-scan size clears the threshold (it does at test SFs)
+    // and falls back to a shuffled join at the 100 TB point. nation and
+    // region are genuinely bounded dimensions (25 / 5 rows) — hint them.
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

@@ -45,11 +45,12 @@ object Spatial {
     * formulation both engines replay deterministically (no reliance on
     * tie-arbitrary min_by/argmin).
     *
-    * Scale: supplier side replicates 9× THEN broadcasts (it is the small
-    * dimension); the probe side never shuffles at all — `.explain` shows a
-    * single BroadcastHashJoin over the customer scan, the plan a
-    * 1000-executor geo join wants when one side fits in memory. With two
-    * large sides the identical plan runs as a shuffle join on cell_id. */
+    * Scale: supplier is SF-linear, so the 9×-replicated side carries NO
+    * hint — AQE broadcasts it at runtime while it fits (at test SFs
+    * `.explain` shows one BroadcastHashJoin over the customer scan, the
+    * probe side never shuffling), and the identical cell-keyed equi-join
+    * runs shuffled when both sides are large at the 100 TB point. The
+    * runtime size check is the gate a static hint would bypass. */
   def q159GridKnn(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"),
@@ -69,7 +70,7 @@ object Spatial {
         col("home_x") + d): _*)))
       .withColumn("cell_y", explode(array((-1 to 1).map(d =>
         col("home_y") + d): _*)))
-    val cand = cust.join(broadcast(supp), Seq("cell_x", "cell_y"))
+    val cand = cust.join(supp, Seq("cell_x", "cell_y"))
       .select(col("c_custkey"), col("s_suppkey"),
         ((col("cx") - col("sx")) * (col("cx") - col("sx")) +
           (col("cy") - col("sy")) * (col("cy") - col("sy")))

@@ -443,8 +443,11 @@ object Text {
     *
     * Same order-free determinism as q143: each cnt·log2(c_corpus) term is
     * rounded to DECIMAL(18,6) before the sum. Scale: the vocabulary frame
-    * broadcasts into the per-doc term frame; two vocabulary-bounded
-    * aggregates, the corpus shuffles once as (doc, token) counts.
+    * joins into the per-doc term frame UNhinted — AQE broadcasts it at
+    * runtime while it fits (Heaps-law sublinear, but unbounded) and
+    * shuffles the term-keyed join when a web-scale vocab doesn't; two
+    * vocabulary-bounded aggregates, the corpus shuffles once as
+    * (doc, token) counts.
     */
   def q148LmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
@@ -453,7 +456,8 @@ object Text {
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_corpus"))
     val total = vocab.agg(sum(col("c_corpus")).as("n_corpus"))
     toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(vocab), "tok")
+      // vocabulary-cardinality — unbounded (Heaps-law); AQE sizes it
+      .join(vocab, "tok")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         sum((col("cnt").cast("double") * log2(col("c_corpus")))
@@ -610,7 +614,8 @@ object Text {
     val scored = toks
       .groupBy(col("doc_id"), col("source"), col("n_chars"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(vocab), "tok")
+      // vocabulary-cardinality — unbounded (Heaps-law); AQE sizes it
+      .join(vocab, "tok")
       .groupBy(col("doc_id"), col("source"), col("n_chars"))
       .agg(sum(col("cnt")).as("n_tokens"),
         sum((col("cnt").cast("double") * log2(col("c_corpus")))

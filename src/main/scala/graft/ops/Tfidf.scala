@@ -26,7 +26,10 @@ import graft.Tables
   *    per (partition, doc) BEFORE the shuffle, and the rank window then
   *    sorts 3-row groups, not the scored table.
   *  - The tf ⋈ df join shuffles on the term key; when the vocabulary fits
-  *    (it usually does — Heaps' law), `broadcast(dfreq)` turns it map-side.
+  *    (it usually does — Heaps' law) AQE's runtime sizing turns it
+  *    map-side — the frame is deliberately unhinted, since "usually" is
+  *    not a bound and a forced broadcast of a web-scale vocab pins the
+  *    driver.
   */
 object Tfidf {
 
@@ -104,10 +107,12 @@ object Tfidf {
     *  - Per-term scores round to DECIMAL(18,6) so the per-doc sum is
     *    order-free.
     *
-    * Scale: query terms and doc-frequency broadcast into the tf frame
-    * (vocabulary-bounded); doc lengths broadcast (doc-cardinality,
-    * id+int); the corpus shuffles once into (doc, term) counts; the
-    * global top-50 is TakeOrderedAndProject. */
+    * Scale: the query-term set (one doc's tokens — bounded) broadcasts
+    * into the tf frame; doc-frequency (vocabulary-cardinality) and doc
+    * lengths (doc-cardinality) are UNhinted — AQE broadcasts them at
+    * runtime while they fit and shuffles those joins at corpus scale;
+    * the corpus shuffles once into (doc, term) counts; the global
+    * top-50 is TakeOrderedAndProject. */
   def q151Bm25(spark: SparkSession, sfDir: String,
       queryDoc: Long = 7L, k: Int = 50): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
@@ -120,10 +125,17 @@ object Tfidf {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
     val qterms = tf.filter(col("doc_id") === queryDoc)
       .select(col("tok")).distinct()
+    // qterms is one document's token set — bounded by doc length, hint
+    // it. dfreq is vocabulary-cardinality (Heaps-law sublinear but
+    // unbounded) and dl is doc-cardinality (linear): both stay unhinted
+    // so AQE sizes them at runtime — at the 100 TB point a web-scale
+    // vocab or a billions-row doc-length frame must shuffle, not pin
+    // the driver. (The qterms semi-filter also shrinks what of dfreq/dl
+    // survives to the join, which AQE sees and a static hint cannot.)
     val scored = tf.filter(col("doc_id") =!= queryDoc)
       .join(broadcast(qterms), "tok")
-      .join(broadcast(dfreq), "tok")
-      .join(broadcast(dl), "doc_id")
+      .join(dfreq, "tok")
+      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf_dec",
         (log2((lit(2) * col("n_docs") - lit(2) * col("df") + 1)

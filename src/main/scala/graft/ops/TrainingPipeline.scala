@@ -108,7 +108,8 @@ object TrainingPipeline {
     val scored = toks
       .groupBy(col("doc_id"), col("source"), col("n_chars"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(vocab), "tok")
+      // vocabulary-cardinality — unbounded (Heaps-law); AQE sizes it
+      .join(vocab, "tok")
       .groupBy(col("doc_id"), col("source"), col("n_chars"))
       .agg(sum(col("cnt")).as("n_tokens"),
         sum((col("cnt").cast("double") * log2(col("c_corpus")))

@@ -455,9 +455,11 @@ object Windows {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
         month(col("l_shipdate")).as("moy"))
+    // the part→brand projection is SF-linear (the q247 class) — no
+    // hint; AQE broadcasts it while it fits, shuffles it at 100 TB
     val monthly = li
-      .join(broadcast(Tables.part(spark, sfDir)
-        .select(col("p_partkey"), col("p_brand"))),
+      .join(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("moy"))
       .agg(sum(col("qty")).as("month_qty"))

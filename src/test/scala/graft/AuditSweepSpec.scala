@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AuditSweep
+
+/** Ledger-wide scale-audit census — the closing pin for the r7/r8
+  * scale-killer families. BenchContractSpec pins the historically weak
+  * queries one by one; this spec runs BOTH static audits
+  * ([[graft.plans.PlanAudit.suspectGlobalWindows]] and
+  * [[graft.plans.PlanAudit.sfProportionalBroadcasts]]) over EVERY
+  * registered query and asserts the findings match a written census
+  * EXACTLY, in both directions:
+  *
+  *  - a NEW finding (a forced broadcast or single-partition window added
+  *    anywhere in the 266-query ledger) fails the suite until it is
+  *    either fixed or consciously added here with a justification;
+  *  - a STALE census row (a site that got fixed) fails too, so the
+  *    census never rots into a blanket waiver.
+  *
+  * Every census entry is a frame whose boundedness is SEMANTIC — real,
+  * but invisible to the static audit (a filter to one query document, a
+  * k-row centroid aggregate, a fixed eval suite). Frames with unbounded
+  * growth (vocabulary, doc-cardinality, any SF-linear projection) are
+  * NOT acceptable entries: those were de-hinted in round 9 (q12, q102,
+  * q110/q148/q238's vocab joins, q151's dfreq+dl, q159, q160, q173) and
+  * AQE's runtime sizing decides for them now.
+  *
+  * The sweep builds plans with lineage cuts ACTIVE — it audits each
+  * query exactly as registered and executed (iterative queries execute
+  * their bounded sf0.001 loops during construction; that is the price
+  * of seeing the real plan).
+  */
+class AuditSweepSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+
+  /** (query, kind) -> (expected count, why the frame is bounded). */
+  private val census: Map[(String, String), (Int, String)] = Map(
+    // ---- forced broadcasts of semantically bounded frames -------------
+    ("q10_join_broadcast", "forced-broadcast") -> (1,
+      "the SURVEY §2.3 broadcast-hash-join coverage row: the hint IS " +
+        "the operator under test; production sizing guidance is q12's " +
+        "unhinted form"),
+    ("q15_join_range", "forced-broadcast") -> (1,
+      "lineitem pre-aggregated to distinct integer quantities — the " +
+        "l_quantity domain is 1..50, constant at any SF"),
+    ("q112_winsorize", "forced-broadcast") -> (1,
+      "per-returnflag p05/p95 threshold frame — 3 domain keys"),
+    ("q117_markov", "forced-broadcast") -> (1,
+      "per-state outflow totals — |event types| rows"),
+    ("q50_similarity", "forced-broadcast") -> (1,
+      "the single query vector (vec_id filter)"),
+    ("q75_brute_topk", "forced-broadcast") -> (1,
+      "the fixed probe-query vector set"),
+    ("q76_ivf_topk", "forced-broadcast") -> (2,
+      "k IVF centroids + the probe-query vectors"),
+    ("q78_quantized_topk", "forced-broadcast") -> (1,
+      "the probe-query vectors"),
+    ("q66_kmeans_step", "forced-broadcast") -> (3,
+      "the k-row centroid frame, used by assign/update/shift"),
+    ("q213_label_outliers", "forced-broadcast") -> (1,
+      "the k-row per-label centroid frame"),
+    ("q229_pq_adc", "forced-broadcast") -> (4,
+      "PQ codebooks (m sub-spaces x k codes) and the query's " +
+        "sub-vector / full-vector frames"),
+    ("q236_knn_classify", "forced-broadcast") -> (1,
+      "the KnnProbes-row probe frame (vec_id < constant)"),
+    ("q152_ann_recall", "forced-broadcast") -> (2,
+      "exact ground-truth top-k for the fixed probe set (queries x k)"),
+    ("q162_ndcg", "forced-broadcast") -> (2,
+      "ideal + retrieved rankings for the fixed probe set"),
+    ("q151_bm25", "forced-broadcast") -> (1,
+      "one query document's distinct token set (bounded by doc length; " +
+        "dfreq/dl were de-hinted in r9 — AQE sizes those)"),
+    ("q176_rrf", "forced-broadcast") -> (2,
+      "q151's query-term set + the single query embedding"),
+    ("q57_decontaminate", "forced-broadcast") -> (4,
+      "benchmark eval-suite ids and their grams — the eval suite is " +
+        "fixed KB-MB content, corpus-independent (Curation.scala:73-75)"),
+    ("q99_boilerplate", "forced-broadcast") -> (1,
+      "terms with doc-frequency > 78% — at most avg_doc_len/0.78 " +
+        "such terms exist, a corpus-size-independent bound"),
+    ("q110_training_pipeline", "forced-broadcast") -> (1,
+      "the q99 boilerplate-term set inside the pipeline (same bound)"),
+    ("q251_ivm_join", "forced-broadcast") -> (3,
+      "the IVM delta slices (batch-bounded pmod filters) — the " +
+        "delta-only contract is separately pinned in BenchContractSpec"),
+    // ---- partitionBy-less windows over bounded-DOMAIN aggregates ------
+    ("q167_vocab_growth", "global-window") -> (1,
+      "per-batch vocab-growth frame — constant batch count"),
+    ("q209_budget_curriculum", "global-window") -> (1,
+      "per-source density rank — |sources| rows"),
+    ("q231_auc_rank", "global-window") -> (1,
+      "distinct quantized scores (17 here; continuous scorers quantize " +
+        "to fixed-point buckets first — the q210 discipline)"),
+    ("q233_neyman_alloc", "global-window") -> (1,
+      "per-source largest-remainder frame — |sources| rows"),
+    ("q235_poisson_bootstrap", "global-window") -> (1,
+      "B bootstrap replicate means — constant B"),
+    ("q246_sax_motifs", "global-window") -> (1,
+      "calendar-day grid — time-span-bounded, not data-bounded"))
+
+  test("ledger sweep: audit findings across all registered queries " +
+    "match the bounded-frame census exactly") {
+    val findings = AuditSweep.sweep(spark, SparkSuite.sf)
+    val errors = findings.filter(_.kind == "build-error")
+    assert(errors.isEmpty, s"queries failed to build: $errors")
+    val counts = findings.groupBy(f => (f.query, f.kind))
+      .view.mapValues(_.size).toMap
+    val unexpected = counts.filter { case (k, n) =>
+      census.get(k).forall(_._1 != n) }
+    assert(unexpected.isEmpty,
+      "audit findings outside the census (new forced broadcast or " +
+        "single-partition window — fix it or census it with a " +
+        s"justification): ${unexpected.toSeq.sortBy(_._1).mkString("; ")}")
+    val stale = census.filter { case (k, (n, _)) =>
+      !counts.get(k).contains(n) }
+    assert(stale.isEmpty,
+      "stale census rows (the site was fixed — delete the entry so the " +
+        s"waiver cannot rot): ${stale.keys.toSeq.sorted.mkString("; ")}")
+  }
+}
