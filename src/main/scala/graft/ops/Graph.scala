@@ -146,6 +146,15 @@ object Graph {
   /** Default for [[TriangleBroadcastMaxEdgesKey]]: 8M oriented edges. */
   val TriangleBroadcastMaxEdgesDefault = 8000000L
 
+  /** Oriented edges per partition of the wedge-closing SHUFFLE_HASH
+    * join. The build side is the edge list itself, so per-task build
+    * memory is edges/partitions — a fixed partition count turns linear
+    * data growth into linear PER-TASK growth and an eventual OOM (hit
+    * at the 24M-edge sf2 point under local[32]'s pool). 250k edges ≈
+    * 4 MB of hashed payload per task; 10^10 edges → 40k tasks, a
+    * normal cluster fan-out. */
+  val TriangleClosingEdgesPerPartition = 250000L
+
   /** Per-node triangle counts of the undirected simple graph `e`
     * (columns `pa` < `pb`, deduplicated). Returns (node, degree, n_tri)
     * for every edge-touched node, MATERIALIZED (see the tail note in
@@ -244,9 +253,26 @@ object Graph {
             col("kd").as("kw")), Seq("u"))
           .filter(col("kv") < col("kw"))
           .select(col("u"), col("v"), col("w"))
-        wedges.join(
-          o.select(col("src").as("v"), col("dst").as("w")).hint("shuffle_hash"),
-          Seq("v", "w"))
+        // The closing probe's BUILD side is the full oriented edge list,
+        // hashed per partition — with the session's FIXED shuffle
+        // partition count, per-task build size grows linearly with the
+        // graph and the hash map eventually outgrows the execution pool
+        // (measured: 24M edges / 32 partitions OOMed at the sf2 point).
+        // Scale the closing join's parallelism with the edge count the
+        // gate already materialized: ~TriangleClosingEdgesPerPartition
+        // edges per task keeps the build a few MB at ANY graph size.
+        // The explicit numPartitions also stops AQE from coalescing the
+        // exchanges back into oversized builds; co-partitioning both
+        // sides on (v, w) with the same count means the join itself
+        // adds no further exchange.
+        val closingParts = math.max(
+          spark.conf.get("spark.sql.shuffle.partitions").toInt,
+          (orientedEdges / TriangleClosingEdgesPerPartition).toInt + 1)
+        wedges.repartition(closingParts, col("v"), col("w"))
+          .join(o.select(col("src").as("v"), col("dst").as("w"))
+            .repartition(closingParts, col("v"), col("w"))
+            .hint("shuffle_hash"),
+            Seq("v", "w"))
           .select(col("u"), col("v"), col("w"))
       }
     val perNode = tri

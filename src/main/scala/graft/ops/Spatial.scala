@@ -122,4 +122,134 @@ object Spatial {
        |GROUP BY cand.c_custkey, cand.dist_sq
        |ORDER BY cand.c_custkey""".stripMargin
   }
+
+  // ------------------------------------------- density-adaptive exact NN
+
+  /** Target mean suppliers per grid cell for [[q267AdaptiveKnn]]. */
+  private val TargetPerCell = 2.0
+
+  /** q267_adaptive_knn — EXACT nearest supplier per customer via a
+    * density-adaptive grid with expanding-ring search. The round-9 scale
+    * campaign measured q159's fixed 10×10 grid at 72× on 10× data: with
+    * the plane fixed and density growing linearly, every cell holds 10×
+    * more points on BOTH sides, so the neighborhood join's output grows
+    * quadratically — inherent to fixed-resolution radius blocking, not a
+    * plan defect (the forced-broadcast form is ≥ 4× worse again). The
+    * scalable form derives the resolution FROM the data: cells-per-side
+    * ≈ √(|supplier| / target-occupancy) keeps mean cell occupancy
+    * constant, so candidates per probe stay O(1) and the total join
+    * output stays linear at any density.
+    *
+    * A finer grid shrinks the search radius, so the neighborhood is no
+    * longer a fixed 3×3: the search EXPANDS ring by ring (all cells at
+    * l∞ index distance r) until the best candidate found is provably
+    * closer than anything outside the searched rings. The bound: after
+    * searching rings 0..r, every unsearched supplier sits in a cell with
+    * l∞ index distance ≥ r+1, hence at Euclidean distance ≥ r·w from any
+    * point of the home cell — a customer whose best d² < (r·w)² is
+    * final. Ties on the bound continue one ring (strict <), so the
+    * suppkey tie-break can never be decided against an unseen candidate;
+    * when the rings have covered the whole grid everything finalizes
+    * unconditionally. Expected rounds at constant occupancy: 2-3,
+    * independent of scale; each round's pending set shrinks by the
+    * finalize filter (measured: >95% resolve by ring 2 on the fixtures).
+    *
+    * Output ≡ brute-force global NN (min d², then min suppkey) — the
+    * oracle is the O(n·m) cross join, so equality proves the ring bound
+    * loses nothing. The supplier count that sizes the grid is one
+    * 1-row action on the dimension (the q139 gate pattern); per-round
+    * lineage cuts keep the loop's plan bounded. */
+  def q267AdaptiveKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Checkpoints.CutOps
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        coord(col("c_custkey"), 101L).as("cx"),
+        coord(col("c_custkey"), 102L).as("cy"))
+    val suppRaw = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"),
+        coord(col("s_suppkey"), 103L).as("sx"),
+        coord(col("s_suppkey"), 104L).as("sy"))
+    val nSupp = suppRaw.count()
+    val cellsPerSide = math.max(1,
+      math.min(1000, math.round(math.sqrt(nSupp / TargetPerCell)).toInt))
+    val w = 100.0 / cellsPerSide
+    val supp = suppRaw
+      .withColumn("s_cell_x", floor(col("sx") / w).cast("int"))
+      .withColumn("s_cell_y", floor(col("sy") / w).cast("int"))
+      .cutLineage()
+    var pending = cust
+      .withColumn("cell_x", floor(col("cx") / w).cast("int"))
+      .withColumn("cell_y", floor(col("cy") / w).cast("int"))
+      .withColumn("best", lit(null).cast("struct<d2:double,sk:bigint>"))
+      .cutLineage()
+    var done: DataFrame = null
+    var r = 0
+    // r = cellsPerSide covers every cell from any home index — the loop
+    // is bounded even on a fixture with empty regions
+    while (r <= cellsPerSide && !pending.isEmpty) {
+      val ring = for {
+        dx <- -r to r; dy <- -r to r
+        if math.max(math.abs(dx), math.abs(dy)) == r
+      } yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      val cand = pending
+        .withColumn("o", explode(array(ring: _*)))
+        .withColumn("s_cell_x", col("cell_x") + col("o.dx"))
+        .withColumn("s_cell_y", col("cell_y") + col("o.dy"))
+        .join(supp, Seq("s_cell_x", "s_cell_y"))
+        .select(col("c_custkey"),
+          struct(((col("cx") - col("sx")) * (col("cx") - col("sx")) +
+            (col("cy") - col("sy")) * (col("cy") - col("sy"))).as("d2"),
+            col("s_suppkey").as("sk")).as("cand_best"))
+        .groupBy(col("c_custkey"))
+        // struct min = lexicographic (d2, suppkey) — the deterministic
+        // two-step tie-break in one reduction
+        .agg(min(col("cand_best")).as("ring_best"))
+      val merged = pending.join(cand, Seq("c_custkey"), "left")
+        .withColumn("best", when(col("ring_best").isNull, col("best"))
+          .when(col("best").isNull, col("ring_best"))
+          .when(col("ring_best") < col("best"), col("ring_best"))
+          .otherwise(col("best")))
+        .drop("ring_best")
+      // strict <: a best exactly ON the bound could tie with an unseen
+      // supplier in the next ring and lose the suppkey tie-break
+      val bound = r.toDouble * w
+      val finalize =
+        if (r >= cellsPerSide) lit(true)
+        else col("best").isNotNull && col("best.d2") < lit(bound * bound)
+      val settled = merged.filter(finalize)
+        .select(col("c_custkey"), col("best.sk").as("nn_suppkey"),
+          col("best.d2").as("dist_sq"))
+      done = if (done == null) settled.cutLineage()
+        else done.unionAll(settled).cutLineage()
+      pending = merged.filter(!finalize).cutLineage()
+      r += 1
+    }
+    done.orderBy(col("c_custkey"))
+  }
+
+  val q267Sql: String = {
+    val cx = coordSql("c_custkey", 101L)
+    val cy = coordSql("c_custkey", 102L)
+    val sx = coordSql("s_suppkey", 103L)
+    val sy = coordSql("s_suppkey", 104L)
+    s"""WITH cust AS (
+       |  SELECT c_custkey, $cx AS cx, $cy AS cy FROM customer),
+       |supp AS (
+       |  SELECT s_suppkey, $sx AS sx, $sy AS sy FROM supplier),
+       |cand AS (
+       |  SELECT c.c_custkey, s.s_suppkey,
+       |         (c.cx - s.sx) * (c.cx - s.sx)
+       |           + (c.cy - s.sy) * (c.cy - s.sy) AS dist_sq
+       |  FROM cust c CROSS JOIN supp s),
+       |best AS (
+       |  SELECT c_custkey, min(dist_sq) AS dist_sq
+       |  FROM cand GROUP BY c_custkey)
+       |SELECT cand.c_custkey, min(cand.s_suppkey) AS nn_suppkey,
+       |       cand.dist_sq
+       |FROM cand JOIN best
+       |  ON cand.c_custkey = best.c_custkey
+       | AND cand.dist_sq = best.dist_sq
+       |GROUP BY cand.c_custkey, cand.dist_sq
+       |ORDER BY cand.c_custkey""".stripMargin
+  }
 }

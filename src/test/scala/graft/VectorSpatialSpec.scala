@@ -143,4 +143,31 @@ class VectorSpatialSpec extends AnyFunSuite {
     // NN falls inside the probe's 3×3 window for ~40% of customers
     assert(checked > 50)
   }
+
+  test("q267 adaptive kNN: exact global NN for EVERY customer") {
+    // The expanding-ring contract: unlike q159's radius-bounded window,
+    // every customer resolves, and each answer is the brute-force global
+    // (min d², then min suppkey) — the ring bound may only save work,
+    // never change a result. sf0.001's 10 suppliers force a coarse
+    // adaptive grid (cells-per-side ≈ √(10/2) ≈ 2) with empty cells, so
+    // the loop's multi-ring and full-coverage paths both execute.
+    val out = Spatial.q267AdaptiveKnn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def coord(k: Long, salt: Long): Double =
+      ((k * 2654435761L + salt) % 2147483647L * 2147483648L +
+        (k * 3141592653L + salt) % 2147483629L) % 1000L / 10.0
+    val supp = Tables.supplier(spark, sf).select("s_suppkey").collect()
+      .map(_.getLong(0)).map(k => (k, coord(k, 103), coord(k, 104)))
+    val custs = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0))
+    assert(out.size === custs.length,
+      "every customer must resolve to an exact NN")
+    custs.foreach { c =>
+      val (cx, cy) = (coord(c, 101), coord(c, 102))
+      val (bk, _, _, bd) = supp.map { case (k, x, y) =>
+        (k, x, y, (cx - x) * (cx - x) + (cy - y) * (cy - y)) }
+        .minBy(t => (t._4, t._1))
+      assert(out(c) === ((bk, bd)), s"customer $c")
+    }
+  }
 }
