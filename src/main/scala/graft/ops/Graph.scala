@@ -94,8 +94,24 @@ object Graph {
     // reuses this single exchange and only the node-sized rank frame
     // moves per round. Without it both sides re-exchange every iteration
     // (r5 driver bench: 7.3 s; with the pin: ~2.5 s).
+    //
+    // The pinned count must SCALE WITH THE GRAPH: every iterate's
+    // contribution join hash-BUILDS the rank frame into this
+    // partitioning, so a fixed count turns node growth into per-task
+    // build growth — the same OOM class the triangle closing join hit at
+    // its sf2 point (Scale.hashBuildParallelism). Size by the BUILD
+    // side (the node-cardinality rank frame, bounded above by
+    // |customer|+|supplier| — two parquet-metadata counts) with the
+    // narrow-row budget: an edge-count sizing was measured 2.4× slower
+    // at the 10× point from wave quantization alone, protecting nothing
+    // (the build is nodes, not edges).
+    val nodeBound = Tables.customer(spark, sfDir).count() +
+      Tables.supplier(spark, sfDir).count()
     val degreed = edges.join(outdeg, "src")
-      .repartition(col("src")).persist()
+      .repartition(
+        Scale.hashBuildParallelism(spark, nodeBound,
+          Scale.NarrowBuildRowsPerTask),
+        col("src")).persist()
     degreed.count() // materialize outside the iteration lineage
     // checkpoint r0: each iterate reads its rank frame twice (contribution
     // join + left-join spine); un-checkpointed, the node-set distinct
@@ -147,13 +163,11 @@ object Graph {
   val TriangleBroadcastMaxEdgesDefault = 8000000L
 
   /** Oriented edges per partition of the wedge-closing SHUFFLE_HASH
-    * join. The build side is the edge list itself, so per-task build
-    * memory is edges/partitions — a fixed partition count turns linear
-    * data growth into linear PER-TASK growth and an eventual OOM (hit
-    * at the 24M-edge sf2 point under local[32]'s pool). 250k edges ≈
-    * 4 MB of hashed payload per task; 10^10 edges → 40k tasks, a
-    * normal cluster fan-out. */
-  val TriangleClosingEdgesPerPartition = 250000L
+    * join — [[Scale.HashBuildRowsPerTask]]; see
+    * [[Scale.hashBuildParallelism]] for why a hash-build join must scale
+    * its parallelism with the data (hit in anger here: the 24M-edge sf2
+    * point OOMed under local[32]'s pool at the fixed session count). */
+  val TriangleClosingEdgesPerPartition = Scale.HashBuildRowsPerTask
 
   /** Per-node triangle counts of the undirected simple graph `e`
     * (columns `pa` < `pb`, deduplicated). Returns (node, degree, n_tri)
@@ -254,20 +268,14 @@ object Graph {
           .filter(col("kv") < col("kw"))
           .select(col("u"), col("v"), col("w"))
         // The closing probe's BUILD side is the full oriented edge list,
-        // hashed per partition — with the session's FIXED shuffle
-        // partition count, per-task build size grows linearly with the
-        // graph and the hash map eventually outgrows the execution pool
-        // (measured: 24M edges / 32 partitions OOMed at the sf2 point).
-        // Scale the closing join's parallelism with the edge count the
-        // gate already materialized: ~TriangleClosingEdgesPerPartition
-        // edges per task keeps the build a few MB at ANY graph size.
-        // The explicit numPartitions also stops AQE from coalescing the
-        // exchanges back into oversized builds; co-partitioning both
-        // sides on (v, w) with the same count means the join itself
-        // adds no further exchange.
-        val closingParts = math.max(
-          spark.conf.get("spark.sql.shuffle.partitions").toInt,
-          (orientedEdges / TriangleClosingEdgesPerPartition).toInt + 1)
+        // hashed per partition — scale the join's parallelism with the
+        // edge count the gate already materialized (the q139 OOM that
+        // motivated Scale.hashBuildParallelism was measured HERE, at the
+        // 24M-edge sf2 point). The explicit numPartitions also stops AQE
+        // from coalescing the exchanges back into oversized builds;
+        // co-partitioning both sides on (v, w) with the same count means
+        // the join itself adds no further exchange.
+        val closingParts = Scale.hashBuildParallelism(spark, orientedEdges)
         wedges.repartition(closingParts, col("v"), col("w"))
           .join(o.select(col("src").as("v"), col("dst").as("w"))
             .repartition(closingParts, col("v"), col("w"))

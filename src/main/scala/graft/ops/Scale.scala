@@ -19,6 +19,40 @@ import graft.Tables
   */
 object Scale {
 
+  /** Default rows-per-task for [[hashBuildParallelism]]: 250k rows of a
+    * few columns ≈ ~10 MB of hashed payload per task. */
+  val HashBuildRowsPerTask = 250000L
+
+  /** Rows-per-task budget for FIXED-NARROW build rows (two longs — a
+    * rank or label frame): ~32 B/entry hashed → 2M rows ≈ 64 MB per
+    * task. Sizing by the BUILD side with this wider budget matters:
+    * sizing q114's pinned edge partitioning by its PROBE side (edges ≈
+    * 70× nodes) pushed the partition count past the session floor at
+    * the 10× point and cost 2.4× in wave quantization for zero memory
+    * benefit — the build was never the risk there until ~10⁸ nodes. */
+  val NarrowBuildRowsPerTask = 2000000L
+
+  /** Partition count for a join whose BUILD side grows with the data
+    * (a SHUFFLE_HASH hint, or an explicit co-partitioning feeding one).
+    * A hash join's build map must FIT in task memory — unlike sort-merge
+    * it cannot spill — so with the session's fixed shuffle partition
+    * count, per-task build size is rows/partitions and grows linearly
+    * with the data until it outgrows the execution pool (measured: the
+    * triangle closing join OOMed at the 24M-edge sf2 point under
+    * local[32]). AQE cannot save this plan shape: it only COALESCES
+    * partitions (making builds bigger) and its skew split does not apply
+    * to the build side. The fix is to derive parallelism from the
+    * materialized row count the caller already has (iterative ops count
+    * their checkpointed frames anyway): ~[[HashBuildRowsPerTask]] rows
+    * per task keeps the build a few MB at ANY scale — 10^10 rows → 40k
+    * tasks, a normal cluster fan-out. Never below the session's shuffle
+    * parallelism, so small data keeps its full CPU fan-out. */
+  def hashBuildParallelism(spark: SparkSession, rows: Long,
+      rowsPerTask: Long = HashBuildRowsPerTask): Int =
+    math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (rows / rowsPerTask).toInt + 1)
+
   /** Two-phase salted aggregation for skewed group keys: phase 1 aggregates
     * on (key, salt) — spreading a hot key over `salts` reducers — phase 2
     * merges the partials per key. `partials` maps each input-measure column

@@ -141,25 +141,48 @@ object Spatial {
     * output stays linear at any density.
     *
     * A finer grid shrinks the search radius, so the neighborhood is no
-    * longer a fixed 3×3: the search EXPANDS ring by ring (all cells at
-    * l∞ index distance r) until the best candidate found is provably
-    * closer than anything outside the searched rings. The bound: after
-    * searching rings 0..r, every unsearched supplier sits in a cell with
-    * l∞ index distance ≥ r+1, hence at Euclidean distance ≥ r·w from any
-    * point of the home cell — a customer whose best d² < (r·w)² is
-    * final. Ties on the bound continue one ring (strict <), so the
-    * suppkey tie-break can never be decided against an unseen candidate;
-    * when the rings have covered the whole grid everything finalizes
-    * unconditionally. Expected rounds at constant occupancy: 2-3,
-    * independent of scale; each round's pending set shrinks by the
-    * finalize filter (measured: >95% resolve by ring 2 on the fixtures).
+    * longer a fixed 3×3: the search EXPANDS in ring batches (all cells
+    * at l∞ index distance lo..hi) until the best candidate found is
+    * provably closer than anything outside the searched rings. The
+    * bound: after searching rings 0..hi, every unsearched supplier sits
+    * in a cell with l∞ index distance ≥ hi+1, hence at Euclidean
+    * distance ≥ hi·w from any point of the home cell — a customer whose
+    * best d² < (hi·w)² is final. Ties on the bound continue (strict <),
+    * so the suppkey tie-break can never be decided against an unseen
+    * candidate; when the rings have covered the whole grid everything
+    * finalizes unconditionally.
+    *
+    * Round structure (each round is a full Spark job, so rounds are the
+    * scale-relevant cost, not candidates): the first three batches are
+    * single rings — >95% of probes resolve by ring 2 at constant
+    * occupancy — then the searched radius DOUBLES per batch, so the
+    * straggler tail costs O(log cells) rounds instead of one round per
+    * ring. Per round, ONLY that round's merged frame is materialized
+    * (the settled output is a narrow filter over it), so total
+    * materialized volume across the loop is O(n), not O(n·rounds). A
+    * batch whose literal offset array would exceed [[MaxOffsetsPerRound]]
+    * cells — a probe ≥126 rings deep in a desert, impossible under
+    * constant mean occupancy unless the data is adversarially
+    * clustered — falls through to an exact brute-force remainder (the
+    * pending set at that point is the Poisson tail: vanishingly small
+    * under any density the adaptive grid was sized for).
     *
     * Output ≡ brute-force global NN (min d², then min suppkey) — the
     * oracle is the O(n·m) cross join, so equality proves the ring bound
     * loses nothing. The supplier count that sizes the grid is one
     * 1-row action on the dimension (the q139 gate pattern); per-round
     * lineage cuts keep the loop's plan bounded. */
-  def q267AdaptiveKnn(spark: SparkSession, sfDir: String): DataFrame = {
+  def q267AdaptiveKnn(spark: SparkSession, sfDir: String): DataFrame =
+    adaptiveKnnImpl(spark, sfDir, MaxOffsetsPerRound)
+
+  /** Literal ring-offset cells a single round may carry in its plan —
+    * the batch schedule in [[adaptiveKnnImpl]] caps itself to this, and
+    * a probe still unresolved past the cap takes the exact brute-force
+    * remainder. 1000 ≈ the full disc through ring 15. */
+  private val MaxOffsetsPerRound = 1000
+
+  private[graft] def adaptiveKnnImpl(spark: SparkSession, sfDir: String,
+      maxOffsetsPerRound: Int): DataFrame = {
     import graft.ops.Checkpoints.CutOps
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"),
@@ -182,49 +205,80 @@ object Spatial {
       .withColumn("cell_y", floor(col("cy") / w).cast("int"))
       .withColumn("best", lit(null).cast("struct<d2:double,sk:bigint>"))
       .cutLineage()
-    var done: DataFrame = null
-    var r = 0
-    // r = cellsPerSide covers every cell from any home index — the loop
-    // is bounded even on a fixture with empty regions
-    while (r <= cellsPerSide && !pending.isEmpty) {
-      val ring = for {
-        dx <- -r to r; dy <- -r to r
-        if math.max(math.abs(dx), math.abs(dy)) == r
-      } yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
-      val cand = pending
-        .withColumn("o", explode(array(ring: _*)))
-        .withColumn("s_cell_x", col("cell_x") + col("o.dx"))
-        .withColumn("s_cell_y", col("cell_y") + col("o.dy"))
-        .join(supp, Seq("s_cell_x", "s_cell_y"))
-        .select(col("c_custkey"),
-          struct(((col("cx") - col("sx")) * (col("cx") - col("sx")) +
-            (col("cy") - col("sy")) * (col("cy") - col("sy"))).as("d2"),
-            col("s_suppkey").as("sk")).as("cand_best"))
-        .groupBy(col("c_custkey"))
-        // struct min = lexicographic (d2, suppkey) — the deterministic
-        // two-step tie-break in one reduction
-        .agg(min(col("cand_best")).as("ring_best"))
-      val merged = pending.join(cand, Seq("c_custkey"), "left")
-        .withColumn("best", when(col("ring_best").isNull, col("best"))
-          .when(col("best").isNull, col("ring_best"))
-          .when(col("ring_best") < col("best"), col("ring_best"))
-          .otherwise(col("best")))
-        .drop("ring_best")
-      // strict <: a best exactly ON the bound could tie with an unseen
-      // supplier in the next ring and lose the suppkey tie-break
-      val bound = r.toDouble * w
-      val finalize =
-        if (r >= cellsPerSide) lit(true)
-        else col("best").isNotNull && col("best.d2") < lit(bound * bound)
-      val settled = merged.filter(finalize)
-        .select(col("c_custkey"), col("best.sk").as("nn_suppkey"),
-          col("best.d2").as("dist_sq"))
-      done = if (done == null) settled.cutLineage()
-        else done.unionAll(settled).cutLineage()
-      pending = merged.filter(!finalize).cutLineage()
-      r += 1
+    def ringCells(l: Int): Int = if (l == 0) 1 else 8 * l
+    var doneParts = List.empty[DataFrame]
+    var lo = 0
+    var exhausted = false
+    while (!exhausted && !pending.isEmpty) {
+      if (ringCells(lo) > maxOffsetsPerRound) {
+        // Exact brute-force remainder: every supplier is a candidate, so
+        // the global (min d², min suppkey) over the cross product ⊇ any
+        // prior ring candidate — prior partial bests can be dropped.
+        doneParts ::= pending.select(col("c_custkey"), col("cx"), col("cy"))
+          .crossJoin(supp.select(col("s_suppkey"), col("sx"), col("sy")))
+          .select(col("c_custkey"),
+            struct(((col("cx") - col("sx")) * (col("cx") - col("sx")) +
+              (col("cy") - col("sy")) * (col("cy") - col("sy"))).as("d2"),
+              col("s_suppkey").as("sk")).as("cand_best"))
+          .groupBy(col("c_custkey"))
+          .agg(min(col("cand_best")).as("best"))
+          .select(col("c_custkey"), col("best.sk").as("nn_suppkey"),
+            col("best.d2").as("dist_sq"))
+        exhausted = true
+      } else {
+        // geometric batch [lo, hi]: single rings while lo < 3, then the
+        // searched radius doubles, capped by the per-round offset budget
+        val target = if (lo < 3) lo else math.min(cellsPerSide, 2 * lo)
+        var hi = lo
+        var budget = maxOffsetsPerRound - ringCells(lo)
+        while (hi < target && budget >= ringCells(hi + 1)) {
+          hi += 1; budget -= ringCells(hi)
+        }
+        val ring = for {
+          dx <- -hi to hi; dy <- -hi to hi
+          l = math.max(math.abs(dx), math.abs(dy)) if l >= lo && l <= hi
+        } yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+        val cand = pending
+          .withColumn("o", explode(array(ring: _*)))
+          .withColumn("s_cell_x", col("cell_x") + col("o.dx"))
+          .withColumn("s_cell_y", col("cell_y") + col("o.dy"))
+          .join(supp, Seq("s_cell_x", "s_cell_y"))
+          .select(col("c_custkey"),
+            struct(((col("cx") - col("sx")) * (col("cx") - col("sx")) +
+              (col("cy") - col("sy")) * (col("cy") - col("sy"))).as("d2"),
+              col("s_suppkey").as("sk")).as("cand_best"))
+          .groupBy(col("c_custkey"))
+          // struct min = lexicographic (d2, suppkey) — the deterministic
+          // two-step tie-break in one reduction
+          .agg(min(col("cand_best")).as("ring_best"))
+        // strict <: a best exactly ON the bound could tie with an unseen
+        // supplier in the next ring and lose the suppkey tie-break
+        val bound = hi.toDouble * w
+        val finalize =
+          if (hi >= cellsPerSide) lit(true)
+          else col("best").isNotNull && col("best.d2") < lit(bound * bound)
+        // ONE materialization per round — the settled part and the next
+        // round's pending are both narrow filters over it. Accumulating
+        // `done` as a union of these filters (instead of re-cutting the
+        // whole union every round) keeps total materialized volume O(n).
+        val merged = pending.join(cand, Seq("c_custkey"), "left")
+          .withColumn("best", when(col("ring_best").isNull, col("best"))
+            .when(col("best").isNull, col("ring_best"))
+            .when(col("ring_best") < col("best"), col("ring_best"))
+            .otherwise(col("best")))
+          .drop("ring_best")
+          .cutLineage()
+        doneParts ::= merged.filter(finalize)
+          .select(col("c_custkey"), col("best.sk").as("nn_suppkey"),
+            col("best.d2").as("dist_sq"))
+        pending = merged.filter(!finalize)
+        if (hi >= cellsPerSide) exhausted = true
+        lo = hi + 1
+      }
     }
-    done.orderBy(col("c_custkey"))
+    val none = cust.limit(0).select(col("c_custkey"),
+      lit(0L).as("nn_suppkey"), lit(0.0).as("dist_sq"))
+    doneParts.foldLeft(none)(_.unionAll(_)).orderBy(col("c_custkey"))
   }
 
   val q267Sql: String = {

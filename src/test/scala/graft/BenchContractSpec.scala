@@ -47,6 +47,25 @@ class BenchContractSpec extends AnyFunSuite {
       "the degreed edge frame must come from the persisted, " +
         "hash-partitioned cache; without it every iteration re-exchanges " +
         "the edge list (the r5 7.3 s regression shape)")
+    // The pinned partitioning must carry an EXPLICIT numPartitions from
+    // Scale.hashBuildParallelism — every iteration hash-BUILDS the rank
+    // frame into it, so a session-count default turns node growth into
+    // per-task build growth (the q139 sf2 OOM class). The repartition
+    // lives inside the persisted relation, invisible to the formatted
+    // physical plan above — pin it on the logical plan with the
+    // checkpoint seam open.
+    // Pinned on the ANALYZED plan: cache substitution (optimizedPlan)
+    // hides the subtree behind InMemoryRelation, and on the small
+    // fixture EnsureRequirements rightly elides the physical exchange
+    // when the computed count coincides with the join's existing
+    // partitioning — the logical node is the durable evidence.
+    val reps = df("q114_pagerank").queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionByExpression if r.optNumPartitions.isDefined => r
+    }
+    assert(reps.nonEmpty,
+      "q114's pinned edge partitioning lost its explicit " +
+        "Scale.hashBuildParallelism count")
   }
 
   test("q213 pin: per-vector pass folds arrays, never explodes the corpus") {
@@ -99,6 +118,16 @@ class BenchContractSpec extends AnyFunSuite {
       assert(!above.contains("array_intersect"),
         "gate=0 still builds broadcast adjacency arrays — the fallback " +
           "is not actually engaged")
+      // The closing join's parallelism must be the EXPLICIT repartition
+      // pair scaled by Scale.hashBuildParallelism, not an
+      // ENSURE_REQUIREMENTS exchange at the fixed session count: the
+      // build side grows with the graph, and the session-count shape
+      // OOMed at the 24M-edge sf2 point ("not enough memory to build
+      // hash map" ×136 in the r9 campaign log).
+      assert("REPARTITION_BY_NUM".r.findAllIn(above).size >= 2,
+        "wedge closing lost its explicit scaled co-partitioning — the " +
+          "hash build is back to the fixed session parallelism that " +
+          "OOMs once edges/partitions outgrows task memory")
     } finally
       spark.conf.unset(graft.ops.Graph.TriangleBroadcastMaxEdgesKey)
   }

@@ -170,4 +170,14 @@ class VectorSpatialSpec extends AnyFunSuite {
       assert(out(c) === ((bk, bd)), s"customer $c")
     }
   }
+
+  test("q267 brute-force remainder path ≡ the ring path") {
+    // maxOffsetsPerRound = 1: ring 0 (1 offset) fits, ring 1 (8 offsets)
+    // does not — every probe not settled by its home cell takes the
+    // exact brute-force remainder. Results must be identical to the
+    // production schedule's.
+    val ringed = Spatial.q267AdaptiveKnn(spark, sf).collect().toSeq
+    val bruted = Spatial.adaptiveKnnImpl(spark, sf, 1).collect().toSeq
+    assert(bruted === ringed)
+  }
 }
