@@ -85,26 +85,45 @@ object Centroids {
   def q66KmeansStep(spark: SparkSession, sfDir: String): DataFrame =
     kmeansStep(Tables.embeddings(spark, sfDir), KmeansK)
 
-  /** The Lloyd-step core over any (vec_id, embedding) frame — see
-    * [[q66KmeansStep]] for semantics and scale rationale. */
-  def kmeansStep(embeddings: DataFrame, k: Int): DataFrame = {
-    val qv = embeddings
+  /** (vec_id, pos, q) — embedding components quantized to the exact-BIGINT
+    * offset space ([[KmeansScale]] Scaladoc). */
+  private[graft] def quantized(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"),
         (floor(col("v").cast("double") * lit(KmeansScale.toDouble))
           .cast("long") + lit(KmeansScale)).as("q"))
-    val cent = qv.filter(col("vec_id") < k)
+
+  /** Nearest-seed assignment over quantized components: seeds are the
+    * first `k` vectors, distance is exact BIGINT squared L2, argmin ties
+    * break to the lowest cid. `hintCentroids` forces a broadcast of the
+    * k·dim seed frame — right when k is a CONSTANT (q66's k=8); leave it
+    * false when k grows with the data (q268's k ∝ √n) and let AQE size
+    * the join at runtime. Returns (vec_id, cid, dist). */
+  private[graft] def assignMembers(qv: DataFrame, k: Long,
+      hintCentroids: Boolean): DataFrame = {
+    val cent0 = qv.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+    val cent = if (hintCentroids) broadcast(cent0) else cent0
     val dists = qv
-      .join(broadcast(cent), Seq("pos"))
+      .join(cent, Seq("pos"))
       .groupBy(col("vec_id"), col("cid"))
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
-    val members = dists
+    dists
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cid"), col("dist"))
+  }
+
+  /** The Lloyd-step core over any (vec_id, embedding) frame — see
+    * [[q66KmeansStep]] for semantics and scale rationale. */
+  def kmeansStep(embeddings: DataFrame, k: Int): DataFrame = {
+    val qv = quantized(embeddings)
+    val cent = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+    val members = assignMembers(qv, k, hintCentroids = true)
     val newc = members.join(qv, Seq("vec_id"))
       .groupBy(col("cid"), col("pos"))
       .agg(expr("sum(q) div count(1)").as("ncq"))
@@ -386,4 +405,143 @@ object Centroids {
        |       count(*) AS n_vecs
        |FROM qv q JOIN s USING (vec_id)
        |GROUP BY q.pos, q.x ORDER BY q.pos""".stripMargin
+
+  /** SemDeDup cosine threshold, fixture-calibrated: the synthetic
+    * embeddings have no pair above 0.52 cosine (measured at sf0.01), so a
+    * production-grade 0.95 would make the operator a no-op on the test
+    * corpus. 0.30 drops ~33% of vectors at sf0.01 — the mechanics
+    * (cluster → within-cluster pairwise → keep-lowest-id) are exercised
+    * for real; the rule itself is threshold-independent. The compare is
+    * on the 4-dp ROUNDED cosine, the same cross-engine determinism device
+    * as q50/q73. */
+  private val SemDedupTau = 0.30
+
+  /** q268_semdedup — SemDeDup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023): cluster
+    * the embedding corpus, then search for semantic near-duplicates ONLY
+    * within each cluster — the device that turns the O(n²) all-pairs
+    * cosine scan into per-cluster work. A vector is dropped when a
+    * LOWER-id vector in the same cluster has cosine ≥ τ (keep-first, the
+    * paper's deterministic representative rule). Output is the per-cluster
+    * audit a curation run logs: members, dropped count, and an
+    * order-independent checksum of the kept ids (the reproducibility
+    * handle — two runs must match it exactly).
+    *
+    * Scale design:
+    *  - k grows with the corpus: k = ⌈√n⌉ balances assignment (O(n·k)
+    *    component-rows) against within-cluster pairwise (O(n²/k)) — both
+    *    O(n^1.5) at the balance point, never quadratic. n comes from one
+    *    count() action, the q139/q267 sizing-gate pattern.
+    *  - The seed-centroid join is NOT hint-broadcast: cent is k·dim rows
+    *    and k ∝ √n, so at the 100 TB point it is a ~10⁷-row frame — AQE
+    *    broadcasts it while it fits and shuffles the join beyond that
+    *    (the round-9 de-hint rule; contrast q66's constant k=8, which
+    *    keeps its hint).
+    *  - The pairwise stage shuffles on cid only; embeddings travel once
+    *    per membership. Cluster sizes concentrate around √n; a skewed
+    *    mega-cluster shows up in n_members — the q263-style balance
+    *    audit — and a production run would cap it exactly as q264 caps
+    *    LSH buckets.
+    *  - Assignment distance is exact BIGINT L2 over quantized components
+    *    ([[KmeansScale]]), so membership — and therefore the checksum —
+    *    is bit-identical across engines and partitionings; only the final
+    *    cosine compare is floating-point, absorbed by the 4-dp round.
+    *  - Checksum hash is the q203 32-bit multiplicative mix: per-cluster
+    *    sums stay < |cluster|·2³² — no BIGINT overflow risk at any
+    *    realistic cluster size. */
+  def q268SemDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semDedup(Tables.embeddings(spark, sfDir))
+
+  /** The SemDeDup core over any (vec_id, embedding) frame — see
+    * [[q268SemDedup]] for semantics and scale rationale; `tau` is a
+    * parameter so specs can plant near-duplicate clones at a production
+    * threshold. */
+  private[graft] def semDedup(e: DataFrame,
+      tau: Double = SemDedupTau): DataFrame = {
+    val n = e.count() // one 1-row action sizes k — the q267 gate pattern
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val members = assignMembers(quantized(e), k, hintCentroids = false)
+      .select(col("vec_id"), col("cid"))
+    val m = members.join(e.select(col("vec_id"), col("embedding")),
+      Seq("vec_id"))
+    val dropped = m.select(col("cid"), col("vec_id").as("v1"),
+        col("embedding").as("e1"))
+      .join(m.select(col("cid"), col("vec_id").as("v2"),
+        col("embedding").as("e2")), Seq("cid"))
+      .filter(col("v1") < col("v2"))
+      .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
+        >= lit(tau))
+      .select(col("cid"), col("v2"))
+      .distinct()
+    val kept = members.join(dropped.select(col("v2").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val keptStats = kept.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(pmod(col("vec_id") * lit(TrainingData.MixA),
+          lit(TrainingData.Mod32))).as("kept_checksum"))
+    members.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(keptStats, Seq("cid"))
+      .select(col("cid"), col("n_members"),
+        (col("n_members") - col("n_kept")).as("n_dropped"),
+        col("kept_checksum"))
+      .orderBy(col("cid"))
+  }
+
+  val q268Sql: String =
+    s"""WITH k AS (
+       |  SELECT GREATEST(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |pe AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, pos,
+       |         CAST(floor(CAST(v AS DOUBLE) * $KmeansScale.0) AS BIGINT)
+       |           + $KmeansScale AS q
+       |  FROM pe),
+       |cent AS (
+       |  SELECT vec_id AS cid, pos, q AS cq FROM qv
+       |  WHERE vec_id < (SELECT k FROM k)),
+       |dists AS (
+       |  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+       |  FROM qv v JOIN cent c ON v.pos = c.pos
+       |  GROUP BY 1, 2),
+       |members AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY dist, cid) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |pairs AS (
+       |  SELECT m1.cid, m1.vec_id AS v1, m2.vec_id AS v2
+       |  FROM members m1 JOIN members m2
+       |    ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id),
+       |pc AS (
+       |  SELECT p.cid, p.v1, p.v2,
+       |         unnest(a.embedding)::DOUBLE AS x,
+       |         unnest(b.embedding)::DOUBLE AS y
+       |  FROM pairs p
+       |  JOIN embeddings a ON a.vec_id = p.v1
+       |  JOIN embeddings b ON b.vec_id = p.v2),
+       |dropped AS (
+       |  SELECT DISTINCT cid, v2 FROM (
+       |    SELECT cid, v1, v2,
+       |           round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+       |             AS c
+       |    FROM pc GROUP BY 1, 2, 3)
+       |  WHERE c >= $SemDedupTau),
+       |kept AS (
+       |  SELECT m.vec_id, m.cid FROM members m
+       |  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.v2 = m.vec_id)),
+       |ks AS (
+       |  SELECT cid, count(*) AS n_kept,
+       |         CAST(sum((vec_id * ${TrainingData.MixA}) %
+       |           ${TrainingData.Mod32}) AS BIGINT) AS kept_checksum
+       |  FROM kept GROUP BY 1)
+       |SELECT m.cid, count(*) AS n_members,
+       |       count(*) - any_value(ks.n_kept) AS n_dropped,
+       |       any_value(ks.kept_checksum) AS kept_checksum
+       |FROM members m JOIN ks ON ks.cid = m.cid
+       |GROUP BY m.cid ORDER BY m.cid""".stripMargin
 }

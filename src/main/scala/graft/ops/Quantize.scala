@@ -273,4 +273,131 @@ object Quantize {
       |  FROM s)
       |SELECT query_id, cand_id, qcos, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Target dimension of the q269 random projection. 16 from 64 is the
+    * 4× JL compression a pipeline uses for cheap pre-filtering before an
+    * exact re-rank (same role as int8: shrink the scan, keep the
+    * geometry). */
+  val JlDim = 16
+
+  /** Component quantization scale for the q269 integer arithmetic —
+    * ⌊v·2²⁰⌋ is exact for |v| ≤ 1 (the q79/q66 device). */
+  private val JlScale = 1048576L
+
+  /** q269_jl_projection — Johnson–Lindenstrauss random-sign projection of
+    * the embedding corpus (Achlioptas 2003's ±1 database-friendly form):
+    * proj_j = Σ_pos sign(pos,j)·x_pos with sign drawn from the
+    * [[graft.functions.StableHash.intMix62Col]] parity — a seedless,
+    * engine-replayable "random" matrix. The output audits what JL
+    * promises: for each near-band pair, the original squared distance,
+    * the projected squared distance, and their ratio normalized by the
+    * E[proj²] = m·d² identity — the distortion a pipeline checks before
+    * trusting the compressed vectors for candidate generation.
+    *
+    * Determinism: a groupBy-sum of doubles is partition-order-dependent,
+    * so components quantize to ⌊v·2²⁰⌋ BIGINT first and every sum is
+    * exact integer arithmetic; the one IEEE division happens on exact
+    * operands at the very end. Bounds: |qp_j| ≤ 64·2²⁰ = 2²⁶, pair terms
+    * (qp₁−qp₂)² ≤ 2⁵⁴, summed over 16 dims < 2⁵⁸ — no overflow.
+    *
+    * Scale design:
+    *  - The sign matrix is d·m = 1024 rows built from `spark.range` —
+    *    CONSTANT cardinality (schema-fixed d, constant m), so its
+    *    broadcast is legitimate at any corpus size (not the
+    *    SF-proportional class the round-9 sweep de-hinted).
+    *  - Projection is one narrow shuffle of n·m partial rows (map-side
+    *    combine does the d-way sums early); no whole-vector array crosses
+    *    the wire.
+    *  - The distortion audit runs over the q73 band pairs (vec_id within
+    *    5) — a bounded per-vector candidate set, linear in n, the same
+    *    band-explosion device as the range join. */
+  def q269JlProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    // quantized component arrays (exact BIGINT folds, array order)
+    val qe = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(JlScale.toDouble)).cast("long"))
+        .as("qemb"))
+    val d = e.select(max(size(col("embedding")))).head().getInt(0)
+    val signs = spark.range(d.toLong * JlDim)
+      .select(expr(s"id div $JlDim").as("pos"),
+        pmod(col("id"), lit(JlDim.toLong)).as("j"))
+      .select(col("pos"), col("j"),
+        (pmod(graft.functions.StableHash.intMix62Col(col("pos"), col("j")),
+          lit(2L)) * 2L - 1L).as("sign"))
+    val proj = qe
+      .select(col("vec_id"), posexplode(col("qemb")).as(Seq("pos", "q")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("q"))
+      .join(broadcast(signs), Seq("pos"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("sign") * col("q")).as("qp"))
+    val pairs = qe
+      .select(col("vec_id").as("v1"), col("qemb").as("qe1"),
+        explode(sequence(col("vec_id") + 1, col("vec_id") + 5)).as("v2"))
+      .join(qe.select(col("vec_id").as("v2"), col("qemb").as("qe2")),
+        Seq("v2"))
+      .select(col("v1"), col("v2"),
+        aggregate(zip_with(col("qe1"), col("qe2"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("orig_d2q"))
+    val projd = pairs
+      .join(proj.select(col("vec_id").as("v1"), col("j"),
+        col("qp").as("qp1")), Seq("v1"))
+      .join(proj.select(col("vec_id").as("v2"), col("j"),
+        col("qp").as("qp2")), Seq("v2", "j"))
+      .groupBy(col("v1"), col("v2"), col("orig_d2q"))
+      .agg(sum((col("qp1") - col("qp2")) * (col("qp1") - col("qp2")))
+        .as("proj_d2q"))
+    projd
+      .select(col("v1"), col("v2"), col("orig_d2q"), col("proj_d2q"),
+        when(col("orig_d2q") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("proj_d2q").cast("double") /
+            (col("orig_d2q").cast("double") * lit(JlDim.toDouble)), 4))
+          .as("distortion"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  val q269Sql: String = {
+    val signExpr = graft.functions.StableHash.intMix62ColSql("pos", "j")
+    s"""WITH d AS (SELECT max(len(embedding)) AS d FROM embeddings),
+       |qe AS (
+       |  SELECT vec_id,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $JlScale.0)
+       |           AS BIGINT) AS q,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |signs AS (
+       |  SELECT i // $JlDim AS pos, i % $JlDim AS j,
+       |         (($signExpr) % 2) * 2 - 1 AS sign
+       |  FROM (SELECT unnest(generate_series(0,
+       |          (SELECT d FROM d) * $JlDim - 1)) AS i)),
+       |proj AS (
+       |  SELECT q.vec_id, s.j, CAST(sum(s.sign * q.q) AS BIGINT) AS qp
+       |  FROM qe q JOIN signs s ON s.pos = q.pos
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |         CAST(sum((qa.q - qb.q) * (qa.q - qb.q)) AS BIGINT)
+       |           AS orig_d2q
+       |  FROM embeddings a
+       |  JOIN embeddings b
+       |    ON b.vec_id BETWEEN a.vec_id + 1 AND a.vec_id + 5
+       |  JOIN qe qa ON qa.vec_id = a.vec_id
+       |  JOIN qe qb ON qb.vec_id = b.vec_id AND qb.pos = qa.pos
+       |  GROUP BY 1, 2),
+       |projd AS (
+       |  SELECT p.v1, p.v2, p.orig_d2q,
+       |         CAST(sum((p1.qp - p2.qp) * (p1.qp - p2.qp)) AS BIGINT)
+       |           AS proj_d2q
+       |  FROM pairs p
+       |  JOIN proj p1 ON p1.vec_id = p.v1
+       |  JOIN proj p2 ON p2.vec_id = p.v2 AND p2.j = p1.j
+       |  GROUP BY 1, 2, 3)
+       |SELECT v1, v2, orig_d2q, proj_d2q,
+       |       CASE WHEN orig_d2q = 0 THEN NULL
+       |            ELSE round(CAST(proj_d2q AS DOUBLE) /
+       |              (CAST(orig_d2q AS DOUBLE) * $JlDim.0), 4) END
+       |         AS distortion
+       |FROM projd ORDER BY v1, v2""".stripMargin
+  }
 }

@@ -239,4 +239,65 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("m") =!= 127).count()
     assert(hits === 0L, s"$hits vectors missing the ±127 anchor")
   }
+
+  test("q268 semDedup drops planted clones, keeps originals, conserves") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(7)
+    def randVec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val bases = (0 until 40).map(i => (i.toLong, randVec()))
+    // clones 100..109 of vectors 0..9 with tiny noise → cosine ≈ 1, and
+    // a nearest-seed assignment that provably matches the original's
+    val clones = (0 until 10).map { i =>
+      ((100 + i).toLong,
+        bases(i)._2.map(x => x + 0.001f * rng.nextGaussian().toFloat))
+    }
+    val e = (bases ++ clones).toDF("vec_id", "embedding")
+    // production-grade τ: random 64-dim gaussians sit at |cos| ~ 0.125,
+    // so ONLY the planted pairs can cross it — no flaky accidental drops
+    val out = ops.Centroids.semDedup(e, tau = 0.95).collect()
+    assert(out.map(_.getLong(1)).sum === 50L, "members must partition")
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1),
+        "a cluster's lowest id can never drop — n_dropped < n_members")
+    }
+    assert(out.map(_.getLong(2)).sum === 10L,
+      "exactly the ten planted clones drop")
+    // replay the keep-set checksum from the drop rule itself: kept =
+    // everything but the clones (each clone's original has the lower id)
+    val members = ops.Centroids.assignMembers(
+        ops.Centroids.quantized(e), 8L, hintCentroids = false)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect()
+    val expected = members.filter(_._1 < 100L).groupBy(_._2)
+      .map { case (cid, ms) =>
+        (cid, ms.map { case (v, _) =>
+          v * ops.TrainingData.MixA % ops.TrainingData.Mod32
+        }.sum)
+      }
+    val got = out.map(r => (r.getLong(0), r.getLong(3))).toMap
+    expected.foreach { case (cid, sum) =>
+      assert(got(cid) === sum, s"kept_checksum mismatch in cluster $cid")
+    }
+  }
+
+  test("q269 JL distortion is unbiased and exactly reproducible") {
+    val sfDir = SparkSuite.sf
+    val out = ops.Quantize.q269JlProjection(spark, sfDir).collect()
+    // q73's band pairs: vec_id+1..vec_id+5 clipped at the corpus edge
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.length === (5L * n - 15L), "band-pair cardinality")
+    val ds = out.map(_.getDouble(4))
+    // JL unbiasedness: E[proj_d2 / (m·orig_d2)] = 1; stderr of the mean
+    // over ~2.5k pairs at m=16 is ~0.016 — [0.9, 1.1] is 6σ-safe
+    val mean = ds.sum / ds.length
+    assert(mean > 0.9 && mean < 1.1, s"mean distortion $mean")
+    // integer exactness: a different partitioning must produce the SAME
+    // rows bit-for-bit (the groupBy sums are BIGINT, not IEEE folds)
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = ops.Quantize.q269JlProjection(spark, sfDir).collect()
+      assert(again.toSeq === out.toSeq, "partitioning changed the result")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+  }
 }
