@@ -26,7 +26,9 @@ object AuditSweep {
         PlanAudit.suspectGlobalWindows(df)
           .map(w => Finding(name, "global-window", w.toString)) ++
           PlanAudit.sfProportionalBroadcasts(df)
-            .map(b => Finding(name, "forced-broadcast", b.toString))
+            .map(b => Finding(name, "forced-broadcast", b.toString)) ++
+          PlanAudit.unguardedHashBuilds(df)
+            .map(b => Finding(name, "fixed-hash-build", b.toString))
       } catch { case scala.util.control.NonFatal(e) =>
         // a query that cannot even build is its own loud failure in
         // the correctness gate; the audit reports and moves on

@@ -154,6 +154,71 @@ object PlanAudit {
         GlobalWindow(order, leafTables(w.child), isPidOffsetFrame(w.child))
     }
 
+  /** One SHUFFLE_HASH join whose build parallelism is the session fixed
+    * count. */
+  final case class UnguardedHashBuild(tables: Set[String]) {
+    override def toString = "SHUFFLE_HASH join reaching SF-proportional " +
+      tables.mkString("{", ",", "}") + " with no explicit scaled " +
+      "repartition on either side"
+  }
+
+  /** `p` with analyzed-plan wrappers stripped: Project/Filter (as
+    * [[stripWrappers]]), plus SubqueryAlias and ResolvedHint, which the
+    * optimizer removes but the ANALYZED plan still carries. */
+  @annotation.tailrec
+  private def stripAnalyzed(p: LogicalPlan): LogicalPlan = p match {
+    case pr: Project       => stripAnalyzed(pr.child)
+    case f: Filter         => stripAnalyzed(f.child)
+    case s: SubqueryAlias  => stripAnalyzed(s.child)
+    case h: ResolvedHint   => stripAnalyzed(h.child)
+    case other             => other
+  }
+
+  /** SHUFFLE_HASH-hinted joins in `df`'s ANALYZED plan (hints are still
+    * ResolvedHint wrappers there; the audit reads the analyzed plan
+    * because the guard it looks for — the explicit repartition — usually
+    * lives inside a PERSISTED frame, which the optimized plan hides
+    * behind InMemoryRelation) whose subtree reaches an SF-proportional
+    * leaf and where NEITHER side's immediate wrapper chain ends at a
+    * RepartitionByExpression with an explicit partition count.
+    *
+    * Why this is a scale-killer class of its own: a hash join's build
+    * map cannot spill, so at the session's fixed shuffle parallelism
+    * per-task build bytes = rows/partitions grow linearly with the data
+    * — measured in anger when the q139 wedge-closing join OOMed at the
+    * 24M-edge sf2 point ("not enough memory to build hash map"). AQE
+    * cannot save the shape (it only coalesces partitions — bigger
+    * builds — and its skew split applies to the probe). The guard is
+    * [[graft.ops.Scale.hashBuildParallelism]]: an explicit repartition
+    * sized from a materialized row count, co-partitioning the join so
+    * the explicit count IS the build parallelism. The chain check is
+    * immediate structure, not a subtree search — a repartition deep in
+    * the lineage on unrelated keys must not whitelist the join (the
+    * round-8 collectFirst loophole, applied here from day one). */
+  def unguardedHashBuilds(df: DataFrame): Seq[UnguardedHashBuild] = {
+    // the hint must sit on the side's IMMEDIATE wrapper chain — Spark
+    // attaches a join-strategy hint to the nearest enclosing Join, so a
+    // deeper hint belongs to a deeper join and must not implicate this one
+    @annotation.tailrec
+    def immediateHint(p: LogicalPlan): Boolean = p match {
+      case h: ResolvedHint  => h.hints.strategy.contains(SHUFFLE_HASH)
+      case pr: Project      => immediateHint(pr.child)
+      case f: Filter        => immediateHint(f.child)
+      case s: SubqueryAlias => immediateHint(s.child)
+      case _                => false
+    }
+    df.queryExecution.analyzed.collect {
+      case j: Join if Seq(j.left, j.right).exists(immediateHint) =>
+        val scaled = Seq(j.left, j.right).exists(s =>
+          stripAnalyzed(s) match {
+            case r: RepartitionByExpression => r.optNumPartitions.isDefined
+            case _ => false
+          })
+        val bad = leafTables(j).intersect(SfProportional)
+        if (bad.nonEmpty && !scaled) Some(UnguardedHashBuild(bad)) else None
+    }.flatten
+  }
+
   /** Every empty-partitionSpec Window whose input is statically bounded:
     * `child.maxRows` propagates through Project/Filter/Window from a
     * GlobalLimit, a LocalRelation, or a literal frame, so a rank over a

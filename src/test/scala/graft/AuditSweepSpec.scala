@@ -99,6 +99,12 @@ class AuditSweepSpec extends AnyFunSuite {
       "B bootstrap replicate means — constant B"),
     ("q246_sax_motifs", "global-window") -> (1,
       "calendar-day grid — time-span-bounded, not data-bounded"))
+    // NOTE deliberately no "fixed-hash-build" entries: a SHUFFLE_HASH
+    // join whose build parallelism does not scale with its data has no
+    // legitimate form (the build map cannot spill — the q139 sf2 OOM);
+    // every such join must carry an explicit
+    // Scale.hashBuildParallelism-sized repartition, so ANY finding of
+    // that kind fails the sweep outright.
 
   test("ledger sweep: audit findings across all registered queries " +
     "match the bounded-frame census exactly") {

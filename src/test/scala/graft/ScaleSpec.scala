@@ -21,6 +21,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(direct.collect().toSeq === salted.collect().toSeq)
   }
 
+  test("hashBuildParallelism floors at session parallelism, scales with rows") {
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // small data keeps full CPU fan-out
+    assert(Scale.hashBuildParallelism(spark, 0L) === base)
+    assert(Scale.hashBuildParallelism(spark, Scale.HashBuildRowsPerTask / 2)
+      === base)
+    // large data: per-task build stays ≤ rowsPerTask regardless of the
+    // session's fixed shuffle count (the q139 sf2 OOM class)
+    val rows = 1000L * Scale.HashBuildRowsPerTask
+    val parts = Scale.hashBuildParallelism(spark, rows)
+    assert(rows / parts <= Scale.HashBuildRowsPerTask)
+    assert(parts >= 1000)
+  }
+
+  test("unguardedHashBuilds flags a fixed-parallelism SHUFFLE_HASH " +
+    "build, passes a scaled one") {
+    import graft.plans.PlanAudit
+    val li = Tables.lineitem(spark, SparkSuite.sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(spark, SparkSuite.sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    // fixed session parallelism: build grows with the data → flagged
+    val bad = li.join(o.hint("shuffle_hash"), Seq("l_orderkey"))
+    assert(PlanAudit.unguardedHashBuilds(bad).nonEmpty,
+      "an unguarded SF-proportional hash build must be flagged")
+    // explicit scaled co-partitioning on the build keys → clean
+    val parts = Scale.hashBuildParallelism(spark, 1000L)
+    val good = li.repartition(parts, col("l_orderkey"))
+      .join(o.repartition(parts, col("l_orderkey")).hint("shuffle_hash"),
+        Seq("l_orderkey"))
+    assert(PlanAudit.unguardedHashBuilds(good).isEmpty,
+      "a Scale.hashBuildParallelism-sized build must pass")
+    // the repartition must be the side's IMMEDIATE chain: one buried in
+    // the lineage below an aggregate does not govern the join's build
+    val buried = li.repartition(parts, col("l_partkey"))
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .join(o.hint("shuffle_hash"), Seq("l_orderkey"))
+    assert(PlanAudit.unguardedHashBuilds(buried).nonEmpty,
+      "a lineage-buried repartition must not whitelist the join")
+  }
+
   // The bucketed co-located join moved to sources.Bucketing: plan shape
   // (exchange-free vs a shuffling control) is asserted in PlanSpec, and
   // result correctness is the q18_join_bucketed oracle row.
