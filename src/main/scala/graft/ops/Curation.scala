@@ -527,4 +527,103 @@ object Curation {
        |       (SELECT max(shard_tokens) FROM shards) AS max_shard_tokens,
        |       (SELECT min(shard_tokens) FROM shards) AS min_shard_tokens
        |FROM shards ORDER BY shard_id""".stripMargin
+
+  // --------------------------------------------------------------- DSIR
+
+  /** Hashed-gram buckets for the q270 importance model. The paper uses
+    * 10⁴ buckets for web-scale vocabularies; 1024 fits the fixture's
+    * vocabulary at the same occupancy. CONSTANT at any corpus size — the
+    * bucket-stats frame never grows with the data. */
+  val DsirBuckets = 1024L
+
+  /** Documents q270 selects (top-K by importance weight). */
+  val DsirK = 100
+
+  /** q270_dsir — Data Selection via Importance Resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * 2023): score every raw-corpus document by how much more likely its
+    * hashed-bigram profile is under the TARGET distribution than under
+    * the raw distribution, and keep the top-K. Per doc z with bucket
+    * counts c_b: log₂ w(z) = Σ_b c_b·(log₂ p_t(b) − log₂ p_r(b)) with
+    * Laplace-smoothed bucket multinomials p(b) = (count_b+1)/(total+B).
+    * The target is the planted q57 eval slice (doc_id % 20 == 7) — in
+    * production a separate curated exemplar corpus; semantics identical.
+    *
+    * Scale design:
+    *  - grams never travel as strings: each bigram hashes map-side to one
+    *    of [[DsirBuckets]] buckets ([[graft.functions.StableHash]], SQL
+    *    twin for the oracle), so the shuffle carries (doc, bucket, cnt)
+    *    rows — at most 1024 per document regardless of length.
+    *  - the bucket-stats frame is constant cardinality (1024 rows); its
+    *    join is UNHINTED — AQE broadcasts it at runtime (the r9 de-hint
+    *    rule).
+    *  - per-doc log-weight sums use the q148 device: each term cast to
+    *    DECIMAL(18,6) before summing, so the aggregate is exact and
+    *    partition-order-independent; log₂ agreement at 6-dp truncation
+    *    between Spark and DuckDB is production-proven by q148.
+    *  - top-K is orderBy+limit → TakeOrderedAndProject (k rows through
+    *    the driver, the q33 pattern) — never a global sort of the
+    *    corpus. */
+  def q270Dsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bk = nGrams(docs, 2)
+      .select(col("doc_id"),
+        pmod(graft.functions.StableHash.charMix62(col("gram")),
+          lit(DsirBuckets)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val isTarget = pmod(col("doc_id"), lit(BenchMod)) === lit(BenchRem)
+    val stats = bk.groupBy(col("bucket"))
+      .agg(sum(when(isTarget, col("c")).otherwise(0L)).as("ct"),
+        sum(when(!isTarget, col("c")).otherwise(0L)).as("cr"))
+    val tot = stats.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    bk.filter(!isTarget)
+      .join(stats, Seq("bucket")) // 1024 rows — AQE broadcasts
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum((col("c").cast("double") *
+          (log2(col("ct") + 1) - log2(col("cr") + 1)))
+          .cast("decimal(18,6)")).as("lw_dec"))
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("doc_id"), col("n_grams"),
+        (col("lw_dec").cast("double") + col("n_grams").cast("double") *
+          (log2(col("tr") + DsirBuckets) - log2(col("tt") + DsirBuckets)))
+          .as("logw"))
+      .orderBy(desc("logw"), col("doc_id"))
+      .limit(DsirK)
+  }
+
+  val q270Sql: String = {
+    val h = graft.functions.StableHash.charMix62Sql("gram")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents),
+       |grams AS (
+       |  ${nGramsSql(2)}),
+       |bk AS (
+       |  SELECT doc_id, bucket, count(*) AS c FROM (
+       |    SELECT doc_id, ($h) % $DsirBuckets AS bucket FROM grams)
+       |  GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT bucket,
+       |         CAST(sum(CASE WHEN doc_id % $BenchMod = $BenchRem
+       |                       THEN c ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(sum(CASE WHEN doc_id % $BenchMod <> $BenchRem
+       |                       THEN c ELSE 0 END) AS BIGINT) AS cr
+       |  FROM bk GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+       |               CAST(sum(cr) AS BIGINT) AS tr FROM stats),
+       |perdoc AS (
+       |  SELECT b.doc_id, CAST(sum(b.c) AS BIGINT) AS n_grams,
+       |         sum(CAST(CAST(b.c AS DOUBLE) *
+       |               (log2(s.ct + 1) - log2(s.cr + 1))
+       |             AS DECIMAL(18,6))) AS lw_dec
+       |  FROM bk b JOIN stats s USING (bucket)
+       |  WHERE b.doc_id % $BenchMod <> $BenchRem
+       |  GROUP BY 1)
+       |SELECT doc_id, n_grams,
+       |       CAST(lw_dec AS DOUBLE) + CAST(n_grams AS DOUBLE) *
+       |         (log2(tr + $DsirBuckets) - log2(tt + $DsirBuckets)) AS logw
+       |FROM perdoc, tot
+       |ORDER BY logw DESC, doc_id LIMIT $DsirK""".stripMargin
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Curation
@@ -105,5 +106,36 @@ class CurationSpec extends AnyFunSuite {
       "a doc repeating its own 8-gram must be flagged")
     assert(out.head.getLong(3) === 24L,
       "the three repeats chain into one full-width span")
+  }
+
+  test("q270 DSIR: target slice excluded, weights descend, and a doc " +
+    "cloned from the target outranks the rest") {
+    val out = Curation.q270Dsir(spark, SparkSuite.sf).collect()
+    assert(out.length === Curation.DsirK)
+    // the target exemplar slice is never selected into its own output
+    assert(out.forall(_.getLong(0) % 20L !== 7L))
+    // orderBy(desc(logw), doc_id) must hold in the materialized rows
+    val ws = out.map(_.getDouble(2))
+    ws.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    // semantic direction: a raw doc whose text IS the whole target slice
+    // concatenated carries pure target mass at maximal length — per-gram
+    // contributions are additive, so it must out-weigh every fixture doc.
+    // (A single cloned target doc is NOT guaranteed rank 1: weight grows
+    // with length, and longer organic docs can beat a short pure clone.)
+    val docs = Tables.documents(spark, SparkSuite.sf)
+      .select(col("doc_id"), col("text"))
+    val targetText = docs.filter(col("doc_id") % 20L === 7L)
+      .orderBy(col("doc_id")).collect().map(_.getString(1)).mkString(" ")
+    val sp = spark
+    import sp.implicits._
+    val planted = Seq((100001L, targetText)).toDF("doc_id", "text")
+    // the operator contract takes a table directory — drive the planted
+    // frame through the same code path via a parquet tempdir
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    docs.unionAll(planted).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val scored = Curation.q270Dsir(spark, dir).collect()
+    assert(scored.head.getLong(0) === 100001L,
+      "the pure-target-profile doc must rank first")
   }
 }
