@@ -99,10 +99,13 @@ object Centroids {
     * break to the lowest cid. `hintCentroids` forces a broadcast of the
     * k·dim seed frame — right when k is a CONSTANT (q66's k=8); leave it
     * false when k grows with the data (q268's k ∝ √n) and let AQE size
-    * the join at runtime. Returns (vec_id, cid, dist). */
+    * the join at runtime. `seeds` overrides where the seed vectors come
+    * from (default: the probe frame itself) — q271's sampled-exact audit
+    * probes a SUBSET against the full corpus's seeds. Returns
+    * (vec_id, cid, dist). */
   private[graft] def assignMembers(qv: DataFrame, k: Long,
-      hintCentroids: Boolean): DataFrame = {
-    val cent0 = qv.filter(col("vec_id") < k)
+      hintCentroids: Boolean, seeds: Option[DataFrame] = None): DataFrame = {
+    val cent0 = seeds.getOrElse(qv).filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
     val cent = if (hintCentroids) broadcast(cent0) else cent0
     val dists = qv
@@ -544,4 +547,156 @@ object Centroids {
        |       any_value(ks.kept_checksum) AS kept_checksum
        |FROM members m JOIN ks ON ks.cid = m.cid
        |GROUP BY m.cid ORDER BY m.cid""".stripMargin
+
+  /** Deterministic 1-in-37 sample for the q271 exact-agreement audit —
+    * a modulus keeps the oracle replayable; a production run would cap
+    * the sample at a fixed size instead of keeping it proportional. */
+  private val HierSampleMod = 37L
+  private val HierSampleRem = 3L
+
+  /** q271_hier_assign — two-level (coarse → fine) nearest-seed
+    * assignment: the scale path for q268's bottleneck. q268's flat
+    * assignment is O(n·k·d) = O(n^1.5·d) at the k=⌈√n⌉ balance point —
+    * honest but hot at the 100 TB design point. The hierarchical form
+    * assigns every vector to one of kc=⌈√k⌉ coarse cells first
+    * (O(n·√k·d)), then to the nearest FINE seed within its coarse cell
+    * (O(n·(k/kc)·d) = O(n·√k·d) under balanced cells) — O(n^1.25·d)
+    * total, the classic IVF/hierarchical-k-means device re-expressed as
+    * two bucketed joins.
+    *
+    * The assignment is APPROXIMATE (a vector's true nearest fine seed
+    * can live in a neighboring coarse cell), so the operator ships its
+    * own audit: a deterministic 1-in-37 sample is ALSO assigned exactly
+    * against all k seeds, and the output reports per-coarse-cell
+    * agreement — the number a pipeline checks before trusting the
+    * two-level index. Stranded members are impossible: fine seeds live
+    * in the cell they coarse-assign to, coarse seeds are the first kc
+    * fine seeds, and any nonempty cell therefore contains at least its
+    * own seed (an identical-twin seed collapses its cell to EMPTY, never
+    * to seedless — ties break to the lowest cid for members and seeds
+    * alike).
+    *
+    * Scale: both passes shuffle (vec, seed-or-cell) component partials
+    * with map-side combine; no hint anywhere (all frames grow with the
+    * corpus — AQE sizes them; the r9 de-hint rule); a skewed coarse cell
+    * concentrates fine-pass work and shows up directly in n_members —
+    * the q263-style balance audit. Exact-BIGINT distances make every
+    * level engine- and partitioning-deterministic.
+    *
+    * Expected agreement depends on the corpus's cluster structure: on
+    * the isotropic random fixture it is LOW (~40% — nearest-seed is
+    * nearly arbitrary when all pairs are near-orthogonal, so the coarse
+    * gate discards information), and the audit's whole point is to
+    * SURFACE that before a pipeline trusts the index; on a corpus with
+    * real locality the spec's planted-blob test shows it at 100%. */
+  def q271HierAssign(spark: SparkSession, sfDir: String): DataFrame =
+    hierAssign(Tables.embeddings(spark, sfDir))
+
+  /** The two-level assignment core over any (vec_id, embedding) frame —
+    * see [[q271HierAssign]]. */
+  private[graft] def hierAssign(e: DataFrame): DataFrame = {
+    val n = e.count() // one 1-row action sizes both levels
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val qv = quantized(e)
+    val coarse = assignMembers(qv, kc, hintCentroids = false)
+      .select(col("vec_id"), col("cid").as("ccid"))
+    val seedCell = coarse.filter(col("vec_id") < k)
+      .select(col("vec_id").as("fcid"), col("ccid"))
+    val fineCent = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").as("fcid"), col("pos"), col("q").as("cq"))
+      .join(seedCell, Seq("fcid"))
+    val hier = qv.join(coarse, Seq("vec_id"))
+      .join(fineCent, Seq("ccid", "pos"))
+      .groupBy(col("vec_id"), col("ccid"), col("fcid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("dist"), col("fcid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("ccid"), col("fcid"))
+    val sampleQv = qv.filter(
+      pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
+    val exact = assignMembers(sampleQv, k, hintCentroids = false,
+        seeds = Some(qv))
+      .select(col("vec_id"), col("cid").as("efcid"))
+    val cells = hier.groupBy(col("ccid"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("fcid")).as("n_fine_cells"))
+    val agree = hier.join(exact, Seq("vec_id"))
+      .groupBy(col("ccid"))
+      .agg(count(lit(1)).as("s_n"),
+        sum(when(col("fcid") === col("efcid"), 1L).otherwise(0L))
+          .as("s_agree"))
+    cells.join(agree, Seq("ccid"), "left")
+      .select(col("ccid"), col("n_members"), col("n_fine_cells"),
+        coalesce(col("s_n"), lit(0L)).as("n_sample"),
+        coalesce(col("s_agree"), lit(0L)).as("n_sample_agree"))
+      .orderBy(col("ccid"))
+  }
+
+  val q271Sql: String =
+    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+       |k AS (SELECT GREATEST(2, CAST(ceil(sqrt(n)) AS BIGINT)) AS k FROM n),
+       |kc AS (SELECT GREATEST(2, CAST(ceil(sqrt(k)) AS BIGINT)) AS kc FROM k),
+       |pe AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, pos,
+       |         CAST(floor(CAST(v AS DOUBLE) * $KmeansScale.0) AS BIGINT)
+       |           + $KmeansScale AS q
+       |  FROM pe),
+       |ccent AS (
+       |  SELECT vec_id AS ccid, pos, q AS cq FROM qv
+       |  WHERE vec_id < (SELECT kc FROM kc)),
+       |cdist AS (
+       |  SELECT v.vec_id, c.ccid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+       |  FROM qv v JOIN ccent c ON v.pos = c.pos GROUP BY 1, 2),
+       |coarse AS (
+       |  SELECT vec_id, ccid FROM (
+       |    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, ccid) AS rk FROM cdist) WHERE rk = 1),
+       |scell AS (
+       |  SELECT vec_id AS fcid, ccid FROM coarse
+       |  WHERE vec_id < (SELECT k FROM k)),
+       |fcent AS (
+       |  SELECT vec_id AS fcid, pos, q AS cq FROM qv
+       |  WHERE vec_id < (SELECT k FROM k)),
+       |fdist AS (
+       |  SELECT v.vec_id, m.ccid, f.fcid,
+       |         sum((v.q - f.cq) * (v.q - f.cq)) AS dist
+       |  FROM qv v
+       |  JOIN coarse m ON m.vec_id = v.vec_id
+       |  JOIN fcent f ON f.pos = v.pos
+       |  JOIN scell s ON s.fcid = f.fcid AND s.ccid = m.ccid
+       |  GROUP BY 1, 2, 3),
+       |hier AS (
+       |  SELECT vec_id, ccid, fcid FROM (
+       |    SELECT vec_id, ccid, fcid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, fcid) AS rk FROM fdist) WHERE rk = 1),
+       |edist AS (
+       |  SELECT v.vec_id, f.fcid, sum((v.q - f.cq) * (v.q - f.cq)) AS dist
+       |  FROM qv v JOIN fcent f ON f.pos = v.pos
+       |  WHERE v.vec_id % $HierSampleMod = $HierSampleRem
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT vec_id, fcid AS efcid FROM (
+       |    SELECT vec_id, fcid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, fcid) AS rk FROM edist) WHERE rk = 1),
+       |cells AS (
+       |  SELECT ccid, count(*) AS n_members,
+       |         count(DISTINCT fcid) AS n_fine_cells
+       |  FROM hier GROUP BY 1),
+       |agr AS (
+       |  SELECT h.ccid, count(*) AS s_n,
+       |         CAST(sum(CASE WHEN h.fcid = e.efcid THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS s_agree
+       |  FROM hier h JOIN exact e USING (vec_id) GROUP BY 1)
+       |SELECT c.ccid, c.n_members, c.n_fine_cells,
+       |       CAST(coalesce(a.s_n, 0) AS BIGINT) AS n_sample,
+       |       CAST(coalesce(a.s_agree, 0) AS BIGINT) AS n_sample_agree
+       |FROM cells c LEFT JOIN agr a USING (ccid)
+       |ORDER BY c.ccid""".stripMargin
 }

@@ -280,6 +280,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q271 hierarchical assignment: partition + sample conservation; " +
+    "perfect exact-agreement on planted blobs") {
+    val out = ops.Centroids.q271HierAssign(spark, SparkSuite.sf).collect()
+    val n = Tables.embeddings(spark, SparkSuite.sf).count()
+    assert(out.map(_.getLong(1)).sum === n, "members must partition")
+    assert(out.map(_.getLong(3)).sum === (0L until n).count(_ % 37L == 3L),
+      "every sampled vector audits exactly once")
+    out.foreach(r => assert(r.getLong(4) <= r.getLong(3)))
+    // planted locality: 20 tight blobs of 25, ids interleaved (blob =
+    // id % 20) so the first k=23 fine seeds cover every blob and the
+    // first kc=5 coarse seeds sit in 5 distinct blobs. Blob spread 0.01
+    // against O(10) center separation: every member and its blob's seed
+    // share a coarse cell, the cell contains that blob's fine seed, and
+    // the exact argmin is the same seed — agreement must be total.
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(20)(Array.fill(64)(rng.nextGaussian() * 10))
+    val sp = spark
+    import sp.implicits._
+    val vecs = (0 until 500).map { i =>
+      (i.toLong, centers(i % 20).map(c =>
+        (c + 0.01 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val blob = ops.Centroids.hierAssign(vecs).collect()
+    assert(blob.map(_.getLong(1)).sum === 500L)
+    assert(blob.map(_.getLong(3)).sum > 0L)
+    assert(blob.map(_.getLong(4)).sum === blob.map(_.getLong(3)).sum,
+      "with real locality the two-level index must agree with exact")
+  }
+
   test("q269 JL distortion is unbiased and exactly reproducible") {
     val sfDir = SparkSuite.sf
     val out = ops.Quantize.q269JlProjection(spark, sfDir).collect()
