@@ -463,10 +463,16 @@ object Centroids {
       tau: Double = SemDedupTau): DataFrame = {
     val n = e.count() // one 1-row action sizes k — the q267 gate pattern
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    // persist the shared frames: `members` (the O(n·k) assignment) feeds
+    // the pair join twice plus the kept/members aggregates, and `m` is
+    // both sides of the self-join — unpersisted, Spark recomputes the
+    // assignment four times. MEMORY_AND_DISK (the DataFrame default)
+    // keeps the device valid at any scale: a corpus-sized frame spills
+    // instead of evicting.
     val members = assignMembers(quantized(e), k, hintCentroids = false)
-      .select(col("vec_id"), col("cid"))
+      .select(col("vec_id"), col("cid")).persist()
     val m = members.join(e.select(col("vec_id"), col("embedding")),
-      Seq("vec_id"))
+      Seq("vec_id")).persist()
     val dropped = m.select(col("cid"), col("vec_id").as("v1"),
         col("embedding").as("e1"))
       .join(m.select(col("cid"), col("vec_id").as("v2"),
@@ -598,9 +604,13 @@ object Centroids {
     val n = e.count() // one 1-row action sizes both levels
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
-    val qv = quantized(e)
+    // persist the frames every stage re-reads (qv: coarse pass, fine
+    // centroids, fine pass, exact audit; coarse: seed cells + fine pass;
+    // hier: cell stats + agreement) — without the caches each consumer
+    // re-derives the whole upstream pipeline
+    val qv = quantized(e).persist()
     val coarse = assignMembers(qv, kc, hintCentroids = false)
-      .select(col("vec_id"), col("cid").as("ccid"))
+      .select(col("vec_id"), col("cid").as("ccid")).persist()
     val seedCell = coarse.filter(col("vec_id") < k)
       .select(col("vec_id").as("fcid"), col("ccid"))
     val fineCent = qv.filter(col("vec_id") < k)
@@ -615,6 +625,7 @@ object Centroids {
           .partitionBy(col("vec_id")).orderBy(col("dist"), col("fcid"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("ccid"), col("fcid"))
+      .persist()
     val sampleQv = qv.filter(
       pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
     val exact = assignMembers(sampleQv, k, hintCentroids = false,
@@ -699,4 +710,197 @@ object Centroids {
        |       CAST(coalesce(a.s_agree, 0) AS BIGINT) AS n_sample_agree
        |FROM cells c LEFT JOIN agr a USING (ccid)
        |ORDER BY c.ccid""".stripMargin
+
+  /** Incoming-batch membership modulus for q272 (mirrors q261's
+    * cross-snapshot split: every 10th vector is the new batch). */
+  private val IncrSemMod = 10L
+
+  /** q272_incr_semdedup — incremental SEMANTIC admission, the q268 rule
+    * in the q261 shape: at 100 TB you never re-dedup the standing
+    * corpus; a new batch is assigned to the standing clustering and
+    * compared ONLY against (a) the standing clusters' kept
+    * representatives and (b) lower-id batch members of the same
+    * cluster. Verdict per batch vector: `dup_corpus` (a kept standing
+    * member at cosine ≥ τ — corpus precedence, as q261), `dup_batch`
+    * (a lower-id batch twin), else `novel`.
+    *
+    * Design notes:
+    *  - ONE clustering for everything: seeds are the standing vectors
+    *    with vec_id < kcut where kcut = ⌈√n_st·10/9⌉ — an arithmetic
+    *    bound that yields ≈√n_st seeds WITHOUT ranking the corpus (a
+    *    global rank here would be the single-partition-window class the
+    *    r8 audits banned); batch vectors assign against the SAME seeds
+    *    ([[assignMembers]]' seeds override), so corpus and batch agree
+    *    on cluster geometry.
+    *  - the standing kept set is recomputed here from the fixture (the
+    *    q268 rule over the standing slice) and then treated as the
+    *    stored index — in production this frame IS a stored table, the
+    *    same framing as q261's band index; only the batch-sized frames
+    *    are new work per admission round. At scale the assignment pass
+    *    uses q271's two-level path; the flat form keeps this oracle
+    *    replayable.
+    *  - per-batch-vector compares stay inside one cluster — the q268
+    *    device that keeps pairwise work off the full corpus. */
+  def q272IncrSemDedup(spark: SparkSession, sfDir: String): DataFrame =
+    incrSemDedup(Tables.embeddings(spark, sfDir))
+
+  /** The admission core over any (vec_id, embedding) frame — see
+    * [[q272IncrSemDedup]]. */
+  private[graft] def incrSemDedup(e: DataFrame): DataFrame = {
+    val isBatch = pmod(col("vec_id"), lit(IncrSemMod)) === 0L
+    val standing = e.filter(!isBatch)
+    val nSt = standing.count()
+    val kcut = math.max(2L,
+      math.ceil(math.sqrt(nSt.toDouble) * 10.0 / 9.0).toLong)
+    val qv = quantized(e).persist()
+    val stQv = qv.filter(!isBatch)
+    val membersSt = assignMembers(stQv, kcut, hintCentroids = false)
+      .select(col("vec_id"), col("cid")).persist()
+    val emb = e.select(col("vec_id"), col("embedding"))
+    val mSt = membersSt.join(emb, Seq("vec_id")).persist()
+    val droppedSt = mSt.select(col("cid"), col("vec_id").as("v1"),
+        col("embedding").as("e1"))
+      .join(mSt.select(col("cid"), col("vec_id").as("v2"),
+        col("embedding").as("e2")), Seq("cid"))
+      .filter(col("v1") < col("v2"))
+      .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
+        >= lit(SemDedupTau))
+      .select(col("v2")).distinct()
+    // the standing index: in production a stored table (q261's framing)
+    val keptSt = mSt.join(droppedSt.withColumnRenamed("v2", "vec_id"),
+      Seq("vec_id"), "left_anti").persist()
+    val membersB = assignMembers(qv.filter(isBatch), kcut,
+        hintCentroids = false, seeds = Some(stQv))
+      .select(col("vec_id"), col("cid"))
+    val mB = membersB.join(emb, Seq("vec_id")).persist()
+    val corpusHit = mB.select(col("cid"), col("vec_id").as("b"),
+        col("embedding").as("eb"))
+      .join(keptSt.select(col("cid"), col("vec_id").as("s"),
+        col("embedding").as("es")), Seq("cid"))
+      .filter(round(Similarity.cosine(col("eb"), col("es")), 4)
+        >= lit(SemDedupTau))
+      .groupBy(col("b")).agg(min(col("s")).as("corpus_rep"))
+    val batchHit = mB.select(col("cid"), col("vec_id").as("v1"),
+        col("embedding").as("e1"))
+      .join(mB.select(col("cid"), col("vec_id").as("v2"),
+        col("embedding").as("e2")), Seq("cid"))
+      .filter(col("v1") < col("v2"))
+      .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
+        >= lit(SemDedupTau))
+      .groupBy(col("v2")).agg(min(col("v1")).as("batch_rep"))
+    mB.select(col("vec_id"), col("cid"))
+      .join(corpusHit.withColumnRenamed("b", "vec_id"), Seq("vec_id"),
+        "left")
+      .join(batchHit.withColumnRenamed("v2", "vec_id"), Seq("vec_id"),
+        "left")
+      .select(col("vec_id"), col("cid"), col("corpus_rep"),
+        col("batch_rep"),
+        when(col("corpus_rep").isNotNull, "dup_corpus")
+          .when(col("batch_rep").isNotNull, "dup_batch")
+          .otherwise("novel").as("verdict"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q272Sql: String =
+    s"""WITH nst AS (
+       |  SELECT count(*) AS n FROM embeddings
+       |  WHERE vec_id % $IncrSemMod <> 0),
+       |kcut AS (
+       |  SELECT GREATEST(2, CAST(ceil(sqrt(n) * 10.0 / 9.0) AS BIGINT))
+       |    AS kcut FROM nst),
+       |pe AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, pos,
+       |         CAST(floor(CAST(v AS DOUBLE) * $KmeansScale.0) AS BIGINT)
+       |           + $KmeansScale AS q
+       |  FROM pe),
+       |cent AS (
+       |  SELECT vec_id AS cid, pos, q AS cq FROM qv
+       |  WHERE vec_id % $IncrSemMod <> 0
+       |    AND vec_id < (SELECT kcut FROM kcut)),
+       |sdist AS (
+       |  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+       |  FROM qv v JOIN cent c ON v.pos = c.pos
+       |  WHERE v.vec_id % $IncrSemMod <> 0
+       |  GROUP BY 1, 2),
+       |members_st AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rk FROM sdist) WHERE rk = 1),
+       |pairs_st AS (
+       |  SELECT m1.cid, m1.vec_id AS v1, m2.vec_id AS v2
+       |  FROM members_st m1 JOIN members_st m2
+       |    ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id),
+       |pc_st AS (
+       |  SELECT p.v2,
+       |         unnest(a.embedding)::DOUBLE AS x,
+       |         unnest(b.embedding)::DOUBLE AS y,
+       |         p.v1
+       |  FROM pairs_st p
+       |  JOIN embeddings a ON a.vec_id = p.v1
+       |  JOIN embeddings b ON b.vec_id = p.v2),
+       |dropped_st AS (
+       |  SELECT DISTINCT v2 FROM (
+       |    SELECT v1, v2,
+       |           round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+       |             AS c
+       |    FROM pc_st GROUP BY 1, 2)
+       |  WHERE c >= $SemDedupTau),
+       |kept_st AS (
+       |  SELECT m.vec_id, m.cid FROM members_st m
+       |  WHERE NOT EXISTS (SELECT 1 FROM dropped_st d
+       |                    WHERE d.v2 = m.vec_id)),
+       |bdist AS (
+       |  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+       |  FROM qv v JOIN cent c ON v.pos = c.pos
+       |  WHERE v.vec_id % $IncrSemMod = 0
+       |  GROUP BY 1, 2),
+       |members_b AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rk FROM bdist) WHERE rk = 1),
+       |cpairs AS (
+       |  SELECT b.vec_id AS bid, s.vec_id AS sid
+       |  FROM members_b b JOIN kept_st s ON b.cid = s.cid),
+       |chit AS (
+       |  SELECT bid, min(sid) AS corpus_rep FROM (
+       |    SELECT p.bid, p.sid,
+       |           round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+       |             AS c
+       |    FROM (SELECT p.bid, p.sid,
+       |                 unnest(a.embedding)::DOUBLE AS x,
+       |                 unnest(b.embedding)::DOUBLE AS y
+       |          FROM cpairs p
+       |          JOIN embeddings a ON a.vec_id = p.bid
+       |          JOIN embeddings b ON b.vec_id = p.sid) p
+       |    GROUP BY 1, 2)
+       |  WHERE c >= $SemDedupTau GROUP BY 1),
+       |bpairs AS (
+       |  SELECT m1.vec_id AS v1, m2.vec_id AS v2
+       |  FROM members_b m1 JOIN members_b m2
+       |    ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id),
+       |bhit AS (
+       |  SELECT v2, min(v1) AS batch_rep FROM (
+       |    SELECT p.v1, p.v2,
+       |           round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+       |             AS c
+       |    FROM (SELECT p.v1, p.v2,
+       |                 unnest(a.embedding)::DOUBLE AS x,
+       |                 unnest(b.embedding)::DOUBLE AS y
+       |          FROM bpairs p
+       |          JOIN embeddings a ON a.vec_id = p.v1
+       |          JOIN embeddings b ON b.vec_id = p.v2) p
+       |    GROUP BY 1, 2)
+       |  WHERE c >= $SemDedupTau GROUP BY 1)
+       |SELECT m.vec_id, m.cid, c.corpus_rep, b.batch_rep,
+       |       CASE WHEN c.corpus_rep IS NOT NULL THEN 'dup_corpus'
+       |            WHEN b.batch_rep IS NOT NULL THEN 'dup_batch'
+       |            ELSE 'novel' END AS verdict
+       |FROM members_b m
+       |LEFT JOIN chit c ON c.bid = m.vec_id
+       |LEFT JOIN bhit b ON b.v2 = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin
 }

@@ -566,16 +566,21 @@ object Curation {
     *    corpus. */
   def q270Dsir(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // persisted: the per-(doc, bucket) counts feed the bucket-stats
+    // aggregate AND the scoring join — unpersisted, the whole gram
+    // explode + per-char hash runs twice (the dominant cost here)
     val bk = nGrams(docs, 2)
       .select(col("doc_id"),
         pmod(graft.functions.StableHash.charMix62(col("gram")),
           lit(DsirBuckets)).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+      .persist()
     val isTarget = pmod(col("doc_id"), lit(BenchMod)) === lit(BenchRem)
     val stats = bk.groupBy(col("bucket"))
       .agg(sum(when(isTarget, col("c")).otherwise(0L)).as("ct"),
         sum(when(!isTarget, col("c")).otherwise(0L)).as("cr"))
+      .persist() // 1024 rows, read by the totals AND the scoring join
     val tot = stats.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     bk.filter(!isTarget)
       .join(stats, Seq("bucket")) // 1024 rows — AQE broadcasts

@@ -309,6 +309,48 @@ class SimilaritySpec extends AnyFunSuite {
       "with real locality the two-level index must agree with exact")
   }
 
+  test("q272 incremental semantic admission: verdict precedence and " +
+    "planted corpus/batch twins") {
+    val sp = spark
+    import sp.implicits._
+    // fixture run: structural invariants on the real corpus
+    val out = ops.Centroids.q272IncrSemDedup(spark, SparkSuite.sf).collect()
+    val n = Tables.embeddings(spark, SparkSuite.sf).count()
+    assert(out.length === (0L until n).count(_ % 10L == 0L),
+      "one verdict row per batch vector")
+    out.foreach { r =>
+      val (corpusRep, batchRep) = (Option(r.get(2)), Option(r.get(3)))
+      val verdict = r.getString(4)
+      assert(verdict === (if (corpusRep.isDefined) "dup_corpus"
+        else if (batchRep.isDefined) "dup_batch" else "novel"))
+      corpusRep.foreach(s => assert(s.asInstanceOf[Long] % 10L != 0L,
+        "corpus_rep must be a standing id"))
+      batchRep.foreach(b => assert(b.asInstanceOf[Long] % 10L == 0L &&
+        b.asInstanceOf[Long] < r.getLong(0),
+        "batch_rep must be a lower batch id"))
+    }
+    // planted run: 60 random vectors (ids ≡ 0 mod 10 are the batch);
+    // batch id 20 clones standing id 7 → dup_corpus via rep 7; batch
+    // ids 30 and 50 clone a fresh vector unseen in the corpus → 30 is
+    // novel, 50 is dup_batch via rep 30
+    val rng = new scala.util.Random(19)
+    def rv() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, rv())).toMap
+    def noisy(v: Array[Float]) =
+      v.map(x => x + 0.001f * rng.nextGaussian().toFloat)
+    val u = rv()
+    val planted = base ++ Map(
+      20L -> noisy(base(7L)), 30L -> noisy(u), 50L -> noisy(u))
+    val df = planted.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    val res = ops.Centroids.incrSemDedup(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(res(20L).getString(4) === "dup_corpus")
+    assert(res(20L).getLong(2) === 7L)
+    assert(res(30L).getString(4) === "novel")
+    assert(res(50L).getString(4) === "dup_batch")
+    assert(res(50L).getLong(3) === 30L)
+  }
+
   test("q269 JL distortion is unbiased and exactly reproducible") {
     val sfDir = SparkSuite.sf
     val out = ops.Quantize.q269JlProjection(spark, sfDir).collect()
