@@ -48,6 +48,13 @@ object Bench {
           // query starts (non-blocking release left enough residue to
           // inflate mid-alphabet queries ~1.5× in-suite vs isolated in
           // r5's full run; the wait itself is outside the timed section).
+          // clearCache first: releasing blocks alone leaves the
+          // CacheManager ENTRY alive, and plan-equality substitution
+          // would splice one query's persisted frame (q268/q271 cache
+          // their shared quantized components) into every later query
+          // that builds the same subtree — cross-query cache write costs
+          // in the later query's timing
+          spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
         }

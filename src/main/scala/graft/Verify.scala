@@ -33,6 +33,8 @@ object Verify {
       } finally {
         // release ops' localCheckpoint blocks — accumulated over the full
         // ledger they crowd the memory pool (see the same note in Bench)
+        spark.catalog.clearCache() // drop CacheManager entries too, not
+        // just blocks — plan substitution must not leak across queries
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }

@@ -33,6 +33,18 @@ object AuditSweep {
         // a query that cannot even build is its own loud failure in
         // the correctness gate; the audit reports and moves on
         Seq(Finding(name, "build-error", e.toString))
+      } finally {
+        // audit ISOLATION, not just memory hygiene: a frame one query
+        // persists during construction (q268/q271 cache their shared
+        // quantized components) is substituted BY PLAN EQUALITY into
+        // every later query's optimized plan (q66 builds the same
+        // quantized frame), hiding leaves behind InMemoryRelation and
+        // silently changing that query's audit findings. Each query
+        // must be audited as it would run alone — the same per-query
+        // unpersist Verify and Bench already do.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
 

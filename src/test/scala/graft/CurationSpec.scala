@@ -7,8 +7,16 @@ import graft.ops.Curation
 
 /** Curation operators on the fixture — the oracle rows prove engine parity;
   * these prove the semantics mean what the Scaladoc claims. */
-class CurationSpec extends AnyFunSuite {
+class CurationSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterEach {
   private lazy val spark = SparkSuite.session
+
+  // q270 persists its bucket-count frame; drop CacheManager entries after
+  // every test so plan substitution cannot leak into later tests/suites
+  override def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
 
   test("q57: every flagged doc is a train doc with real benchmark overlap") {
     val rows = Curation.q57Decontaminate(spark, SparkSuite.sf).collect()

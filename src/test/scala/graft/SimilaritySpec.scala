@@ -6,9 +6,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Similarity
 
-class SimilaritySpec extends AnyFunSuite {
+class SimilaritySpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterEach {
   private lazy val spark = SparkSuite.session
   import spark.implicits._
+
+  // q268/q271/q272 persist shared frames during construction; drop the
+  // CacheManager entries after every test so plan-equality substitution
+  // cannot splice one test's cached subtree into a later test's (or
+  // suite's) plan — the same isolation Verify/Bench/AuditSweep apply
+  // between queries
+  override def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
 
   test("cosine kernel: self-similarity is 1, orthogonal is 0") {
     val df = Seq(
