@@ -46,6 +46,28 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
 
+  /** The pluggable codec seam: a real deployment implements this with a
+    * JNI or pure-JVM media decoder and passes it to [[extractFeatures]] —
+    * the binary schema, metadata pruning, partition-wise batching, and
+    * typed output are all codec-independent. `open()` runs once per
+    * partition before the first record (where a real codec amortizes
+    * native-context/thread-local setup); implementations must be
+    * Serializable — the instance is constructed on the driver and shipped
+    * to executors inside the mapPartitions closure. */
+  trait MediaCodec extends Serializable {
+    /** Per-partition initialization hook; default no-op. */
+    def open(): Unit = ()
+    def decode(r: MediaRecord): MediaFeatures
+  }
+
+  /** The declared STUB codec (the one piece of this module that is fake):
+    * no media libraries ship in this environment, so it derives
+    * deterministic features from the raw bytes. Everything it plugs into
+    * is real. */
+  object StubCodec extends MediaCodec {
+    override def decode(r: MediaRecord): MediaFeatures = decodeStub(r)
+  }
+
   /** STUB decode: a real deployment would decode image/audio frames here
     * (e.g. via a JNI codec); this environment has no media libraries, so the
     * "decoder" derives deterministic fake features from the bytes. The
@@ -68,14 +90,17 @@ object Multimodal {
   }
 
   /** The decode/feature-extract stage: typed mapPartitions over the media
-    * table (one pass per partition — the batch shape a real codec needs). */
-  def extractFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
+    * table (one pass per partition — the batch shape a real codec needs).
+    * `codec` defaults to the declared [[StubCodec]]; a deployment passes
+    * its real decoder here and nothing else changes. */
+  def extractFeatures(spark: SparkSession, sfDir: String,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     val s = spark
     import s.implicits._
     mediaTable(spark, sfDir)
       .select(col("doc_id"), col("fmt"), col("n_bytes"), col("payload"))
       .as[MediaRecord]
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions { it => codec.open(); it.map(codec.decode) }
   }
 
   /** q80_multimodal — binary-column metadata pipeline, oracle-checked: byte

@@ -44,4 +44,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"decode stage should be shuffle-free, got:\n$plan")
   }
+
+  test("codec seam: a plugged codec replaces the stub; open() runs once " +
+    "per partition") {
+    val opens = spark.sparkContext.longAccumulator("codec-opens")
+    val decodes = spark.sparkContext.longAccumulator("codec-decodes")
+    // a "real" codec stand-in: constant features, counts its lifecycle
+    val codec = new Multimodal.MediaCodec {
+      override def open(): Unit = opens.add(1)
+      override def decode(r: Multimodal.MediaRecord) = {
+        decodes.add(1)
+        Multimodal.MediaFeatures(r.doc_id, r.fmt, r.n_bytes,
+          n_frames = 1, mean_byte = 42.0, first_byte = 7,
+          thumb_bytes = 0, thumb_mean = 0.0)
+      }
+    }
+    val ds = Multimodal.extractFeatures(spark, SparkSuite.sf, codec)
+    val rows = ds.collect()
+    val parts = ds.rdd.getNumPartitions
+    assert(rows.nonEmpty && rows.forall(f =>
+      f.mean_byte == 42.0 && f.first_byte == 7 && f.n_frames == 1),
+      "the plugged codec's features must flow through unchanged")
+    assert(decodes.value === rows.length.toLong,
+      "decode must run exactly once per record")
+    // collect() ran the decode stage once; open() fires per partition.
+    // (The rdd.getNumPartitions probe above does not execute the map.)
+    assert(opens.value === parts.toLong,
+      s"open() ran ${opens.value} times for $parts partitions")
+  }
 }
