@@ -903,4 +903,116 @@ object Centroids {
        |LEFT JOIN chit c ON c.bid = m.vec_id
        |LEFT JOIN bhit b ON b.v2 = m.vec_id
        |ORDER BY m.vec_id""".stripMargin
+
+  /** q273_cluster_prune — prototype-based corpus pruning (Sorscher et
+    * al., "Beyond neural scaling laws: beating power law scaling via
+    * data pruning", 2022): cluster the embedding corpus, rank each
+    * cluster's members by distance to the cluster CENTROID, and keep
+    * only the middle band — the closest fifth is redundant prototype
+    * mass (the examples the model learns from any one of), the farthest
+    * fifth is noise/outliers; the informative examples live in between.
+    * Output is the per-cluster pruning audit: members, kept, pruned at
+    * each end, and the order-independent checksum of the kept ids.
+    *
+    * Determinism and scale follow q268's template: k = ⌈√n⌉ sized by one
+    * count() action, exact-BIGINT assignment distances, centroids as
+    * exact integer floor-division means, per-cluster ranking via a
+    * Window PARTITIONED by cluster (cluster-sized partitions — never the
+    * single-partition global window class), band bounds in pure integer
+    * arithmetic (lo = m div 5, hi = max((4m) div 5, lo+1), keep
+    * lo < r ≤ hi — every cluster keeps at least one member). Shared
+    * frames (assignment, quantized components) are persisted per the r9
+    * shared-frame rule. */
+  def q273ClusterPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val qv = quantized(e).persist()
+    val members = assignMembers(qv, k, hintCentroids = false)
+      .select(col("vec_id"), col("cid")).persist()
+    val mq = members.join(qv, Seq("vec_id"))
+    val centroids = mq.groupBy(col("cid"), col("pos"))
+      .agg(expr("sum(q) div count(1)").as("cq"))
+    val dists = mq.join(centroids, Seq("cid", "pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+    val ranked = dists
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid")).orderBy(col("d2"), col("vec_id"))))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))))
+      .withColumn("lo", expr("m div 5"))
+      .withColumn("hi", greatest(expr("(4 * m) div 5"),
+        expr("m div 5 + 1")))
+    ranked.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("r") > col("lo") && col("r") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("r") <= col("lo"), 1L).otherwise(0L))
+          .as("n_pruned_proto"),
+        sum(when(col("r") > col("hi"), 1L).otherwise(0L))
+          .as("n_pruned_outlier"),
+        sum(when(col("r") > col("lo") && col("r") <= col("hi"),
+          pmod(col("vec_id") * lit(TrainingData.MixA),
+            lit(TrainingData.Mod32))).otherwise(0L)).as("kept_checksum"))
+      .orderBy(col("cid"))
+  }
+
+  val q273Sql: String =
+    s"""WITH k AS (
+       |  SELECT GREATEST(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |pe AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, pos,
+       |         CAST(floor(CAST(v AS DOUBLE) * $KmeansScale.0) AS BIGINT)
+       |           + $KmeansScale AS q
+       |  FROM pe),
+       |cent AS (
+       |  SELECT vec_id AS cid, pos, q AS cq FROM qv
+       |  WHERE vec_id < (SELECT k FROM k)),
+       |adist AS (
+       |  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+       |  FROM qv v JOIN cent c ON v.pos = c.pos GROUP BY 1, 2),
+       |members AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rk FROM adist) WHERE rk = 1),
+       |centroids AS (
+       |  SELECT m.cid, q.pos, sum(q.q) // count(*) AS cq
+       |  FROM members m JOIN qv q ON q.vec_id = m.vec_id
+       |  GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT m.vec_id, m.cid,
+       |         CAST(sum((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d2
+       |  FROM members m
+       |  JOIN qv q ON q.vec_id = m.vec_id
+       |  JOIN centroids c ON c.cid = m.cid AND c.pos = q.pos
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT vec_id, cid, d2,
+       |         row_number() OVER (PARTITION BY cid
+       |           ORDER BY d2, vec_id) AS r,
+       |         count(*) OVER (PARTITION BY cid) AS m
+       |  FROM d2),
+       |banded AS (
+       |  SELECT vec_id, cid, r, m, m // 5 AS lo,
+       |         GREATEST((4 * m) // 5, m // 5 + 1) AS hi
+       |  FROM ranked)
+       |SELECT cid, count(*) AS n_members,
+       |       CAST(sum(CASE WHEN r > lo AND r <= hi THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN r <= lo THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pruned_proto,
+       |       CAST(sum(CASE WHEN r > hi THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pruned_outlier,
+       |       CAST(sum(CASE WHEN r > lo AND r <= hi
+       |                THEN (vec_id * ${TrainingData.MixA}) %
+       |                     ${TrainingData.Mod32} ELSE 0 END) AS BIGINT)
+       |         AS kept_checksum
+       |FROM banded GROUP BY cid ORDER BY cid""".stripMargin
 }

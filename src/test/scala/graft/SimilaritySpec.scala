@@ -362,6 +362,24 @@ class SimilaritySpec extends AnyFunSuite
     assert(res(50L).getLong(3) === 30L)
   }
 
+  test("q273 cluster pruning: bands partition every cluster exactly and " +
+    "always keep at least one member") {
+    val out = ops.Centroids.q273ClusterPrune(spark, SparkSuite.sf).collect()
+    val n = Tables.embeddings(spark, SparkSuite.sf).count()
+    assert(out.map(_.getLong(1)).sum === n, "members must partition")
+    out.foreach { r =>
+      val (m, kept, proto, outl) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(kept + proto + outl === m, "bands must partition the cluster")
+      assert(kept >= 1L, "every cluster keeps at least one member")
+      // the band bounds are pure integer arithmetic in m — replay them
+      val lo = m / 5
+      val hi = math.max(4 * m / 5, lo + 1)
+      assert(proto === lo, s"prototype band: $proto vs m=$m")
+      assert(outl === m - math.min(hi, m), s"outlier band: $outl vs m=$m")
+    }
+  }
+
   test("q269 JL distortion is unbiased and exactly reproducible") {
     val sfDir = SparkSuite.sf
     val out = ops.Quantize.q269JlProjection(spark, sfDir).collect()
