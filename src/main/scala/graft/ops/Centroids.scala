@@ -604,13 +604,14 @@ object Centroids {
     val n = e.count() // one 1-row action sizes both levels
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
-    // persist the frames every stage re-reads (qv: coarse pass, fine
-    // centroids, fine pass, exact audit; coarse: seed cells + fine pass;
-    // hier: cell stats + agreement) — without the caches each consumer
-    // re-derives the whole upstream pipeline
-    val qv = quantized(e).persist()
+    // deliberately NOT cached: the honest post-fix A/B (SCALE_POINT_r9
+    // §E, re-measured with the leak-free bench) found persisting these
+    // shared frames a WASH at 10× and a 2× REGRESSION at 20× — the
+    // columnar-cache scan breaks the codegen'd assignment pipeline, and
+    // ReuseExchange already shares the shuffle-bounded duplicates.
+    val qv = quantized(e)
     val coarse = assignMembers(qv, kc, hintCentroids = false)
-      .select(col("vec_id"), col("cid").as("ccid")).persist()
+      .select(col("vec_id"), col("cid").as("ccid"))
     val seedCell = coarse.filter(col("vec_id") < k)
       .select(col("vec_id").as("fcid"), col("ccid"))
     val fineCent = qv.filter(col("vec_id") < k)
@@ -625,7 +626,6 @@ object Centroids {
           .partitionBy(col("vec_id")).orderBy(col("dist"), col("fcid"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("ccid"), col("fcid"))
-      .persist()
     val sampleQv = qv.filter(
       pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
     val exact = assignMembers(sampleQv, k, hintCentroids = false,
@@ -920,17 +920,25 @@ object Centroids {
     * Window PARTITIONED by cluster (cluster-sized partitions — never the
     * single-partition global window class), band bounds in pure integer
     * arithmetic (lo = m div 5, hi = max((4m) div 5, lo+1), keep
-    * lo < r ≤ hi — every cluster keeps at least one member). Shared
-    * frames (assignment, quantized components) are persisted per the r9
-    * shared-frame rule. */
+    * lo < r ≤ hi — every cluster keeps at least one member). Only the
+    * post-assignment member-component frame is materialized (both the
+    * centroid and distance passes read it); the assignment input stays
+    * on the codegen path per the corrected §E rule. */
   def q273ClusterPrune(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-    val qv = quantized(e).persist()
-    val members = assignMembers(qv, k, hintCentroids = false)
-      .select(col("vec_id"), col("cid")).persist()
-    val mq = members.join(qv, Seq("vec_id"))
+    // deliberately NOT persisting the quantized components: the O(n·k·d)
+    // assignment join runs ~9× slower reading the columnar cache than as
+    // one whole-stage-codegen pipeline over the parquet lineage (measured
+    // 12.7 s vs 1.5 s at the 10× point), and cache substitution splices a
+    // cached frame into EVERY same-shape plan, so the only way to keep
+    // the assignment on the codegen path is to not cache its input.
+    // What IS shared downstream is mq — assignment result re-joined to
+    // the components — consumed by the centroid and distance passes.
+    val members = assignMembers(quantized(e), k, hintCentroids = false)
+      .select(col("vec_id"), col("cid"))
+    val mq = members.join(quantized(e), Seq("vec_id")).persist()
     val centroids = mq.groupBy(col("cid"), col("pos"))
       .agg(expr("sum(q) div count(1)").as("cq"))
     val dists = mq.join(centroids, Seq("cid", "pos"))

@@ -314,14 +314,10 @@ object Quantize {
   def q269JlProjection(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     // quantized component arrays (exact BIGINT folds, array order)
-    // persisted: the quantized arrays feed the projection explode AND
-    // both sides of the band-pair join; the projections join themselves
-    // twice (p1/p2) — the same shared-frame rule as q268/q270
     val qe = e.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(JlScale.toDouble)).cast("long"))
         .as("qemb"))
-      .persist()
     val d = e.select(max(size(col("embedding")))).head().getInt(0)
     val signs = spark.range(d.toLong * JlDim)
       .select(expr(s"id div $JlDim").as("pos"),
@@ -335,7 +331,6 @@ object Quantize {
       .join(broadcast(signs), Seq("pos"))
       .groupBy(col("vec_id"), col("j"))
       .agg(sum(col("sign") * col("q")).as("qp"))
-      .persist()
     val pairs = qe
       .select(col("vec_id").as("v1"), col("qemb").as("qe1"),
         explode(sequence(col("vec_id") + 1, col("vec_id") + 5)).as("v2"))

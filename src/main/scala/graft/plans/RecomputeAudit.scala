@@ -5,33 +5,31 @@ import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Ledger-wide recompute audit — the machine-readable form of the
   * round-9 shared-frame lesson (SCALE_POINT_r9 §E): a frame consumed by
-  * several downstream joins/aggregates is RE-DERIVED per consumer unless
-  * materialized, and a single-shot query with a diamond-shaped plan pays
-  * that silently (measured up to 36× at the 20× point on q270 before its
-  * persist). Spark performs no common-subexpression elimination across
-  * plan branches, so the duplicate subtrees are visible statically: this
-  * audit finds MAXIMAL duplicated subtrees (a duplicated node whose
-  * parent is not itself duplicated) whose canonicalized form contains at
-  * least one shuffle-bearing operator (Join/Aggregate/Window/Generate),
-  * i.e. real recomputed work rather than a shared scan Parquet will
-  * serve from cache anyway.
+  * several downstream joins/aggregates MAY be re-derived per consumer
+  * unless materialized, and a single-shot query with a diamond-shaped
+  * plan pays that silently (measured 2.3× at the 20× point on q270
+  * before its persist). Spark performs no common-subexpression
+  * elimination across LOGICAL plan branches, so the duplicate subtrees
+  * are visible statically: this audit finds MAXIMAL duplicated subtrees
+  * (a duplicated node whose parent is not itself duplicated) whose
+  * canonicalized form contains at least one shuffle-bearing operator
+  * (Join/Aggregate/Window/Generate), i.e. potentially recomputed work
+  * rather than a shared scan Parquet will serve from cache anyway.
   *
   * Report-only BY MEASURED NECESSITY, not politeness: a logical-plan
   * duplicate is usually already deduplicated physically. Spark's
   * ReuseExchange rule executes identical exchange subtrees ONCE, so a
   * diamond whose duplicate sides end at a shuffle boundary recomputes
-  * nothing but the post-shuffle pipeline. The round-9 A/B (8 flagged
-  * sites converted to cuts/persists, measured at the 10× point) found
-  * three regressions (q113 +33%, q161 +26%, q169 +13% — materializing
-  * wide array frames or blocking pipelining costs more than the
-  * ReusedExchange-served "recompute"), five washes, and no wins; all
-  * eight were reverted. Materialization pays only when (a) substantial
-  * POST-shuffle compute re-runs per consumer — q268's row_number
-  * assignment re-ran four times, 31× at the 20× point — or (b) the
-  * materialized statistics flip a join strategy — q270's unpersisted
-  * 1024-row stats frame shuffled the corpus instead of broadcasting,
-  * 36×. Flag → measure → then decide; the fix record lives in
-  * SCALE_POINT_r9 §E.
+  * nothing but the post-shuffle pipeline, and an InMemoryRelation scan
+  * can replace a whole-stage-codegen pipeline at a net loss. The
+  * round-9 A/Bs (leak-free bench — see the §E correction record):
+  * eight flagged sites converted and REVERTED (q113 +33%, q161 +26%,
+  * q169 +13%, rest wash), q269/q271's persists REVERTED
+  * (q271 2× worse at 20×). Materialization paid in exactly two cases:
+  * q270's 1024-row stats frame broadcasts once its size is known
+  * instead of shuffling the corpus into a low-cardinality SMJ (2.3×),
+  * and q268's four-way-consumed assignment (1.35×). Flag → measure →
+  * then decide; the full record lives in SCALE_POINT_r9 §E.
   *
   * Usage: `sbt "runMain graft.plans.RecomputeAudit <sfDir> [minCost]"`.
   */
