@@ -752,12 +752,17 @@ object Centroids {
     val nSt = standing.count()
     val kcut = math.max(2L,
       math.ceil(math.sqrt(nSt.toDouble) * 10.0 / 9.0).toLong)
-    val qv = quantized(e).persist()
+    // deliberately uncached throughout: the leak-free A/B measured the
+    // persisted form 1.37× SLOWER at 10× (21.0 vs 15.4 s nosort) and
+    // 1.2× at 20× — ReuseExchange shares the shuffle-bounded duplicates
+    // and the columnar-cache scan costs more than it saves (the same
+    // verdict as q271; SCALE_POINT_r9 §E correction record)
+    val qv = quantized(e)
     val stQv = qv.filter(!isBatch)
     val membersSt = assignMembers(stQv, kcut, hintCentroids = false)
-      .select(col("vec_id"), col("cid")).persist()
+      .select(col("vec_id"), col("cid"))
     val emb = e.select(col("vec_id"), col("embedding"))
-    val mSt = membersSt.join(emb, Seq("vec_id")).persist()
+    val mSt = membersSt.join(emb, Seq("vec_id"))
     val droppedSt = mSt.select(col("cid"), col("vec_id").as("v1"),
         col("embedding").as("e1"))
       .join(mSt.select(col("cid"), col("vec_id").as("v2"),
@@ -768,11 +773,11 @@ object Centroids {
       .select(col("v2")).distinct()
     // the standing index: in production a stored table (q261's framing)
     val keptSt = mSt.join(droppedSt.withColumnRenamed("v2", "vec_id"),
-      Seq("vec_id"), "left_anti").persist()
+      Seq("vec_id"), "left_anti")
     val membersB = assignMembers(qv.filter(isBatch), kcut,
         hintCentroids = false, seeds = Some(stQv))
       .select(col("vec_id"), col("cid"))
-    val mB = membersB.join(emb, Seq("vec_id")).persist()
+    val mB = membersB.join(emb, Seq("vec_id"))
     val corpusHit = mB.select(col("cid"), col("vec_id").as("b"),
         col("embedding").as("eb"))
       .join(keptSt.select(col("cid"), col("vec_id").as("s"),
