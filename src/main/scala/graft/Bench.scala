@@ -50,8 +50,9 @@ object Bench {
           // r5's full run; the wait itself is outside the timed section).
           // clearCache first: releasing blocks alone leaves the
           // CacheManager ENTRY alive, and plan-equality substitution
-          // would splice one query's persisted frame (q268/q271 cache
-          // their shared quantized components) into every later query
+          // would splice one query's persisted frame (q268/q270/q273
+          // persist shared components; q271/q272's persists were
+          // reverted after losing their A/B) into every later query
           // that builds the same subtree — cross-query cache write costs
           // in the later query's timing
           spark.catalog.clearCache()

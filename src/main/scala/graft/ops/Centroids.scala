@@ -419,6 +419,55 @@ object Centroids {
     * as q50/q73. */
   private val SemDedupTau = 0.30
 
+  /** Per-cluster member cap for the SemDeDup pair joins, as a multiple of
+    * the EXPECTED cluster size (n/k = √n at the k=⌈√n⌉ balance point):
+    * cap(n) = SemClusterCapFactor·⌈√n⌉. The q264 capped-bucket device
+    * adapted to clusters — but adaptive rather than constant, because the
+    * right invariant here is the O(n^1.5) total-work bound, not a fixed
+    * pair budget: with only the cap-lowest members admitted as the LEFT
+    * side of each within-cluster pair join, a cluster of m members costs
+    * ≤ cap·m pairs, so the corpus-wide pair count is ≤ 4√n·n = O(n^1.5)
+    * EVEN when a degenerate embedding distribution (a crawl's boilerplate
+    * blob — every vector near one prototype) lands the whole corpus in
+    * one cluster, where the uncapped join is O(n²). Factor 4 vs the
+    * measured distribution: max/mean cluster size is 1.2–1.5 at every
+    * measured point (sf0.01 32/21.7, sf0.1 60/44, 10× 180/141, 20×
+    * 239/200), so the cap never binds on organic data and recall is
+    * untouched; only a >4×-expected outlier cluster is trimmed.
+    * Recall semantics under the cap: the keep-rule is keep-lowest-id, and
+    * the cluster's lowest-id members are BY CONSTRUCTION in the admitted
+    * left side, so every member of a clone blob still collapses onto its
+    * minimal representative; a drop is missed only for a pair BOTH of
+    * whose ids rank above the cap with no τ-close lower-ranked member —
+    * and q274_semdedup_capped accounts the skipped-pair exposure
+    * (q264-style: generated vs skipped, per cap). */
+  private[graft] val SemClusterCapFactor = 4L
+
+  /** Per-cluster pair cap from a corpus count — see
+    * [[SemClusterCapFactor]]. */
+  private[graft] def semClusterCap(n: Long): Long =
+    SemClusterCapFactor * math.max(1L,
+      math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  /** Id-reduction modulus (2³¹) for the kept-id checksums: the raw
+    * product vec_id·MixA overflows Int64 once vec_id ≥ 2^63/MixA ≈
+    * 3.47·10⁹ — real at the 100 TB design point and an ANSI-mode error.
+    * Reducing the id mod 2³¹ FIRST keeps the product ≤ (2³¹−1)·MixA ≈
+    * 5.7·10¹⁸ < 2⁶³−1, exact at any id; reducing mod 2³² would NOT be
+    * enough ((2³²−1)·MixA ≈ 1.14·10¹⁹ overflows). Per-cluster sums of
+    * the mixed values stay < |cluster|·2³² — safe in BIGINT for any
+    * realistic cluster. */
+  private val ChkIdMod = 2147483648L
+
+  /** The overflow-safe checksum term: ((id mod 2³¹)·MixA) mod 2³². */
+  private def chk(id: org.apache.spark.sql.Column) =
+    pmod(pmod(id, lit(ChkIdMod)) * lit(TrainingData.MixA),
+      lit(TrainingData.Mod32))
+
+  /** DuckDB spelling of [[chk]] (ids are non-negative, so `%` = pmod). */
+  private def chkSql(id: String): String =
+    s"(($id % $ChkIdMod) * ${TrainingData.MixA}) % ${TrainingData.Mod32}"
+
   /** q268_semdedup — SemDeDup (Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication", 2023): cluster
     * the embedding corpus, then search for semantic near-duplicates ONLY
@@ -441,39 +490,56 @@ object Centroids {
     *    (the round-9 de-hint rule; contrast q66's constant k=8, which
     *    keeps its hint).
     *  - The pairwise stage shuffles on cid only; embeddings travel once
-    *    per membership. Cluster sizes concentrate around √n; a skewed
-    *    mega-cluster shows up in n_members — the q263-style balance
-    *    audit — and a production run would cap it exactly as q264 caps
-    *    LSH buckets.
+    *    per membership. Cluster sizes concentrate around √n, and the
+    *    pair join is CAPPED in code ([[SemClusterCapFactor]]): only the
+    *    cap-lowest members of each cluster are admitted as the left
+    *    side, so a degenerate mega-cluster (a boilerplate crawl — every
+    *    vector near one prototype) costs ≤ cap·m pairs instead of m²/2,
+    *    and the corpus-wide pair count stays O(n^1.5) by construction.
+    *    q274_semdedup_capped reports the capped-vs-generated accounting
+    *    (the q264 pattern); q263-style skew is visible in n_members.
     *  - Assignment distance is exact BIGINT L2 over quantized components
     *    ([[KmeansScale]]), so membership — and therefore the checksum —
     *    is bit-identical across engines and partitionings; only the final
     *    cosine compare is floating-point, absorbed by the 4-dp round.
-    *  - Checksum hash is the q203 32-bit multiplicative mix: per-cluster
-    *    sums stay < |cluster|·2³² — no BIGINT overflow risk at any
-    *    realistic cluster size. */
+    *  - Checksum hash is the q203 32-bit multiplicative mix with the id
+    *    reduced mod 2³¹ BEFORE the multiply ([[ChkIdMod]] — the raw
+    *    product overflows Int64 at vec_id ≈ 3.5·10⁹, inside the 100 TB
+    *    id space); per-cluster sums stay < |cluster|·2³² — no BIGINT
+    *    overflow risk at any realistic cluster size. */
   def q268SemDedup(spark: SparkSession, sfDir: String): DataFrame =
     semDedup(Tables.embeddings(spark, sfDir))
 
   /** The SemDeDup core over any (vec_id, embedding) frame — see
     * [[q268SemDedup]] for semantics and scale rationale; `tau` is a
     * parameter so specs can plant near-duplicate clones at a production
-    * threshold. */
+    * threshold, and `cap` overrides the [[semClusterCap]] default so the
+    * degenerate-mega-cluster spec can force the cap to bind. */
   private[graft] def semDedup(e: DataFrame,
-      tau: Double = SemDedupTau): DataFrame = {
+      tau: Double = SemDedupTau, cap: Option[Long] = None): DataFrame = {
     val n = e.count() // one 1-row action sizes k — the q267 gate pattern
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val capVal = cap.getOrElse(semClusterCap(n))
     // persist the shared frames: `members` (the O(n·k) assignment) feeds
     // the pair join twice plus the kept/members aggregates, and `m` is
     // both sides of the self-join — unpersisted, Spark recomputes the
     // assignment four times. MEMORY_AND_DISK (the DataFrame default)
     // keeps the device valid at any scale: a corpus-sized frame spills
     // instead of evicting.
+    // crk = within-cluster id-rank: the cap admits only the crk ≤ cap
+    // members as the pair join's LEFT side (cluster-sized window
+    // partitions — never the banned global-window class). Computed
+    // before the persist so both pair sides and the aggregates share it.
     val members = assignMembers(quantized(e), k, hintCentroids = false)
-      .select(col("vec_id"), col("cid")).persist()
+      .select(col("vec_id"), col("cid"))
+      .withColumn("crk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid")).orderBy(col("vec_id"))))
+      .persist()
     val m = members.join(e.select(col("vec_id"), col("embedding")),
       Seq("vec_id")).persist()
-    val dropped = m.select(col("cid"), col("vec_id").as("v1"),
+    val dropped = m.filter(col("crk") <= capVal)
+      .select(col("cid"), col("vec_id").as("v1"),
         col("embedding").as("e1"))
       .join(m.select(col("cid"), col("vec_id").as("v2"),
         col("embedding").as("e2")), Seq("cid"))
@@ -486,8 +552,7 @@ object Centroids {
       Seq("vec_id"), "left_anti")
     val keptStats = kept.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_kept"),
-        sum(pmod(col("vec_id") * lit(TrainingData.MixA),
-          lit(TrainingData.Mod32))).as("kept_checksum"))
+        sum(chk(col("vec_id"))).as("kept_checksum"))
     members.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
       .join(keptStats, Seq("cid"))
       .select(col("cid"), col("n_members"),
@@ -499,6 +564,10 @@ object Centroids {
   val q268Sql: String =
     s"""WITH k AS (
        |  SELECT GREATEST(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |cap AS (
+       |  SELECT $SemClusterCapFactor *
+       |         GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cap
        |  FROM embeddings),
        |pe AS (
        |  SELECT vec_id, unnest(embedding) AS v,
@@ -522,10 +591,15 @@ object Centroids {
        |           row_number() OVER (PARTITION BY vec_id
        |             ORDER BY dist, cid) AS rk
        |    FROM dists) WHERE rk = 1),
+       |membersr AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+       |    ORDER BY vec_id) AS crk
+       |  FROM members),
        |pairs AS (
        |  SELECT m1.cid, m1.vec_id AS v1, m2.vec_id AS v2
-       |  FROM members m1 JOIN members m2
-       |    ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id),
+       |  FROM membersr m1 JOIN membersr m2
+       |    ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id
+       |  WHERE m1.crk <= (SELECT cap FROM cap)),
        |pc AS (
        |  SELECT p.cid, p.v1, p.v2,
        |         unnest(a.embedding)::DOUBLE AS x,
@@ -545,14 +619,121 @@ object Centroids {
        |  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.v2 = m.vec_id)),
        |ks AS (
        |  SELECT cid, count(*) AS n_kept,
-       |         CAST(sum((vec_id * ${TrainingData.MixA}) %
-       |           ${TrainingData.Mod32}) AS BIGINT) AS kept_checksum
+       |         CAST(sum(${chkSql("vec_id")}) AS BIGINT) AS kept_checksum
        |  FROM kept GROUP BY 1)
        |SELECT m.cid, count(*) AS n_members,
        |       count(*) - any_value(ks.n_kept) AS n_dropped,
        |       any_value(ks.kept_checksum) AS kept_checksum
        |FROM members m JOIN ks ON ks.cid = m.cid
        |GROUP BY m.cid ORDER BY m.cid""".stripMargin
+
+  /** Per-cluster pair accounting over a (cid, m) cluster-size frame, one
+    * row per cap in `caps`: how many clusters the cap trims, how many
+    * members sit in trimmed clusters, and the candidate-pair cost split
+    * into generated vs skipped — [[q274SemdedupCapped]]'s core, exposed
+    * so the degenerate-cluster spec can assert the same arithmetic the
+    * query reports. Pair counts are closed-form in m: a cluster of
+    * m ≤ cap generates the full m(m−1)/2; above the cap, admitting only
+    * the cap id-lowest members as the pair join's left side generates
+    * Σ_{i=1..cap}(m−i) = cap·m − cap(cap+1)/2. */
+  private[graft] def clusterPairAccounting(sizes: DataFrame,
+      caps: Seq[Long]): DataFrame =
+    sizes
+      .withColumn("cap", explode(array(caps.map(lit): _*)))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("m") > col("cap"), 1L).otherwise(0L))
+          .as("n_capped_clusters"),
+        sum(when(col("m") > col("cap"), col("m")).otherwise(0L))
+          .as("members_in_capped"),
+        sum(when(col("m") <= col("cap"), expr("m * (m - 1) div 2"))
+          .otherwise(col("cap") * col("m")
+            - expr("cap * (cap + 1) div 2"))).as("pairs_generated"),
+        sum(when(col("m") > col("cap"), expr("m * (m - 1) div 2")
+            - (col("cap") * col("m") - expr("cap * (cap + 1) div 2")))
+          .otherwise(0L)).as("pairs_skipped"))
+      .orderBy(col("cap"))
+
+  /** Forced-low cap for q274: below the fixture's measured max cluster
+    * size at every SF (32 at sf0.01), so the skip accounting is
+    * oracle-exercised, not just compiled — the q264 cap=2 device. */
+  private val Q274ForcedCap = 8L
+
+  /** q274_semdedup_capped — the capped-cluster accounting report: per
+    * cap (the forced-low [[Q274ForcedCap]] and the production
+    * [[semClusterCap]]), how many clusters the cap trims and the pair
+    * cost split into generated vs skipped. The operational complement of
+    * q268's cap exactly as q264 is to q70's LSH buckets: q268 RUNS the
+    * capped join; this measures what the cap costs (pairs_skipped =
+    * recall exposure, pairs_generated = the bounded join the pipeline
+    * actually executes). At the production cap the fixture skips nothing
+    * (max/mean cluster size ≤ 1.5 at every measured point); the forced
+    * cap makes real skips so the accounting path itself is
+    * oracle-verified.
+    *
+    * Scale: one cluster-size aggregate over the assignment (map-side
+    * combinable), exploded ×|caps| (a constant 2), re-aggregated to
+    * |caps| rows. Embeddings never enter the pair join here at all. */
+  def q274SemdedupCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val sizes = assignMembers(quantized(e), k, hintCentroids = false)
+      .groupBy(col("cid")).agg(count(lit(1)).as("m"))
+    clusterPairAccounting(sizes, Seq(Q274ForcedCap, semClusterCap(n)))
+  }
+
+  val q274Sql: String =
+    s"""WITH k AS (
+       |  SELECT GREATEST(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |capv AS (
+       |  SELECT $SemClusterCapFactor *
+       |         GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cap
+       |  FROM embeddings),
+       |pe AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, pos,
+       |         CAST(floor(CAST(v AS DOUBLE) * $KmeansScale.0) AS BIGINT)
+       |           + $KmeansScale AS q
+       |  FROM pe),
+       |cent AS (
+       |  SELECT vec_id AS cid, pos, q AS cq FROM qv
+       |  WHERE vec_id < (SELECT k FROM k)),
+       |dists AS (
+       |  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+       |  FROM qv v JOIN cent c ON v.pos = c.pos
+       |  GROUP BY 1, 2),
+       |members AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY dist, cid) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |sizes AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS m FROM members
+       |  GROUP BY 1),
+       |capped AS (
+       |  SELECT c.cap, z.m
+       |  FROM sizes z CROSS JOIN
+       |       (SELECT unnest([CAST($Q274ForcedCap AS BIGINT),
+       |                       (SELECT cap FROM capv)]) AS cap) c)
+       |SELECT cap, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sum(CASE WHEN m > cap THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_capped_clusters,
+       |       CAST(sum(CASE WHEN m > cap THEN m ELSE 0 END) AS BIGINT)
+       |         AS members_in_capped,
+       |       CAST(sum(CASE WHEN m <= cap THEN m * (m - 1) // 2
+       |                ELSE cap * m - cap * (cap + 1) // 2 END) AS BIGINT)
+       |         AS pairs_generated,
+       |       CAST(sum(CASE WHEN m > cap THEN m * (m - 1) // 2
+       |                  - (cap * m - cap * (cap + 1) // 2)
+       |                ELSE 0 END) AS BIGINT) AS pairs_skipped
+       |FROM capped GROUP BY cap
+       |ORDER BY cap""".stripMargin
 
   /** Deterministic 1-in-37 sample for the q271 exact-agreement audit —
     * a modulus keeps the oracle replayable; a production run would cap
@@ -740,7 +921,11 @@ object Centroids {
     *    uses q271's two-level path; the flat form keeps this oracle
     *    replayable.
     *  - per-batch-vector compares stay inside one cluster — the q268
-    *    device that keeps pairwise work off the full corpus. */
+    *    device that keeps pairwise work off the full corpus — and all
+    *    three compare joins (standing pairwise, batch pairwise, batch ×
+    *    kept-index) carry the q268 per-cluster cap
+    *    ([[SemClusterCapFactor]], sized from the standing corpus), so a
+    *    degenerate mega-cluster bounds at cap·m pairs instead of m². */
   def q272IncrSemDedup(spark: SparkSession, sfDir: String): DataFrame =
     incrSemDedup(Tables.embeddings(spark, sfDir))
 
@@ -752,6 +937,12 @@ object Centroids {
     val nSt = standing.count()
     val kcut = math.max(2L,
       math.ceil(math.sqrt(nSt.toDouble) * 10.0 / 9.0).toLong)
+    // the q268 per-cluster pair cap, sized from the standing corpus (the
+    // frame the clustering is balanced against) and applied to all three
+    // per-cluster compare joins below — see SemClusterCapFactor
+    val capVal = semClusterCap(nSt)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("vec_id"))
     // deliberately uncached throughout: the leak-free A/B measured the
     // persisted form 1.37× SLOWER at 10× (21.0 vs 15.4 s nosort) and
     // 1.2× at 20× — ReuseExchange shares the shuffle-bounded duplicates
@@ -761,9 +952,11 @@ object Centroids {
     val stQv = qv.filter(!isBatch)
     val membersSt = assignMembers(stQv, kcut, hintCentroids = false)
       .select(col("vec_id"), col("cid"))
+      .withColumn("crk", row_number().over(win))
     val emb = e.select(col("vec_id"), col("embedding"))
     val mSt = membersSt.join(emb, Seq("vec_id"))
-    val droppedSt = mSt.select(col("cid"), col("vec_id").as("v1"),
+    val droppedSt = mSt.filter(col("crk") <= capVal)
+      .select(col("cid"), col("vec_id").as("v1"),
         col("embedding").as("e1"))
       .join(mSt.select(col("cid"), col("vec_id").as("v2"),
         col("embedding").as("e2")), Seq("cid"))
@@ -771,21 +964,31 @@ object Centroids {
       .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
         >= lit(SemDedupTau))
       .select(col("v2")).distinct()
-    // the standing index: in production a stored table (q261's framing)
+    // the standing index: in production a stored table (q261's framing).
+    // srk re-ranks the KEPT members per cluster — the cap on the corpus
+    // compare admits the srk-lowest kept representatives, so a batch
+    // vector checks ≤ cap standing reps per cluster (keep-first already
+    // collapses a boilerplate blob to ~1 kept rep; the cap bounds the
+    // adversarial τ-chain case where many mutually-dissimilar members
+    // survive in one mega-cluster)
     val keptSt = mSt.join(droppedSt.withColumnRenamed("v2", "vec_id"),
-      Seq("vec_id"), "left_anti")
+        Seq("vec_id"), "left_anti")
+      .withColumn("srk", row_number().over(win))
     val membersB = assignMembers(qv.filter(isBatch), kcut,
         hintCentroids = false, seeds = Some(stQv))
       .select(col("vec_id"), col("cid"))
+      .withColumn("crk", row_number().over(win))
     val mB = membersB.join(emb, Seq("vec_id"))
     val corpusHit = mB.select(col("cid"), col("vec_id").as("b"),
         col("embedding").as("eb"))
-      .join(keptSt.select(col("cid"), col("vec_id").as("s"),
-        col("embedding").as("es")), Seq("cid"))
+      .join(keptSt.filter(col("srk") <= capVal)
+        .select(col("cid"), col("vec_id").as("s"),
+          col("embedding").as("es")), Seq("cid"))
       .filter(round(Similarity.cosine(col("eb"), col("es")), 4)
         >= lit(SemDedupTau))
       .groupBy(col("b")).agg(min(col("s")).as("corpus_rep"))
-    val batchHit = mB.select(col("cid"), col("vec_id").as("v1"),
+    val batchHit = mB.filter(col("crk") <= capVal)
+      .select(col("cid"), col("vec_id").as("v1"),
         col("embedding").as("e1"))
       .join(mB.select(col("cid"), col("vec_id").as("v2"),
         col("embedding").as("e2")), Seq("cid"))
@@ -813,6 +1016,10 @@ object Centroids {
        |kcut AS (
        |  SELECT GREATEST(2, CAST(ceil(sqrt(n) * 10.0 / 9.0) AS BIGINT))
        |    AS kcut FROM nst),
+       |cap AS (
+       |  SELECT $SemClusterCapFactor *
+       |         GREATEST(1, CAST(ceil(sqrt(n)) AS BIGINT)) AS cap
+       |  FROM nst),
        |pe AS (
        |  SELECT vec_id, unnest(embedding) AS v,
        |         unnest(generate_series(0, len(embedding) - 1)) AS pos
@@ -835,10 +1042,15 @@ object Centroids {
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY dist, cid) AS rk FROM sdist) WHERE rk = 1),
+       |members_st_r AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+       |    ORDER BY vec_id) AS crk
+       |  FROM members_st),
        |pairs_st AS (
        |  SELECT m1.cid, m1.vec_id AS v1, m2.vec_id AS v2
-       |  FROM members_st m1 JOIN members_st m2
-       |    ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id),
+       |  FROM members_st_r m1 JOIN members_st_r m2
+       |    ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id
+       |  WHERE m1.crk <= (SELECT cap FROM cap)),
        |pc_st AS (
        |  SELECT p.v2,
        |         unnest(a.embedding)::DOUBLE AS x,
@@ -858,6 +1070,10 @@ object Centroids {
        |  SELECT m.vec_id, m.cid FROM members_st m
        |  WHERE NOT EXISTS (SELECT 1 FROM dropped_st d
        |                    WHERE d.v2 = m.vec_id)),
+       |kept_st_r AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+       |    ORDER BY vec_id) AS srk
+       |  FROM kept_st),
        |bdist AS (
        |  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
        |  FROM qv v JOIN cent c ON v.pos = c.pos
@@ -867,9 +1083,14 @@ object Centroids {
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY dist, cid) AS rk FROM bdist) WHERE rk = 1),
+       |members_b_r AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+       |    ORDER BY vec_id) AS crk
+       |  FROM members_b),
        |cpairs AS (
        |  SELECT b.vec_id AS bid, s.vec_id AS sid
-       |  FROM members_b b JOIN kept_st s ON b.cid = s.cid),
+       |  FROM members_b b JOIN kept_st_r s ON b.cid = s.cid
+       |  WHERE s.srk <= (SELECT cap FROM cap)),
        |chit AS (
        |  SELECT bid, min(sid) AS corpus_rep FROM (
        |    SELECT p.bid, p.sid,
@@ -885,8 +1106,9 @@ object Centroids {
        |  WHERE c >= $SemDedupTau GROUP BY 1),
        |bpairs AS (
        |  SELECT m1.vec_id AS v1, m2.vec_id AS v2
-       |  FROM members_b m1 JOIN members_b m2
-       |    ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id),
+       |  FROM members_b_r m1 JOIN members_b_r m2
+       |    ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id
+       |  WHERE m1.crk <= (SELECT cap FROM cap)),
        |bhit AS (
        |  SELECT v2, min(v1) AS batch_rep FROM (
        |    SELECT p.v1, p.v2,
@@ -928,7 +1150,15 @@ object Centroids {
     * lo < r ≤ hi — every cluster keeps at least one member). Only the
     * post-assignment member-component frame is materialized (both the
     * centroid and distance passes read it); the assignment input stays
-    * on the codegen path per the corrected §E rule. */
+    * on the codegen path per the corrected §E rule.
+    *
+    * Mega-cluster exposure: unlike q268/q272 there is NO pair join here —
+    * per-cluster cost is the rank window's sort, O(m log m) in ONE task
+    * (Spark window sorts spill, so a degenerate all-one-cluster corpus is
+    * a straggler, not an OOM or a quadratic blowup) — so the q268 pair
+    * cap has nothing to bound; the shared clustering's skew is observable
+    * through q274_semdedup_capped's accounting and this query's own
+    * n_members column. */
   def q273ClusterPrune(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
@@ -967,8 +1197,7 @@ object Centroids {
         sum(when(col("r") > col("hi"), 1L).otherwise(0L))
           .as("n_pruned_outlier"),
         sum(when(col("r") > col("lo") && col("r") <= col("hi"),
-          pmod(col("vec_id") * lit(TrainingData.MixA),
-            lit(TrainingData.Mod32))).otherwise(0L)).as("kept_checksum"))
+          chk(col("vec_id"))).otherwise(0L)).as("kept_checksum"))
       .orderBy(col("cid"))
   }
 
@@ -1024,8 +1253,7 @@ object Centroids {
        |       CAST(sum(CASE WHEN r > hi THEN 1 ELSE 0 END) AS BIGINT)
        |         AS n_pruned_outlier,
        |       CAST(sum(CASE WHEN r > lo AND r <= hi
-       |                THEN (vec_id * ${TrainingData.MixA}) %
-       |                     ${TrainingData.Mod32} ELSE 0 END) AS BIGINT)
+       |                THEN ${chkSql("vec_id")} ELSE 0 END) AS BIGINT)
        |         AS kept_checksum
        |FROM banded GROUP BY cid ORDER BY cid""".stripMargin
 }

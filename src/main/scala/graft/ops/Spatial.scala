@@ -165,7 +165,12 @@ object Spatial {
     * constant mean occupancy unless the data is adversarially
     * clustered — falls through to an exact brute-force remainder (the
     * pending set at that point is the Poisson tail: vanishingly small
-    * under any density the adaptive grid was sized for).
+    * under any density the adaptive grid was sized for). The
+    * fallthrough is INSTRUMENTED, not silent ([[RemainderAccounting]]):
+    * it logs probes-solved-by-remainder × suppliers — the exact-pair
+    * cost the rings failed to avoid — so an adversarial distribution
+    * that does trigger it shows up in the run log, q264-style, instead
+    * of as an unexplained quadratic stage.
     *
     * Output ≡ brute-force global NN (min d², then min suppkey) — the
     * oracle is the O(n·m) cross join, so equality proves the ring bound
@@ -181,8 +186,29 @@ object Spatial {
     * remainder. 1000 ≈ the full disc through ring 15. */
   private val MaxOffsetsPerRound = 1000
 
+  /** Visible accounting for the exact brute-force remainder — the q264
+    * discipline applied to q267's fallback: the remainder is the EXACT
+    * path (results are identical either way, spec-asserted), but its
+    * cost is |pending|·n_supp with nothing structural bounding
+    * |pending|, so a silent trigger on an adversarially clustered
+    * distribution would be a silent O(n²) cliff. The loop fills this on
+    * the remainder round (sized by one count() action on the pending
+    * checkpoint — the path is terminal and, under any density the grid
+    * was sized for, never taken) and logs it; the output schema — and
+    * therefore the oracle hash — is untouched. */
+  final class RemainderAccounting {
+    /** Probes the ring budget left unresolved, solved exactly. */
+    var rowsSolvedByRemainder: Long = 0L
+    /** Candidate pairs the remainder's cross join evaluated. */
+    var bruteForcePairs: Long = 0L
+    /** Rounds the ring schedule ran before falling through (0 = never
+      * fell through). */
+    var ringRoundsBeforeFallthrough: Int = 0
+  }
+
   private[graft] def adaptiveKnnImpl(spark: SparkSession, sfDir: String,
-      maxOffsetsPerRound: Int): DataFrame = {
+      maxOffsetsPerRound: Int,
+      accounting: Option[RemainderAccounting] = None): DataFrame = {
     import graft.ops.Checkpoints.CutOps
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"),
@@ -208,12 +234,26 @@ object Spatial {
     def ringCells(l: Int): Int = if (l == 0) 1 else 8 * l
     var doneParts = List.empty[DataFrame]
     var lo = 0
+    var rounds = 0
     var exhausted = false
     while (!exhausted && !pending.isEmpty) {
       if (ringCells(lo) > maxOffsetsPerRound) {
         // Exact brute-force remainder: every supplier is a candidate, so
         // the global (min d², min suppkey) over the cross product ⊇ any
         // prior ring candidate — prior partial bests can be dropped.
+        // Account + log before running it: |pending|·n_supp is the cost
+        // the ring schedule failed to avoid, and it must be observable
+        // (the count is one action on the pending checkpoint, priced
+        // only on this terminal, never-on-organic-data path).
+        val nPending = pending.count()
+        accounting.foreach { a =>
+          a.rowsSolvedByRemainder = nPending
+          a.bruteForcePairs = nPending * nSupp
+          a.ringRoundsBeforeFallthrough = rounds
+        }
+        System.err.println(s"[q267] brute-force remainder engaged after " +
+          s"$rounds ring rounds: $nPending probes x $nSupp suppliers = " +
+          s"${nPending * nSupp} exact pairs")
         doneParts ::= pending.select(col("c_custkey"), col("cx"), col("cy"))
           .crossJoin(supp.select(col("s_suppkey"), col("sx"), col("sy")))
           .select(col("c_custkey"),
@@ -274,6 +314,7 @@ object Spatial {
         pending = merged.filter(!finalize)
         if (hi >= cellsPerSide) exhausted = true
         lo = hi + 1
+        rounds += 1
       }
     }
     val none = cust.limit(0).select(col("c_custkey"),

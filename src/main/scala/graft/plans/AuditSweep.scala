@@ -35,8 +35,8 @@ object AuditSweep {
         Seq(Finding(name, "build-error", e.toString))
       } finally {
         // audit ISOLATION, not just memory hygiene: a frame one query
-        // persists during construction (q268/q271 cache their shared
-        // quantized components) is substituted BY PLAN EQUALITY into
+        // persists during construction (q268/q270/q273 cache shared
+        // components) is substituted BY PLAN EQUALITY into
         // every later query's optimized plan (q66 builds the same
         // quantized frame), hiding leaves behind InMemoryRelation and
         // silently changing that query's audit findings. Each query

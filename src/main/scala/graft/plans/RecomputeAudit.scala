@@ -85,9 +85,19 @@ object RecomputeAudit {
         }
       } catch { case scala.util.control.NonFatal(e) =>
         println(s"[recompute] $name: build-error ${e.getMessage}")
-      } finally
+      } finally {
+        // clearCache first, mirroring AuditSweep/Bench/Verify: releasing
+        // RDD blocks alone leaves the CacheManager ENTRY alive, and
+        // plan-equality substitution would splice one query's persisted
+        // frame (q268/q270/q273 persist shared components) into every
+        // later query that builds the same subtree. duplicates() skips
+        // subtrees under InMemoryRelation, so a leaked entry silently
+        // MASKS later queries' duplicate-subtree findings — the exact
+        // cross-query leak this audit exists to surface.
+        spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+      }
     }
     println(s"[recompute] total findings: $total across " +
       s"${graft.SparkEntry.queries.size} queries (minCost=$minCost)")

@@ -106,6 +106,53 @@ class AuditSweepSpec extends AnyFunSuite {
     // Scale.hashBuildParallelism-sized repartition, so ANY finding of
     // that kind fails the sweep outright.
 
+  test("rule of construction: a NEW query carrying any of the three " +
+    "banned shapes is caught by the audits it would face unregistered") {
+    // The census above is exact at today's ledger; this test pins the
+    // OTHER direction of the guarantee — that the audits themselves
+    // catch each scale-killer shape on a fresh, never-censused plan, so
+    // a round-N+1 query registered without a census entry cannot carry
+    // one silently (the sweep fails with "fix it or census it with a
+    // justification"). Each shape is built synthetically from the real
+    // SF-proportional tables, exactly as a careless new query would.
+    import org.apache.spark.sql.functions._
+    import graft.plans.PlanAudit
+    val sf = SparkSuite.sf
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    // 1. forced broadcast of an SF-growing frame (the r6/r7 family)
+    val badBcast = o.join(broadcast(li),
+      col("o_orderkey") === col("l_orderkey"))
+    assert(PlanAudit.sfProportionalBroadcasts(badBcast).nonEmpty,
+      "a broadcast() hint on lineitem must be flagged")
+    // 2. partitionBy-less window over an SF-growing frame (the r7 family)
+    val badWin = li.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("l_orderkey"))))
+    assert(PlanAudit.suspectGlobalWindows(badWin).nonEmpty,
+      "a global row_number over lineitem must be flagged")
+    // ...but the same window after a limit is row-bounded at any SF —
+    // the audit must NOT cry wolf on the legitimate top-k re-rank idiom
+    val okWin = li.orderBy(col("l_orderkey")).limit(10)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("l_orderkey"))))
+    assert(PlanAudit.suspectGlobalWindows(okWin).isEmpty,
+      "rank-after-limit is provably bounded and must pass")
+    // 3. SHUFFLE_HASH with no explicit scaled repartition (the q139 sf2
+    //    OOM class — build maps cannot spill, fixed parallelism turns
+    //    data growth into per-task build growth)
+    val badHash = o.join(li.hint("SHUFFLE_HASH"),
+      col("o_orderkey") === col("l_orderkey"))
+    assert(PlanAudit.unguardedHashBuilds(badHash).nonEmpty,
+      "an unguarded SHUFFLE_HASH build over lineitem must be flagged")
+    // ...and the prescribed fix — an explicit count-derived repartition
+    // on the join keys (Scale.hashBuildParallelism) — clears it
+    val okHash = o.repartition(16, col("o_orderkey"))
+      .join(li.hint("SHUFFLE_HASH").repartition(16, col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+    assert(PlanAudit.unguardedHashBuilds(okHash).isEmpty,
+      "the explicit scaled-repartition guard must clear the finding")
+  }
+
   test("ledger sweep: audit findings across all registered queries " +
     "match the bounded-frame census exactly") {
     val findings = AuditSweep.sweep(spark, SparkSuite.sf)

@@ -225,6 +225,53 @@ class BenchContractSpec extends AnyFunSuite {
     assert(bad201.isEmpty, s"q201_kcore: ${bad201.mkString("; ")}")
   }
 
+  test("persist A/B pins: the measured winners stay persisted, the " +
+    "measured losers stay unpersisted (SCALE_POINT_r9 §E)") {
+    // The round-9 leak-free persist A/B produced MEASURED verdicts that
+    // previously lived only in prose; this pin makes a refactor that
+    // flips any of them fail with the rationale in hand. Winners:
+    // q268's assignment + member-embedding frames (1.35× at 10×), q270's
+    // gram-bucket counts + 1024-row stats (2.3× — the dominant gram
+    // explode otherwise runs twice), q273's member-component frame
+    // (read by both the centroid and distance passes). Losers — persists
+    // MEASURED WORSE and reverted, so they must stay absent: q269,
+    // q271 (2× worse at 20× — InMemoryRelation scan loses to whole-stage
+    // codegen over the parquet lineage), q272 (1.37× slower at 10×).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    def distinctCaches(name: String): Int = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      try df(name).queryExecution.optimizedPlan.collect {
+        case i: InMemoryRelation => i.canonicalized
+      }.distinct.size
+      finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+    }
+    val expected = Seq(
+      ("q268_semdedup", 2, "assignment members + member-embedding join " +
+        "(1.35x at the 10x point)"),
+      ("q270_dsir", 2, "per-(doc,bucket) gram counts + 1024-row bucket " +
+        "stats (2.3x at the 10x point)"),
+      ("q273_cluster_prune", 1, "member-component frame shared by the " +
+        "centroid and distance passes"),
+      ("q269_jl_projection", 0, "persist measured as a loss — reverted"),
+      ("q271_hier_assign", 0, "persist measured 2x WORSE at 20x — " +
+        "columnar-cache scan loses to whole-stage codegen"),
+      ("q272_incr_semdedup", 0, "persist measured 1.37x slower at 10x " +
+        "— ReuseExchange already shares the shuffle-bounded duplicates"))
+    expected.foreach { case (name, n, why) =>
+      val got = distinctCaches(name)
+      assert(got == n,
+        s"$name: expected $n distinct InMemoryRelations, found $got — " +
+          s"the persist A/B verdict was: $why (re-measure before " +
+          "flipping; SCALE_POINT_r9 SSE correction record)")
+    }
+  }
+
   test("q139/q140 pin: deterministic wedge/pair cardinalities (sf0.001)") {
     // Cost ∝ these counts. The fixture is seeded, so they are constants;
     // a regenerated fixture that moves them explains a bench move as

@@ -291,6 +291,64 @@ class SimilaritySpec extends AnyFunSuite
     }
   }
 
+  test("q268 mega-cluster cap: a degenerate clone blob stays bounded, " +
+    "drops the same set, and the accounting balances") {
+    // The boilerplate-crawl shape the cap exists for: 200 clones of ONE
+    // prototype all land in one cluster (n=240 → k=16 seeds; the clones
+    // sit next to base 0, far from every other seed), so the uncapped
+    // pair join is O(m²) in that cluster. With the cap forced to 5 the
+    // left side admits only the 5 id-lowest members, yet every clone
+    // still drops — the keep-rule's minimal representative (base 0) is
+    // BY CONSTRUCTION in the admitted set — so the capped result is
+    // row-identical to the effectively-uncapped one while the pair cost
+    // falls from m(m−1)/2 to cap·m − cap(cap+1)/2.
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(23)
+    def randVec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val bases = (0 until 40).map(i => (i.toLong, randVec()))
+    val proto = bases.head._2
+    val clones = (0 until 200).map { i =>
+      ((100 + i).toLong,
+        proto.map(x => x + 0.001f * rng.nextGaussian().toFloat))
+    }
+    val e = (bases ++ clones).toDF("vec_id", "embedding")
+    val capped = ops.Centroids.semDedup(e, tau = 0.95, cap = Some(5L))
+      .collect()
+    val uncapped = ops.Centroids.semDedup(e, tau = 0.95,
+      cap = Some(1000000L)).collect()
+    assert(capped.toSeq === uncapped.toSeq,
+      "cap=5 must not change the verdicts on a clone blob — the minimal " +
+        "representative is always admitted")
+    assert(capped.map(_.getLong(1)).sum === 240L, "members must partition")
+    assert(capped.map(_.getLong(2)).sum === 200L,
+      "exactly the 200 planted clones drop")
+    val mega = capped.maxBy(_.getLong(1))
+    assert(mega.getLong(1) >= 201L,
+      "the blob must actually form a mega-cluster (prototype + clones)")
+    // accounting replay: the same closed-form arithmetic q274 reports,
+    // over this corpus's true cluster sizes — the cap's pair saving is
+    // real and exactly accounted, not asserted by vibes
+    val sizes = ops.Centroids.assignMembers(
+        ops.Centroids.quantized(e), 16L, hintCentroids = false)
+      .groupBy(col("cid")).agg(count(lit(1)).as("m"))
+    val acct = ops.Centroids.clusterPairAccounting(sizes, Seq(5L))
+      .collect().head
+    val ms = sizes.select("m").as[Long].collect()
+    def full(m: Long) = m * (m - 1) / 2
+    def gen(m: Long, cap: Long) =
+      if (m <= cap) full(m) else cap * m - cap * (cap + 1) / 2
+    assert(acct.getLong(4) === ms.map(gen(_, 5L)).sum, "pairs_generated")
+    assert(acct.getLong(5) === ms.map(m => full(m) - gen(m, 5L)).sum,
+      "pairs_skipped")
+    assert(acct.getLong(5) > 0L, "the forced cap must skip real pairs")
+    assert(acct.getLong(4) <= 5L * 240L,
+      "generated pairs are bounded by cap·n — the O(n^1.5) device")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+  }
+
   test("q271 hierarchical assignment: partition + sample conservation; " +
     "perfect exact-agreement on planted blobs") {
     val out = ops.Centroids.q271HierAssign(spark, SparkSuite.sf).collect()

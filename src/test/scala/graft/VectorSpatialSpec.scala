@@ -171,13 +171,35 @@ class VectorSpatialSpec extends AnyFunSuite {
     }
   }
 
-  test("q267 brute-force remainder path ≡ the ring path") {
+  test("q267 brute-force remainder path ≡ the ring path, with visible " +
+    "accounting") {
     // maxOffsetsPerRound = 1: ring 0 (1 offset) fits, ring 1 (8 offsets)
     // does not — every probe not settled by its home cell takes the
     // exact brute-force remainder. Results must be identical to the
-    // production schedule's.
+    // production schedule's, AND the fallthrough must be observable:
+    // the accounting reports exactly how many probes the rings failed
+    // to resolve and the exact-pair cost paid for them.
     val ringed = Spatial.q267AdaptiveKnn(spark, sf).collect().toSeq
-    val bruted = Spatial.adaptiveKnnImpl(spark, sf, 1).collect().toSeq
+    val acct = new Spatial.RemainderAccounting
+    val bruted = Spatial.adaptiveKnnImpl(spark, sf, 1, Some(acct))
+      .collect().toSeq
     assert(bruted === ringed)
+    val nCust = Tables.customer(spark, sf).count()
+    val nSupp = Tables.supplier(spark, sf).count()
+    assert(acct.rowsSolvedByRemainder > 0L,
+      "the 1-offset schedule must strand probes into the remainder")
+    assert(acct.rowsSolvedByRemainder <= nCust)
+    assert(acct.bruteForcePairs === acct.rowsSolvedByRemainder * nSupp,
+      "pair accounting must be |pending| x n_supp exactly")
+    assert(acct.ringRoundsBeforeFallthrough === 1,
+      "ring 0 fits the 1-offset budget, ring 1 does not — exactly one " +
+        "ring round precedes the fallthrough")
+    // the production schedule never engages the remainder on this data —
+    // its accounting must stay zero (the observability default)
+    val prodAcct = new Spatial.RemainderAccounting
+    Spatial.adaptiveKnnImpl(spark, sf, 1000, Some(prodAcct))
+      .write.format("noop").mode("overwrite").save()
+    assert(prodAcct.rowsSolvedByRemainder === 0L &&
+      prodAcct.bruteForcePairs === 0L)
   }
 }
