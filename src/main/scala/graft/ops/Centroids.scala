@@ -94,6 +94,30 @@ object Centroids {
         (floor(col("v").cast("double") * lit(KmeansScale.toDouble))
           .cast("long") + lit(KmeansScale)).as("q"))
 
+  /** Distance-group budget per task for the flat nearest-seed
+    * assignment: the probe×seed join EXPANDS its input ×k (n·k distance
+    * groups, n·k·dim component rows flow through the partial aggregate),
+    * but with the seed side AQE-broadcast the pipeline's parallelism is
+    * the PROBE's file-split count — a ~10 MB parquet scan is ONE task no
+    * matter that the work behind it is n^1.5·d. Measured in anger this
+    * round: q274 (assignment + one aggregate, no pair join at all) ran
+    * α=1.63 on the 10×→20× doubling while its group count grew at
+    * exactly 2^1.5 — the super-linear residual was one task grinding
+    * 512M component rows. 100k groups/task ≈ 6.4M component rows at
+    * d=64; the repartition shuffles only the n·d probe rows (hash by
+    * vec_id, so each vector's components stay co-located and the partial
+    * aggregate still emits exactly one partial per (vec, seed)). */
+  private[graft] val AssignGroupsPerTask = 100000L
+
+  /** Count-derived probe parallelism for [[assignMembers]] — the
+    * Scale.hashBuildParallelism discipline applied to an
+    * expansion-join pipeline: never below the session fan-out, grows
+    * with n·k so per-task expanded work stays constant at any scale. */
+  private[graft] def assignParallelism(spark: SparkSession, n: Long,
+      k: Long): Int =
+    math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (n * k / AssignGroupsPerTask).toInt + 1)
+
   /** Nearest-seed assignment over quantized components: seeds are the
     * first `k` vectors, distance is exact BIGINT squared L2, argmin ties
     * break to the lowest cid. `hintCentroids` forces a broadcast of the
@@ -101,14 +125,20 @@ object Centroids {
     * false when k grows with the data (q268's k ∝ √n) and let AQE size
     * the join at runtime. `seeds` overrides where the seed vectors come
     * from (default: the probe frame itself) — q271's sampled-exact audit
-    * probes a SUBSET against the full corpus's seeds. Returns
-    * (vec_id, cid, dist). */
+    * probes a SUBSET against the full corpus's seeds.
+    * `probeParallelism` (from [[assignParallelism]], for callers that
+    * already count their corpus) re-spreads the probe BEFORE the
+    * ×k-expansion join so the pipeline's task count follows the expanded
+    * work, not the input's file splits. Returns (vec_id, cid, dist). */
   private[graft] def assignMembers(qv: DataFrame, k: Long,
-      hintCentroids: Boolean, seeds: Option[DataFrame] = None): DataFrame = {
+      hintCentroids: Boolean, seeds: Option[DataFrame] = None,
+      probeParallelism: Option[Int] = None): DataFrame = {
     val cent0 = seeds.getOrElse(qv).filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
     val cent = if (hintCentroids) broadcast(cent0) else cent0
-    val dists = qv
+    val probe = probeParallelism
+      .map(p => qv.repartition(p, col("vec_id"))).getOrElse(qv)
+    val dists = probe
       .join(cent, Seq("pos"))
       .groupBy(col("vec_id"), col("cid"))
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
@@ -215,11 +245,18 @@ object Centroids {
     import graft.ops.Checkpoints.CutOps
     import org.apache.spark.sql.expressions.Window
     val k = KmeansK
+    // one count action sizes the probe spread (the q268/q274 lesson this
+    // round: the ×k expansion join runs at the PROBE's file-split
+    // parallelism — a ~10 MB parquet corpus is ONE task grinding
+    // n·k·dim rows per round). Spread once, before the checkpoint, so
+    // all KmeansRounds re-read the spread blocks.
+    val n = Tables.embeddings(spark, sfDir).count()
     val qv = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"),
         (floor(col("v").cast("double") * lit(KmeansScale.toDouble))
           .cast("long") + lit(KmeansScale)).as("q"))
+      .repartition(assignParallelism(spark, n, k), col("vec_id"))
       .cutLineage()
     var cent = qv.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
@@ -449,6 +486,59 @@ object Centroids {
     SemClusterCapFactor * math.max(1L,
       math.ceil(math.sqrt(n.toDouble)).toLong)
 
+  /** Reducer spread for a CAPPED mega-cluster's pair join. The cap
+    * bounds a degenerate cluster's pair WORK at cap·m, but a cluster is
+    * ONE join key, so that work lands on ONE reducer: measured on the
+    * 40k-clone blob, the capped join ran its 31.7M cosines in a single
+    * task (27 s) while 31 cores idled. AQE's skew split cannot fix it —
+    * it triggers on input partition BYTES (the blob cluster is ~11 MB,
+    * far under the 256 MB threshold) and the blowup is in join OUTPUT.
+    * The device: the right side carries salt = crk mod S, the admitted
+    * left side replicates across all S salts — but ONLY for clusters the
+    * cap actually trimmed (size > cap), so organic corpora (max/mean
+    * ≤ 1.5 at every measured SF — no cluster is ever hot) pay ZERO extra
+    * shuffle volume, while a boilerplate blob spreads over S reducers.
+    * Each (v1,v2) pair still joins exactly once (the right row has one
+    * salt), so the output is row-identical either way. S follows the
+    * session's shuffle parallelism — the deployment's own fan-out. */
+  private def pairSalts(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** The conditional-salt device shared by q268's pair join and q272's
+    * three compare joins (rationale at [[pairSalts]]), as a TWO-PATH
+    * union so organic corpora keep the pre-salt plan bit-for-bit:
+    * clusters the cap did NOT trim (cm ≤ cap — every cluster at every
+    * measured fixture point) join on cid exactly as before, with the
+    * small capped side still eligible for AQE's broadcast; only HOT
+    * clusters (cm > cap — empty frames on organic data) take the salted
+    * branch, where `left` replicates over all S salts and `right`
+    * carries salt = rank mod S. A single-branch form that salted every
+    * row was measured 1.5–2.2× SLOWER on the organic 10×/20× points —
+    * the explode inflated the capped side's size estimate past the
+    * broadcast threshold and the pair join fell back to a sort-merge on
+    * ~k keys. Each (left, right) pair meets exactly once on exactly one
+    * branch, so the union is row-identical to the unsalted join.
+    * `sizes` is the (cid, cm) cluster-size aggregate — k rows, AQE
+    * broadcasts its joins. Returns the joined rows
+    * (cid, left-cols, right-cols minus `rightRank`). */
+  private def cappedClusterJoin(spark: SparkSession, sizes: DataFrame,
+      cap: Long, left: DataFrame, right: DataFrame,
+      rightRank: String): DataFrame = {
+    val s = pairSalts(spark)
+    val leftS = left.join(sizes, Seq("cid"))
+    val rightS = right.join(sizes, Seq("cid"))
+    val cold = leftS.filter(col("cm") <= cap).drop("cm")
+      .join(rightS.filter(col("cm") <= cap).drop("cm", rightRank),
+        Seq("cid"))
+    val hot = leftS.filter(col("cm") > cap).drop("cm")
+      .withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
+      .join(rightS.filter(col("cm") > cap).drop("cm")
+        .withColumn("salt", pmod(col(rightRank), lit(s)).cast("int"))
+        .drop(rightRank), Seq("cid", "salt"))
+      .drop("salt")
+    cold.unionByName(hot)
+  }
+
   /** Id-reduction modulus (2³¹) for the kept-id checksums: the raw
     * product vec_id·MixA overflows Int64 once vec_id ≥ 2^63/MixA ≈
     * 3.47·10⁹ — real at the 100 TB design point and an ANSI-mode error.
@@ -496,6 +586,10 @@ object Centroids {
     *    side, so a degenerate mega-cluster (a boilerplate crawl — every
     *    vector near one prototype) costs ≤ cap·m pairs instead of m²/2,
     *    and the corpus-wide pair count stays O(n^1.5) by construction.
+    *    Because a cluster is ONE join key, a trimmed mega-cluster's
+    *    cap·m pairs would still land on one reducer — hot clusters are
+    *    additionally salted across the session fan-out
+    *    ([[cappedClusterJoin]]; organic corpora pay zero extra volume).
     *    q274_semdedup_capped reports the capped-vs-generated accounting
     *    (the q264 pattern); q263-style skew is visible in n_members.
     *  - Assignment distance is exact BIGINT L2 over quantized components
@@ -530,7 +624,8 @@ object Centroids {
     // members as the pair join's LEFT side (cluster-sized window
     // partitions — never the banned global-window class). Computed
     // before the persist so both pair sides and the aggregates share it.
-    val members = assignMembers(quantized(e), k, hintCentroids = false)
+    val members = assignMembers(quantized(e), k, hintCentroids = false,
+        probeParallelism = Some(assignParallelism(e.sparkSession, n, k)))
       .select(col("vec_id"), col("cid"))
       .withColumn("crk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -538,11 +633,17 @@ object Centroids {
       .persist()
     val m = members.join(e.select(col("vec_id"), col("embedding")),
       Seq("vec_id")).persist()
-    val dropped = m.filter(col("crk") <= capVal)
-      .select(col("cid"), col("vec_id").as("v1"),
-        col("embedding").as("e1"))
-      .join(m.select(col("cid"), col("vec_id").as("v2"),
-        col("embedding").as("e2")), Seq("cid"))
+    // hot = clusters the cap trimmed; only those get the salt spread
+    // (sizes is a k-row aggregate over the persisted members — AQE
+    // broadcasts its join back)
+    val sizes = members.groupBy(col("cid")).agg(count(lit(1)).as("cm"))
+    val dropped = cappedClusterJoin(e.sparkSession, sizes, capVal,
+      left = m.filter(col("crk") <= capVal)
+        .select(col("cid"), col("vec_id").as("v1"),
+          col("embedding").as("e1")),
+      right = m.select(col("cid"), col("crk"),
+        col("vec_id").as("v2"), col("embedding").as("e2")),
+      rightRank = "crk")
       .filter(col("v1") < col("v2"))
       .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
         >= lit(tau))
@@ -678,7 +779,8 @@ object Centroids {
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-    val sizes = assignMembers(quantized(e), k, hintCentroids = false)
+    val sizes = assignMembers(quantized(e), k, hintCentroids = false,
+        probeParallelism = Some(assignParallelism(spark, n, k)))
       .groupBy(col("cid")).agg(count(lit(1)).as("m"))
     clusterPairAccounting(sizes, Seq(Q274ForcedCap, semClusterCap(n)))
   }
@@ -943,23 +1045,41 @@ object Centroids {
     val capVal = semClusterCap(nSt)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("vec_id"))
-    // deliberately uncached throughout: the leak-free A/B measured the
-    // persisted form 1.37× SLOWER at 10× (21.0 vs 15.4 s nosort) and
-    // 1.2× at 20× — ReuseExchange shares the shuffle-bounded duplicates
-    // and the columnar-cache scan costs more than it saves (the same
-    // verdict as q271; SCALE_POINT_r9 §E correction record)
+    // the ASSIGNMENT INPUT stays uncached (the r9 §E verdict that holds:
+    // the O(n·k) expansion reads fastest as one codegen pipeline over
+    // the parquet lineage); the post-assignment side frames are
+    // persisted below — see the r10 re-A/B note at mSt
     val qv = quantized(e)
     val stQv = qv.filter(!isBatch)
-    val membersSt = assignMembers(stQv, kcut, hintCentroids = false)
+    // probe parallelism sized from the standing corpus for both passes
+    // (the batch is a fixed fraction of it — same expansion order)
+    val assignP = Some(assignParallelism(e.sparkSession, nSt, kcut))
+    val membersSt = assignMembers(stQv, kcut, hintCentroids = false,
+        probeParallelism = assignP)
       .select(col("vec_id"), col("cid"))
       .withColumn("crk", row_number().over(win))
     val emb = e.select(col("vec_id"), col("embedding"))
-    val mSt = membersSt.join(emb, Seq("vec_id"))
-    val droppedSt = mSt.filter(col("crk") <= capVal)
-      .select(col("cid"), col("vec_id").as("v1"),
-        col("embedding").as("e1"))
-      .join(mSt.select(col("cid"), col("vec_id").as("v2"),
-        col("embedding").as("e2")), Seq("cid"))
+    // r10 persist re-A/B: the r9 verdict (no persists — ReuseExchange
+    // shared the two-consumer diamonds) predates the two-path capped
+    // joins, which consume each side 4-5 times (cold + hot branch per
+    // join, plus the kept-index anti-join); unpersisted, keptSt's whole
+    // pair join re-ran per consumer and sf0.1 tripled (2.3 s pre-cap →
+    // 6.8 s). With mSt/mB/keptSt persisted: re-measured at sf0.1/sf1/
+    // sf2 (SCALE_POINT_r10 §B), and the BenchContractSpec pin updated
+    // with this rationale.
+    val mSt = membersSt.join(emb, Seq("vec_id")).persist()
+    // all three compare joins below carry the q268 conditional salt
+    // (cappedClusterJoin): bounded extra volume only in cap-trimmed
+    // clusters, row-identical output. Sizes read the persisted joined
+    // frames (1:1 with their members frames), not the raw assignment.
+    val stSizes = mSt.groupBy(col("cid")).agg(count(lit(1)).as("cm"))
+    val droppedSt = cappedClusterJoin(e.sparkSession, stSizes, capVal,
+      left = mSt.filter(col("crk") <= capVal)
+        .select(col("cid"), col("vec_id").as("v1"),
+          col("embedding").as("e1")),
+      right = mSt.select(col("cid"), col("crk"),
+        col("vec_id").as("v2"), col("embedding").as("e2")),
+      rightRank = "crk")
       .filter(col("v1") < col("v2"))
       .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
         >= lit(SemDedupTau))
@@ -974,24 +1094,33 @@ object Centroids {
     val keptSt = mSt.join(droppedSt.withColumnRenamed("v2", "vec_id"),
         Seq("vec_id"), "left_anti")
       .withColumn("srk", row_number().over(win))
+      .persist()
     val membersB = assignMembers(qv.filter(isBatch), kcut,
-        hintCentroids = false, seeds = Some(stQv))
+        hintCentroids = false, seeds = Some(stQv),
+        probeParallelism = assignP)
       .select(col("vec_id"), col("cid"))
       .withColumn("crk", row_number().over(win))
-    val mB = membersB.join(emb, Seq("vec_id"))
-    val corpusHit = mB.select(col("cid"), col("vec_id").as("b"),
-        col("embedding").as("eb"))
-      .join(keptSt.filter(col("srk") <= capVal)
+    val mB = membersB.join(emb, Seq("vec_id")).persist()
+    val bSizes = mB.groupBy(col("cid")).agg(count(lit(1)).as("cm"))
+    // corpus compare: the bounded side (≤cap kept reps) replicates when
+    // the BATCH cluster is hot, the batch side carries the rank salt
+    val corpusHit = cappedClusterJoin(e.sparkSession, bSizes, capVal,
+      left = keptSt.filter(col("srk") <= capVal)
         .select(col("cid"), col("vec_id").as("s"),
-          col("embedding").as("es")), Seq("cid"))
+          col("embedding").as("es")),
+      right = mB.select(col("cid"), col("crk"),
+        col("vec_id").as("b"), col("embedding").as("eb")),
+      rightRank = "crk")
       .filter(round(Similarity.cosine(col("eb"), col("es")), 4)
         >= lit(SemDedupTau))
       .groupBy(col("b")).agg(min(col("s")).as("corpus_rep"))
-    val batchHit = mB.filter(col("crk") <= capVal)
-      .select(col("cid"), col("vec_id").as("v1"),
-        col("embedding").as("e1"))
-      .join(mB.select(col("cid"), col("vec_id").as("v2"),
-        col("embedding").as("e2")), Seq("cid"))
+    val batchHit = cappedClusterJoin(e.sparkSession, bSizes, capVal,
+      left = mB.filter(col("crk") <= capVal)
+        .select(col("cid"), col("vec_id").as("v1"),
+          col("embedding").as("e1")),
+      right = mB.select(col("cid"), col("crk"),
+        col("vec_id").as("v2"), col("embedding").as("e2")),
+      rightRank = "crk")
       .filter(col("v1") < col("v2"))
       .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
         >= lit(SemDedupTau))
@@ -1171,7 +1300,8 @@ object Centroids {
     // the assignment on the codegen path is to not cache its input.
     // What IS shared downstream is mq — assignment result re-joined to
     // the components — consumed by the centroid and distance passes.
-    val members = assignMembers(quantized(e), k, hintCentroids = false)
+    val members = assignMembers(quantized(e), k, hintCentroids = false,
+        probeParallelism = Some(assignParallelism(spark, n, k)))
       .select(col("vec_id"), col("cid"))
     val mq = members.join(quantized(e), Seq("vec_id")).persist()
     val centroids = mq.groupBy(col("cid"), col("pos"))

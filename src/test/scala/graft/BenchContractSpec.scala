@@ -236,15 +236,36 @@ class BenchContractSpec extends AnyFunSuite {
     // (read by both the centroid and distance passes). Losers — persists
     // MEASURED WORSE and reverted, so they must stay absent: q269,
     // q271 (2× worse at 20× — InMemoryRelation scan loses to whole-stage
-    // codegen over the parquet lineage), q272 (1.37× slower at 10×).
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // codegen over the parquet lineage). q272's r9 no-persist verdict
+    // was RE-MEASURED and flipped in r10 when the two-path capped joins
+    // changed its consumption structure (each side now feeds 4-5
+    // consumers; unpersisted, the kept-index pair join re-ran per
+    // consumer and sf0.1 tripled): mSt/keptSt/mB persisted, 6.8 s →
+    // 3.7 s at sf0.1 and 40.3 s → 7.8 s vs r9 at the 20× point
+    // (SCALE_POINT_r10 §B).
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation,
+      InMemoryTableScanExec}
+    // a persisted frame BUILT FROM another persisted frame hides the
+    // inner cache inside its own cachedPlan (q272's kept-index wraps
+    // mSt), so count caches recursively through InMemoryTableScanExec —
+    // and under AQE the cachedPlan roots at an AdaptiveSparkPlanExec
+    // whose input plan is a FIELD, not a child, so plain collect sees
+    // nothing; descend through it explicitly
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[InMemoryRelation] = p.collect {
+      case s: InMemoryTableScanExec => Seq(s.relation)
+      case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+    }.flatten
+    def nested(r: InMemoryRelation): Seq[InMemoryRelation] =
+      r +: scans(r.cacheBuilder.cachedPlan).flatMap(nested)
     def distinctCaches(name: String): Int = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       try df(name).queryExecution.optimizedPlan.collect {
-        case i: InMemoryRelation => i.canonicalized
-      }.distinct.size
+        case i: InMemoryRelation => nested(i)
+      }.flatten.map(_.canonicalized).distinct.size
       finally {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
@@ -261,8 +282,10 @@ class BenchContractSpec extends AnyFunSuite {
       ("q269_jl_projection", 0, "persist measured as a loss — reverted"),
       ("q271_hier_assign", 0, "persist measured 2x WORSE at 20x — " +
         "columnar-cache scan loses to whole-stage codegen"),
-      ("q272_incr_semdedup", 0, "persist measured 1.37x slower at 10x " +
-        "— ReuseExchange already shares the shuffle-bounded duplicates"))
+      ("q272_incr_semdedup", 3, "mSt + kept-index + mB persisted since " +
+        "the r10 two-path capped joins made each a 4-5-way consumer " +
+        "(re-measured: 6.8 s -> 3.7 s at sf0.1; the r9 no-persist " +
+        "verdict predates this structure)"))
     expected.foreach { case (name, n, why) =>
       val got = distinctCaches(name)
       assert(got == n,

@@ -11,7 +11,7 @@ class SimilaritySpec extends AnyFunSuite
   private lazy val spark = SparkSuite.session
   import spark.implicits._
 
-  // q268/q271/q272 persist shared frames during construction; drop the
+  // q268/q272/q273 persist shared frames during construction; drop the
   // CacheManager entries after every test so plan-equality substitution
   // cannot splice one test's cached subtree into a later test's (or
   // suite's) plan — the same isolation Verify/Bench/AuditSweep apply
