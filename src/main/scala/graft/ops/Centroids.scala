@@ -112,11 +112,19 @@ object Centroids {
   /** Count-derived probe parallelism for [[assignMembers]] — the
     * Scale.hashBuildParallelism discipline applied to an
     * expansion-join pipeline: never below the session fan-out, grows
-    * with n·k so per-task expanded work stays constant at any scale. */
+    * with n·k so per-task expanded work stays constant at any scale.
+    * The quotient is clamped in LONG before the Int conversion
+    * ([[Scale.MaxCountedTasks]]): at the 100 TB design point (n ≈
+    * 3.5·10⁹, k = √n → n·k ≈ 2.1·10¹⁴) the raw quotient exceeds
+    * Int.MaxValue and a bare toInt wraps negative — silently swallowed
+    * by the session-floor max back to exactly the one-task collapse
+    * this device exists to fix. (n·k itself stays < 2⁶³ for any corpus
+    * whose ids fit BIGINT: n ≤ 10¹² with k = √n is n·k = 10¹⁸.) */
   private[graft] def assignParallelism(spark: SparkSession, n: Long,
       k: Long): Int =
     math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt,
-      (n * k / AssignGroupsPerTask).toInt + 1)
+      math.min(n * k / AssignGroupsPerTask + 1,
+        Scale.MaxCountedTasks.toLong).toInt)
 
   /** Nearest-seed assignment over quantized components: seeds are the
     * first `k` vectors, distance is exact BIGINT squared L2, argmin ties
@@ -148,6 +156,131 @@ object Centroids {
           .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cid"), col("dist"))
+  }
+
+  /** Corpus-count gate for q272's shared-frame persists. Below it
+    * (every oracle fixture: sf0.01 = 500 vectors, sf0.1 = 2000; the
+    * 10×/20× scale fixtures sit above at 20k/40k) the embedding-joined
+    * side frames are small enough that rebuilding them from the
+    * persisted 2-column assignment beats materializing them; above it
+    * the rebuild is a corpus-sized join paid per consumer and the
+    * persists win (5.2× at the 20× point, SCALE_POINT_r10 §B). */
+  private[graft] val SemScaleGate = 10000L
+
+  /** Corpus-count gate for the TWO-LEVEL assignment inside
+    * [[semAssign]] — MEASURED OFF in production (`Long.MaxValue`), and
+    * the r11 measurement is the reason (SCALE_POINT_r11): wired at gate
+    * 10k, the coarse→fine path collapsed the assignment-only control's
+    * cost exactly as designed (q274 sf2 nosort 2.98→2.17 s, α 1.03→≈0),
+    * but on the ISOTROPIC fixture the coarse gate trades cluster
+    * BALANCE for assignment speed — 13 clusters pushed past the
+    * production cap (flat: zero), total candidate pairs 9.4M vs the
+    * flat assignment's 4.0M at sf2, 479k pairs SKIPPED (recall
+    * exposure the flat form does not have) — and every pair-join
+    * consumer paid more downstream than the assignment saved (q268 sf2
+    * nosort 3.60→6.77 s). On a corpus with real cluster structure the
+    * trade inverts (coarse cells align with the data's own blobs; the
+    * planted-locality specs show 100% exact agreement), so the seam
+    * stays wired: a deployment flips this gate to [[SemScaleGate]]
+    * after checking q271's sampled-agreement audit on its own corpus —
+    * the audit IS the go/no-go signal, and [[semAssign]]'s gated path
+    * prints it as part of the assignment. */
+  private[graft] val HierAssignGate = Long.MaxValue
+
+  /** Nearest-seed assignment for the SemDeDup family with the scale
+    * path gated in code: flat [[assignMembers]] (exact, O(n·k·d) =
+    * O(n^1.5·d) at k = ⌈√n⌉ — the oracle-replayable form) for corpora
+    * up to `gate`, and the q271 TWO-LEVEL coarse→fine assignment
+    * (O(n^1.25·d)) above it. The two-level path assigns every vector to
+    * one of kc = ⌈√k⌉ coarse cells (expansion n·kc), then to the
+    * nearest fine seed WITHIN its cell (expected expansion n·k/kc) —
+    * both passes O(n·√k·d). It is approximate (a vector's true nearest
+    * seed can live in a neighboring cell), so the gated path runs
+    * q271's deterministic 1-in-37 sampled exact-agreement audit as part
+    * of the assignment and prints the accounting line a pipeline run
+    * logs — the number an operator checks before trusting the
+    * two-level index (on corpora with real cluster structure the
+    * planted-blob spec shows 100%; on an isotropic random corpus it is
+    * LOW by construction, q271 Scaladoc). The hier result is
+    * lineage-cut once so the audit's materialization is reused by the
+    * caller instead of re-running the assignment.
+    *
+    * Plan shape above the gate: ONE counted repartition of the probe by
+    * vec_id (shared by the coarse pass and the fine join via
+    * ReuseExchange — same canonical exchange), the kc·d coarse-seed and
+    * k·d fine-seed frames AQE-sized (broadcast while they fit, shuffle
+    * beyond — the r9 de-hint rule), the fine argmin a per-vector window
+    * over its cell's candidates. Members/caps/checksums downstream are
+    * id-agnostic, so callers are unchanged.
+    *
+    * `seeds` overrides where seed vectors come from (q272's batch
+    * assigns against the STANDING corpus's seeds); the fine-seed cells
+    * are computed from the same seed frame, so corpus and batch agree
+    * on the two-level geometry. Returns (vec_id, cid). */
+  private[graft] def semAssign(qv: DataFrame, n: Long, k: Long,
+      seeds: Option[DataFrame] = None,
+      gate: Long = HierAssignGate): DataFrame = {
+    val spark = qv.sparkSession
+    if (n <= gate) {
+      assignMembers(qv, k, hintCentroids = false, seeds = seeds,
+        probeParallelism = Some(assignParallelism(spark, n, k)))
+        .select(col("vec_id"), col("cid"))
+    } else {
+      import graft.ops.Checkpoints.CutOps
+      val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+      val sv = seeds.getOrElse(qv)
+      // one probe spread sized for the LARGER of the two passes; the
+      // identical repartition subtree in both lets ReuseExchange run
+      // the shuffle once
+      val p = assignParallelism(spark, n, math.max(kc, math.max(1L, k / kc)))
+      val coarse = assignMembers(qv, kc, hintCentroids = false,
+          seeds = Some(sv), probeParallelism = Some(p))
+        .select(col("vec_id"), col("cid").as("ccid"))
+      // each fine seed's own coarse cell (k probes × kc seeds = k^1.5
+      // expansion — O(n^0.75) at k = √n, negligible). A probe-selected
+      // cell always contains its own seed: seed c coarse-assigns to
+      // cell c (distance 0) unless an identical lower-id twin wins the
+      // exact-BIGINT tie — in which case every probe's tie breaks to
+      // the same lower cid and cell c is never selected (q271's
+      // no-stranded-member argument).
+      val seedCell = assignMembers(sv.filter(col("vec_id") < k), kc,
+          hintCentroids = false, seeds = Some(sv),
+          probeParallelism = Some(assignParallelism(spark, k, kc)))
+        .select(col("vec_id").as("fcid"), col("cid").as("ccid"))
+      val fineCent = sv.filter(col("vec_id") < k)
+        .select(col("vec_id").as("fcid"), col("pos"), col("q").as("cq"))
+        .join(seedCell, Seq("fcid"))
+      val hier = qv.repartition(p, col("vec_id"))
+        .join(coarse, Seq("vec_id"))
+        .join(fineCent, Seq("ccid", "pos"))
+        .groupBy(col("vec_id"), col("fcid"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq")))
+          .as("dist"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id")).orderBy(col("dist"), col("fcid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("fcid").as("cid"))
+        .cutLineage()
+      // the 1-in-37 sampled exact-agreement audit runs as part of the
+      // gated path (its cost is the operator's cost — timed, not
+      // hidden): n/37 probes against all k seeds, counted spread
+      val sampleQv = qv.filter(
+        pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
+      val exact = assignMembers(sampleQv, k, hintCentroids = false,
+          seeds = Some(sv),
+          probeParallelism =
+            Some(assignParallelism(spark, n / HierSampleMod + 1, k)))
+        .select(col("vec_id"), col("cid").as("ecid"))
+      val a = hier.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("cid") === col("ecid"), 1L)
+            .otherwise(0L)), lit(0L)).as("agree"))
+        .head()
+      println(s"[semassign] two-level path (n=$n > gate=$gate, k=$k, " +
+        s"kc=$kc): sampled exact-agreement ${a.getLong(1)}/${a.getLong(0)}")
+      hier
+    }
   }
 
   /** The Lloyd-step core over any (vec_id, embedding) frame — see
@@ -607,10 +740,13 @@ object Centroids {
   /** The SemDeDup core over any (vec_id, embedding) frame — see
     * [[q268SemDedup]] for semantics and scale rationale; `tau` is a
     * parameter so specs can plant near-duplicate clones at a production
-    * threshold, and `cap` overrides the [[semClusterCap]] default so the
-    * degenerate-mega-cluster spec can force the cap to bind. */
+    * threshold, `cap` overrides the [[semClusterCap]] default so the
+    * degenerate-mega-cluster spec can force the cap to bind, and
+    * `assignGate` overrides [[SemScaleGate]] so the planted-locality
+    * spec can force the two-level assignment path at fixture size. */
   private[graft] def semDedup(e: DataFrame,
-      tau: Double = SemDedupTau, cap: Option[Long] = None): DataFrame = {
+      tau: Double = SemDedupTau, cap: Option[Long] = None,
+      assignGate: Long = HierAssignGate): DataFrame = {
     val n = e.count() // one 1-row action sizes k — the q267 gate pattern
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val capVal = cap.getOrElse(semClusterCap(n))
@@ -624,9 +760,7 @@ object Centroids {
     // members as the pair join's LEFT side (cluster-sized window
     // partitions — never the banned global-window class). Computed
     // before the persist so both pair sides and the aggregates share it.
-    val members = assignMembers(quantized(e), k, hintCentroids = false,
-        probeParallelism = Some(assignParallelism(e.sparkSession, n, k)))
-      .select(col("vec_id"), col("cid"))
+    val members = semAssign(quantized(e), n, k, gate = assignGate)
       .withColumn("crk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("cid")).orderBy(col("vec_id"))))
@@ -779,8 +913,7 @@ object Centroids {
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-    val sizes = assignMembers(quantized(e), k, hintCentroids = false,
-        probeParallelism = Some(assignParallelism(spark, n, k)))
+    val sizes = semAssign(quantized(e), n, k)
       .groupBy(col("cid")).agg(count(lit(1)).as("m"))
     clusterPairAccounting(sizes, Seq(Q274ForcedCap, semClusterCap(n)))
   }
@@ -1032,100 +1165,159 @@ object Centroids {
     incrSemDedup(Tables.embeddings(spark, sfDir))
 
   /** The admission core over any (vec_id, embedding) frame — see
-    * [[q272IncrSemDedup]]. */
-  private[graft] def incrSemDedup(e: DataFrame): DataFrame = {
+    * [[q272IncrSemDedup]]. `cap` overrides the [[semClusterCap]]
+    * default so the degenerate-blob spec can force the cap to bind;
+    * `assignGate` overrides [[SemScaleGate]] for the assignment path
+    * only (the planted-locality spec forces the two-level form). */
+  private[graft] def incrSemDedup(e: DataFrame,
+      cap: Option[Long] = None,
+      assignGate: Long = HierAssignGate): DataFrame = {
     val isBatch = pmod(col("vec_id"), lit(IncrSemMod)) === 0L
     val standing = e.filter(!isBatch)
     val nSt = standing.count()
     val kcut = math.max(2L,
       math.ceil(math.sqrt(nSt.toDouble) * 10.0 / 9.0).toLong)
     // the q268 per-cluster pair cap, sized from the standing corpus (the
-    // frame the clustering is balanced against) and applied to all three
-    // per-cluster compare joins below — see SemClusterCapFactor
-    val capVal = semClusterCap(nSt)
+    // frame the clustering is balanced against); whether it BINDS is
+    // probed below and selects between the two join regimes
+    val capVal = cap.getOrElse(semClusterCap(nSt))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("vec_id"))
     // the ASSIGNMENT INPUT stays uncached (the r9 §E verdict that holds:
     // the O(n·k) expansion reads fastest as one codegen pipeline over
-    // the parquet lineage); the post-assignment side frames are
-    // persisted below — see the r10 re-A/B note at mSt
+    // the parquet lineage); the 2-column ASSIGNMENT RESULTS persist
+    // unconditionally — they feed the cap probe plus every downstream
+    // join, and any form that lets the assignment re-run per consumer
+    // loses (the keptSt-only-persist variant measured 5.8 s at sf0.1 vs
+    // 3.6 s with the assignment materialized)
     val qv = quantized(e)
     val stQv = qv.filter(!isBatch)
-    // probe parallelism sized from the standing corpus for both passes
-    // (the batch is a fixed fraction of it — same expansion order)
-    val assignP = Some(assignParallelism(e.sparkSession, nSt, kcut))
-    val membersSt = assignMembers(stQv, kcut, hintCentroids = false,
-        probeParallelism = assignP)
-      .select(col("vec_id"), col("cid"))
-      .withColumn("crk", row_number().over(win))
+    val membersSt = semAssign(stQv, nSt, kcut, gate = assignGate).persist()
+    // batch sized by the standing corpus — it is a fixed fraction of
+    // it, so the gate/geometry/spread decisions must match the corpus's
+    val membersB = semAssign(qv.filter(isBatch), nSt, kcut,
+      seeds = Some(stQv), gate = assignGate).persist()
     val emb = e.select(col("vec_id"), col("embedding"))
-    // r10 persist re-A/B: the r9 verdict (no persists — ReuseExchange
-    // shared the two-consumer diamonds) predates the two-path capped
-    // joins, which consume each side 4-5 times (cold + hot branch per
-    // join, plus the kept-index anti-join); unpersisted, keptSt's whole
-    // pair join re-ran per consumer and sf0.1 tripled (2.3 s pre-cap →
-    // 6.8 s). With mSt/mB/keptSt persisted: re-measured at sf0.1/sf1/
-    // sf2 (SCALE_POINT_r10 §B), and the BenchContractSpec pin updated
-    // with this rationale.
-    val mSt = membersSt.join(emb, Seq("vec_id")).persist()
-    // all three compare joins below carry the q268 conditional salt
-    // (cappedClusterJoin): bounded extra volume only in cap-trimmed
-    // clusters, row-identical output. Sizes read the persisted joined
-    // frames (1:1 with their members frames), not the raw assignment.
-    val stSizes = mSt.groupBy(col("cid")).agg(count(lit(1)).as("cm"))
-    val droppedSt = cappedClusterJoin(e.sparkSession, stSizes, capVal,
-      left = mSt.filter(col("crk") <= capVal)
-        .select(col("cid"), col("vec_id").as("v1"),
+    val stSizes = membersSt.groupBy(col("cid")).agg(count(lit(1)).as("cm"))
+    val bSizes = membersB.groupBy(col("cid")).agg(count(lit(1)).as("cm"))
+    // THE CAP-BINDING PROBE (r10 verdict #2 — the q272 1×-scale price,
+    // closed exactly rather than count-gated): two cluster-cardinality
+    // aggregates over the persisted assignments decide whether ANY
+    // cluster exceeds the cap. When none does — every organic fixture at
+    // every measured SF (max/mean cluster size ≤ 1.5, SCALE_POINT_r10
+    // §A) — the crk/srk admission filters are provably no-ops and
+    // cappedClusterJoin's hot branches are provably empty, so the engine
+    // runs the PLAIN per-cluster joins: row-identical output, none of
+    // the three rank windows and none of the two-path union machinery
+    // (the ~2× stage-count tax r10 paid at 1×), and pair work still
+    // bounded at Σ cm² ≤ n·cap = O(n^1.5) BECAUSE the probe just
+    // verified cm ≤ cap for every cluster. Only a corpus with a real
+    // mega-cluster (the boilerplate-crawl blob) takes the capped+salted
+    // regime — exactly where it wins (80k-clone blob: uncapped killed at
+    // 30 min, capped+salted 16.7 s, SCALE_POINT_r10 §C).
+    def maxCm(sizes: DataFrame): Long =
+      sizes.agg(coalesce(max(col("cm")), lit(0L))).head().getLong(0)
+    val capBinds = maxCm(stSizes) > capVal || maxCm(bSizes) > capVal
+    def simPairs(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, Seq("cid")).filter(col("v1") < col("v2"))
+        .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
+          >= lit(SemDedupTau))
+    val scaleUp = nSt > SemScaleGate
+    val (mBsel, corpusHit, batchHit) = if (!capBinds) {
+      // ---- plain regime: the cap is proven slack, joins stay simple.
+      // mSt/mB (assignment re-joined to embeddings) persist only above
+      // the count gate: below it the joined frames rebuild from the
+      // persisted 2-column assignments in one cheap join per consumer;
+      // above it that rebuild is a corpus-sized join paid 3-4 times.
+      def joined(members: DataFrame): DataFrame = {
+        val f = members.join(emb, Seq("vec_id"))
+        if (scaleUp) f.persist() else f
+      }
+      val mSt = joined(membersSt)
+      val mB = joined(membersB)
+      val droppedSt = simPairs(
+        mSt.select(col("cid"), col("vec_id").as("v1"),
           col("embedding").as("e1")),
-      right = mSt.select(col("cid"), col("crk"),
-        col("vec_id").as("v2"), col("embedding").as("e2")),
-      rightRank = "crk")
-      .filter(col("v1") < col("v2"))
-      .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
-        >= lit(SemDedupTau))
-      .select(col("v2")).distinct()
-    // the standing index: in production a stored table (q261's framing).
-    // srk re-ranks the KEPT members per cluster — the cap on the corpus
-    // compare admits the srk-lowest kept representatives, so a batch
-    // vector checks ≤ cap standing reps per cluster (keep-first already
-    // collapses a boilerplate blob to ~1 kept rep; the cap bounds the
-    // adversarial τ-chain case where many mutually-dissimilar members
-    // survive in one mega-cluster)
-    val keptSt = mSt.join(droppedSt.withColumnRenamed("v2", "vec_id"),
+        mSt.select(col("cid"), col("vec_id").as("v2"),
+          col("embedding").as("e2")))
+        .select(col("v2")).distinct()
+      val keptSt = mSt.join(droppedSt.withColumnRenamed("v2", "vec_id"),
         Seq("vec_id"), "left_anti")
-      .withColumn("srk", row_number().over(win))
-      .persist()
-    val membersB = assignMembers(qv.filter(isBatch), kcut,
-        hintCentroids = false, seeds = Some(stQv),
-        probeParallelism = assignP)
-      .select(col("vec_id"), col("cid"))
-      .withColumn("crk", row_number().over(win))
-    val mB = membersB.join(emb, Seq("vec_id")).persist()
-    val bSizes = mB.groupBy(col("cid")).agg(count(lit(1)).as("cm"))
-    // corpus compare: the bounded side (≤cap kept reps) replicates when
-    // the BATCH cluster is hot, the batch side carries the rank salt
-    val corpusHit = cappedClusterJoin(e.sparkSession, bSizes, capVal,
-      left = keptSt.filter(col("srk") <= capVal)
-        .select(col("cid"), col("vec_id").as("s"),
-          col("embedding").as("es")),
-      right = mB.select(col("cid"), col("crk"),
-        col("vec_id").as("b"), col("embedding").as("eb")),
-      rightRank = "crk")
-      .filter(round(Similarity.cosine(col("eb"), col("es")), 4)
-        >= lit(SemDedupTau))
-      .groupBy(col("b")).agg(min(col("s")).as("corpus_rep"))
-    val batchHit = cappedClusterJoin(e.sparkSession, bSizes, capVal,
-      left = mB.filter(col("crk") <= capVal)
-        .select(col("cid"), col("vec_id").as("v1"),
+      val corpus = keptSt.select(col("cid"), col("vec_id").as("s"),
+          col("embedding").as("es"))
+        .join(mB.select(col("cid"), col("vec_id").as("b"),
+          col("embedding").as("eb")), Seq("cid"))
+        .filter(round(Similarity.cosine(col("eb"), col("es")), 4)
+          >= lit(SemDedupTau))
+        .groupBy(col("b")).agg(min(col("s")).as("corpus_rep"))
+      val batch = simPairs(
+        mB.select(col("cid"), col("vec_id").as("v1"),
           col("embedding").as("e1")),
-      right = mB.select(col("cid"), col("crk"),
-        col("vec_id").as("v2"), col("embedding").as("e2")),
-      rightRank = "crk")
-      .filter(col("v1") < col("v2"))
-      .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
-        >= lit(SemDedupTau))
-      .groupBy(col("v2")).agg(min(col("v1")).as("batch_rep"))
-    mB.select(col("vec_id"), col("cid"))
+        mB.select(col("cid"), col("vec_id").as("v2"),
+          col("embedding").as("e2")))
+        .groupBy(col("v2")).agg(min(col("v1")).as("batch_rep"))
+      (mB.select(col("vec_id"), col("cid")), corpus, batch)
+    } else {
+      // ---- capped+salted regime: a mega-cluster exists. All three
+      // compare joins carry the q268 conditional salt
+      // (cappedClusterJoin): bounded extra volume only in cap-trimmed
+      // clusters, row-identical output. The joined side frames persist
+      // unconditionally here — the two-path joins consume each side 4-5
+      // times, the measured 5.2×-at-20× winner (SCALE_POINT_r10 §B) —
+      // and a cap-binding corpus is by construction big enough in its
+      // hot cluster for materialization to pay at any n.
+      val mSt = membersSt.withColumn("crk", row_number().over(win))
+        .join(emb, Seq("vec_id")).persist()
+      val mB = membersB.withColumn("crk", row_number().over(win))
+        .join(emb, Seq("vec_id")).persist()
+      val droppedSt = cappedClusterJoin(e.sparkSession, stSizes, capVal,
+        left = mSt.filter(col("crk") <= capVal)
+          .select(col("cid"), col("vec_id").as("v1"),
+            col("embedding").as("e1")),
+        right = mSt.select(col("cid"), col("crk"),
+          col("vec_id").as("v2"), col("embedding").as("e2")),
+        rightRank = "crk")
+        .filter(col("v1") < col("v2"))
+        .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
+          >= lit(SemDedupTau))
+        .select(col("v2")).distinct()
+      // the standing index: in production a stored table (q261's
+      // framing). srk re-ranks the KEPT members per cluster — the cap on
+      // the corpus compare admits the srk-lowest kept representatives,
+      // so a batch vector checks ≤ cap standing reps per cluster
+      // (keep-first already collapses a boilerplate blob to ~1 kept rep;
+      // the cap bounds the adversarial τ-chain case where many mutually-
+      // dissimilar members survive in one mega-cluster)
+      val keptSt = mSt.join(droppedSt.withColumnRenamed("v2", "vec_id"),
+          Seq("vec_id"), "left_anti")
+        .withColumn("srk", row_number().over(win))
+        .persist()
+      // corpus compare: the bounded side (≤cap kept reps) replicates
+      // when the BATCH cluster is hot, the batch side carries the salt
+      val corpus = cappedClusterJoin(e.sparkSession, bSizes, capVal,
+        left = keptSt.filter(col("srk") <= capVal)
+          .select(col("cid"), col("vec_id").as("s"),
+            col("embedding").as("es")),
+        right = mB.select(col("cid"), col("crk"),
+          col("vec_id").as("b"), col("embedding").as("eb")),
+        rightRank = "crk")
+        .filter(round(Similarity.cosine(col("eb"), col("es")), 4)
+          >= lit(SemDedupTau))
+        .groupBy(col("b")).agg(min(col("s")).as("corpus_rep"))
+      val batch = cappedClusterJoin(e.sparkSession, bSizes, capVal,
+        left = mB.filter(col("crk") <= capVal)
+          .select(col("cid"), col("vec_id").as("v1"),
+            col("embedding").as("e1")),
+        right = mB.select(col("cid"), col("crk"),
+          col("vec_id").as("v2"), col("embedding").as("e2")),
+        rightRank = "crk")
+        .filter(col("v1") < col("v2"))
+        .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
+          >= lit(SemDedupTau))
+        .groupBy(col("v2")).agg(min(col("v1")).as("batch_rep"))
+      (mB.select(col("vec_id"), col("cid")), corpus, batch)
+    }
+    mBsel
       .join(corpusHit.withColumnRenamed("b", "vec_id"), Seq("vec_id"),
         "left")
       .join(batchHit.withColumnRenamed("v2", "vec_id"), Seq("vec_id"),
@@ -1300,9 +1492,7 @@ object Centroids {
     // the assignment on the codegen path is to not cache its input.
     // What IS shared downstream is mq — assignment result re-joined to
     // the components — consumed by the centroid and distance passes.
-    val members = assignMembers(quantized(e), k, hintCentroids = false,
-        probeParallelism = Some(assignParallelism(spark, n, k)))
-      .select(col("vec_id"), col("cid"))
+    val members = semAssign(quantized(e), n, k)
     val mq = members.join(quantized(e), Seq("vec_id")).persist()
     val centroids = mq.groupBy(col("cid"), col("pos"))
       .agg(expr("sum(q) div count(1)").as("cq"))

@@ -23,6 +23,21 @@ object Scale {
     * few columns ≈ ~10 MB of hashed payload per task. */
   val HashBuildRowsPerTask = 250000L
 
+  /** Upper clamp for every count-derived partition count
+    * ([[hashBuildParallelism]], `Centroids.assignParallelism`). The Long
+    * arithmetic on counted work can exceed Int.MaxValue exactly at the
+    * 100 TB design point these devices exist for — n ≈ 3.5·10⁹ vectors
+    * with k = √n makes n·k/budget ≈ 2.1·10⁹ tasks — and a raw `.toInt`
+    * WRAPS (usually negative), which `max(session, _)` then silently
+    * swallows back to the session floor: the one-task collapse the
+    * counted spread was built to fix, reintroduced at scale with no
+    * error. 2²⁰ tasks is beyond any real cluster's useful fan-out (and
+    * far under Spark's 2²⁴ sort-shuffle partition-id ceiling); when the
+    * clamp binds, per-task work grows with the data again — the right
+    * failure mode (bigger tasks and a visible knee, not a silent
+    * single-task cliff). */
+  val MaxCountedTasks = 1 << 20
+
   /** Rows-per-task budget for FIXED-NARROW build rows (two longs — a
     * rank or label frame): ~32 B/entry hashed → 2M rows ≈ 64 MB per
     * task. Sizing by the BUILD side with this wider budget matters:
@@ -51,7 +66,10 @@ object Scale {
       rowsPerTask: Long = HashBuildRowsPerTask): Int =
     math.max(
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
-      (rows / rowsPerTask).toInt + 1)
+      // clamp in Long BEFORE the Int conversion: rows/rowsPerTask
+      // exceeds Int.MaxValue past ~5·10¹⁴ rows and a raw toInt wraps
+      // negative — see [[MaxCountedTasks]]
+      math.min(rows / rowsPerTask + 1, MaxCountedTasks.toLong).toInt)
 
   /** Two-phase salted aggregation for skewed group keys: phase 1 aggregates
     * on (key, salt) — spreading a hot key over `salts` reducers — phase 2

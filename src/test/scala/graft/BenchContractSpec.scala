@@ -282,10 +282,14 @@ class BenchContractSpec extends AnyFunSuite {
       ("q269_jl_projection", 0, "persist measured as a loss — reverted"),
       ("q271_hier_assign", 0, "persist measured 2x WORSE at 20x — " +
         "columnar-cache scan loses to whole-stage codegen"),
-      ("q272_incr_semdedup", 3, "mSt + kept-index + mB persisted since " +
-        "the r10 two-path capped joins made each a 4-5-way consumer " +
-        "(re-measured: 6.8 s -> 3.7 s at sf0.1; the r9 no-persist " +
-        "verdict predates this structure)"))
+      ("q272_incr_semdedup", 2, "r11 two-regime form: the 2-column " +
+        "assignment results persist unconditionally (keptSt-only persist " +
+        "measured 5.8 s at sf0.1 vs 3.6 s with assignments materialized), " +
+        "and at spec scale the cap-binding probe selects the plain join " +
+        "regime with the embedding-joined frames count-gated UNpersisted " +
+        "below SemScaleGate (sf0.1 3.6 -> 2.2 s; above the gate they " +
+        "persist - sf2 nosort 6.95 -> 4.99 s - and a cap-BINDING corpus " +
+        "persists mSt/keptSt/mB as in r10, the 5.2x-at-20x winner)"))
     expected.foreach { case (name, n, why) =>
       val got = distinctCaches(name)
       assert(got == n,

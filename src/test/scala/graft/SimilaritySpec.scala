@@ -438,6 +438,99 @@ class SimilaritySpec extends AnyFunSuite
     }
   }
 
+  test("q272 degenerate blob: capped ≡ uncapped verdicts (the ADVICE r10 " +
+    "gap), and the capped regime ≡ the plain probe-selected regime") {
+    // The q272 analogue of q268's mega-cluster spec, closing the ADVICE
+    // hole: the corpus compare admits only the srk-lowest KEPT standing
+    // reps, and unlike q268 that is not provably ≡ uncapped in general —
+    // but on the prototype-kept-rep construction it is: 200 clones of
+    // standing id 7 (ids 100-299, ~180 standing + ~20 batch) form one
+    // mega-cluster whose standing keep-set collapses to {7} (every
+    // standing clone drops against the lower id), so the blob's kept rep
+    // has srk = 1 and ANY cap ≥ 1 admits it; batch clones must verdict
+    // dup_corpus with corpus_rep = 7 under both caps. The run also
+    // cross-validates the r11 two-regime split: cap=5 makes the binding
+    // probe take the capped+salted branch while the effectively-uncapped
+    // run takes the plain branch — row equality proves the two regimes
+    // implement the same operator, not just the same cap.
+    val rng = new scala.util.Random(29)
+    def rv() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, rv()))
+    val proto = base(7)._2
+    val clones = (100 until 300).map { i =>
+      (i.toLong, proto.map(x => x + 0.001f * rng.nextGaussian().toFloat))
+    }
+    val e = (base ++ clones).toDF("vec_id", "embedding")
+    val capped = ops.Centroids.incrSemDedup(e, cap = Some(5L)).collect()
+    spark.catalog.clearCache()
+    val plain = ops.Centroids.incrSemDedup(e, cap = Some(1000000L))
+      .collect()
+    assert(capped.toSeq === plain.toSeq,
+      "cap=5 must not change admission verdicts on a clone blob — the " +
+        "cluster's kept standing set is exactly its minimal rep (srk=1)")
+    val byId = capped.map(r => r.getLong(0) -> r).toMap
+    val batchClones = (100 until 300).filter(_ % 10 == 0)
+    batchClones.foreach { i =>
+      assert(byId(i.toLong).getString(4) === "dup_corpus" &&
+        byId(i.toLong).getLong(2) === 7L,
+        s"batch clone $i must collapse onto standing rep 7")
+    }
+  }
+
+  test("semAssign two-level gate: identical assignment to flat on a " +
+    "corpus with real locality, end-to-end through q268/q272") {
+    // The r11 gated seam (HierAssignGate): on a planted-locality corpus
+    // — 9 tight blobs (blob = id % 9), so EVERY blob has a standing
+    // seed among ids 1..9 (a 20-blob layout left blobs 0/10 batch-only:
+    // their nearest standing seed is genuinely arbitrary and the
+    // two-level gate legitimately disagrees with flat — exactly what
+    // the agreement audit exists to surface) — every member's exact
+    // argmin lies inside its own blob and the blob's seeds share a
+    // coarse cell, so the TWO-LEVEL assignment must agree with flat
+    // exactly, and the full SemDeDup and incremental-admission outputs
+    // must be row-identical with the gate forced on. This is the
+    // measured go-condition documented at HierAssignGate: real cluster
+    // structure → 100% agreement → the two-level path is safe to
+    // enable.
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(9)(Array.fill(64)(rng.nextGaussian() * 10))
+    val vecs = (0 until 500).map { i =>
+      (i.toLong, centers(i % 9).map(c =>
+        (c + 0.01 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val flatOut = ops.Centroids.semDedup(vecs, tau = 0.95).collect()
+    spark.catalog.clearCache()
+    val hierOut = ops.Centroids.semDedup(vecs, tau = 0.95, assignGate = 0L)
+      .collect()
+    assert(hierOut.toSeq === flatOut.toSeq,
+      "two-level semDedup must equal flat on a locality corpus")
+    spark.catalog.clearCache()
+    val flatIncr = ops.Centroids.incrSemDedup(vecs).collect()
+    spark.catalog.clearCache()
+    val hierIncr = ops.Centroids.incrSemDedup(vecs, assignGate = 0L)
+      .collect()
+    assert(hierIncr.toSeq === flatIncr.toSeq,
+      "two-level incremental admission must equal flat on a locality " +
+        "corpus")
+  }
+
+  test("assignParallelism clamps in Long at the 100 TB design point " +
+    "(ADVICE r10: the raw quotient wraps negative past Int.MaxValue)") {
+    // n = 4e9 vectors, k = ceil(sqrt(n)): n·k/budget ≈ 2.5e9 >
+    // Int.MaxValue — the unclamped toInt wrapped negative and max()
+    // silently restored the session floor (the one-task collapse the
+    // device exists to prevent). Clamped, it returns the ceiling.
+    val n = 4000000000L
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    assert(n * k / 100000L > Int.MaxValue.toLong,
+      "precondition: this point must actually overflow Int")
+    val got = ops.Centroids.assignParallelism(spark, n, k)
+    assert(got === ops.Scale.MaxCountedTasks,
+      s"expected the MaxCountedTasks clamp, got $got")
+    assert(ops.Scale.hashBuildParallelism(spark, Long.MaxValue / 4)
+      === ops.Scale.MaxCountedTasks, "hashBuildParallelism shares the clamp")
+  }
+
   test("q269 JL distortion is unbiased and exactly reproducible") {
     val sfDir = SparkSuite.sf
     val out = ops.Quantize.q269JlProjection(spark, sfDir).collect()
