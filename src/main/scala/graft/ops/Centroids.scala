@@ -378,19 +378,27 @@ object Centroids {
     import graft.ops.Checkpoints.CutOps
     import org.apache.spark.sql.expressions.Window
     val k = KmeansK
-    // one count action sizes the probe spread (the q268/q274 lesson this
-    // round: the ×k expansion join runs at the PROBE's file-split
-    // parallelism — a ~10 MB parquet corpus is ONE task grinding
-    // n·k·dim rows per round). Spread once, before the checkpoint, so
-    // all KmeansRounds re-read the spread blocks.
+    // one count action sizes the probe spread (the q268/q274 r10 lesson:
+    // the ×k expansion join runs at the PROBE's file-split parallelism —
+    // a ~10 MB parquet corpus is ONE task grinding n·k·dim rows per
+    // round). Spread once, before the checkpoint, so all KmeansRounds
+    // re-read the spread blocks — but ONLY when the counted expansion
+    // exceeds one task budget (n·k ≥ AssignGroupsPerTask): below it the
+    // whole expansion is less than a single task's work by construction,
+    // and the extra shuffle + per-round 32-task scheduling is pure
+    // overhead. Pinned from the r11 A/B (nosort, fresh JVM): sf0.1
+    // (16k groups) 4.65→2.51 s WITHOUT the spread; sf1 (160k groups)
+    // 6.86→5.89 s and sf2 (320k) 11.18→7.68 s WITH it — the crossover
+    // sits between 16k and 160k groups, the one-budget point.
     val n = Tables.embeddings(spark, sfDir).count()
-    val qv = Tables.embeddings(spark, sfDir)
+    val qv0 = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"),
         (floor(col("v").cast("double") * lit(KmeansScale.toDouble))
           .cast("long") + lit(KmeansScale)).as("q"))
-      .repartition(assignParallelism(spark, n, k), col("vec_id"))
-      .cutLineage()
+    val qv = (if (n * k >= AssignGroupsPerTask)
+        qv0.repartition(assignParallelism(spark, n, k), col("vec_id"))
+      else qv0).cutLineage()
     var cent = qv.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
       .cutLineage()

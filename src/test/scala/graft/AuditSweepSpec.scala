@@ -153,6 +153,64 @@ class AuditSweepSpec extends AnyFunSuite {
       "the explicit scaled-repartition guard must clear the finding")
   }
 
+  test("recompute census: the SemDeDup family's plan diamonds resolve " +
+    "to persisted frames in BOTH join regimes — no silent recompute") {
+    // The r10 two-path cappedClusterJoin (and r11's probe-selected plain
+    // regime) intentionally read the same side frames from multiple
+    // branches. This pin runs the RecomputeAudit over the family at the
+    // audit's production threshold (minCost = 2, the main's default) and
+    // asserts ZERO duplicated shuffle-bearing subtrees: every diamond
+    // must sit under an InMemoryRelation (persisted-or-reused), not
+    // re-derive pair joins per consumer. Asserted for the registered
+    // queries (plain regime — the fixtures never bind the cap) AND for a
+    // forced cap-binding blob (the capped+salted regime, whose cold+hot
+    // branches are exactly the diamonds the r10 verdict asked censused).
+    def dupsOf(mk: => org.apache.spark.sql.DataFrame): Seq[String] =
+      try graft.plans.RecomputeAudit.duplicates(mk, minCost = 2)
+        .map(d => s"${d.occurrences}x ${d.root} (cost ${d.cost})")
+      finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+    Seq("q268_semdedup", "q272_incr_semdedup", "q273_cluster_prune",
+      "q274_semdedup_capped").foreach { name =>
+      val dups = dupsOf(graft.SparkEntry.queries(name)(spark, SparkSuite.sf))
+      assert(dups.isEmpty,
+        s"$name (plain regime): unexplained duplicated shuffle-bearing " +
+          s"subtrees $dups — a shared frame lost its persist")
+    }
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(23)
+    def rv() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val bases = (0 until 40).map(i => (i.toLong, rv()))
+    val clones = (0 until 200).map { i =>
+      ((100 + i).toLong,
+        bases.head._2.map(x => x + 0.001f * rng.nextGaussian().toFloat))
+    }
+    val blob = (bases ++ clones).toDF("vec_id", "embedding")
+    val semDups = dupsOf(
+      graft.ops.Centroids.semDedup(blob, tau = 0.95, cap = Some(5L)))
+    assert(semDups.isEmpty,
+      s"semDedup capped+salted: unexplained duplicated subtrees $semDups")
+    // incrSemDedup's capped regime legitimately re-reads the PERSISTED
+    // mB through the same cold-branch and hot-branch right-side
+    // projections in BOTH the corpus compare and the batch compare —
+    // two canonical subtrees, each twice. Their cost-2 reading is the
+    // audit's coarse metric counting the k-row sizes join (AQE
+    // broadcasts it) and the salt explode; no exchange and no pair join
+    // re-executes — the frames below are InMemoryRelations. Censused,
+    // exactly: a third occurrence or a deeper subtree means a persist
+    // was lost.
+    val incrDups = dupsOf(
+      graft.ops.Centroids.incrSemDedup(blob, cap = Some(5L)))
+    assert(incrDups.sorted === Seq("2x Project (cost 2)",
+      "2x Project (cost 2)"),
+      s"incrSemDedup capped+salted: expected exactly the two censused " +
+        s"post-cache mB projections, got $incrDups")
+  }
+
   test("ledger sweep: audit findings across all registered queries " +
     "match the bounded-frame census exactly") {
     val findings = AuditSweep.sweep(spark, SparkSuite.sf)
