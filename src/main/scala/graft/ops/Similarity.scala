@@ -480,6 +480,157 @@ object Similarity {
       |SELECT query_id, cand_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The nprobe dial values q275 sweeps — powers of two up to k = 8
+    * lists, so the last point probes EVERY list and its recall is
+    * exactly 1.0 by construction (same rounded score + id tie-break as
+    * the q75 ground truth) — the endpoint that anchors the curve. */
+  private val IvfSweepProbes = Seq(1L, 2L, 4L, 8L)
+
+  /** q275_ivf_sweep — the IVF recall-vs-cost DIAL CURVE: for each
+    * nprobe in [[IvfSweepProbes]], retrieve top-5 per query through the
+    * q76 inverted-list machinery and score recall@5 against the q75
+    * exact ground truth, alongside the candidate count actually scanned
+    * (the cost axis). This is THE operational artifact of an IVF
+    * deployment: nprobe is the single production knob trading scan
+    * fraction (~nprobe/k of the corpus per query) for recall, and the
+    * committed curve — not a guess — is how it gets set. q76 runs the
+    * index at one dial point; q152 audits one retrieval; this measures
+    * the whole dial.
+    *
+    * Scale shape: the centroid-similarity frame and list assignment are
+    * q76's (one broadcast pass over the corpus, narrow argmax rows —
+    * embeddings never shuffle for the assignment); the sweep multiplies
+    * only the PROBE side (|queries|·Σnprobe rows) before the list join,
+    * so corpus-side work stays one assignment regardless of how many
+    * dial points are swept. Candidates per (nprobe, query) are bounded
+    * by the probed lists' population — the monotone cost column the
+    * curve reports. Recall is exact and hash-checked: integer hit
+    * counts against the 4-dp-rounded, id-tie-broken ground truth, one
+    * IEEE division at the end (the q152 device, swept). */
+  def q275IvfSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val acs = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(cosine(col("embedding"), col("cent_emb")), 4).as("cs"))
+    // q76's long-encoded argmax (HashAggregate-able, codegen'd)
+    val assigned = acs
+      .groupBy(col("vec_id"))
+      .agg(max(round(col("cs") * 10000).cast("long") * 16 +
+        (lit(15) - col("cent_id"))).as("m"))
+      .select(col("vec_id"),
+        (lit(15) - pmod(col("m"), lit(16))).as("cent_id"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cs"), col("cent_id"))
+    // rank all k lists once per query; each dial point reuses the rank
+    val probes = acs.filter(col("vec_id") < 5)
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= IvfSweepProbes.max)
+      .withColumn("nprobe", explode(array(IvfSweepProbes.map(lit): _*)))
+      .filter(col("rk") <= col("nprobe"))
+      .select(col("nprobe"), col("vec_id").as("query_id"), col("cent_id"))
+    val cands = probes
+      .join(assigned.select(col("vec_id").as("cand_id"), col("cent_id")),
+        Seq("cent_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+    val wTop = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(desc("cos_sim"), col("cand_id"))
+    val top = cands
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb")), Seq("cand_id"))
+      .select(col("nprobe"), col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+    val nCands = cands.groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_cands"))
+    val truth = q75BruteTopk(spark, sfDir)
+      .select(col("query_id"), col("cand_id"))
+    val hits = top.select(col("nprobe"), col("query_id"), col("cand_id"))
+      .join(truth, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    nCands
+      .join(hits, Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"), col("n_cands"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0)
+          .as("recall"))
+      .orderBy(col("nprobe"), col("query_id"))
+  }
+
+  /** Composed oracle: the q76 index CTEs, swept over the dial values,
+    * scored against the inlined q75 ground truth. */
+  val q275Sql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb
+       |  FROM embeddings WHERE vec_id < 8),
+       |ap AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         unnest(e.embedding)::DOUBLE AS x,
+       |         unnest(c.cent_emb)::DOUBLE AS y
+       |  FROM embeddings e, cents c),
+       |acs AS (
+       |  SELECT vec_id, cent_id,
+       |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) AS cs
+       |  FROM ap GROUP BY vec_id, cent_id),
+       |assigned AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cs DESC, cent_id) AS rk
+       |    FROM acs) WHERE rk = 1),
+       |pranks AS (
+       |  SELECT vec_id AS query_id, cent_id, rk FROM (
+       |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cs DESC, cent_id) AS rk
+       |    FROM acs WHERE vec_id < 5)
+       |  WHERE rk <= ${IvfSweepProbes.max}),
+       |probes AS (
+       |  SELECT n.nprobe, p.query_id, p.cent_id
+       |  FROM pranks p CROSS JOIN
+       |       (SELECT unnest([${IvfSweepProbes.map(p => s"CAST($p AS BIGINT)").mkString(", ")}])
+       |          AS nprobe) n
+       |  WHERE p.rk <= n.nprobe),
+       |cands AS (
+       |  SELECT p.nprobe, p.query_id, a.vec_id AS cand_id
+       |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.query_id),
+       |sp AS (
+       |  SELECT cd.nprobe, cd.query_id, cd.cand_id,
+       |         unnest(qe.embedding)::DOUBLE AS x,
+       |         unnest(ce.embedding)::DOUBLE AS y
+       |  FROM cands cd JOIN embeddings qe ON qe.vec_id = cd.query_id
+       |                JOIN embeddings ce ON ce.vec_id = cd.cand_id),
+       |s AS (
+       |  SELECT nprobe, query_id, cand_id,
+       |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+       |           AS cos_sim
+       |  FROM sp GROUP BY nprobe, query_id, cand_id),
+       |top AS (
+       |  SELECT nprobe, query_id, cand_id FROM (
+       |    SELECT nprobe, query_id, cand_id,
+       |           row_number() OVER (PARTITION BY nprobe, query_id
+       |             ORDER BY cos_sim DESC, cand_id) AS rank
+       |    FROM s) WHERE rank <= 5),
+       |truth AS (SELECT query_id, cand_id FROM ($q75Sql)),
+       |hits AS (
+       |  SELECT t.nprobe, t.query_id, count(*) AS n_hits
+       |  FROM top t SEMI JOIN truth b
+       |    ON b.query_id = t.query_id AND b.cand_id = t.cand_id
+       |  GROUP BY t.nprobe, t.query_id),
+       |nc AS (
+       |  SELECT nprobe, query_id, CAST(count(*) AS BIGINT) AS n_cands
+       |  FROM cands GROUP BY nprobe, query_id)
+       |SELECT nc.nprobe, nc.query_id, nc.n_cands,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM nc LEFT JOIN hits h
+       |  ON h.nprobe = nc.nprobe AND h.query_id = nc.query_id
+       |ORDER BY nc.nprobe, nc.query_id""".stripMargin
+
   /** Production-path embedding near-dup detection over any
     * (vec_id, embedding) frame: candidate pairs come from the multi-table
     * LSH buckets (not an id band — that bound in q73 exists only for oracle

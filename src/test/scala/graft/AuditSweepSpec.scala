@@ -54,6 +54,11 @@ class AuditSweepSpec extends AnyFunSuite {
       "the fixed probe-query vector set"),
     ("q76_ivf_topk", "forced-broadcast") -> (2,
       "k IVF centroids + the probe-query vectors"),
+    ("q275_ivf_sweep", "forced-broadcast") -> (5,
+      "the k=8-row centroid frame, read by the assignment and the " +
+        "probe-rank branches of both the candidate-count and top-k " +
+        "sides (4 plan occurrences), + the inlined q75 ground truth's " +
+        "fixed 5-query probe set — all constant-cardinality at any SF"),
     ("q78_quantized_topk", "forced-broadcast") -> (1,
       "the probe-query vectors"),
     ("q66_kmeans_step", "forced-broadcast") -> (3,

@@ -531,6 +531,33 @@ class SimilaritySpec extends AnyFunSuite
       === ops.Scale.MaxCountedTasks, "hashBuildParallelism shares the clamp")
   }
 
+  test("q275 IVF sweep: candidates and hits are monotone in nprobe, and " +
+    "the full-dial endpoint is exact (recall 1.0)") {
+    val out = ops.Similarity.q275IvfSweep(spark, SparkSuite.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val queries = out.keys.map(_._2).toSeq.distinct
+    assert(out.size === 4 * queries.size, "one row per (nprobe, query)")
+    queries.foreach { q =>
+      // probing more lists can only ADD candidates, and the candidate
+      // set is a superset of every smaller dial point's — so both the
+      // scan cost and the hit count are monotone along the dial
+      val dial = Seq(1L, 2L, 4L, 8L).map(out(_, q))
+      dial.sliding(2).foreach { case Seq((c1, h1, _), (c2, h2, _)) =>
+        assert(c1 <= c2, s"query $q: n_cands must be monotone in nprobe")
+        assert(h1 <= h2, s"query $q: n_hits must be monotone in nprobe")
+      }
+      // nprobe = k probes EVERY list: the candidate set is the whole
+      // corpus minus self, the scoring and tie-break match q75's, so
+      // the retrieval IS the exact ground truth — recall exactly 1.0.
+      val (cAll, hAll, rAll) = out((8L, q))
+      val n = Tables.embeddings(spark, SparkSuite.sf).count()
+      assert(cAll === n - 1, s"query $q: full dial must scan the corpus")
+      assert(hAll === 5L && rAll === 1.0,
+        s"query $q: the full-dial endpoint must be exact")
+    }
+  }
+
   test("q269 JL distortion is unbiased and exactly reproducible") {
     val sfDir = SparkSuite.sf
     val out = ops.Quantize.q269JlProjection(spark, sfDir).collect()
