@@ -1034,14 +1034,28 @@ object Centroids {
     // columnar-cache scan breaks the codegen'd assignment pipeline, and
     // ReuseExchange already shares the shuffle-bounded duplicates.
     val qv = quantized(e)
-    val coarse = assignMembers(qv, kc, hintCentroids = false)
+    // counted probe spread (the r10 expansion-join rule, r11 catch-up:
+    // this operator predates the fix and still ran both passes at the
+    // probe's FILE-SPLIT parallelism — measured sf2 nosort 5.46 → 1.85 s
+    // once spread). One p sized for the larger pass; the identical
+    // repartition subtree under the coarse pass and the fine join lets
+    // ReuseExchange run the shuffle once — the semAssign hier-path
+    // shape. Gated at one task budget like q262: below it the whole
+    // expansion is less than a single task's work and the extra shuffle
+    // is pure overhead.
+    val expansion = math.max(kc, math.max(1L, k / kc))
+    val p = if (n * expansion >= AssignGroupsPerTask)
+      Some(assignParallelism(e.sparkSession, n, expansion)) else None
+    val coarse = assignMembers(qv, kc, hintCentroids = false,
+        probeParallelism = p)
       .select(col("vec_id"), col("cid").as("ccid"))
     val seedCell = coarse.filter(col("vec_id") < k)
       .select(col("vec_id").as("fcid"), col("ccid"))
     val fineCent = qv.filter(col("vec_id") < k)
       .select(col("vec_id").as("fcid"), col("pos"), col("q").as("cq"))
       .join(seedCell, Seq("fcid"))
-    val hier = qv.join(coarse, Seq("vec_id"))
+    val hier = p.map(pp => qv.repartition(pp, col("vec_id"))).getOrElse(qv)
+      .join(coarse, Seq("vec_id"))
       .join(fineCent, Seq("ccid", "pos"))
       .groupBy(col("vec_id"), col("ccid"), col("fcid"))
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
@@ -1052,8 +1066,11 @@ object Centroids {
       .select(col("vec_id"), col("ccid"), col("fcid"))
     val sampleQv = qv.filter(
       pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
+    val sampleN = n / HierSampleMod + 1
     val exact = assignMembers(sampleQv, k, hintCentroids = false,
-        seeds = Some(qv))
+        seeds = Some(qv),
+        probeParallelism = if (sampleN * k >= AssignGroupsPerTask)
+          Some(assignParallelism(e.sparkSession, sampleN, k)) else None)
       .select(col("vec_id"), col("cid").as("efcid"))
     val cells = hier.groupBy(col("ccid"))
       .agg(count(lit(1)).as("n_members"),
