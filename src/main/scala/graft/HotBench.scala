@@ -56,6 +56,13 @@ object HotBench {
       .groupBy(col("cid")).agg(count(lit(1)).as("m"))
     val acct = graft.ops.Centroids
       .clusterPairAccounting(sizes, Seq(cap)).head()
+    // the Scaladoc's binding assertion, enforced (ADVICE r11): a blob
+    // that fails to form a capped cluster would otherwise emit a vacuous
+    // "hot" measurement indistinguishable from a real one
+    require(acct.getLong(2) >= 1L && acct.getLong(5) > 0L,
+      s"planted blob did not bind the cap (n_capped_clusters=" +
+        s"${acct.getLong(2)}, pairs_skipped=${acct.getLong(5)}) — " +
+        "raise nClones or check the fixture")
 
     def timed(mk: () => org.apache.spark.sql.DataFrame): Double =
       (1 to 2).map { _ =>

@@ -219,11 +219,30 @@ object Centroids {
     * on the two-level geometry. Returns (vec_id, cid). */
   private[graft] def semAssign(qv: DataFrame, n: Long, k: Long,
       seeds: Option[DataFrame] = None,
-      gate: Long = HierAssignGate): DataFrame = {
+      gate: Long = HierAssignGate,
+      frameN: Long = -1L, frameLabel: String = "corpus"): DataFrame = {
     val spark = qv.sparkSession
+    // nf = the ASSIGNED frame's own row count. `n` stays the caller's
+    // gate/geometry sizing count — incrSemDedup assigns a BATCH against
+    // the standing corpus's gate and k, but the probe spread and the
+    // audit accounting must follow the frame actually scanned (frameN;
+    // an arithmetic bound is fine — it sizes tasks, not semantics).
+    val nf = if (frameN >= 0L) frameN else n
     if (n <= gate) {
+      // The flat path keeps the spread UNCONDITIONAL — the one-task-
+      // budget gate q262/q271 apply was A/B'd here (ADVICE r11) and
+      // REJECTED on measurement: at sf0.1 (n·k ≈ 90k groups, just under
+      // the 100k budget) gating the spread regressed every family
+      // member (3-run medians, 5-query bench protocol: q268 nosort
+      // 2.04→2.22 s, q272 2.2→2.84, q273 1.21→1.65, q274 0.64→1.00).
+      // The difference from q262/q271: their expansion re-runs per
+      // round/pass over an already-materialized frame, while here the
+      // probe is a SMALL parquet scan (1-2 file splits) feeding a ×k
+      // expansion — "under one task budget" still means one task
+      // grinding ~6M component rows serially, and the 32-way spread's
+      // shuffle of n·d probe rows is cheaper than that serialization.
       assignMembers(qv, k, hintCentroids = false, seeds = seeds,
-        probeParallelism = Some(assignParallelism(spark, n, k)))
+        probeParallelism = Some(assignParallelism(spark, nf, k)))
         .select(col("vec_id"), col("cid"))
     } else {
       import graft.ops.Checkpoints.CutOps
@@ -232,7 +251,7 @@ object Centroids {
       // one probe spread sized for the LARGER of the two passes; the
       // identical repartition subtree in both lets ReuseExchange run
       // the shuffle once
-      val p = assignParallelism(spark, n, math.max(kc, math.max(1L, k / kc)))
+      val p = assignParallelism(spark, nf, math.max(kc, math.max(1L, k / kc)))
       val coarse = assignMembers(qv, kc, hintCentroids = false,
           seeds = Some(sv), probeParallelism = Some(p))
         .select(col("vec_id"), col("cid").as("ccid"))
@@ -270,15 +289,19 @@ object Centroids {
       val exact = assignMembers(sampleQv, k, hintCentroids = false,
           seeds = Some(sv),
           probeParallelism =
-            Some(assignParallelism(spark, n / HierSampleMod + 1, k)))
+            Some(assignParallelism(spark, nf / HierSampleMod + 1, k)))
         .select(col("vec_id"), col("cid").as("ecid"))
       val a = hier.join(exact, Seq("vec_id"))
         .agg(count(lit(1)).as("n"),
           coalesce(sum(when(col("cid") === col("ecid"), 1L)
             .otherwise(0L)), lit(0L)).as("agree"))
         .head()
-      println(s"[semassign] two-level path (n=$n > gate=$gate, k=$k, " +
-        s"kc=$kc): sampled exact-agreement ${a.getLong(1)}/${a.getLong(0)}")
+      // the accounting line labels the AUDITED frame and its own row
+      // count (ADVICE r11: for incrSemDedup's batch call `n` is the
+      // standing-corpus gate count, not the frame audited here)
+      println(s"[semassign] two-level path (frame=$frameLabel rows=$nf, " +
+        s"gate n=$n > gate=$gate, k=$k, kc=$kc): " +
+        s"sampled exact-agreement ${a.getLong(1)}/${a.getLong(0)}")
       hier
     }
   }
@@ -750,8 +773,9 @@ object Centroids {
     * parameter so specs can plant near-duplicate clones at a production
     * threshold, `cap` overrides the [[semClusterCap]] default so the
     * degenerate-mega-cluster spec can force the cap to bind, and
-    * `assignGate` overrides [[SemScaleGate]] so the planted-locality
-    * spec can force the two-level assignment path at fixture size. */
+    * `assignGate` overrides [[HierAssignGate]] so the planted-locality
+    * spec can force the two-level assignment path at fixture size
+    * ([[SemScaleGate]] is the unrelated q272 persist gate). */
   private[graft] def semDedup(e: DataFrame,
       tau: Double = SemDedupTau, cap: Option[Long] = None,
       assignGate: Long = HierAssignGate): DataFrame = {
@@ -1192,8 +1216,9 @@ object Centroids {
   /** The admission core over any (vec_id, embedding) frame — see
     * [[q272IncrSemDedup]]. `cap` overrides the [[semClusterCap]]
     * default so the degenerate-blob spec can force the cap to bind;
-    * `assignGate` overrides [[SemScaleGate]] for the assignment path
-    * only (the planted-locality spec forces the two-level form). */
+    * `assignGate` overrides [[HierAssignGate]] for the assignment path
+    * only (the planted-locality spec forces the two-level form;
+    * [[SemScaleGate]] is the unrelated persist gate below). */
   private[graft] def incrSemDedup(e: DataFrame,
       cap: Option[Long] = None,
       assignGate: Long = HierAssignGate): DataFrame = {
@@ -1221,7 +1246,13 @@ object Centroids {
     // batch sized by the standing corpus — it is a fixed fraction of
     // it, so the gate/geometry/spread decisions must match the corpus's
     val membersB = semAssign(qv.filter(isBatch), nSt, kcut,
-      seeds = Some(stQv), gate = assignGate).persist()
+      seeds = Some(stQv), gate = assignGate,
+      // the batch is 1/10 of the corpus = nSt/9 of the standing slice —
+      // an exact arithmetic bound (IncrSemMod geometry), so the batch
+      // pass's spread and audit label follow the frame it scans instead
+      // of the standing corpus's gate-sizing count (ADVICE r11)
+      frameN = nSt / (IncrSemMod - 1L) + 1L, frameLabel = "batch")
+      .persist()
     val emb = e.select(col("vec_id"), col("embedding"))
     val stSizes = membersSt.groupBy(col("cid")).agg(count(lit(1)).as("cm"))
     val bSizes = membersB.groupBy(col("cid")).agg(count(lit(1)).as("cm"))

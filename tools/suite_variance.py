@@ -49,7 +49,9 @@ def one_run(i: int) -> dict:
 
 
 def aggregate(per_run: list, key: str) -> dict:
-    names = sorted(per_run[0][key])
+    # union across ALL runs: a query that crashed out of run 0's detail
+    # map must surface as a (possibly all-failed) row, not vanish
+    names = sorted(set().union(*(r[key] for r in per_run)))
     out = {}
     for name in names:
         vals = [r[key][name] for r in per_run if r[key].get(name, -1) >= 0]
