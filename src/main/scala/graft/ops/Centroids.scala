@@ -1052,11 +1052,13 @@ object Centroids {
     val n = e.count() // one 1-row action sizes both levels
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
-    // deliberately NOT cached: the honest post-fix A/B (SCALE_POINT_r9
-    // §E, re-measured with the leak-free bench) found persisting these
-    // shared frames a WASH at 10× and a 2× REGRESSION at 20× — the
-    // columnar-cache scan breaks the codegen'd assignment pipeline, and
-    // ReuseExchange already shares the shuffle-bounded duplicates.
+    // qv deliberately NOT cached: the honest post-fix A/B
+    // (SCALE_POINT_r9 §E, re-measured with the leak-free bench) found
+    // persisting the quantized corpus a WASH at 10× and a 2× REGRESSION
+    // at 20× — the columnar-cache scan breaks the codegen'd assignment
+    // pipeline, and ReuseExchange already shares the shuffle-bounded
+    // duplicates. (The n-row `hier` RESULT below is a different story —
+    // its r12 cut measured a win; see its note.)
     val qv = quantized(e)
     // counted probe spread (the r10 expansion-join rule, r11 catch-up:
     // this operator predates the fix and still ran both passes at the
@@ -1088,6 +1090,14 @@ object Centroids {
           .partitionBy(col("vec_id")).orderBy(col("dist"), col("fcid"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("ccid"), col("fcid"))
+      // the audit's 7-op diamond: cells AND agree each re-derived the
+      // whole two-level assignment (ReuseExchange shares its exchanges,
+      // but the per-vector argmin window + two-join tail re-ran twice).
+      // Cutting the 3-column n-row RESULT — not the corpus-sized inputs
+      // the r9 persist A/B rightly rejected — measured a keep at every
+      // point (r12 A/B, timed min-of-2: sf0.1 1.55→1.28 s, sf1
+      // 3.21→2.52, sf2 2.51→2.17).
+      .localCheckpoint()
     val sampleQv = qv.filter(
       pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
     val sampleN = n / HierSampleMod + 1

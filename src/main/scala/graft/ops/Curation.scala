@@ -501,6 +501,13 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tokens")).as("shard_tokens"),
         max(col("tokens")).as("largest_doc"))
+    // MEASURED-REJECTION NOTE (recompute audit: this 4-op subtree feeds
+    // both the spread aggregate and the final join): materializing it
+    // was A/B'd in r9 (persist, wash) and r12 (localCheckpoint, sf0.1
+    // 0.68→0.66 s, sf1 1.52→1.42, sf2 2.36→2.52: wash) and rejected —
+    // the globalRank exchange is shared by ReuseExchange, so the
+    // recompute is only the ShardCount-row post-shuffle tail, cheaper
+    // than the cut's extra eager job.
     val spread = shards.agg(
       max(col("shard_tokens")).as("max_shard_tokens"),
       min(col("shard_tokens")).as("min_shard_tokens"))

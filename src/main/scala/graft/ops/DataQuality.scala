@@ -332,6 +332,12 @@ object DataQuality {
     val cum = Scale.globalCumSum(counts, Seq(col("v")),
         Seq("nr" -> "cr", "na" -> "ca"))
       .select(col("v"), col("cr"), col("ca"))
+      // the audit's 4-op diamond: tot AND the sup aggregate each
+      // re-derived the two-pass prefix sum. The cut frame is
+      // distinct-value cardinality (3 longs/row); r12 A/B kept it:
+      // sf0.1 1.82→1.56 s, sf1 1.74→1.71, sf2 2.11→1.96 (r9's persist
+      // of the same frame lost 26% — columnar cache vs row blocks).
+      .localCheckpoint()
     val tot = cum.agg(max(col("cr")).as("n_r"), max(col("ca")).as("n_a"))
     cum.crossJoin(broadcast(tot))
       .agg(max(col("n_r")).as("n_r"), max(col("n_a")).as("n_a"),

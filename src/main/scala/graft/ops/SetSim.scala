@@ -92,6 +92,13 @@ object SetSim {
       .withColumn("r", row_number().over(rank))
       .filter(col("r") <= prefixLen)
       .select(col("doc_id"), col("n"), col("gram"))
+      // MEASURED-REJECTION NOTE (the recompute audit's 4-op finding on
+      // this frame feeding both candidate sides): cutting it here was
+      // A/B'd twice — persist in r9 (+33%) and localCheckpoint in r12
+      // (sf0.1 2.41→2.53 s, sf1 7.70→7.40, sf2 12.44→13.09: wash-to-
+      // loss) — and rejected both times. ReuseExchange already runs the
+      // df-join/window exchanges once; the duplicate is post-shuffle
+      // narrow work cheaper recomputed than re-read from blocks.
 
     // Candidate pairs: share ≥1 prefix shingle, sizes compatible. The
     // length filter is exact: J ≥ t ⇒ Num·max(n1,n2) ≤ Den·min(n1,n2).

@@ -534,6 +534,13 @@ object Similarity {
       .join(assigned.select(col("vec_id").as("cand_id"), col("cent_id")),
         Seq("cent_id"))
       .filter(col("cand_id") =!= col("query_id"))
+    // MEASURED-REJECTION NOTE (recompute audit: this 6-op subtree feeds
+    // both `top` and `nCands`): a localCheckpoint here was A/B'd in r12
+    // and rejected — sf0.1 1.24→1.40 s, sf1 1.55→1.72, sf2 1.83→1.85
+    // (timed min-of-2). ReuseExchange already shares the assignment
+    // aggregate and list-join exchanges; the duplicate is a narrow
+    // post-shuffle tail, and the cut's eager job costs more than the
+    // recompute at every measured point.
     val wTop = Window.partitionBy(col("nprobe"), col("query_id"))
       .orderBy(desc("cos_sim"), col("cand_id"))
     val top = cands

@@ -343,6 +343,13 @@ object Tfidf {
       .select(col("a"), col("b"), col("n_shared"),
         round(col("num_dec").cast("double") /
           (col("norm_a") * col("norm_b")), 4).as("cos_sim"))
+      // the audit's 6-op diamond: both symmetrizing union branches
+      // re-derived the pair join + two norm joins (exchanges shared,
+      // post-shuffle join tails not). The cut frame is pair-cardinality
+      // (df-cap-bounded, linear in corpus size); r12 A/B kept it:
+      // sf0.1 1.31→1.19 s, sf1 2.92→2.85, sf2 4.90→4.62 (and q192,
+      // which composes this operator, follows).
+      .localCheckpoint()
     val sym = scored.select(col("a").as("doc_id"), col("b").as("nbr"),
         col("n_shared"), col("cos_sim"))
       .union(scored.select(col("b").as("doc_id"), col("a").as("nbr"),
