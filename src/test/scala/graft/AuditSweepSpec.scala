@@ -216,6 +216,48 @@ class AuditSweepSpec extends AnyFunSuite {
         s"post-cache mB projections, got $incrDups")
   }
 
+  test("q259's staging split is audit-clean and assignment-identical " +
+    "to the single-partition-window form it replaced") {
+    // The k-batch staging rank runs inside stageOnce, so the ledger
+    // sweep never sees its plan (it audits the registered query's
+    // streaming read). r11 verdict note #4: the old form used a global
+    // row_number().over(Window.orderBy(...)) — the banned shape — with
+    // only a comment as its waiver. The rework routes it through
+    // globalRank; this test is the explicit census entry: the staging
+    // plan must stay clean, and the batch assignment must not move.
+    import org.apache.spark.sql.functions._
+    import graft.ops.Checkpoints
+    import graft.plans.PlanAudit
+    val k = graft.streaming.Streams.LateBatches
+    val ev = Tables.events(spark, SparkSuite.sf)
+      .select(col("ts"), col("event_type"), col("value"), col("event_id"))
+    val n = ev.count()
+    Checkpoints.withNoCut {
+      val split = graft.streaming.Streams.lateBatchSplit(ev, n, k)
+      assert(PlanAudit.suspectGlobalWindows(split).isEmpty,
+        "q259's staging rank regressed to a single-partition window")
+      assert(PlanAudit.sfProportionalBroadcasts(split).isEmpty,
+        "q259's staging split carries an SF-proportional broadcast")
+    }
+    val got = graft.streaming.Streams.lateBatchSplit(ev, n, k)
+      .select(col("event_id"), col("batch"))
+    val shifted = pmod(
+      graft.functions.StableHash.intMix62(col("event_id"), 59L),
+      lit(7L)) === 0L
+    val old = ev
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+      .withColumn("batch2",
+        least(lit(k - 1), expr(s"((rn - 1) * $k) div ${n}L") +
+          when(shifted, 2L).otherwise(0L)))
+      .select(col("event_id"), col("batch2"))
+    val moved = got.join(old, Seq("event_id"))
+      .filter(col("batch") =!= col("batch2")).count()
+    assert(moved === 0L,
+      s"$moved events changed staging batch vs the replaced form")
+  }
+
   test("ledger sweep: audit findings across all registered queries " +
     "match the bounded-frame census exactly") {
     val findings = AuditSweep.sweep(spark, SparkSuite.sf)
