@@ -181,10 +181,14 @@ object Centroids {
     * nosort 3.60→6.77 s). On a corpus with real cluster structure the
     * trade inverts (coarse cells align with the data's own blobs; the
     * planted-locality specs show 100% exact agreement), so the seam
-    * stays wired: a deployment flips this gate to [[SemScaleGate]]
-    * after checking q271's sampled-agreement audit on its own corpus —
-    * the audit IS the go/no-go signal, and [[semAssign]]'s gated path
-    * prints it as part of the assignment. */
+    * stays wired. Since r12 the flip is DATA-DRIVEN rather than a
+    * constant a deployment edits (VERDICT r11 #5): [[resolveAssignGate]]
+    * runs the sampled exact-agreement probe ([[hierGoProbe]]) on the
+    * corpus itself and enables the two-level path only when agreement
+    * clears [[HierAutoAgreeMin]] — the audit IS the go/no-go signal,
+    * now consulted automatically. This constant remains the flat-path
+    * sentinel the resolver defaults to and the forced-override seam
+    * for specs (passing any other value bypasses the probe). */
   private[graft] val HierAssignGate = Long.MaxValue
 
   /** Nearest-seed assignment for the SemDeDup family with the scale
@@ -245,64 +249,152 @@ object Centroids {
         probeParallelism = Some(assignParallelism(spark, nf, k)))
         .select(col("vec_id"), col("cid"))
     } else {
-      import graft.ops.Checkpoints.CutOps
       val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
-      val sv = seeds.getOrElse(qv)
-      // one probe spread sized for the LARGER of the two passes; the
-      // identical repartition subtree in both lets ReuseExchange run
-      // the shuffle once
-      val p = assignParallelism(spark, nf, math.max(kc, math.max(1L, k / kc)))
-      val coarse = assignMembers(qv, kc, hintCentroids = false,
-          seeds = Some(sv), probeParallelism = Some(p))
-        .select(col("vec_id"), col("cid").as("ccid"))
-      // each fine seed's own coarse cell (k probes × kc seeds = k^1.5
-      // expansion — O(n^0.75) at k = √n, negligible). A probe-selected
-      // cell always contains its own seed: seed c coarse-assigns to
-      // cell c (distance 0) unless an identical lower-id twin wins the
-      // exact-BIGINT tie — in which case every probe's tie breaks to
-      // the same lower cid and cell c is never selected (q271's
-      // no-stranded-member argument).
-      val seedCell = assignMembers(sv.filter(col("vec_id") < k), kc,
-          hintCentroids = false, seeds = Some(sv),
-          probeParallelism = Some(assignParallelism(spark, k, kc)))
-        .select(col("vec_id").as("fcid"), col("cid").as("ccid"))
-      val fineCent = sv.filter(col("vec_id") < k)
-        .select(col("vec_id").as("fcid"), col("pos"), col("q").as("cq"))
-        .join(seedCell, Seq("fcid"))
-      val hier = qv.repartition(p, col("vec_id"))
-        .join(coarse, Seq("vec_id"))
-        .join(fineCent, Seq("ccid", "pos"))
-        .groupBy(col("vec_id"), col("fcid"))
-        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq")))
-          .as("dist"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("vec_id")).orderBy(col("dist"), col("fcid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("fcid").as("cid"))
-        .cutLineage()
-      // the 1-in-37 sampled exact-agreement audit runs as part of the
-      // gated path (its cost is the operator's cost — timed, not
-      // hidden): n/37 probes against all k seeds, counted spread
-      val sampleQv = qv.filter(
-        pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
-      val exact = assignMembers(sampleQv, k, hintCentroids = false,
-          seeds = Some(sv),
-          probeParallelism =
-            Some(assignParallelism(spark, nf / HierSampleMod + 1, k)))
-        .select(col("vec_id"), col("cid").as("ecid"))
-      val a = hier.join(exact, Seq("vec_id"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(when(col("cid") === col("ecid"), 1L)
-            .otherwise(0L)), lit(0L)).as("agree"))
-        .head()
+      val (hier, agree, tot) = hierPathWithAudit(qv, nf,
+        nf / HierSampleMod + 1, k, seeds.getOrElse(qv))
       // the accounting line labels the AUDITED frame and its own row
       // count (ADVICE r11: for incrSemDedup's batch call `n` is the
       // standing-corpus gate count, not the frame audited here)
       println(s"[semassign] two-level path (frame=$frameLabel rows=$nf, " +
         s"gate n=$n > gate=$gate, k=$k, kc=$kc): " +
-        s"sampled exact-agreement ${a.getLong(1)}/${a.getLong(0)}")
+        s"sampled exact-agreement $agree/$tot")
       hier
+    }
+  }
+
+  /** The two-level (coarse→fine) assignment of `qv` against `sv`'s
+    * seeds PLUS the deterministic 1-in-37 sampled exact-agreement
+    * audit, shared by [[semAssign]]'s gated path and [[hierGoProbe]].
+    * `nf` sizes the probe spread from the frame actually scanned;
+    * `auditN` sizes the audit pass's spread from the frame the sample
+    * filter actually keeps — for the go-probe the INPUT is already the
+    * 1-in-37 sample (the mod filter is idempotent), so the audit
+    * covers every input row and auditN = nf. The assignment is
+    * lineage-cut once so the audit's materialization is reused by the
+    * caller instead of re-running the argmin window + join tail (the
+    * r12 diamond cut). Returns (assignment, agree, total). */
+  private[graft] def hierPathWithAudit(qv: DataFrame, nf: Long,
+      auditN: Long, k: Long, sv: DataFrame): (DataFrame, Long, Long) = {
+    val spark = qv.sparkSession
+    import graft.ops.Checkpoints.CutOps
+    val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    // one probe spread sized for the LARGER of the two passes; the
+    // identical repartition subtree in both lets ReuseExchange run
+    // the shuffle once
+    val p = assignParallelism(spark, nf, math.max(kc, math.max(1L, k / kc)))
+    val coarse = assignMembers(qv, kc, hintCentroids = false,
+        seeds = Some(sv), probeParallelism = Some(p))
+      .select(col("vec_id"), col("cid").as("ccid"))
+    // each fine seed's own coarse cell (k probes × kc seeds = k^1.5
+    // expansion — O(n^0.75) at k = √n, negligible). A probe-selected
+    // cell always contains its own seed: seed c coarse-assigns to
+    // cell c (distance 0) unless an identical lower-id twin wins the
+    // exact-BIGINT tie — in which case every probe's tie breaks to
+    // the same lower cid and cell c is never selected (q271's
+    // no-stranded-member argument).
+    val seedCell = assignMembers(sv.filter(col("vec_id") < k), kc,
+        hintCentroids = false, seeds = Some(sv),
+        probeParallelism = Some(assignParallelism(spark, k, kc)))
+      .select(col("vec_id").as("fcid"), col("cid").as("ccid"))
+    val fineCent = sv.filter(col("vec_id") < k)
+      .select(col("vec_id").as("fcid"), col("pos"), col("q").as("cq"))
+      .join(seedCell, Seq("fcid"))
+    val hier = qv.repartition(p, col("vec_id"))
+      .join(coarse, Seq("vec_id"))
+      .join(fineCent, Seq("ccid", "pos"))
+      .groupBy(col("vec_id"), col("fcid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq")))
+        .as("dist"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("dist"), col("fcid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("fcid").as("cid"))
+      .cutLineage()
+    // the 1-in-37 sampled exact-agreement audit runs as part of the
+    // gated path (its cost is the operator's cost — timed, not
+    // hidden): n/37 probes against all k seeds, counted spread
+    val sampleQv = qv.filter(
+      pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
+    val exact = assignMembers(sampleQv, k, hintCentroids = false,
+        seeds = Some(sv),
+        probeParallelism = Some(assignParallelism(spark, auditN, k)))
+      .select(col("vec_id"), col("cid").as("ecid"))
+    val a = hier.join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("cid") === col("ecid"), 1L)
+          .otherwise(0L)), lit(0L)).as("agree"))
+      .head()
+    (hier, a.getLong(1), a.getLong(0))
+  }
+
+  /** Minimum sampled exact-agreement for the probe to enable the
+    * two-level assignment. The two measured regimes sit far apart —
+    * isotropic fixtures 28–40% (nearest-seed near-arbitrary when all
+    * pairs are near-orthogonal, the r11 rejection), planted locality
+    * 100% (SimilaritySpec) — so the threshold is not razor-edge: 0.90
+    * keeps any corpus where more than 1 in 10 sampled vectors would be
+    * mis-assigned (shifting candidate-pair sets and exposing recall
+    * downstream) on the exact flat path. */
+  private[graft] val HierAutoAgreeMin = 0.90
+
+  /** Corpus-count floor below which [[resolveAssignGate]] skips the
+    * probe and keeps the flat path unconditionally: below it the flat
+    * assignment's n·k expansion is a handful of task budgets (the
+    * two-level path cannot win back even the probe's own cost), and
+    * the 1-in-37 sample (< 271 rows) is too small to separate the
+    * measured agreement regimes tightly. Every oracle fixture sits
+    * under it (sf0.01 = 500 vectors, sf0.1 = 2000), so oracle rows are
+    * unchanged by construction; the 10×/20× scale fixtures (20k/40k)
+    * sit above and pay the probe — measured in SCALE_POINT_r12. */
+  private[graft] val HierAutoProbeGate = 10000L
+
+  /** The go/no-go probe for the two-level assignment (VERDICT r11 #5 —
+    * make the HierAssignGate decision data-driven): two-level-assign
+    * ONLY the deterministic 1-in-37 sample and exact-assign the same
+    * sample against all k seeds, returning (agree, total) — the same
+    * accounting the gated path's in-flight audit reports, measured
+    * BEFORE committing the full corpus to the approximate index. Cost
+    * is sample-sized: O(n·k·d/37) for the exact side (the dominant
+    * term, ~3% of the flat assignment it gates) and O(n·√k·d/37) for
+    * the two-level side. [[hierPathWithAudit]]'s internal sample
+    * filter is idempotent on the sample input, so its audit covers
+    * every sampled row. (Like [[HierSampleMod]], a production run
+    * would cap the sample at a fixed size instead of proportional.) */
+  private[graft] def hierGoProbe(qv: DataFrame, n: Long, k: Long,
+      seeds: Option[DataFrame] = None): (Long, Long) = {
+    val sample = qv.filter(
+      pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
+    val sampleN = n / HierSampleMod + 1
+    val (_, agree, tot) =
+      hierPathWithAudit(sample, sampleN, sampleN, k, seeds.getOrElse(qv))
+    (agree, tot)
+  }
+
+  /** Resolve the SemDeDup-family assignment gate. A caller-forced
+    * `assignGate` — any value other than the [[HierAssignGate]]
+    * default — wins (the spec seam; the planted-locality equality
+    * specs force the two-level path at fixture size). Otherwise the
+    * decision is DATA-DRIVEN: below `autoProbeGate` the flat path runs
+    * without probing; above it [[hierGoProbe]] measures the corpus's
+    * own clusterability, and the two-level path is enabled only when
+    * the sampled exact-agreement clears [[HierAutoAgreeMin]] — planted
+    * locality flips it on, the isotropic fixtures keep it off, both
+    * spec-pinned in SimilaritySpec. Returns the gate to pass to
+    * [[semAssign]]: 0L routes two-level, [[HierAssignGate]] routes
+    * flat. */
+  private[graft] def resolveAssignGate(qv: DataFrame, n: Long, k: Long,
+      seeds: Option[DataFrame], assignGate: Long, autoProbeGate: Long,
+      frameLabel: String = "corpus"): Long = {
+    if (assignGate != HierAssignGate) assignGate
+    else if (n <= autoProbeGate) HierAssignGate
+    else {
+      val (agree, tot) = hierGoProbe(qv, n, k, seeds)
+      val go = tot > 0L && agree.toDouble >= HierAutoAgreeMin * tot
+      println(s"[semassign-auto] frame=$frameLabel n=$n k=$k: probe " +
+        s"agreement $agree/$tot vs threshold $HierAutoAgreeMin -> " +
+        (if (go) "two-level" else "flat") + " assignment")
+      if (go) 0L else HierAssignGate
     }
   }
 
@@ -775,13 +867,19 @@ object Centroids {
     * degenerate-mega-cluster spec can force the cap to bind, and
     * `assignGate` overrides [[HierAssignGate]] so the planted-locality
     * spec can force the two-level assignment path at fixture size
-    * ([[SemScaleGate]] is the unrelated q272 persist gate). */
+    * ([[SemScaleGate]] is the unrelated q272 persist gate), and
+    * `autoProbeGate` overrides [[HierAutoProbeGate]] so the auto-probe
+    * specs can exercise the data-driven path selection
+    * ([[resolveAssignGate]]) at fixture size. */
   private[graft] def semDedup(e: DataFrame,
       tau: Double = SemDedupTau, cap: Option[Long] = None,
-      assignGate: Long = HierAssignGate): DataFrame = {
+      assignGate: Long = HierAssignGate,
+      autoProbeGate: Long = HierAutoProbeGate): DataFrame = {
     val n = e.count() // one 1-row action sizes k — the q267 gate pattern
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val capVal = cap.getOrElse(semClusterCap(n))
+    val qv = quantized(e)
+    val gate = resolveAssignGate(qv, n, k, None, assignGate, autoProbeGate)
     // persist the shared frames: `members` (the O(n·k) assignment) feeds
     // the pair join twice plus the kept/members aggregates, and `m` is
     // both sides of the self-join — unpersisted, Spark recomputes the
@@ -792,7 +890,7 @@ object Centroids {
     // members as the pair join's LEFT side (cluster-sized window
     // partitions — never the banned global-window class). Computed
     // before the persist so both pair sides and the aggregates share it.
-    val members = semAssign(quantized(e), n, k, gate = assignGate)
+    val members = semAssign(qv, n, k, gate = gate)
       .withColumn("crk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("cid")).orderBy(col("vec_id"))))
@@ -945,7 +1043,11 @@ object Centroids {
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-    val sizes = semAssign(quantized(e), n, k)
+    val qv = quantized(e)
+    // the production default: the data-driven path resolver, same as
+    // semDedup/incrSemDedup (isotropic fixtures keep the flat path)
+    val sizes = semAssign(qv, n, k, gate = resolveAssignGate(qv, n, k,
+        None, HierAssignGate, HierAutoProbeGate))
       .groupBy(col("cid")).agg(count(lit(1)).as("m"))
     clusterPairAccounting(sizes, Seq(Q274ForcedCap, semClusterCap(n)))
   }
@@ -1000,6 +1102,160 @@ object Centroids {
        |                  - (cap * m - cap * (cap + 1) // 2)
        |                ELSE 0 END) AS BIGINT) AS pairs_skipped
        |FROM capped GROUP BY cap
+       |ORDER BY cap""".stripMargin
+
+  /** The dial points for [[q276SemdedupRecall]]: two forced-low caps
+    * (2, and q274's [[Q274ForcedCap]] = 8 — both under the fixture's
+    * measured max cluster size 32, so real misses are oracle-exercised)
+    * plus the production [[semClusterCap]] (which the organic fixture's
+    * clusters never reach — its row anchors recall = 1.0). */
+  private val Q276ForcedCaps = Seq(2L, Q274ForcedCap)
+
+  /** q276_semdedup_recall — the RECALL cost of the per-cluster pair
+    * cap, as a confusion readout (VERDICT r11 #7): q274 counts the
+    * PAIRS the cap skips, but a skipped pair only costs recall when it
+    * was the sole witness that would have dropped a vector. This query
+    * reports, per cap, how many vectors the exact (uncapped,
+    * within-cluster) SemDeDup rule drops vs how many the capped rule
+    * still drops, the misses, an order-independent checksum of the
+    * missed ids (the reproducibility handle), and the recall ratio —
+    * the dial a deployment reads before choosing its cap, exactly as
+    * q172 is the recall dial for the LSH bands.
+    *
+    * Design:
+    *  - ONE uncapped within-cluster pair join computes the whole dial:
+    *    a vector v2 drops under cap c iff some τ-close lower-id
+    *    cluster-mate v1 has within-cluster rank crk(v1) ≤ c, so
+    *    min(crk(v1)) over v2's witnesses — a v2-level aggregate of the
+    *    single pair pass — decides every cap at once. No per-cap
+    *    re-join, no second cosine pass.
+    *  - This is an AUDIT query (q172's role, over the semantic path):
+    *    the exact side is the ground truth and is uncapped BY
+    *    DEFINITION, so unlike q268 it has no mega-cluster bound — at
+    *    100 TB a deployment runs it on a sample or a fixture-sized
+    *    slice to choose the cap, then runs the capped q268 on the
+    *    corpus. The pair join still shuffles on cid only (embeddings
+    *    travel once per membership, the q268 shape).
+    *  - recall is ONE IEEE division (the q172/q152 precedent for
+    *    hash-checked doubles); all other columns are exact BIGINTs. */
+  def q276SemdedupRecall(spark: SparkSession, sfDir: String): DataFrame =
+    semDedupRecall(Tables.embeddings(spark, sfDir))
+
+  /** The capped-recall audit core over any (vec_id, embedding) frame —
+    * see [[q276SemdedupRecall]]. `caps` overrides the dial points so
+    * the spec can probe degenerate values. */
+  private[graft] def semDedupRecall(e: DataFrame,
+      tau: Double = SemDedupTau,
+      caps: Option[Seq[Long]] = None): DataFrame = {
+    val n = e.count() // one 1-row action sizes k — the q267 gate pattern
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val qv = quantized(e)
+    // the production default path resolver, same as q268/q272/q274
+    val members = semAssign(qv, n, k, gate = resolveAssignGate(qv, n, k,
+        None, HierAssignGate, HierAutoProbeGate))
+      .withColumn("crk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid")).orderBy(col("vec_id"))))
+    // both pair sides share the one materialized assignment+embedding
+    // join (the q268 persist rationale: unpersisted, the assignment
+    // re-runs per side)
+    val m = members.join(e.select(col("vec_id"), col("embedding")),
+      Seq("vec_id")).persist()
+    val wit = m.select(col("cid"), col("vec_id").as("v1"),
+        col("crk").as("crk1"), col("embedding").as("e1"))
+      .join(m.select(col("cid"), col("vec_id").as("v2"),
+        col("embedding").as("e2")), Seq("cid"))
+      .filter(col("v1") < col("v2"))
+      .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
+        >= lit(tau))
+      .groupBy(col("v2")).agg(min(col("crk1")).as("min_crk1"))
+    val capsVal = caps.getOrElse(Q276ForcedCaps :+ semClusterCap(n))
+    wit.withColumn("cap", explode(array(capsVal.map(lit): _*)))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_dropped_exact"),
+        sum(when(col("min_crk1") <= col("cap"), 1L).otherwise(0L))
+          .as("n_dropped_capped"),
+        sum(when(col("min_crk1") > col("cap"), 1L).otherwise(0L))
+          .as("n_missed"),
+        sum(when(col("min_crk1") > col("cap"), chk(col("v2")))
+          .otherwise(0L)).as("missed_checksum"))
+      .select(col("cap"), col("n_dropped_exact"), col("n_dropped_capped"),
+        col("n_missed"), col("missed_checksum"),
+        when(col("n_dropped_exact") === 0L, lit(0.0))
+          .otherwise(col("n_dropped_capped").cast("double")
+            / col("n_dropped_exact")).as("cap_recall"))
+      .orderBy(col("cap"))
+  }
+
+  val q276Sql: String =
+    s"""WITH k AS (
+       |  SELECT GREATEST(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |capv AS (
+       |  SELECT $SemClusterCapFactor *
+       |         GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cap
+       |  FROM embeddings),
+       |pe AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, pos,
+       |         CAST(floor(CAST(v AS DOUBLE) * $KmeansScale.0) AS BIGINT)
+       |           + $KmeansScale AS q
+       |  FROM pe),
+       |cent AS (
+       |  SELECT vec_id AS cid, pos, q AS cq FROM qv
+       |  WHERE vec_id < (SELECT k FROM k)),
+       |dists AS (
+       |  SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+       |  FROM qv v JOIN cent c ON v.pos = c.pos
+       |  GROUP BY 1, 2),
+       |members AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY dist, cid) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |membersr AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+       |    ORDER BY vec_id) AS crk
+       |  FROM members),
+       |pairs AS (
+       |  SELECT m1.cid, m1.vec_id AS v1, m1.crk AS crk1, m2.vec_id AS v2
+       |  FROM membersr m1 JOIN membersr m2
+       |    ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id),
+       |pc AS (
+       |  SELECT p.v1, p.crk1, p.v2,
+       |         unnest(a.embedding)::DOUBLE AS x,
+       |         unnest(b.embedding)::DOUBLE AS y
+       |  FROM pairs p
+       |  JOIN embeddings a ON a.vec_id = p.v1
+       |  JOIN embeddings b ON b.vec_id = p.v2),
+       |wit AS (
+       |  SELECT v2, min(crk1) AS min_crk1 FROM (
+       |    SELECT v1, crk1, v2,
+       |           round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+       |             AS c
+       |    FROM pc GROUP BY 1, 2, 3)
+       |  WHERE c >= $SemDedupTau GROUP BY 1),
+       |w2 AS (
+       |  SELECT c.cap, w.v2, w.min_crk1
+       |  FROM wit w CROSS JOIN
+       |       (SELECT unnest([${Q276ForcedCaps.map(c =>
+                  s"CAST($c AS BIGINT)").mkString(", ")},
+       |                       (SELECT cap FROM capv)]) AS cap) c)
+       |SELECT cap, CAST(count(*) AS BIGINT) AS n_dropped_exact,
+       |       CAST(sum(CASE WHEN min_crk1 <= cap THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_dropped_capped,
+       |       CAST(sum(CASE WHEN min_crk1 > cap THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_missed,
+       |       CAST(sum(CASE WHEN min_crk1 > cap THEN ${chkSql("v2")}
+       |                ELSE 0 END) AS BIGINT) AS missed_checksum,
+       |       CASE WHEN count(*) = 0 THEN 0.0
+       |            ELSE CAST(sum(CASE WHEN min_crk1 <= cap THEN 1 ELSE 0
+       |                 END) AS DOUBLE) / count(*) END AS cap_recall
+       |FROM w2 GROUP BY cap
        |ORDER BY cap""".stripMargin
 
   /** Deterministic 1-in-37 sample for the q271 exact-agreement audit —
@@ -1228,10 +1484,13 @@ object Centroids {
     * default so the degenerate-blob spec can force the cap to bind;
     * `assignGate` overrides [[HierAssignGate]] for the assignment path
     * only (the planted-locality spec forces the two-level form;
-    * [[SemScaleGate]] is the unrelated persist gate below). */
+    * [[SemScaleGate]] is the unrelated persist gate below), and
+    * `autoProbeGate` overrides [[HierAutoProbeGate]] so the auto-probe
+    * spec can exercise [[resolveAssignGate]] at fixture size. */
   private[graft] def incrSemDedup(e: DataFrame,
       cap: Option[Long] = None,
-      assignGate: Long = HierAssignGate): DataFrame = {
+      assignGate: Long = HierAssignGate,
+      autoProbeGate: Long = HierAutoProbeGate): DataFrame = {
     val isBatch = pmod(col("vec_id"), lit(IncrSemMod)) === 0L
     val standing = e.filter(!isBatch)
     val nSt = standing.count()
@@ -1252,11 +1511,18 @@ object Centroids {
     // 3.6 s with the assignment materialized)
     val qv = quantized(e)
     val stQv = qv.filter(!isBatch)
-    val membersSt = semAssign(stQv, nSt, kcut, gate = assignGate).persist()
+    // the path decision is resolved ONCE, on the standing corpus, and
+    // applied to BOTH assignment passes: corpus and batch must use the
+    // same assignment method or near-identical vectors could land in
+    // different clusters and the admission verdicts would depend on
+    // which side a vector arrived on
+    val gate = resolveAssignGate(stQv, nSt, kcut, None, assignGate,
+      autoProbeGate, frameLabel = "standing")
+    val membersSt = semAssign(stQv, nSt, kcut, gate = gate).persist()
     // batch sized by the standing corpus — it is a fixed fraction of
     // it, so the gate/geometry/spread decisions must match the corpus's
     val membersB = semAssign(qv.filter(isBatch), nSt, kcut,
-      seeds = Some(stQv), gate = assignGate,
+      seeds = Some(stQv), gate = gate,
       // the batch is 1/10 of the corpus = nSt/9 of the standing slice —
       // an exact arithmetic bound (IncrSemMod geometry), so the batch
       // pass's spread and audit label follow the frame it scans instead

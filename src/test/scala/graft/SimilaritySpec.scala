@@ -420,6 +420,43 @@ class SimilaritySpec extends AnyFunSuite
     assert(res(50L).getLong(3) === 30L)
   }
 
+  test("q276 capped-dedup recall audit: conservation, a monotone dial, " +
+    "and agreement with semDedup's own capped drop counts") {
+    val out = ops.Centroids.q276SemdedupRecall(spark, SparkSuite.sf)
+      .collect()
+    assert(out.length === 3, "three dial points: 2, 8, production cap")
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        "exact drops must split into capped-found + missed")
+      if (r.getLong(3) === 0L)
+        assert(r.getLong(4) === 0L, "no misses -> zero checksum")
+    }
+    val recalls = out.map(_.getDouble(5))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      "recall must be non-decreasing in the cap")
+    assert(out.head.getLong(3) > 0L,
+      "the forced-low cap must expose real misses on the fixture")
+    assert(out.last.getLong(3) === 0L && out.last.getDouble(5) === 1.0,
+      "the production cap misses nothing on the organic fixture")
+    // cross-validate against the OPERATOR's own capped pair join: the
+    // audit's per-cap drop count must equal what semDedup actually
+    // drops when run at that cap — two independent code paths (the
+    // min-witness-rank aggregate vs the capped join itself)
+    val e = Tables.embeddings(spark, SparkSuite.sf)
+    val drops2 = ops.Centroids.semDedup(e, cap = Some(2L)).collect()
+      .map(_.getLong(2)).sum
+    assert(drops2 === out.head.getLong(2),
+      "cap=2 audit row must match semDedup(cap=2)'s total drops")
+    spark.catalog.clearCache()
+    val dropsAll = ops.Centroids.semDedup(e, cap = Some(1000000L))
+      .collect().map(_.getLong(2)).sum
+    assert(dropsAll === out.head.getLong(1),
+      "the exact column must match the uncapped operator's total drops")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("q273 cluster pruning: bands partition every cluster exactly and " +
     "always keep at least one member") {
     val out = ops.Centroids.q273ClusterPrune(spark, SparkSuite.sf).collect()
@@ -512,6 +549,69 @@ class SimilaritySpec extends AnyFunSuite
     assert(hierIncr.toSeq === flatIncr.toSeq,
       "two-level incremental admission must equal flat on a locality " +
         "corpus")
+  }
+
+  test("auto go-condition (r12): the clusterability probe enables the " +
+    "two-level path on planted locality and keeps flat on isotropic") {
+    // VERDICT r11 #5 — the HierAssignGate flip is data-driven: the
+    // 1-in-37 sampled exact-agreement probe (hierGoProbe) runs before
+    // the full assignment and resolveAssignGate enables the two-level
+    // path only when agreement clears HierAutoAgreeMin. Same fixtures
+    // as the forced-gate equality test above: 9 tight blobs (100%
+    // agreement by construction) vs isotropic random (near-orthogonal
+    // vectors make nearest-seed arbitrary — the r11 rejection).
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(9)(Array.fill(64)(rng.nextGaussian() * 10))
+    val loc = (0 until 500).map { i =>
+      (i.toLong, centers(i % 9).map(c =>
+        (c + 0.01 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val iso = (0 until 500).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val k = 23L // = ceil(sqrt(500)), the semDedup sizing at fixture n
+    val locQv = ops.Centroids.quantized(loc)
+    val isoQv = ops.Centroids.quantized(iso)
+    val (la, lt) = ops.Centroids.hierGoProbe(locQv, 500L, k)
+    assert(lt > 0L && la === lt,
+      s"locality probe must agree fully ($la/$lt)")
+    val (ia, it) = ops.Centroids.hierGoProbe(isoQv, 500L, k)
+    assert(it > 0L &&
+      ia.toDouble < ops.Centroids.HierAutoAgreeMin * it,
+      s"isotropic probe must miss the go threshold ($ia/$it)")
+    // the resolver: probe-driven selection, forced-override bypass,
+    // and the no-probe floor
+    assert(ops.Centroids.resolveAssignGate(locQv, 500L, k, None,
+      ops.Centroids.HierAssignGate, 0L) === 0L,
+      "locality corpus must auto-select the two-level path")
+    assert(ops.Centroids.resolveAssignGate(isoQv, 500L, k, None,
+      ops.Centroids.HierAssignGate, 0L) === ops.Centroids.HierAssignGate,
+      "isotropic corpus must auto-select the flat path")
+    assert(ops.Centroids.resolveAssignGate(isoQv, 500L, k, None,
+      0L, 0L) === 0L, "a forced assignGate must bypass the probe")
+    assert(ops.Centroids.resolveAssignGate(locQv, 500L, k, None,
+      ops.Centroids.HierAssignGate, ops.Centroids.HierAutoProbeGate)
+      === ops.Centroids.HierAssignGate,
+      "below the probe floor the flat path runs without probing")
+    // end-to-end through the production entrypoints: the auto-selected
+    // two-level semDedup/incrSemDedup on the locality corpus must be
+    // row-identical to the flat form — the forced-gate equality above,
+    // now reached through the probe instead of a constant
+    val flatOut = ops.Centroids.semDedup(loc, tau = 0.95).collect()
+    spark.catalog.clearCache()
+    val autoOut = ops.Centroids.semDedup(loc, tau = 0.95,
+      autoProbeGate = 0L).collect()
+    assert(autoOut.toSeq === flatOut.toSeq,
+      "auto-selected two-level semDedup must equal flat on locality")
+    spark.catalog.clearCache()
+    val flatIncr = ops.Centroids.incrSemDedup(loc).collect()
+    spark.catalog.clearCache()
+    val autoIncr = ops.Centroids.incrSemDedup(loc, autoProbeGate = 0L)
+      .collect()
+    assert(autoIncr.toSeq === flatIncr.toSeq,
+      "auto-selected two-level admission must equal flat on locality")
   }
 
   test("assignParallelism clamps in Long at the 100 TB design point " +

@@ -21,7 +21,7 @@ Only the tables the iterative family reads are scaled:
               Rotation keeps lengths (n_chars) and intra-replica
               duplicate structure bit-identical.
 
-Usage: python3 tools/make_sf1.py [outdir] [replicas]
+Usage: python3 tools/make_sf1.py [outdir] [replicas] [embeddings_only]
        (defaults /tmp/graft-sf1, 10; replicas=20 builds the sf2 point
        for the round-8 scaling-exponent campaign)
 
@@ -30,6 +30,12 @@ permutations — replica 26 would be byte-identical text to replica 0
 under new doc_ids, i.e. a planted corpus-wide near-dup layer that
 densifies q83/q70 quadratically and measures the replication artifact,
 not the engine.
+
+embeddings_only mode (r12, for the HotBench sf4 point): pass a third
+arg `embeddings_only` to write just embeddings.parquet. The embedding
+rotation is a 64-position circular shift — 64 distinct permutations —
+so this mode allows up to 64 replicas (HotBench reads only the
+embeddings table; the 26-replica text cap does not apply).
 """
 import sys
 
@@ -38,7 +44,12 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
 REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-assert 1 <= REPLICAS <= 26, "text rotation supports at most 26 replicas"
+EMB_ONLY = len(sys.argv) > 3 and sys.argv[3] == "embeddings_only"
+if EMB_ONLY:
+    assert 1 <= REPLICAS <= 64, \
+        "embedding rotation supports at most 64 replicas"
+else:
+    assert 1 <= REPLICAS <= 26, "text rotation supports at most 26 replicas"
 ORD_OFF, PART_OFF, SUPP_OFF, CUST_OFF, DOC_OFF = (
     150000, 20000, 1000, 15000, 5000)
 
@@ -50,10 +61,28 @@ def rot(s: str, i: int) -> str:
     return s[i:] + s[:i]
 
 
+def emb_only(con) -> None:
+    emb_selects = " UNION ALL ".join(
+        f"""SELECT vec_id + {i} * 2000 AS vec_id,
+               list_slice(embedding, {i % 64 + 1}, 64)
+                 || list_slice(embedding, 1, {i % 64}) AS embedding,
+               label
+            FROM '{SRC}/embeddings.parquet'""" for i in range(REPLICAS))
+    con.execute(
+        f"COPY ({emb_selects}) TO '{OUT}/embeddings.parquet' "
+        "(FORMAT PARQUET)")
+    n = con.execute(
+        f"SELECT count(*) FROM '{OUT}/embeddings.parquet'").fetchone()[0]
+    print(f"[make_sf1] embeddings (only): {n} rows -> {OUT}")
+
+
 def main() -> None:
     import os
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    if EMB_ONLY:
+        emb_only(con)
+        return
 
     def replicate(table: str, select_i: str) -> None:
         parts = " UNION ALL ".join(
