@@ -250,8 +250,8 @@ object Centroids {
         .select(col("vec_id"), col("cid"))
     } else {
       val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
-      val (hier, agree, tot) = hierPathWithAudit(qv, nf,
-        nf / HierSampleMod + 1, k, seeds.getOrElse(qv))
+      val (hier, agree, tot) =
+        hierPathWithAudit(qv, nf, k, seeds.getOrElse(qv))
       // the accounting line labels the AUDITED frame and its own row
       // count (ADVICE r11: for incrSemDedup's batch call `n` is the
       // standing-corpus gate count, not the frame audited here)
@@ -264,17 +264,14 @@ object Centroids {
 
   /** The two-level (coarse→fine) assignment of `qv` against `sv`'s
     * seeds PLUS the deterministic 1-in-37 sampled exact-agreement
-    * audit, shared by [[semAssign]]'s gated path and [[hierGoProbe]].
-    * `nf` sizes the probe spread from the frame actually scanned;
-    * `auditN` sizes the audit pass's spread from the frame the sample
-    * filter actually keeps — for the go-probe the INPUT is already the
-    * 1-in-37 sample (the mod filter is idempotent), so the audit
-    * covers every input row and auditN = nf. The assignment is
-    * lineage-cut once so the audit's materialization is reused by the
-    * caller instead of re-running the argmin window + join tail (the
-    * r12 diamond cut). Returns (assignment, agree, total). */
+    * audit — [[semAssign]]'s gated path. `nf` sizes the probe spread
+    * from the frame actually scanned. The assignment is lineage-cut
+    * once so the audit's materialization is reused by the caller
+    * instead of re-running the argmin window + join tail (the r12
+    * diamond cut). Returns (assignment, agree, total). The cheap
+    * pre-commitment form of the same accounting is [[hierGoProbe]]. */
   private[graft] def hierPathWithAudit(qv: DataFrame, nf: Long,
-      auditN: Long, k: Long, sv: DataFrame): (DataFrame, Long, Long) = {
+      k: Long, sv: DataFrame): (DataFrame, Long, Long) = {
     val spark = qv.sparkSession
     import graft.ops.Checkpoints.CutOps
     val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
@@ -318,7 +315,8 @@ object Centroids {
       pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
     val exact = assignMembers(sampleQv, k, hintCentroids = false,
         seeds = Some(sv),
-        probeParallelism = Some(assignParallelism(spark, auditN, k)))
+        probeParallelism =
+          Some(assignParallelism(spark, nf / HierSampleMod + 1, k)))
       .select(col("vec_id"), col("cid").as("ecid"))
     val a = hier.join(exact, Seq("vec_id"))
       .agg(count(lit(1)).as("n"),
@@ -350,26 +348,101 @@ object Centroids {
   private[graft] val HierAutoProbeGate = 10000L
 
   /** The go/no-go probe for the two-level assignment (VERDICT r11 #5 —
-    * make the HierAssignGate decision data-driven): two-level-assign
-    * ONLY the deterministic 1-in-37 sample and exact-assign the same
+    * make the HierAssignGate decision data-driven): compare the
+    * two-level and exact assignments of the deterministic 1-in-37
     * sample against all k seeds, returning (agree, total) — the same
     * accounting the gated path's in-flight audit reports, measured
-    * BEFORE committing the full corpus to the approximate index. Cost
-    * is sample-sized: O(n·k·d/37) for the exact side (the dominant
-    * term, ~3% of the flat assignment it gates) and O(n·√k·d/37) for
-    * the two-level side. [[hierPathWithAudit]]'s internal sample
-    * filter is idempotent on the sample input, so its audit covers
-    * every sampled row. (Like [[HierSampleMod]], a production run
-    * would cap the sample at a fixed size instead of proportional.) */
+    * BEFORE committing the full corpus to the approximate index.
+    *
+    * Cost design — the probe must be far cheaper than the flat
+    * assignment it gates, and a first cut that ran the full
+    * [[hierPathWithAudit]] machinery on the sample MEASURED as
+    * expensive as that assignment itself (sf1: probe 1.9–5.3 s vs the
+    * whole flat assign 2.0 s — localCheckpoint, two extra expansion
+    * passes, and the two-assignment join are pure overhead at sample
+    * size). The shipped form computes EVERYTHING from ONE sample×k
+    * expansion pass (O(n·k·d/37), the exact audit's own frame):
+    * coarse distances are the fcid < kc subset of the fine distances
+    * BECAUSE the coarse seeds are by construction the first kc fine
+    * seeds, the fine-seed→cell map is one k×kc aggregate (AQE
+    * broadcasts its k-row result back), and both argmins plus the
+    * agreement count are rank windows over the one frame with a single
+    * collecting action. Tie-breaks replicate [[assignMembers]] exactly
+    * — (dist, lowest id) at every level — so the numbers are
+    * bit-identical to the two-pass audit (sf1 reproduces the r11
+    * 151/541 reading; the locality/isotropic specs pin both regimes).
+    * (Like [[HierSampleMod]], a production run would cap the sample at
+    * a fixed size instead of proportional.) */
   private[graft] def hierGoProbe(qv: DataFrame, n: Long, k: Long,
       seeds: Option[DataFrame] = None): (Long, Long) = {
+    val spark = qv.sparkSession
+    val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+    val cent = seeds.getOrElse(qv).filter(col("vec_id") < k)
+      .select(col("vec_id").as("fcid"), col("pos"), col("q").as("cq"))
     val sample = qv.filter(
       pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
     val sampleN = n / HierSampleMod + 1
-    val (_, agree, tot) =
-      hierPathWithAudit(sample, sampleN, sampleN, k, seeds.getOrElse(qv))
-    (agree, tot)
+    val d = sample
+      .repartition(assignParallelism(spark, sampleN, k), col("vec_id"))
+      .join(cent, Seq("pos"))
+      .groupBy(col("vec_id"), col("fcid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq")))
+        .as("dist"))
+    // each fine seed's coarse cell — the [[hierPathWithAudit]] seedCell
+    // semantics as one seed×coarse-seed aggregate
+    val seedCell = cent
+      .join(cent.filter(col("fcid") < kc)
+        .select(col("fcid").as("ccid"), col("pos"),
+          col("cq").as("ccq")), Seq("pos"))
+      .groupBy(col("fcid"), col("ccid"))
+      .agg(sum((col("cq") - col("ccq")) * (col("cq") - col("ccq")))
+        .as("sdist"))
+      .withColumn("srk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fcid")).orderBy(col("sdist"), col("ccid"))))
+      .filter(col("srk") === 1)
+      .select(col("fcid"), col("ccid"))
+    // the vector's coarse pick: argmin over the fcid < kc rows, spread
+    // to all of the vector's rows; in-cell candidates rank first in
+    // hrk, so row (erk=1 ∧ hrk=1) ⟺ exact and two-level agree. The
+    // selected cell always holds its own seed (the q271 no-stranded-
+    // member argument), so hrk=1 is always a genuine in-cell pick.
+    val crk = row_number().over(w.orderBy(
+      when(col("fcid") < kc, 0).otherwise(1), col("dist"), col("fcid")))
+    val picks = d.withColumn("crk", crk)
+      .withColumn("vccid",
+        max(when(col("crk") === 1, col("fcid"))).over(w))
+      .join(seedCell, Seq("fcid"))
+      .withColumn("erk", row_number().over(
+        w.orderBy(col("dist"), col("fcid"))))
+      .withColumn("hrk", row_number().over(w.orderBy(
+        when(col("ccid") === col("vccid"), 0).otherwise(1),
+        col("dist"), col("fcid"))))
+    val a = picks.agg(
+      coalesce(sum(when(col("erk") === 1, 1L).otherwise(0L)), lit(0L))
+        .as("tot"),
+      coalesce(sum(when(col("erk") === 1 && col("hrk") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as("agree")).head()
+    (a.getLong(1), a.getLong(0))
   }
+
+  /** Session-lifetime memo for [[resolveAssignGate]]'s probe decision,
+    * keyed by the CANONICALIZED input (and seed) plans plus the gate
+    * geometry — full structural plan equality, not a hash, so distinct
+    * corpora can never collide into each other's decision. Rationale:
+    * the probe is deterministic (mod sample, exact-BIGINT distances,
+    * id tie-breaks), so re-running it per operator over the same
+    * corpus snapshot buys nothing, and its wall cost is dominated by
+    * FIXED stage-scheduling overhead (~1.5 s warm at any SF) that
+    * would otherwise be paid by every family member in a session. A
+    * production pipeline probes each corpus version once; this memo is
+    * that behavior. Bounded by distinct corpora per session. */
+  private val hierGoMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+      Long, Long), java.lang.Boolean]()
 
   /** Resolve the SemDeDup-family assignment gate. A caller-forced
     * `assignGate` — any value other than the [[HierAssignGate]]
@@ -377,8 +450,9 @@ object Centroids {
     * specs force the two-level path at fixture size). Otherwise the
     * decision is DATA-DRIVEN: below `autoProbeGate` the flat path runs
     * without probing; above it [[hierGoProbe]] measures the corpus's
-    * own clusterability, and the two-level path is enabled only when
-    * the sampled exact-agreement clears [[HierAutoAgreeMin]] — planted
+    * own clusterability (once per corpus snapshot per session —
+    * [[hierGoMemo]]), and the two-level path is enabled only when the
+    * sampled exact-agreement clears [[HierAutoAgreeMin]] — planted
     * locality flips it on, the isotropic fixtures keep it off, both
     * spec-pinned in SimilaritySpec. Returns the gate to pass to
     * [[semAssign]]: 0L routes two-level, [[HierAssignGate]] routes
@@ -389,11 +463,22 @@ object Centroids {
     if (assignGate != HierAssignGate) assignGate
     else if (n <= autoProbeGate) HierAssignGate
     else {
-      val (agree, tot) = hierGoProbe(qv, n, k, seeds)
-      val go = tot > 0L && agree.toDouble >= HierAutoAgreeMin * tot
-      println(s"[semassign-auto] frame=$frameLabel n=$n k=$k: probe " +
-        s"agreement $agree/$tot vs threshold $HierAutoAgreeMin -> " +
-        (if (go) "two-level" else "flat") + " assignment")
+      val key = (qv.queryExecution.analyzed.canonicalized,
+        seeds.map(_.queryExecution.analyzed.canonicalized), n, k)
+      val cached = hierGoMemo.get(key)
+      val go: Boolean = if (cached != null) {
+        println(s"[semassign-auto] frame=$frameLabel n=$n k=$k: memoized" +
+          s" -> ${if (cached) "two-level" else "flat"} assignment")
+        cached
+      } else {
+        val (agree, tot) = hierGoProbe(qv, n, k, seeds)
+        val g = tot > 0L && agree.toDouble >= HierAutoAgreeMin * tot
+        println(s"[semassign-auto] frame=$frameLabel n=$n k=$k: probe " +
+          s"agreement $agree/$tot vs threshold $HierAutoAgreeMin -> " +
+          (if (g) "two-level" else "flat") + " assignment")
+        hierGoMemo.put(key, g)
+        g
+      }
       if (go) 0L else HierAssignGate
     }
   }
