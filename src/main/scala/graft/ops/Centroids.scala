@@ -158,6 +158,16 @@ object Centroids {
       .select(col("vec_id"), col("cid"), col("dist"))
   }
 
+  /** Deterministic 1-in-37 sample for the q271/q277 exact-agreement
+    * audits and the go-probe — a modulus keeps the oracle replayable; a
+    * production run would cap the sample at a fixed size instead of
+    * keeping it proportional. Declared ahead of every SQL `val` that
+    * interpolates it (object vals initialize in declaration order — a
+    * forward reference reads 0 and silently empties the oracle's
+    * sample filter). */
+  private val HierSampleMod = 37L
+  private val HierSampleRem = 3L
+
   /** Corpus-count gate for q272's shared-frame persists. Below it
     * (every oracle fixture: sf0.01 = 500 vectors, sf0.1 = 2000; the
     * 10×/20× scale fixtures sit above at 20k/40k) the embedding-joined
@@ -375,6 +385,21 @@ object Centroids {
     * a fixed size instead of proportional.) */
   private[graft] def hierGoProbe(qv: DataFrame, n: Long, k: Long,
       seeds: Option[DataFrame] = None): (Long, Long) = {
+    val a = probePicks(qv, n, k, seeds).agg(
+      coalesce(sum(when(col("erk") === 1, 1L).otherwise(0L)), lit(0L))
+        .as("tot"),
+      coalesce(sum(when(col("erk") === 1 && col("hrk") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as("agree")).head()
+    (a.getLong(1), a.getLong(0))
+  }
+
+  /** The single-pass probe's ranked candidate frame — one row per
+    * (sampled vector, fine seed) carrying the exact rank `erk`, the
+    * two-level rank `hrk` (in-cell candidates first), and the vector's
+    * coarse cell `vccid`; [[hierGoProbe]] folds it to the go scalar,
+    * [[q277ProbeAgreement]] reports it per coarse cell. */
+  private[graft] def probePicks(qv: DataFrame, n: Long, k: Long,
+      seeds: Option[DataFrame] = None): DataFrame = {
     val spark = qv.sparkSession
     val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
     val w = org.apache.spark.sql.expressions.Window
@@ -411,7 +436,7 @@ object Centroids {
     // member argument), so hrk=1 is always a genuine in-cell pick.
     val crk = row_number().over(w.orderBy(
       when(col("fcid") < kc, 0).otherwise(1), col("dist"), col("fcid")))
-    val picks = d.withColumn("crk", crk)
+    d.withColumn("crk", crk)
       .withColumn("vccid",
         max(when(col("crk") === 1, col("fcid"))).over(w))
       .join(seedCell, Seq("fcid"))
@@ -420,13 +445,87 @@ object Centroids {
       .withColumn("hrk", row_number().over(w.orderBy(
         when(col("ccid") === col("vccid"), 0).otherwise(1),
         col("dist"), col("fcid"))))
-    val a = picks.agg(
-      coalesce(sum(when(col("erk") === 1, 1L).otherwise(0L)), lit(0L))
-        .as("tot"),
-      coalesce(sum(when(col("erk") === 1 && col("hrk") === 1, 1L)
-        .otherwise(0L)), lit(0L)).as("agree")).head()
-    (a.getLong(1), a.getLong(0))
   }
+
+  /** q277_probe_agreement — the go-probe's accounting as an
+    * oracle-checked query: per coarse cell of the 1-in-37 sample, how
+    * many sampled vectors land there and how many of their single-pass
+    * two-level picks agree with the exact assignment. This is the SAME
+    * quantity q271's in-flight audit reports (per-vector argmins are
+    * independent, so the two-level assignment of the sample equals the
+    * full two-level assignment restricted to the sample) computed by
+    * the OTHER code path — the one-frame rank-window derivation
+    * [[probePicks]] that [[resolveAssignGate]]'s go decision rides on
+    * — so the oracle hash pins the production decision input
+    * bit-for-bit, and the spec cross-equates it against q271's columns
+    * cell by cell. Scale: sample×k expansion (O(n·k·d/37)), cluster-
+    * partitioned windows only, one k-row broadcastable cell map. */
+  def q277ProbeAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    probePicks(quantized(e), n, k)
+      .groupBy(col("vccid").as("ccid"))
+      .agg(sum(when(col("erk") === 1, 1L).otherwise(0L)).as("n_sample"),
+        sum(when(col("erk") === 1 && col("hrk") === 1, 1L)
+          .otherwise(0L)).as("n_agree"))
+      .orderBy(col("ccid"))
+  }
+
+  val q277Sql: String =
+    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+       |k AS (SELECT GREATEST(2, CAST(ceil(sqrt(n)) AS BIGINT)) AS k FROM n),
+       |kc AS (SELECT GREATEST(2, CAST(ceil(sqrt(k)) AS BIGINT)) AS kc FROM k),
+       |pe AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, pos,
+       |         CAST(floor(CAST(v AS DOUBLE) * $KmeansScale.0) AS BIGINT)
+       |           + $KmeansScale AS q
+       |  FROM pe),
+       |fcent AS (
+       |  SELECT vec_id AS fcid, pos, q AS cq FROM qv
+       |  WHERE vec_id < (SELECT k FROM k)),
+       |d AS (
+       |  SELECT s.vec_id, f.fcid,
+       |         sum((s.q - f.cq) * (s.q - f.cq)) AS dist
+       |  FROM qv s JOIN fcent f ON s.pos = f.pos
+       |  WHERE s.vec_id % $HierSampleMod = $HierSampleRem
+       |  GROUP BY 1, 2),
+       |scd AS (
+       |  SELECT a.fcid, b.fcid AS ccid,
+       |         sum((a.cq - b.cq) * (a.cq - b.cq)) AS sdist
+       |  FROM fcent a JOIN fcent b ON a.pos = b.pos
+       |  WHERE b.fcid < (SELECT kc FROM kc)
+       |  GROUP BY 1, 2),
+       |scell AS (
+       |  SELECT fcid, ccid FROM (
+       |    SELECT fcid, ccid, row_number() OVER (PARTITION BY fcid
+       |      ORDER BY sdist, ccid) AS srk FROM scd) WHERE srk = 1),
+       |vcc AS (
+       |  SELECT vec_id, fcid AS vccid FROM (
+       |    SELECT vec_id, fcid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, fcid) AS crk
+       |    FROM d WHERE fcid < (SELECT kc FROM kc)) WHERE crk = 1),
+       |exact AS (
+       |  SELECT vec_id, fcid AS efcid FROM (
+       |    SELECT vec_id, fcid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, fcid) AS erk FROM d) WHERE erk = 1),
+       |hier AS (
+       |  SELECT d.vec_id, d.fcid AS hfcid FROM (
+       |    SELECT d.vec_id, d.fcid, row_number() OVER (
+       |      PARTITION BY d.vec_id
+       |      ORDER BY CASE WHEN s.ccid = v.vccid THEN 0 ELSE 1 END,
+       |               d.dist, d.fcid) AS hrk
+       |    FROM d JOIN scell s USING (fcid)
+       |    JOIN vcc v USING (vec_id)) d WHERE hrk = 1)
+       |SELECT v.vccid AS ccid, CAST(count(*) AS BIGINT) AS n_sample,
+       |       CAST(sum(CASE WHEN e.efcid = h.hfcid THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_agree
+       |FROM vcc v JOIN exact e USING (vec_id) JOIN hier h USING (vec_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Session-lifetime memo for [[resolveAssignGate]]'s probe decision,
     * keyed by the CANONICALIZED input (and seed) plans plus the gate
@@ -1342,12 +1441,6 @@ object Centroids {
        |                 END) AS DOUBLE) / count(*) END AS cap_recall
        |FROM w2 GROUP BY cap
        |ORDER BY cap""".stripMargin
-
-  /** Deterministic 1-in-37 sample for the q271 exact-agreement audit —
-    * a modulus keeps the oracle replayable; a production run would cap
-    * the sample at a fixed size instead of keeping it proportional. */
-  private val HierSampleMod = 37L
-  private val HierSampleRem = 3L
 
   /** q271_hier_assign — two-level (coarse → fine) nearest-seed
     * assignment: the scale path for q268's bottleneck. q268's flat

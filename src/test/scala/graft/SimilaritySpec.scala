@@ -457,6 +457,34 @@ class SimilaritySpec extends AnyFunSuite
       .foreach(_.unpersist(blocking = true))
   }
 
+  test("q277 probe agreement equals q271's audit columns cell by cell " +
+    "(single-pass probe == two-pass hier audit, two independent paths)") {
+    // Per-vector argmins are independent, so the two-level assignment
+    // of the sample equals the full corpus's two-level assignment
+    // restricted to the sample — q277's one-frame rank-window
+    // derivation must therefore reproduce q271's (n_sample,
+    // n_sample_agree) for every coarse cell that holds a sampled
+    // vector, and q271's remaining cells must hold zero samples.
+    val probe = ops.Centroids.q277ProbeAgreement(spark, SparkSuite.sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val audit = ops.Centroids.q271HierAssign(spark, SparkSuite.sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    val n = Tables.embeddings(spark, SparkSuite.sf).count()
+    assert(probe.values.map(_._1).sum ===
+      (0L until n).count(_ % 37L == 3L).toLong,
+      "every sampled vector appears exactly once")
+    probe.foreach { case (cid, (ns, na)) =>
+      assert(audit.get(cid) === Some((ns, na)),
+        s"cell $cid: probe ($ns,$na) vs audit ${audit.get(cid)}")
+    }
+    (audit.keySet -- probe.keySet).foreach { cid =>
+      assert(audit(cid) === ((0L, 0L)),
+        s"cell $cid missing from the probe must hold zero samples")
+    }
+  }
+
   test("q273 cluster pruning: bands partition every cluster exactly and " +
     "always keep at least one member") {
     val out = ops.Centroids.q273ClusterPrune(spark, SparkSuite.sf).collect()
