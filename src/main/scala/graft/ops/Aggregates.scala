@@ -299,6 +299,16 @@ object Aggregates {
         Seq("source"), Seq("h" -> false), k)
       .select(col("source"), col("h"))
       .localCheckpoint() // tiny (sources·k); feeds stats + both pair sides
+    // The recompute audit flags dist/stats diamonds here (pairs 3x,
+    // stats 2x — both SOURCES-cardinality over the gram aggregate).
+    // Cutting them was A/B'd in r12 and REJECTED on measurement
+    // (nosort min-of-two-rounds: sf0.1 1.13 vs 0.93 uncut, sf1 3.17 vs
+    // 3.30, sf2 5.33 vs 4.78 — wash to regression): grams/sk are
+    // ALREADY checkpointed, so each "recompute" is one narrow
+    // re-aggregation of a materialized RDD that ReuseExchange partly
+    // shares, cheaper than two more eager localCheckpoint actions on
+    // the critical path. The r12 diamond rule cuts results whose
+    // REBUILD crosses corpus-sized shuffles; these don't.
     val dist = grams.groupBy(col("source")).agg(count(lit(1)).as("d"))
     val stats = sk.groupBy(col("source"))
       .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_kept"))
