@@ -158,15 +158,45 @@ object Centroids {
       .select(col("vec_id"), col("cid"), col("dist"))
   }
 
-  /** Deterministic 1-in-37 sample for the q271/q277 exact-agreement
-    * audits and the go-probe — a modulus keeps the oracle replayable; a
-    * production run would cap the sample at a fixed size instead of
-    * keeping it proportional. Declared ahead of every SQL `val` that
-    * interpolates it (object vals initialize in declaration order — a
-    * forward reference reads 0 and silently empties the oracle's
-    * sample filter). */
+  /** Deterministic sample for the q271/q277 exact-agreement audits and
+    * the go-probe: vec_id ≡ [[HierSampleRem]] (mod [[hierSampleMod]](n)).
+    * A modulus keeps the oracle replayable (DuckDB filters the same
+    * ids), and since r13 the modulus ADAPTS so the sample size is
+    * min(⌈n/37⌉, ~[[HierSampleCap]]) instead of proportional forever
+    * (VERDICT r12 #1): the agreement estimate needs a few thousand
+    * rows, not n/37, and a proportional sample made the go-probe
+    * O(n·k/37) = O(n^1.5/37) — the same exponent as the flat assignment
+    * it gates. With the cap the probe is O(cap·k·d) = O(√n) per corpus:
+    * sub-linear, and flat in sample size once n > 37·cap. Every oracle
+    * fixture (≤ 2000 vectors) and the sf1 scale fixture (20480) sit
+    * under 37·cap, so their modulus — and every committed audit reading
+    * — is the historical 37 unchanged; the cap binds from the sf2 point
+    * (40960 rows → mod 41) upward. Declared ahead of every SQL `val`
+    * that interpolates these (object vals initialize in declaration
+    * order — a forward reference reads 0 and silently empties the
+    * oracle's sample filter). */
   private val HierSampleMod = 37L
   private val HierSampleRem = 3L
+
+  /** Target maximum audit/probe sample size; the effective modulus is
+    * max(37, ⌈n/cap⌉), so the realized sample is within one row of
+    * min(n/37, cap). 1000 separates the measured agreement regimes
+    * (17–43% vs 100%) by > 50 standard errors (σ ≤ 1.6% at this size)
+    * — the decision needs nothing finer. */
+  private[graft] val HierSampleCap = 1000L
+
+  /** The adaptive sample modulus: 37 until n/37 would exceed
+    * [[HierSampleCap]], then ⌈n/cap⌉ so the sample stays ~cap-sized.
+    * Always ≥ 37 > [[HierSampleRem]], so the residue class is never
+    * empty. */
+  private[graft] def hierSampleMod(n: Long): Long =
+    math.max(HierSampleMod, (n + HierSampleCap - 1L) / HierSampleCap)
+
+  /** [[hierSampleMod]] as an interpolable DuckDB expression over a
+    * scalar subquery `nExpr` (the corpus row count). `//` is DuckDB's
+    * integer division — the ceil-divide stays in exact BIGINTs. */
+  private def hierSampleModSql(nExpr: String): String =
+    s"GREATEST($HierSampleMod, ($nExpr + ${HierSampleCap - 1L}) // $HierSampleCap)"
 
   /** Corpus-count gate for q272's shared-frame persists. Below it
     * (every oracle fixture: sf0.01 = 500 vectors, sf0.1 = 2000; the
@@ -210,7 +240,7 @@ object Centroids {
     * nearest fine seed WITHIN its cell (expected expansion n·k/kc) —
     * both passes O(n·√k·d). It is approximate (a vector's true nearest
     * seed can live in a neighboring cell), so the gated path runs
-    * q271's deterministic 1-in-37 sampled exact-agreement audit as part
+    * q271's capped deterministic sampled exact-agreement audit as part
     * of the assignment and prints the accounting line a pipeline run
     * logs — the number an operator checks before trusting the
     * two-level index (on corpora with real cluster structure the
@@ -273,7 +303,7 @@ object Centroids {
   }
 
   /** The two-level (coarse→fine) assignment of `qv` against `sv`'s
-    * seeds PLUS the deterministic 1-in-37 sampled exact-agreement
+    * seeds PLUS the capped deterministic sampled exact-agreement
     * audit — [[semAssign]]'s gated path. `nf` sizes the probe spread
     * from the frame actually scanned. The assignment is lineage-cut
     * once so the audit's materialization is reused by the caller
@@ -318,15 +348,19 @@ object Centroids {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("fcid").as("cid"))
       .cutLineage()
-    // the 1-in-37 sampled exact-agreement audit runs as part of the
+    // the capped-sample exact-agreement audit runs as part of the
     // gated path (its cost is the operator's cost — timed, not
-    // hidden): n/37 probes against all k seeds, counted spread
+    // hidden): min(nf/37, ~cap) probes against all k seeds, counted
+    // spread. The modulus follows the AUDITED frame's own count (for
+    // incrSemDedup's batch call that is the batch, not the corpus —
+    // each audit samples the frame it certifies).
+    val sMod = hierSampleMod(nf)
     val sampleQv = qv.filter(
-      pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
+      pmod(col("vec_id"), lit(sMod)) === lit(HierSampleRem))
     val exact = assignMembers(sampleQv, k, hintCentroids = false,
         seeds = Some(sv),
         probeParallelism =
-          Some(assignParallelism(spark, nf / HierSampleMod + 1, k)))
+          Some(assignParallelism(spark, nf / sMod + 1, k)))
       .select(col("vec_id"), col("cid").as("ecid"))
     val a = hier.join(exact, Seq("vec_id"))
       .agg(count(lit(1)).as("n"),
@@ -359,8 +393,8 @@ object Centroids {
 
   /** The go/no-go probe for the two-level assignment (VERDICT r11 #5 —
     * make the HierAssignGate decision data-driven): compare the
-    * two-level and exact assignments of the deterministic 1-in-37
-    * sample against all k seeds, returning (agree, total) — the same
+    * two-level and exact assignments of the deterministic capped
+    * sample ([[hierSampleMod]]) against all k seeds, returning (agree, total) — the same
     * accounting the gated path's in-flight audit reports, measured
     * BEFORE committing the full corpus to the approximate index.
     *
@@ -381,10 +415,13 @@ object Centroids {
     * — (dist, lowest id) at every level — so the numbers are
     * bit-identical to the two-pass audit (sf1 reproduces the r11
     * 151/541 reading; the locality/isotropic specs pin both regimes).
-    * (Like [[HierSampleMod]], a production run would cap the sample at
-    * a fixed size instead of proportional.) */
+    * Since r13 the sample is CAPPED via [[hierSampleMod]] (VERDICT r12
+    * #1): the probe is O(min(n/37, cap)·k·d) — sub-linear once the cap
+    * binds, instead of sharing the O(n^1.5) exponent of the flat
+    * assignment it gates. */
   private[graft] def hierGoProbe(qv: DataFrame, n: Long, k: Long,
       seeds: Option[DataFrame] = None): (Long, Long) = {
+    hierProbeRuns.incrementAndGet()
     val a = probePicks(qv, n, k, seeds).agg(
       coalesce(sum(when(col("erk") === 1, 1L).otherwise(0L)), lit(0L))
         .as("tot"),
@@ -406,9 +443,10 @@ object Centroids {
       .partitionBy(col("vec_id"))
     val cent = seeds.getOrElse(qv).filter(col("vec_id") < k)
       .select(col("vec_id").as("fcid"), col("pos"), col("q").as("cq"))
+    val sMod = hierSampleMod(n)
     val sample = qv.filter(
-      pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
-    val sampleN = n / HierSampleMod + 1
+      pmod(col("vec_id"), lit(sMod)) === lit(HierSampleRem))
+    val sampleN = n / sMod + 1
     val d = sample
       .repartition(assignParallelism(spark, sampleN, k), col("vec_id"))
       .join(cent, Seq("pos"))
@@ -448,7 +486,7 @@ object Centroids {
   }
 
   /** q277_probe_agreement — the go-probe's accounting as an
-    * oracle-checked query: per coarse cell of the 1-in-37 sample, how
+    * oracle-checked query: per coarse cell of the capped sample, how
     * many sampled vectors land there and how many of their single-pass
     * two-level picks agree with the exact assignment. This is the SAME
     * quantity q271's in-flight audit reports (per-vector argmins are
@@ -472,10 +510,15 @@ object Centroids {
       .orderBy(col("ccid"))
   }
 
-  val q277Sql: String =
+  /** The go-probe's shared CTE pipeline — the DuckDB replay of
+    * [[probePicks]]' one sample×k frame up through the three ranked
+    * picks (exact / coarse / two-level). q277 aggregates it per coarse
+    * cell; q278 folds it to the single gate-decision row. */
+  private val probeSqlCtes: String =
     s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
        |k AS (SELECT GREATEST(2, CAST(ceil(sqrt(n)) AS BIGINT)) AS k FROM n),
        |kc AS (SELECT GREATEST(2, CAST(ceil(sqrt(k)) AS BIGINT)) AS kc FROM k),
+       |sm AS (SELECT ${hierSampleModSql("n")} AS sm FROM n),
        |pe AS (
        |  SELECT vec_id, unnest(embedding) AS v,
        |         unnest(generate_series(0, len(embedding) - 1)) AS pos
@@ -492,7 +535,7 @@ object Centroids {
        |  SELECT s.vec_id, f.fcid,
        |         sum((s.q - f.cq) * (s.q - f.cq)) AS dist
        |  FROM qv s JOIN fcent f ON s.pos = f.pos
-       |  WHERE s.vec_id % $HierSampleMod = $HierSampleRem
+       |  WHERE s.vec_id % (SELECT sm FROM sm) = $HierSampleRem
        |  GROUP BY 1, 2),
        |scd AS (
        |  SELECT a.fcid, b.fcid AS ccid,
@@ -520,28 +563,100 @@ object Centroids {
        |      ORDER BY CASE WHEN s.ccid = v.vccid THEN 0 ELSE 1 END,
        |               d.dist, d.fcid) AS hrk
        |    FROM d JOIN scell s USING (fcid)
-       |    JOIN vcc v USING (vec_id)) d WHERE hrk = 1)
+       |    JOIN vcc v USING (vec_id)) d WHERE hrk = 1)""".stripMargin
+
+  val q277Sql: String =
+    s"""$probeSqlCtes
        |SELECT v.vccid AS ccid, CAST(count(*) AS BIGINT) AS n_sample,
        |       CAST(sum(CASE WHEN e.efcid = h.hfcid THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_agree
        |FROM vcc v JOIN exact e USING (vec_id) JOIN hier h USING (vec_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q278_gate_decision — the durable gate store's ACCOUNTING ROW under
+    * the DuckDB hash gate (VERDICT r12 #7): the exact
+    * (n, k, sample_mod, n_sample, n_agree, go) tuple
+    * [[resolveAssignGate]] records to [[GateStore]] when it probes this
+    * corpus, derived from the same one-pass [[probePicks]] frame that
+    * q277 pins per coarse cell. `go` uses the exact integer threshold
+    * (agree·10 ≥ tot·9 ∧ tot > 0 — the ADVICE r12 form), so the row is
+    * engine-independent end to end: the oracle replays the DECISION,
+    * not just its inputs. The fixture sits below [[HierAutoProbeGate]],
+    * so production would not probe it at all — like q277, this query
+    * runs the accounting unconditionally; what the gate would DECIDE on
+    * this corpus is exactly what it reports. Scale: one sample×k
+    * expansion (O(min(n/37, cap)·k·d)), folded to one row. The
+    * cross-session reuse behavior itself is spec-pinned (two sessions,
+    * probe counter) — a side-effecting store has no oracle row, but its
+    * decision arithmetic does. */
+  def q278GateDecision(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    probePicks(quantized(e), n, k)
+      .agg(
+        coalesce(sum(when(col("erk") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_sample"),
+        coalesce(sum(when(col("erk") === 1 && col("hrk") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("n_agree"))
+      .select(lit(n).as("n"), lit(k).as("k"),
+        lit(hierSampleMod(n)).as("sample_mod"),
+        col("n_sample"), col("n_agree"),
+        when(col("n_sample") > 0L &&
+          col("n_agree") * 10L >= col("n_sample") * 9L, 1L)
+          .otherwise(0L).as("go"))
+  }
+
+  val q278Sql: String =
+    s"""$probeSqlCtes
+       |SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+       |       CAST((SELECT k FROM k) AS BIGINT) AS k,
+       |       CAST((SELECT sm FROM sm) AS BIGINT) AS sample_mod,
+       |       CAST(count(*) AS BIGINT) AS n_sample,
+       |       CAST(sum(CASE WHEN e.efcid = h.hfcid THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_agree,
+       |       CAST(CASE WHEN count(*) > 0 AND
+       |              sum(CASE WHEN e.efcid = h.hfcid THEN 1 ELSE 0 END)
+       |                * 10 >= count(*) * 9
+       |            THEN 1 ELSE 0 END AS BIGINT) AS go
+       |FROM vcc v JOIN exact e USING (vec_id)
+       |JOIN hier h USING (vec_id)""".stripMargin
+
   /** Session-lifetime memo for [[resolveAssignGate]]'s probe decision,
     * keyed by the CANONICALIZED input (and seed) plans plus the gate
     * geometry — full structural plan equality, not a hash, so distinct
-    * corpora can never collide into each other's decision. Rationale:
-    * the probe is deterministic (mod sample, exact-BIGINT distances,
-    * id tie-breaks), so re-running it per operator over the same
-    * corpus snapshot buys nothing, and its wall cost is dominated by
-    * FIXED stage-scheduling overhead (~1.5 s warm at any SF) that
-    * would otherwise be paid by every family member in a session. A
-    * production pipeline probes each corpus version once; this memo is
-    * that behavior. Bounded by distinct corpora per session. */
+    * corpora can never collide into each other's decision — plus the
+    * frame's FILE INVENTORY (path:length:mtime; ADVICE r12): plans
+    * compare by relation paths, so a fixture rewritten in place
+    * mid-session with an unchanged row count would otherwise replay
+    * the stale decision. Rationale: the probe is deterministic (mod
+    * sample, exact-BIGINT distances, id tie-breaks), so re-running it
+    * per operator over the same corpus snapshot buys nothing, and its
+    * wall cost is dominated by FIXED stage-scheduling overhead (~1.5 s
+    * warm at any SF) that would otherwise be paid by every family
+    * member in a session. A production pipeline probes each corpus
+    * version once; this memo is that behavior within a session, and
+    * [[GateStore]] extends it ACROSS sessions (VERDICT r12 #7).
+    * Bounded by distinct corpora per session. */
   private val hierGoMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
-      Long, Long), java.lang.Boolean]()
+      Long, Long, String), java.lang.Boolean]()
+
+  /** Test seam: drop memoized gate decisions so a spec can prove the
+    * durable-store read-through serves the second "session" without
+    * re-probing (the memo is object-lifetime = JVM-wide, so the spec
+    * must clear it to expose the store path). */
+  private[graft] def clearGateMemoForTest(): Unit = hierGoMemo.clear()
+
+  /** Probe executions this JVM — incremented by [[hierGoProbe]] so the
+    * durable-store spec can assert "decision reused WITHOUT probing"
+    * directly rather than by timing. */
+  private[graft] val hierProbeRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The [[GateStore]] row kind for the two-level-assignment gate. */
+  private val HierGateKind = "hier-assign-gate"
 
   /** Resolve the SemDeDup-family assignment gate. A caller-forced
     * `assignGate` — any value other than the [[HierAssignGate]]
@@ -558,23 +673,71 @@ object Centroids {
     * flat. */
   private[graft] def resolveAssignGate(qv: DataFrame, n: Long, k: Long,
       seeds: Option[DataFrame], assignGate: Long, autoProbeGate: Long,
-      frameLabel: String = "corpus"): Long = {
+      frameLabel: String = "corpus",
+      gateDir: Option[String] = sys.env.get("SPARK_GRAFT_GATE_DIR")): Long = {
     if (assignGate != HierAssignGate) assignGate
     else if (n <= autoProbeGate) HierAssignGate
     else {
+      // durable identity: file-backed frames carry a (plan text, file
+      // inventory) fingerprint; in-memory frames get ("", "") here and
+      // rely on the memo's full structural plan equality alone — and
+      // never touch the durable store (GateStore doc: no durable
+      // identity to key on)
+      val fp = GateStore.fingerprint(qv)
+      val sfp = seeds.flatMap(GateStore.fingerprint)
+      val inv = fp.map(_._2).getOrElse("") +
+        sfp.map("|" + _._2).getOrElse("")
       val key = (qv.queryExecution.analyzed.canonicalized,
-        seeds.map(_.queryExecution.analyzed.canonicalized), n, k)
+        seeds.map(_.queryExecution.analyzed.canonicalized), n, k, inv)
       val cached = hierGoMemo.get(key)
       val go: Boolean = if (cached != null) {
         println(s"[semassign-auto] frame=$frameLabel n=$n k=$k: memoized" +
           s" -> ${if (cached) "two-level" else "flat"} assignment")
         cached
       } else {
-        val (agree, tot) = hierGoProbe(qv, n, k, seeds)
-        val g = tot > 0L && agree.toDouble >= HierAutoAgreeMin * tot
-        println(s"[semassign-auto] frame=$frameLabel n=$n k=$k: probe " +
-          s"agreement $agree/$tot vs threshold $HierAutoAgreeMin -> " +
-          (if (g) "two-level" else "flat") + " assignment")
+        // read-through: a decision recorded by a PREVIOUS session for
+        // this exact corpus snapshot is reused without probing
+        // (VERDICT r12 #7). Durable only when every input frame is
+        // file-backed (an in-memory seed frame has no durable
+        // identity, so the pair stays session-only).
+        val durableKey: Option[(String, String)] = fp.collect {
+          case (canon, _) if seeds.isEmpty || sfp.isDefined =>
+            (canon, sfp.map(_._1).getOrElse(""))
+        }
+        val stored = (gateDir, durableKey) match {
+          case (Some(dir), Some((canon, seedsCanon))) =>
+            GateStore.lookup(qv.sparkSession, dir, HierGateKind,
+              canon, seedsCanon, inv, n, k)
+          case _ => None
+        }
+        val g = stored match {
+          case Some(d) =>
+            println(s"[semassign-auto] frame=$frameLabel n=$n k=$k: " +
+              s"stored decision (agreement ${d.agree}/${d.tot}) -> " +
+              (if (d.go) "two-level" else "flat") + " assignment")
+            d.go
+          case None =>
+            val (agree, tot) = hierGoProbe(qv, n, k, seeds)
+            // exact integer form of agree/tot >= 0.90 (ADVICE r12): the
+            // IEEE product HierAutoAgreeMin * tot is inexact (0.90 has
+            // no binary representation), so a corpus sitting exactly on
+            // the boundary could flip either way with tot; agree·10 ≥
+            // tot·9 is deterministic at every tot (no overflow: tot ≤
+            // n < 2⁶⁰)
+            val dec = tot > 0L && agree * 10L >= tot * 9L
+            println(s"[semassign-auto] frame=$frameLabel n=$n k=$k: " +
+              s"probe agreement $agree/$tot vs threshold " +
+              s"$HierAutoAgreeMin -> " +
+              (if (dec) "two-level" else "flat") + " assignment")
+            (gateDir, durableKey) match {
+              case (Some(dir), Some((canon, seedsCanon))) =>
+                GateStore.record(qv.sparkSession, dir, GateStore.Decision(
+                  HierGateKind, canon, seedsCanon, inv,
+                  n, k, agree, tot, dec, 9L, 10L))
+              case _ => ()
+            }
+            dec
+        }
         hierGoMemo.put(key, g)
         g
       }
@@ -1188,7 +1351,10 @@ object Centroids {
   private[graft] def clusterPairAccounting(sizes: DataFrame,
       caps: Seq[Long]): DataFrame =
     sizes
-      .withColumn("cap", explode(array(caps.map(lit): _*)))
+      // dial points DEDUPED (ADVICE r12, the q276 fix applied at the
+      // shared core): a forced cap colliding with semClusterCap(n) on a
+      // tiny corpus would double that cap's row via the groupBy merge
+      .withColumn("cap", explode(array(caps.distinct.map(lit): _*)))
       .groupBy(col("cap"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(when(col("m") > col("cap"), 1L).otherwise(0L))
@@ -1272,7 +1438,7 @@ object Centroids {
        |capped AS (
        |  SELECT c.cap, z.m
        |  FROM sizes z CROSS JOIN
-       |       (SELECT unnest([CAST($Q274ForcedCap AS BIGINT),
+       |       (SELECT DISTINCT unnest([CAST($Q274ForcedCap AS BIGINT),
        |                       (SELECT cap FROM capv)]) AS cap) c)
        |SELECT cap, CAST(count(*) AS BIGINT) AS n_clusters,
        |       CAST(sum(CASE WHEN m > cap THEN 1 ELSE 0 END) AS BIGINT)
@@ -1353,7 +1519,11 @@ object Centroids {
       .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
         >= lit(tau))
       .groupBy(col("v2")).agg(min(col("crk1")).as("min_crk1"))
-    val capsVal = caps.getOrElse(Q276ForcedCaps :+ semClusterCap(n))
+    // dial points DEDUPED (ADVICE r12): on a degenerate corpus (n ≤ 4
+    // gives semClusterCap = 8 = the forced mid point) the explode would
+    // emit the colliding cap twice and groupBy(cap) would double every
+    // count for it — in BOTH paths, so the oracle could not catch it
+    val capsVal = caps.getOrElse(Q276ForcedCaps :+ semClusterCap(n)).distinct
     wit.withColumn("cap", explode(array(capsVal.map(lit): _*)))
       .groupBy(col("cap"))
       .agg(count(lit(1)).as("n_dropped_exact"),
@@ -1426,7 +1596,7 @@ object Centroids {
        |w2 AS (
        |  SELECT c.cap, w.v2, w.min_crk1
        |  FROM wit w CROSS JOIN
-       |       (SELECT unnest([${Q276ForcedCaps.map(c =>
+       |       (SELECT DISTINCT unnest([${Q276ForcedCaps.map(c =>
                   s"CAST($c AS BIGINT)").mkString(", ")},
        |                       (SELECT cap FROM capv)]) AS cap) c)
        |SELECT cap, CAST(count(*) AS BIGINT) AS n_dropped_exact,
@@ -1454,7 +1624,7 @@ object Centroids {
     *
     * The assignment is APPROXIMATE (a vector's true nearest fine seed
     * can live in a neighboring coarse cell), so the operator ships its
-    * own audit: a deterministic 1-in-37 sample is ALSO assigned exactly
+    * own audit: a deterministic capped sample is ALSO assigned exactly
     * against all k seeds, and the output reports per-coarse-cell
     * agreement — the number a pipeline checks before trusting the
     * two-level index. Stranded members are impossible: fine seeds live
@@ -1532,9 +1702,10 @@ object Centroids {
       // point (r12 A/B, timed min-of-2: sf0.1 1.55→1.28 s, sf1
       // 3.21→2.52, sf2 2.51→2.17).
       .localCheckpoint()
+    val sMod = hierSampleMod(n)
     val sampleQv = qv.filter(
-      pmod(col("vec_id"), lit(HierSampleMod)) === lit(HierSampleRem))
-    val sampleN = n / HierSampleMod + 1
+      pmod(col("vec_id"), lit(sMod)) === lit(HierSampleRem))
+    val sampleN = n / sMod + 1
     val exact = assignMembers(sampleQv, k, hintCentroids = false,
         seeds = Some(qv),
         probeParallelism = if (sampleN * k >= AssignGroupsPerTask)
@@ -1559,6 +1730,7 @@ object Centroids {
     s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
        |k AS (SELECT GREATEST(2, CAST(ceil(sqrt(n)) AS BIGINT)) AS k FROM n),
        |kc AS (SELECT GREATEST(2, CAST(ceil(sqrt(k)) AS BIGINT)) AS kc FROM k),
+       |sm AS (SELECT ${hierSampleModSql("n")} AS sm FROM n),
        |pe AS (
        |  SELECT vec_id, unnest(embedding) AS v,
        |         unnest(generate_series(0, len(embedding) - 1)) AS pos
@@ -1599,7 +1771,7 @@ object Centroids {
        |edist AS (
        |  SELECT v.vec_id, f.fcid, sum((v.q - f.cq) * (v.q - f.cq)) AS dist
        |  FROM qv v JOIN fcent f ON f.pos = v.pos
-       |  WHERE v.vec_id % $HierSampleMod = $HierSampleRem
+       |  WHERE v.vec_id % (SELECT sm FROM sm) = $HierSampleRem
        |  GROUP BY 1, 2),
        |exact AS (
        |  SELECT vec_id, fcid AS efcid FROM (

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The durable gate store (VERDICT r12 #7): probe-gated strategy
+  * decisions persist across sessions keyed by an EXACT corpus
+  * fingerprint (canonicalized plan text + file inventory with lengths
+  * and mtimes), so an unchanged corpus snapshot is never re-probed —
+  * and a REWRITTEN one (same path, same row count — the ADVICE r12 memo
+  * gap) always is. */
+class GateStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+
+  /** A private file-backed copy of the fixture's embeddings so the spec
+    * can rewrite it without touching shared state. */
+  private def copyFixture(tag: String): String = {
+    val dir = Files.createTempDirectory(s"graft-gate-$tag")
+    Files.copy(Paths.get(SparkSuite.sf, "embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("fingerprint: file-backed frames get (plan text, inventory); " +
+    "in-memory frames get None; a rewrite changes the inventory") {
+    val sp = spark
+    import sp.implicits._
+    val dir = copyFixture("fp")
+    val e = sp.read.parquet(s"$dir/embeddings.parquet")
+    val Some((canon1, inv1)) = ops.GateStore.fingerprint(
+      ops.Centroids.quantized(e))
+    assert(canon1.nonEmpty && inv1.contains("embeddings.parquet"),
+      "file-backed frame must fingerprint to its input files")
+    // a DIFFERENT computation over the same files fingerprints apart
+    val Some((canon2, inv2)) = ops.GateStore.fingerprint(
+      ops.Centroids.quantized(e.filter(col("vec_id") < 100)))
+    assert(inv2 === inv1, "same files, same inventory")
+    assert(canon2 !== canon1,
+      "a different filter must change the plan-text side of the key")
+    // in-memory: no durable identity
+    val local = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    assert(ops.GateStore.fingerprint(local).isEmpty,
+      "a LocalRelation frame has no file-backed fingerprint")
+    // rewrite in place (same bytes, new mtime): inventory must change
+    Thread.sleep(5) // mtime granularity guard
+    Files.copy(Paths.get(SparkSuite.sf, "embeddings.parquet"),
+      Paths.get(dir, "embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val e2 = sp.read.parquet(s"$dir/embeddings.parquet")
+    val Some((_, inv3)) = ops.GateStore.fingerprint(
+      ops.Centroids.quantized(e2))
+    assert(inv3 !== inv1,
+      "an in-place rewrite (same path, same length) must change the " +
+        "inventory via its mtime — the ADVICE r12 stale-replay gap")
+  }
+
+  test("cross-session reuse: the second session takes the stored " +
+    "decision without probing; a rewrite forces a fresh probe") {
+    val fixDir = copyFixture("store")
+    val gateDir = Files.createTempDirectory("graft-gate-decisions")
+      .resolve("decisions").toString
+    def resolveIn(sess: org.apache.spark.sql.SparkSession): Long = {
+      val e = sess.read.parquet(s"$fixDir/embeddings.parquet")
+      val qv = ops.Centroids.quantized(e)
+      ops.Centroids.resolveAssignGate(qv, 500L, 23L, None,
+        ops.Centroids.HierAssignGate, 0L, gateDir = Some(gateDir))
+    }
+    // session 1: no store, no memo -> probes once and records
+    ops.Centroids.clearGateMemoForTest()
+    val runs0 = ops.Centroids.hierProbeRuns.get()
+    val g1 = resolveIn(spark)
+    assert(ops.Centroids.hierProbeRuns.get() === runs0 + 1,
+      "first resolve must run the probe")
+    // same session, memo intact -> memo serves it
+    val g1b = resolveIn(spark)
+    assert(g1b === g1 &&
+      ops.Centroids.hierProbeRuns.get() === runs0 + 1,
+      "memoized resolve must not re-probe")
+    // "session 2": fresh session state AND a cleared memo (the memo is
+    // JVM-wide, so clearing it is what a new JVM would look like) ->
+    // the durable store must serve the decision with ZERO probe runs
+    ops.Centroids.clearGateMemoForTest()
+    val spark2 = spark.newSession()
+    val g2 = resolveIn(spark2)
+    assert(g2 === g1, "second session must reach the same decision")
+    assert(ops.Centroids.hierProbeRuns.get() === runs0 + 1,
+      "second session must take the STORED decision without probing")
+    // the store holds exactly the one accounting row, with the exact
+    // integer threshold recorded
+    val rows = spark.read.parquet(gateDir).collect()
+    assert(rows.length === 1, s"expected one decision row, got ${rows.length}")
+    val r = rows.head
+    assert(r.getAs[Long]("n") === 500L && r.getAs[Long]("k") === 23L &&
+      r.getAs[Long]("thr_num") === 9L && r.getAs[Long]("thr_den") === 10L)
+    assert(r.getAs[Long]("tot") > 0L && r.getAs[Long]("agree") >= 0L)
+    // rewrite the corpus in place: same path, same row count -> the
+    // fingerprint changes, the stored row no longer matches, re-probe
+    Thread.sleep(5)
+    Files.copy(Paths.get(SparkSuite.sf, "embeddings.parquet"),
+      Paths.get(fixDir, "embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    ops.Centroids.clearGateMemoForTest()
+    val g3 = resolveIn(spark)
+    assert(g3 === g1, "identical bytes re-probe to the same decision")
+    assert(ops.Centroids.hierProbeRuns.get() === runs0 + 2,
+      "a rewritten snapshot must be re-probed, not replayed stale")
+    assert(spark.read.parquet(gateDir).count() === 2L,
+      "the fresh decision appends its own accounting row")
+  }
+
+  test("in-memory corpora never touch the durable store") {
+    val sp = spark
+    import sp.implicits._
+    val gateDir = Files.createTempDirectory("graft-gate-mem")
+      .resolve("decisions").toString
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(9)(Array.fill(64)(rng.nextGaussian() * 10))
+    val loc = (0 until 500).map { i =>
+      (i.toLong, centers(i % 9).map(c =>
+        (c + 0.01 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    ops.Centroids.clearGateMemoForTest()
+    val g = ops.Centroids.resolveAssignGate(ops.Centroids.quantized(loc),
+      500L, 23L, None, ops.Centroids.HierAssignGate, 0L,
+      gateDir = Some(gateDir))
+    assert(g === 0L, "locality corpus still auto-selects two-level")
+    assert(!Files.exists(Paths.get(gateDir)),
+      "a LocalRelation corpus has no durable identity and must leave " +
+        "the store untouched")
+  }
+}

@@ -642,6 +642,50 @@ class SimilaritySpec extends AnyFunSuite
       "auto-selected two-level admission must equal flat on locality")
   }
 
+  test("capped probe sample (r13): the modulus adapts so the audit/probe " +
+    "sample is min(n/37, ~cap) and decisions are unchanged at the cap") {
+    // VERDICT r12 #1: the proportional 1-in-37 sample made the go-probe
+    // O(n^1.5/37) — the same exponent as the flat assignment it gates.
+    // The pure sizing rule: 37 until n/37 would exceed the cap, then
+    // ceil(n/cap) so the realized sample stays within a row of the cap.
+    val cap = ops.Centroids.HierSampleCap
+    assert(ops.Centroids.hierSampleMod(500L) === 37L,
+      "oracle fixtures keep the historical modulus")
+    assert(ops.Centroids.hierSampleMod(20480L) === 37L,
+      "the sf1 scale fixture keeps the historical modulus (20480/37 " +
+        "= 553 < cap) — every committed audit reading is unchanged")
+    assert(ops.Centroids.hierSampleMod(37L * cap) === 37L &&
+      ops.Centroids.hierSampleMod(37L * cap + 1L) === 38L,
+      "the cap binds exactly where n/37 first exceeds it")
+    val big = 40960L // the sf2 point: first committed fixture that binds
+    assert(ops.Centroids.hierSampleMod(big) === (big + cap - 1L) / cap,
+      "above the bind point the modulus is ceil(n/cap)")
+    // sample size never exceeds cap + 1 across six decades
+    Seq(1L, 500L, 20480L, 40960L, 1000000L, 4000000000L).foreach { n =>
+      val m = ops.Centroids.hierSampleMod(n)
+      assert(n / m <= cap + 1L, s"n=$n: sample ${n / m} exceeds the cap")
+      assert(m >= 37L,
+        s"n=$n: modulus must stay >= 37 so the residue class 3 exists")
+    }
+    // threading: hierGoProbe's sample follows hierSampleMod(n) — drive
+    // the 500-row locality corpus with a synthetic n large enough to
+    // bind (m = ceil(100000/cap) = 100 -> ids 3,103,203,303,403), and
+    // the regime decision survives the coarser sample
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(9)(Array.fill(64)(rng.nextGaussian() * 10))
+    val loc = (0 until 500).map { i =>
+      (i.toLong, centers(i % 9).map(c =>
+        (c + 0.01 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val locQv = ops.Centroids.quantized(loc)
+    val (la, lt) = ops.Centroids.hierGoProbe(locQv, 100000L, 23L)
+    assert(lt === 5L, // ids 3,103,203,303,403 under mod 100
+      s"probe sample must shrink under the synthetic-n modulus (got $lt)")
+    assert(la === lt, "locality still agrees fully on the capped sample")
+  }
+
   test("assignParallelism clamps in Long at the 100 TB design point " +
     "(ADVICE r10: the raw quotient wraps negative past Int.MaxValue)") {
     // n = 4e9 vectors, k = ceil(sqrt(n)): n·k/budget ≈ 2.5e9 >

@@ -62,10 +62,14 @@ def rot(s: str, i: int) -> str:
 
 
 def emb_only(con) -> None:
+    # no modulo on the rotation index (ADVICE r12): the REPLICAS <= 64
+    # assert above is the real guard — a wrap at i = 64 would plant
+    # byte-identical embedding copies, the exact artifact the cap
+    # exists to prevent, so wrapping must stay unreachable, not "work"
     emb_selects = " UNION ALL ".join(
         f"""SELECT vec_id + {i} * 2000 AS vec_id,
-               list_slice(embedding, {i % 64 + 1}, 64)
-                 || list_slice(embedding, 1, {i % 64}) AS embedding,
+               list_slice(embedding, {i + 1}, 64)
+                 || list_slice(embedding, 1, {i}) AS embedding,
                label
             FROM '{SRC}/embeddings.parquet'""" for i in range(REPLICAS))
     con.execute(
