@@ -1836,11 +1836,21 @@ object Centroids {
     * only (the planted-locality spec forces the two-level form;
     * [[SemScaleGate]] is the unrelated persist gate below), and
     * `autoProbeGate` overrides [[HierAutoProbeGate]] so the auto-probe
-    * spec can exercise [[resolveAssignGate]] at fixture size. */
+    * spec can exercise [[resolveAssignGate]] at fixture size.
+    * `stageProbe` is the attribution seam (VERDICT r12 #2): invoked
+    * with each stage's frame as it is defined, default a no-op with
+    * zero plan impact — [[graft.IncrStageBench]] passes a timing
+    * callback to decompose the operator's wall cost per stage at the
+    * HotBench scale points. Forcing a NON-persisted stage (the compare
+    * aggregates) makes the final assembly recompute it, so the
+    * instrumented TOTAL exceeds the production run — per-stage numbers
+    * are the meaningful output, each measured from its own persisted
+    * inputs. */
   private[graft] def incrSemDedup(e: DataFrame,
       cap: Option[Long] = None,
       assignGate: Long = HierAssignGate,
-      autoProbeGate: Long = HierAutoProbeGate): DataFrame = {
+      autoProbeGate: Long = HierAutoProbeGate,
+      stageProbe: (String, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val isBatch = pmod(col("vec_id"), lit(IncrSemMod)) === 0L
     val standing = e.filter(!isBatch)
     val nSt = standing.count()
@@ -1869,6 +1879,7 @@ object Centroids {
     val gate = resolveAssignGate(stQv, nSt, kcut, None, assignGate,
       autoProbeGate, frameLabel = "standing")
     val membersSt = semAssign(stQv, nSt, kcut, gate = gate).persist()
+    stageProbe("assign_standing", membersSt)
     // batch sized by the standing corpus — it is a fixed fraction of
     // it, so the gate/geometry/spread decisions must match the corpus's
     val membersB = semAssign(qv.filter(isBatch), nSt, kcut,
@@ -1879,6 +1890,7 @@ object Centroids {
       // of the standing corpus's gate-sizing count (ADVICE r11)
       frameN = nSt / (IncrSemMod - 1L) + 1L, frameLabel = "batch")
       .persist()
+    stageProbe("assign_batch", membersB)
     val emb = e.select(col("vec_id"), col("embedding"))
     val stSizes = membersSt.groupBy(col("cid")).agg(count(lit(1)).as("cm"))
     val bSizes = membersB.groupBy(col("cid")).agg(count(lit(1)).as("cm"))
@@ -1916,15 +1928,19 @@ object Centroids {
         if (scaleUp) f.persist() else f
       }
       val mSt = joined(membersSt)
+      stageProbe("side_standing", mSt)
       val mB = joined(membersB)
+      stageProbe("side_batch", mB)
       val droppedSt = simPairs(
         mSt.select(col("cid"), col("vec_id").as("v1"),
           col("embedding").as("e1")),
         mSt.select(col("cid"), col("vec_id").as("v2"),
           col("embedding").as("e2")))
         .select(col("v2")).distinct()
+      stageProbe("standing_pairs_drops", droppedSt)
       val keptSt = mSt.join(droppedSt.withColumnRenamed("v2", "vec_id"),
         Seq("vec_id"), "left_anti")
+      stageProbe("kept_index", keptSt)
       val corpus = keptSt.select(col("cid"), col("vec_id").as("s"),
           col("embedding").as("es"))
         .join(mB.select(col("cid"), col("vec_id").as("b"),
@@ -1932,12 +1948,14 @@ object Centroids {
         .filter(round(Similarity.cosine(col("eb"), col("es")), 4)
           >= lit(SemDedupTau))
         .groupBy(col("b")).agg(min(col("s")).as("corpus_rep"))
+      stageProbe("corpus_compare", corpus)
       val batch = simPairs(
         mB.select(col("cid"), col("vec_id").as("v1"),
           col("embedding").as("e1")),
         mB.select(col("cid"), col("vec_id").as("v2"),
           col("embedding").as("e2")))
         .groupBy(col("v2")).agg(min(col("v1")).as("batch_rep"))
+      stageProbe("batch_compare", batch)
       (mB.select(col("vec_id"), col("cid")), corpus, batch)
     } else {
       // ---- capped+salted regime: a mega-cluster exists. All three
@@ -1950,8 +1968,10 @@ object Centroids {
       // hot cluster for materialization to pay at any n.
       val mSt = membersSt.withColumn("crk", row_number().over(win))
         .join(emb, Seq("vec_id")).persist()
+      stageProbe("side_standing", mSt)
       val mB = membersB.withColumn("crk", row_number().over(win))
         .join(emb, Seq("vec_id")).persist()
+      stageProbe("side_batch", mB)
       val droppedSt = cappedClusterJoin(e.sparkSession, stSizes, capVal,
         left = mSt.filter(col("crk") <= capVal)
           .select(col("cid"), col("vec_id").as("v1"),
@@ -1963,6 +1983,7 @@ object Centroids {
         .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
           >= lit(SemDedupTau))
         .select(col("v2")).distinct()
+      stageProbe("standing_pairs_drops", droppedSt)
       // the standing index: in production a stored table (q261's
       // framing). srk re-ranks the KEPT members per cluster — the cap on
       // the corpus compare admits the srk-lowest kept representatives,
@@ -1974,6 +1995,7 @@ object Centroids {
           Seq("vec_id"), "left_anti")
         .withColumn("srk", row_number().over(win))
         .persist()
+      stageProbe("kept_index", keptSt)
       // corpus compare: the bounded side (≤cap kept reps) replicates
       // when the BATCH cluster is hot, the batch side carries the salt
       val corpus = cappedClusterJoin(e.sparkSession, bSizes, capVal,
@@ -1986,6 +2008,7 @@ object Centroids {
         .filter(round(Similarity.cosine(col("eb"), col("es")), 4)
           >= lit(SemDedupTau))
         .groupBy(col("b")).agg(min(col("s")).as("corpus_rep"))
+      stageProbe("corpus_compare", corpus)
       val batch = cappedClusterJoin(e.sparkSession, bSizes, capVal,
         left = mB.filter(col("crk") <= capVal)
           .select(col("cid"), col("vec_id").as("v1"),
@@ -1997,6 +2020,7 @@ object Centroids {
         .filter(round(Similarity.cosine(col("e1"), col("e2")), 4)
           >= lit(SemDedupTau))
         .groupBy(col("v2")).agg(min(col("v1")).as("batch_rep"))
+      stageProbe("batch_compare", batch)
       (mB.select(col("vec_id"), col("cid")), corpus, batch)
     }
     mBsel

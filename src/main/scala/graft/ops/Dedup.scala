@@ -621,6 +621,14 @@ object Dedup {
     * buckets, keeping the pair space near-linear). Pure set-arithmetic on
     * exploded distinct grams. */
   def ngramJaccard(docs: DataFrame, W: Long): DataFrame = {
+    // MEASURED-REJECTION NOTE (recompute audit: the distinct-gram frame
+    // feeds both candidate sides and the sizes aggregate — two 3-op
+    // findings): persisting it was A/B'd in r13 (worktree-alternating
+    // runs, timed min-of-2) and rejected — sf0.1 1.04→1.43 s (+38%),
+    // sf1 7.24→7.17 (wash). ReuseExchange runs the gram-distinct
+    // exchange once; the duplicates are post-shuffle narrow tails, and
+    // columnar-caching the exploded gram frame costs more than
+    // recomputing them. Registry: RecomputeAudit.measuredRejections.
     val grams = hashedGrams(docs)
     val sizes = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
@@ -675,6 +683,10 @@ object Dedup {
     * bounded by the band window, sizes joined at doc cardinality, one
     * division per pair. */
   def q248Containment(spark: SparkSession, sfDir: String): DataFrame = {
+    // MEASURED-REJECTION NOTE (same diamond as q72 — shared machinery):
+    // persisting grams A/B'd in r13 and rejected — sf0.1 1.59→2.08 s
+    // (+31%), sf1 8.01→7.27 (wash-to-win inside host spread, the sf0.1
+    // loss decides). Registry: RecomputeAudit.measuredRejections.
     val grams = hashedGrams(Tables.documents(spark, sfDir))
     val sizes = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))

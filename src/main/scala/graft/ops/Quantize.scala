@@ -331,6 +331,13 @@ object Quantize {
       .join(broadcast(signs), Seq("pos"))
       .groupBy(col("vec_id"), col("j"))
       .agg(sum(col("sign") * col("q")).as("qp"))
+      // MEASURED-REJECTION NOTE (recompute audit: the n×16 projection
+      // feeds both pair sides — 3-op finding): a localCheckpoint was
+      // A/B'd in r13 and rejected — sf0.1 1.11→1.05 s (wash), sf1
+      // 3.09→4.45 (+44%): the posexplode/broadcast-join exchange is
+      // shared, the duplicate is the narrow final aggregate, and the
+      // eager cut job grows with n while the recompute stays
+      // post-shuffle. Registry: RecomputeAudit.measuredRejections.
     val pairs = qe
       .select(col("vec_id").as("v1"), col("qemb").as("qe1"),
         explode(sequence(col("vec_id") + 1, col("vec_id") + 5)).as("v2"))

@@ -393,6 +393,12 @@ object Similarity {
     * touches only `nprobe/k` of the corpus per query. */
   def q76IvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
+    ivfTopk(e, resolveNprobe(e, e.count()))
+  }
+
+  /** The IVF retrieval core over any (vec_id, embedding) frame at an
+    * explicit `nprobe` — see [[q76IvfTopk]]. */
+  private[graft] def ivfTopk(e: DataFrame, nprobe: Long): DataFrame = {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     // centroid similarities, narrow rows only (score drops the arrays)
@@ -416,7 +422,7 @@ object Similarity {
       .orderBy(desc("cs"), col("cent_id"))
     val probes = acs.filter(col("vec_id") < 5)
       .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= 2)
+      .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("cand_id"))
@@ -486,6 +492,105 @@ object Similarity {
     * the q75 ground truth) — the endpoint that anchors the curve. */
   private val IvfSweepProbes = Seq(1L, 2L, 4L, 8L)
 
+  /** q76's dial point when [[resolveNprobe]] does not probe — the
+    * historical registered value, so every oracle fixture (all below
+    * [[IvfAutoProbeGate]]) is unchanged by construction. */
+  private[graft] val IvfDefaultNprobe = 2L
+
+  /** Corpus-count floor below which [[resolveNprobe]] keeps the default
+    * dial point unconditionally — the [[graft.ops.Centroids]]
+    * HierAutoProbeGate rationale: below it the whole retrieval is a few
+    * task budgets and the dial probe costs more than any nprobe
+    * mis-set; every oracle fixture sits under it. */
+  private[graft] val IvfAutoProbeGate = 10000L
+
+  /** Target sampled recall@5 for [[resolveNprobe]] as an exact integer
+    * ratio (hits·den ≥ possible·num — the gate-threshold discipline):
+    * 9/10. At 5 probe queries × 5 truths = 25 possible hits, clearing
+    * it means ≤ 2 missed ground-truth neighbors across the sample. */
+  private[graft] val IvfTargetRecallNum = 9L
+  private[graft] val IvfTargetRecallDen = 10L
+
+  /** Session memo for [[resolveNprobe]] — the hierGoMemo pattern: full
+    * canonicalized-plan equality plus the file inventory (never a
+    * hash), so distinct corpora cannot collide and an in-place fixture
+    * rewrite re-probes. */
+  private val nprobeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long,
+      String), java.lang.Long]()
+
+  /** Test seam (see Centroids.clearGateMemoForTest). */
+  private[graft] def clearNprobeMemoForTest(): Unit = nprobeMemo.clear()
+
+  /** Dial-probe executions this JVM — the memo spec's counter. */
+  private[graft] val nprobeRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Auto-select the IVF nprobe from the q275 dial (VERDICT r12 #4 —
+    * the dial existed but nothing consumed it, the same gap the
+    * hier-assignment gate had before resolveAssignGate): above
+    * `autoProbeGate`, run [[ivfSweepDial]]'s fixed probe-query sample
+    * once per corpus snapshot and pick the MINIMAL dial point whose
+    * sampled recall clears [[IvfTargetRecallNum]]/Den — on a corpus
+    * with real locality the nearest list already holds the true
+    * neighbors (nprobe 1); on an isotropic corpus neighbors scatter
+    * across lists and the resolver walks the dial up to the exact
+    * endpoint (nprobe = k, recall 1.0 by construction, so a clearing
+    * point always exists). Below the gate, [[IvfDefaultNprobe]] — every
+    * oracle fixture, so q76's rows are unchanged by construction.
+    *
+    * Cost/scale: the probe is the dial itself — one corpus assignment
+    * pass (O(n·k_cents·d), the index build the retrieval needs anyway)
+    * plus |queries|-bounded list joins and a 5-query brute-force ground
+    * truth (O(n·d) per query, linear) — memoized per corpus snapshot
+    * exactly like the assignment gate, so a session (and a pipeline
+    * run) pays it once, not once per retrieval. */
+  private[graft] def resolveNprobe(e: DataFrame, n: Long,
+      autoProbeGate: Long = IvfAutoProbeGate): Long = {
+    if (n <= autoProbeGate) IvfDefaultNprobe
+    else {
+      val inv = GateStore.fingerprint(e).map(_._2).getOrElse("")
+      val key = (e.queryExecution.analyzed.canonicalized, n, inv)
+      val cached = nprobeMemo.get(key)
+      if (cached != null) {
+        println(s"[ivf-auto] n=$n: memoized -> nprobe=$cached")
+        cached
+      } else {
+        nprobeRuns.incrementAndGet()
+        // per dial point: total sampled hits vs total possible (5 per
+        // probe query with a full dial guaranteed to reach recall 1.0).
+        // The probe queries are a NON-CENTROID slice — this matters: a
+        // query that IS a centroid lands in its own list with cosine
+        // 1.0 and its true neighbors (the vectors most similar to that
+        // centroid) overwhelmingly assign there too, so centroid
+        // queries read ~1.0 sampled recall on ANY corpus geometry
+        // (measured: 25/25 at nprobe=1 even on isotropic noise) and
+        // the dial would always pick 1. The registered q275 keeps the
+        // historical centroid-coincident slice — it reports the dial
+        // for q76's own fixed queries; the RESOLVER needs an unbiased
+        // estimate of what a fresh query would see.
+        val dial = ivfSweepDial(e,
+            col("vec_id") >= 8L && col("vec_id") < 13L)
+          .groupBy(col("nprobe"))
+          .agg(sum(col("n_hits")).as("hits"),
+            (count(lit(1)) * 5L).as("possible"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        val pick = dial
+          .find { case (_, hits, possible) =>
+            hits * IvfTargetRecallDen >= possible * IvfTargetRecallNum }
+          .map(_._1).getOrElse(IvfSweepProbes.max)
+        println(s"[ivf-auto] n=$n: dial " +
+          dial.map { case (p, h, t) => s"$p->$h/$t" }.mkString(", ") +
+          s" vs target $IvfTargetRecallNum/$IvfTargetRecallDen -> " +
+          s"nprobe=$pick")
+        nprobeMemo.put(key, pick)
+        pick
+      }
+    }
+  }
+
   /** q275_ivf_sweep — the IVF recall-vs-cost DIAL CURVE: for each
     * nprobe in [[IvfSweepProbes]], retrieve top-5 per query through the
     * q76 inverted-list machinery and score recall@5 against the q75
@@ -507,8 +612,19 @@ object Similarity {
     * curve reports. Recall is exact and hash-checked: integer hit
     * counts against the 4-dp-rounded, id-tie-broken ground truth, one
     * IEEE division at the end (the q152 device, swept). */
-  def q275IvfSweep(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+  def q275IvfSweep(spark: SparkSession, sfDir: String): DataFrame =
+    ivfSweepDial(Tables.embeddings(spark, sfDir))
+
+  /** The recall-vs-cost dial core over any (vec_id, embedding) frame —
+    * see [[q275IvfSweep]]. The exact ground truth is computed from the
+    * SAME frame (the q75 brute-force body), so the dial is
+    * self-contained: [[resolveNprobe]] runs it on whatever corpus it is
+    * gating, not just the registered table. `queryPred` selects the
+    * probe-query vectors — q275's registered (oracle-pinned) form keeps
+    * the historical vec_id < 5; the resolver passes a NON-CENTROID
+    * slice (see its doc for why that bias matters). */
+  private[graft] def ivfSweepDial(e: DataFrame,
+      queryPred: Column = col("vec_id") < 5): DataFrame = {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val acs = e.crossJoin(broadcast(cents))
@@ -524,7 +640,7 @@ object Similarity {
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(desc("cs"), col("cent_id"))
     // rank all k lists once per query; each dial point reuses the rank
-    val probes = acs.filter(col("vec_id") < 5)
+    val probes = acs.filter(queryPred)
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= IvfSweepProbes.max)
       .withColumn("nprobe", explode(array(IvfSweepProbes.map(lit): _*)))
@@ -554,7 +670,19 @@ object Similarity {
       .filter(col("rank") <= 5)
     val nCands = cands.groupBy(col("nprobe"), col("query_id"))
       .agg(count(lit(1)).as("n_cands"))
-    val truth = q75BruteTopk(spark, sfDir)
+    // ground truth from the SAME frame — the q75 brute-force body (for
+    // the registered table this is plan-identical to q75BruteTopk)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wTruth = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("cand_id"))
+    val truth = e.select(col("vec_id").as("cand_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(wTruth))
+      .filter(col("rank") <= 5)
       .select(col("query_id"), col("cand_id"))
     val hits = top.select(col("nprobe"), col("query_id"), col("cand_id"))
       .join(truth, Seq("query_id", "cand_id"), "left_semi")

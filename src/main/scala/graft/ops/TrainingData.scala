@@ -548,6 +548,13 @@ object TrainingData {
       .groupBy(col("label"), col("pos"))
       .agg((sum(floor(col("v").cast("double") * Q20).cast("long"))
         .cast("double") / (count(lit(1)) * Q20)).as("cval"))
+      // MEASURED-REJECTION NOTE (recompute audit: this labels×dims
+      // centroid aggregate feeds a/b/norms — 3-op finding): a
+      // localCheckpoint was A/B'd in r13 and rejected — sf0.1
+      // 0.93→0.94 s, sf1 0.91→1.01 (wash-to-loss): the corpus-sized
+      // posexplode exchange is shared by ReuseExchange, each
+      // "recompute" is only the k·d-row final aggregate, cheaper than
+      // the cut's eager job. Registry: RecomputeAudit.measuredRejections.
     val a = cent.select(col("label").as("label_a"), col("pos"),
       col("cval").as("ca"))
     val b = cent.select(col("label").as("label_b"), col("pos"),

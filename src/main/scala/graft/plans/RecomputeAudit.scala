@@ -40,6 +40,84 @@ object RecomputeAudit {
     * node name for orientation. */
   final case class Dup(occurrences: Int, cost: Int, root: String)
 
+  /** One audited-and-kept diamond: the finding's exact signature plus a
+    * pointer to the in-code MEASURED-REJECTION note that records the
+    * A/B. */
+  final case class Waiver(query: String, root: String, occurrences: Int,
+      cost: Int, note: String)
+
+  /** Findings REJECTED BY MEASUREMENT (VERDICT r12 #6 — the report
+    * previously could not tell a pinned rejection from a never-examined
+    * diamond, so the artifact drifted toward noise). Every entry mirrors
+    * an in-code MEASURED-REJECTION / rejection note at the duplicated
+    * site — the full A/B numbers live there; this registry is the
+    * machine-readable index the audit output and the AuditSweepSpec
+    * census read. Both directions are spec-pinned: a NEW ≥3-op finding
+    * with no entry fails the suite (unexamined work), and an entry whose
+    * finding disappeared fails too (the waiver cannot rot into a blanket
+    * exemption). ≤2-op findings stay report-only — the r9 campaign
+    * measured that class as washes-or-regressions eight times out of
+    * eight, so forcing an A/B per 2-op diamond would re-litigate a
+    * settled question every round. */
+  val measuredRejections: Seq[Waiver] = Seq(
+    Waiver("q113_setsim_join", "Project", 2, 4,
+      "SetSim.scala prefixes note — A/B'd twice, persist in r9 (+33%) " +
+        "and localCheckpoint in r12 (sf0.1 2.41->2.53 s, sf1 " +
+        "7.70->7.40, sf2 12.44->13.09: wash-to-loss); ReuseExchange " +
+        "already runs the df-join/window exchanges once"),
+    Waiver("q169_kmv_overlap", "Join", 3, 3,
+      "Aggregates.scala q169 note — r12 A/B rejected (nosort " +
+        "min-of-two-rounds: sf0.1 1.13 vs 0.93 uncut, sf1 3.17 vs " +
+        "3.30, sf2 5.33 vs 4.78): grams/sk are already checkpointed, " +
+        "each recompute is a narrow re-aggregation of a materialized " +
+        "RDD"),
+    Waiver("q169_kmv_overlap", "Project", 2, 3,
+      "same site and A/B as the q169 Join waiver (one cut covers both " +
+        "findings; both rejected together)"),
+    Waiver("q265_shard_plan", "Project", 2, 4,
+      "Curation.scala shards note — A/B'd in r9 (persist, wash) and " +
+        "r12 (localCheckpoint, sf0.1 0.68->0.66 s, sf1 1.52->1.42, " +
+        "sf2 2.36->2.52: wash); the globalRank exchange is shared, " +
+        "the recompute is the ShardCount-row post-shuffle tail"),
+    Waiver("q275_ivf_sweep", "Join", 2, 6,
+      "Similarity.scala q275 cands note — r12 A/B rejected (sf0.1 " +
+        "1.24->1.40 s, sf1 1.55->1.72, sf2 1.83->1.85, timed " +
+        "min-of-2); ReuseExchange shares the assignment and list-join " +
+        "exchanges, the cut's eager job costs more than the recompute"),
+    Waiver("q72_ngram_jaccard", "Aggregate", 2, 3,
+      "Dedup.scala ngramJaccard note — r13 A/B rejected " +
+        "(worktree-alternating, timed min-of-2: persist(grams) sf0.1 " +
+        "1.04->1.43 s, sf1 7.24->7.17 wash); the gram-distinct " +
+        "exchange is shared, caching the exploded frame loses"),
+    Waiver("q72_ngram_jaccard", "Project", 2, 3,
+      "same site and A/B as the q72 Aggregate waiver (one persist " +
+        "covers both findings; both rejected together)"),
+    Waiver("q248_containment", "Aggregate", 2, 3,
+      "Dedup.scala q248 note — r13 A/B rejected (persist(grams) sf0.1 " +
+        "1.59->2.08 s, sf1 8.01->7.27 wash-to-win inside host spread; " +
+        "the sf0.1 loss decides) — same diamond as q72's shared " +
+        "machinery"),
+    Waiver("q248_containment", "Project", 2, 3,
+      "same site and A/B as the q248 Aggregate waiver"),
+    Waiver("q210_centroid_sim", "Aggregate", 2, 3,
+      "TrainingData.scala cent note — r13 A/B rejected " +
+        "(localCheckpoint sf0.1 0.93->0.94 s, sf1 0.91->1.01): the " +
+        "corpus posexplode exchange is shared, the recompute is the " +
+        "k*d-row final aggregate"),
+    Waiver("q269_jl_projection", "Aggregate", 2, 3,
+      "Quantize.scala proj note — r13 A/B rejected (localCheckpoint " +
+        "sf0.1 1.11->1.05 s wash, sf1 3.09->4.45 +44%): the eager cut " +
+        "job grows with n while the recompute stays post-shuffle"))
+
+  /** Classify one finding against the registry: an exact-signature
+    * match is `rejected-by-measurement`; anything else is `unexamined`
+    * (cost ≥3 unexamined findings fail AuditSweepSpec's census). */
+  def classify(query: String, d: Dup): String =
+    if (measuredRejections.exists(w => w.query == query &&
+        w.root == d.root && w.occurrences == d.occurrences &&
+        w.cost == d.cost)) "rejected-by-measurement"
+    else "unexamined"
+
   private def cost(p: LogicalPlan): Int = p.collect {
     case _: Join => 1
     case _: Aggregate => 1
@@ -75,13 +153,16 @@ object RecomputeAudit {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-recompute-audit")
     spark.sparkContext.setLogLevel("WARN")
     var total = 0
+    var rejected = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val dups = duplicates(fn(spark, sfDir), minCost)
         dups.foreach { d =>
           total += 1
+          val cls = classify(name, d)
+          if (cls == "rejected-by-measurement") rejected += 1
           println(s"[recompute] $name: ${d.occurrences}x ${d.root} " +
-            s"subtree with ${d.cost} shuffle-bearing ops")
+            s"subtree with ${d.cost} shuffle-bearing ops [$cls]")
         }
       } catch { case scala.util.control.NonFatal(e) =>
         println(s"[recompute] $name: build-error ${e.getMessage}")
@@ -100,7 +181,9 @@ object RecomputeAudit {
       }
     }
     println(s"[recompute] total findings: $total across " +
-      s"${graft.SparkEntry.queries.size} queries (minCost=$minCost)")
+      s"${graft.SparkEntry.queries.size} queries (minCost=$minCost): " +
+      s"$rejected rejected-by-measurement, ${total - rejected} unexamined" +
+      " (cost >=3 unexamined findings fail AuditSweepSpec's census)")
     spark.stop()
   }
 }

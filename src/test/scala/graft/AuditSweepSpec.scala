@@ -258,6 +258,42 @@ class AuditSweepSpec extends AnyFunSuite {
       s"$moved events changed staging batch vs the replaced form")
   }
 
+  test("recompute ledger census (r13): every >=3-op duplicated subtree " +
+    "matches a measured-rejection waiver exactly, both directions") {
+    // VERDICT r12 #6: the recompute report could not tell a pinned
+    // rejection from a never-examined diamond. The registry
+    // (RecomputeAudit.measuredRejections) indexes the in-code
+    // MEASURED-REJECTION notes; this census makes it load-bearing: a
+    // NEW >=3-op diamond with no waiver fails the suite until it is
+    // either cut (measured win) or pinned (measured rejection), and a
+    // waiver whose finding disappeared fails too. <=3-op threshold
+    // matches the r9/r12 campaigns' evidence boundary: every 2-op cut
+    // A/B'd to date measured wash-or-regression, so that class stays
+    // report-only.
+    import graft.plans.RecomputeAudit
+    val findings = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        try RecomputeAudit.duplicates(fn(spark, SparkSuite.sf), minCost = 3)
+          .map(d => (name, d.root, d.occurrences, d.cost))
+        finally {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+      }
+    val waived = RecomputeAudit.measuredRejections.filter(_.cost >= 3)
+      .map(w => (w.query, w.root, w.occurrences, w.cost))
+    val unexamined = findings.diff(waived)
+    assert(unexamined.isEmpty,
+      "unexamined >=3-op duplicated subtrees — measure a cut (keep it " +
+        "if it wins) or pin the rejection with an in-code note + " +
+        s"registry entry: ${unexamined.sorted.mkString("; ")}")
+    val stale = waived.diff(findings)
+    assert(stale.isEmpty,
+      "stale measured-rejection waivers (the diamond is gone — delete " +
+        s"the entry so the waiver cannot rot): ${stale.sorted.mkString("; ")}")
+  }
+
   test("ledger sweep: audit findings across all registered queries " +
     "match the bounded-frame census exactly") {
     val findings = AuditSweep.sweep(spark, SparkSuite.sf)

@@ -33,9 +33,15 @@ not the engine.
 
 embeddings_only mode (r12, for the HotBench sf4 point): pass a third
 arg `embeddings_only` to write just embeddings.parquet. The embedding
-rotation is a 64-position circular shift — 64 distinct permutations —
-so this mode allows up to 64 replicas (HotBench reads only the
-embeddings table; the 26-replica text cap does not apply).
+transform family is a 64-position circular shift composed with an
+optional global negation (r13, for the sf8 point) — 128 distinct
+orthogonal transforms, each norm- and intra-replica-geometry-
+preserving while cross-replica cosines scramble — so this mode allows
+up to 128 replicas (HotBench reads only the embeddings table; the
+26-replica text cap does not apply). Negation is as artifact-free as
+rotation: no replica pair is byte-identical, and cos(-x, y) = -cos(x,
+y) keeps cross-replica similarities as scrambled as the rotation
+already left them.
 """
 import sys
 
@@ -46,8 +52,8 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
 REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 EMB_ONLY = len(sys.argv) > 3 and sys.argv[3] == "embeddings_only"
 if EMB_ONLY:
-    assert 1 <= REPLICAS <= 64, \
-        "embedding rotation supports at most 64 replicas"
+    assert 1 <= REPLICAS <= 128, \
+        "embedding rotation x negation supports at most 128 replicas"
 else:
     assert 1 <= REPLICAS <= 26, "text rotation supports at most 26 replicas"
 ORD_OFF, PART_OFF, SUPP_OFF, CUST_OFF, DOC_OFF = (
@@ -62,14 +68,21 @@ def rot(s: str, i: int) -> str:
 
 
 def emb_only(con) -> None:
-    # no modulo on the rotation index (ADVICE r12): the REPLICAS <= 64
-    # assert above is the real guard — a wrap at i = 64 would plant
-    # byte-identical embedding copies, the exact artifact the cap
-    # exists to prevent, so wrapping must stay unreachable, not "work"
+    # transform i = rotation by (i mod 64) composed with negation for
+    # i >= 64 — 128 distinct orthogonal transforms, so the REPLICAS <=
+    # 128 assert above is the real guard: replica 128 would repeat
+    # transform 0 and plant byte-identical embedding copies, the exact
+    # artifact the cap exists to prevent (ADVICE r12: the guard is the
+    # assert, never a silent wrap)
+    def emb_expr(i: int) -> str:
+        rot = i % 64
+        rotated = (f"list_slice(embedding, {rot + 1}, 64)"
+                   f" || list_slice(embedding, 1, {rot})")
+        return (f"list_transform({rotated}, x -> -x)" if i >= 64
+                else rotated)
     emb_selects = " UNION ALL ".join(
         f"""SELECT vec_id + {i} * 2000 AS vec_id,
-               list_slice(embedding, {i + 1}, 64)
-                 || list_slice(embedding, 1, {i}) AS embedding,
+               {emb_expr(i)} AS embedding,
                label
             FROM '{SRC}/embeddings.parquet'""" for i in range(REPLICAS))
     con.execute(
