@@ -733,7 +733,8 @@ object Centroids {
               case (Some(dir), Some((canon, seedsCanon))) =>
                 GateStore.record(qv.sparkSession, dir, GateStore.Decision(
                   HierGateKind, canon, seedsCanon, inv,
-                  n, k, agree, tot, dec, 9L, 10L))
+                  n, k, agree, tot, dec, 9L, 10L,
+                  choice = if (dec) 1L else 0L))
               case _ => ()
             }
             dec

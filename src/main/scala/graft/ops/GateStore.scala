@@ -39,12 +39,16 @@ import org.apache.spark.sql.types._
   */
 object GateStore {
 
-  /** One recorded decision. `go` is the resolved strategy; `agree`/
-    * `tot` the probe accounting it was derived from; `thrNum`/`thrDen`
-    * the exact integer threshold (agree·den ≥ tot·num) in force. */
+  /** One recorded decision. `go` is the resolved boolean strategy;
+    * `agree`/`tot` the probe accounting it was derived from; `thrNum`/
+    * `thrDen` the exact integer threshold (agree·den ≥ tot·num) in
+    * force; `choice` the resolved DIAL VALUE for multi-point knobs —
+    * the picked nprobe for the `ivf-nprobe` kind; for the binary
+    * `hier-assign-gate` kind it mirrors `go` as 1/0. */
   final case class Decision(kind: String, planCanon: String,
       seedsCanon: String, files: String, n: Long, k: Long,
-      agree: Long, tot: Long, go: Boolean, thrNum: Long, thrDen: Long)
+      agree: Long, tot: Long, go: Boolean, thrNum: Long, thrDen: Long,
+      choice: Long)
 
   private val schema = StructType(Seq(
     StructField("kind", StringType, nullable = false),
@@ -57,7 +61,8 @@ object GateStore {
     StructField("tot", LongType, nullable = false),
     StructField("go", BooleanType, nullable = false),
     StructField("thr_num", LongType, nullable = false),
-    StructField("thr_den", LongType, nullable = false)))
+    StructField("thr_den", LongType, nullable = false),
+    StructField("choice", LongType, nullable = false)))
 
   /** The frame's durable identity: (canonicalized-plan text, sorted
     * file inventory `path:length:mtime;…`). None when the frame is not
@@ -109,7 +114,7 @@ object GateStore {
     * the same (deterministic) decision twice — lookup takes the first. */
   def record(spark: SparkSession, dir: String, d: Decision): Unit = {
     val row = Row(d.kind, d.planCanon, d.seedsCanon, d.files, d.n, d.k,
-      d.agree, d.tot, d.go, d.thrNum, d.thrDen)
+      d.agree, d.tot, d.go, d.thrNum, d.thrDen, d.choice)
     spark.createDataFrame(
         java.util.Collections.singletonList(row), schema)
       .write.mode("append").parquet(dir)
@@ -118,5 +123,5 @@ object GateStore {
   private def fromRow(r: Row): Decision = Decision(
     r.getString(0), r.getString(1), r.getString(2), r.getString(3),
     r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
-    r.getBoolean(8), r.getLong(9), r.getLong(10))
+    r.getBoolean(8), r.getLong(9), r.getLong(10), r.getLong(11))
 }

@@ -544,18 +544,39 @@ object Similarity {
     * plus |queries|-bounded list joins and a 5-query brute-force ground
     * truth (O(n·d) per query, linear) — memoized per corpus snapshot
     * exactly like the assignment gate, so a session (and a pipeline
-    * run) pays it once, not once per retrieval. */
+    * run) pays it once, not once per retrieval; with `gateDir` set the
+    * picked dial point also persists ACROSS sessions via [[GateStore]]
+    * (kind `ivf-nprobe`, the resolveAssignGate read-through shape —
+    * exact plan-text + file-inventory key, spec-pinned in
+    * GateStoreSpec). */
   private[graft] def resolveNprobe(e: DataFrame, n: Long,
-      autoProbeGate: Long = IvfAutoProbeGate): Long = {
+      autoProbeGate: Long = IvfAutoProbeGate,
+      gateDir: Option[String] = sys.env.get("SPARK_GRAFT_GATE_DIR")): Long = {
     if (n <= autoProbeGate) IvfDefaultNprobe
     else {
-      val inv = GateStore.fingerprint(e).map(_._2).getOrElse("")
+      val fp = GateStore.fingerprint(e)
+      val inv = fp.map(_._2).getOrElse("")
       val key = (e.queryExecution.analyzed.canonicalized, n, inv)
       val cached = nprobeMemo.get(key)
       if (cached != null) {
         println(s"[ivf-auto] n=$n: memoized -> nprobe=$cached")
         cached
       } else {
+        // durable read-through, the resolveAssignGate shape: a dial
+        // point picked by a PREVIOUS session for this exact corpus
+        // snapshot is reused without re-running the probe sweep
+        val stored = (gateDir, fp) match {
+          case (Some(dir), Some((canon, files))) =>
+            GateStore.lookup(e.sparkSession, dir, "ivf-nprobe",
+              canon, "", files, n, 8L)
+          case _ => None
+        }
+        stored.map { d =>
+          println(s"[ivf-auto] n=$n: stored decision " +
+            s"(recall ${d.agree}/${d.tot}) -> nprobe=${d.choice}")
+          nprobeMemo.put(key, d.choice)
+          d.choice
+        }.getOrElse {
         nprobeRuns.incrementAndGet()
         // per dial point: total sampled hits vs total possible (5 per
         // probe query with a full dial guaranteed to reach recall 1.0).
@@ -585,8 +606,18 @@ object Similarity {
           dial.map { case (p, h, t) => s"$p->$h/$t" }.mkString(", ") +
           s" vs target $IvfTargetRecallNum/$IvfTargetRecallDen -> " +
           s"nprobe=$pick")
+        (gateDir, fp) match {
+          case (Some(dir), Some((canon, files))) =>
+            val (h, t) = dial.find(_._1 == pick)
+              .map(d => (d._2, d._3)).getOrElse((0L, 0L))
+            GateStore.record(e.sparkSession, dir, GateStore.Decision(
+              "ivf-nprobe", canon, "", files, n, 8L, h, t, go = true,
+              IvfTargetRecallNum, IvfTargetRecallDen, choice = pick))
+          case _ => ()
+        }
         nprobeMemo.put(key, pick)
         pick
+        }
       }
     }
   }

@@ -111,6 +111,35 @@ class GateStoreSpec extends AnyFunSuite {
       "the fresh decision appends its own accounting row")
   }
 
+  test("nprobe decisions persist too: the second session reuses the " +
+    "stored dial point without re-running the sweep") {
+    val fixDir = copyFixture("nprobe")
+    val gateDir = Files.createTempDirectory("graft-gate-nprobe")
+      .resolve("decisions").toString
+    def resolveIn(sess: org.apache.spark.sql.SparkSession): Long = {
+      val e = sess.read.parquet(s"$fixDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      ops.Similarity.resolveNprobe(e, 500L, autoProbeGate = 0L,
+        gateDir = Some(gateDir))
+    }
+    ops.Similarity.clearNprobeMemoForTest()
+    val runs0 = ops.Similarity.nprobeRuns.get()
+    val p1 = resolveIn(spark)
+    assert(ops.Similarity.nprobeRuns.get() === runs0 + 1,
+      "first resolve must run the dial sweep")
+    ops.Similarity.clearNprobeMemoForTest()
+    val p2 = resolveIn(spark.newSession())
+    assert(p2 === p1, "second session must reach the same dial point")
+    assert(ops.Similarity.nprobeRuns.get() === runs0 + 1,
+      "second session must take the STORED pick without sweeping")
+    val rows = spark.read.parquet(gateDir)
+      .filter(col("kind") === "ivf-nprobe").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("choice") === p1 &&
+      rows.head.getAs[Long]("tot") > 0L,
+      "the stored row carries the pick and its recall accounting")
+  }
+
   test("in-memory corpora never touch the durable store") {
     val sp = spark
     import sp.implicits._
