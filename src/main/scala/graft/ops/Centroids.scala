@@ -622,6 +622,83 @@ object Centroids {
        |FROM vcc v JOIN exact e USING (vec_id)
        |JOIN hier h USING (vec_id)""".stripMargin
 
+  /** Whether the sampled agreement is CONCLUSIVELY on one side of the
+    * 0.90 gate: |agree/tot − 9/10| > 2·SE where SE =
+    * √(p̂(1−p̂)/tot). Cross-multiplying and squaring (both sides
+    * non-negative) gives the EXACT integer form
+    * (10·agree − 9·tot)²·tot > 400·agree·(tot−agree) — no IEEE
+    * anywhere, and overflow-safe far past the sample cap
+    * ((10t)²·t ≈ 10¹¹ at t = 1000 « 2⁶³). A false reading means the
+    * corpus sits within ~2 standard errors of the gate and the binary
+    * go/no-go is sample-noise-sensitive — the operational signal to
+    * probe a larger slice before trusting either path. tot = 0 reads
+    * inconclusive. */
+  private[graft] def probeConclusive(agree: Long, tot: Long): Boolean = {
+    val d = 10L * agree - 9L * tot
+    tot > 0L && d * d * tot > 400L * agree * (tot - agree)
+  }
+
+  /** q279_probe_confidence — the capped sample's STATISTICAL honesty as
+    * an oracle row (the r13 cap's companion: shrinking the sample to
+    * ~[[HierSampleCap]] rows is only sound if the decision margin is
+    * reported with it): the probe accounting of q278 plus `conclusive`
+    * — the exact-integer two-standard-error test of [[probeConclusive]]
+    * — and the agreement point estimate (the one IEEE division, the
+    * q152/q276 precedent). On every committed corpus the regimes sit
+    * 30+ SEs from the gate, so the dial reads conclusive; a corpus
+    * straddling 0.90 is exactly the one where an operator must not
+    * trust a binary go/no-go from a 1000-row sample. */
+  def q279ProbeConfidence(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    probePicks(quantized(e), n, k)
+      .agg(
+        coalesce(sum(when(col("erk") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_sample"),
+        coalesce(sum(when(col("erk") === 1 && col("hrk") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("n_agree"))
+      .select(lit(n).as("n"), lit(k).as("k"),
+        lit(hierSampleMod(n)).as("sample_mod"),
+        col("n_sample"), col("n_agree"),
+        when(col("n_sample") === 0L, lit(0.0))
+          .otherwise(round(col("n_agree").cast("double")
+            / col("n_sample"), 4)).as("agree_rate"),
+        when(col("n_sample") > 0L &&
+          (col("n_agree") * 10L - col("n_sample") * 9L)
+            * (col("n_agree") * 10L - col("n_sample") * 9L)
+            * col("n_sample")
+            > lit(400L) * col("n_agree")
+              * (col("n_sample") - col("n_agree")), 1L)
+          .otherwise(0L).as("conclusive"))
+  }
+
+  val q279Sql: String =
+    s"""$probeSqlCtes
+       |SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+       |       CAST((SELECT k FROM k) AS BIGINT) AS k,
+       |       CAST((SELECT sm FROM sm) AS BIGINT) AS sample_mod,
+       |       CAST(count(*) AS BIGINT) AS n_sample,
+       |       CAST(sum(CASE WHEN e.efcid = h.hfcid THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_agree,
+       |       CASE WHEN count(*) = 0 THEN 0.0
+       |            ELSE round(CAST(sum(CASE WHEN e.efcid = h.hfcid
+       |                   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+       |       END AS agree_rate,
+       |       CAST(CASE WHEN count(*) > 0 AND
+       |              (sum(CASE WHEN e.efcid = h.hfcid THEN 1 ELSE 0 END)
+       |                 * 10 - count(*) * 9)
+       |              * (sum(CASE WHEN e.efcid = h.hfcid THEN 1 ELSE 0 END)
+       |                 * 10 - count(*) * 9)
+       |              * count(*)
+       |              > 400 * sum(CASE WHEN e.efcid = h.hfcid
+       |                    THEN 1 ELSE 0 END)
+       |                * (count(*) - sum(CASE WHEN e.efcid = h.hfcid
+       |                      THEN 1 ELSE 0 END))
+       |            THEN 1 ELSE 0 END AS BIGINT) AS conclusive
+       |FROM vcc v JOIN exact e USING (vec_id)
+       |JOIN hier h USING (vec_id)""".stripMargin
+
   /** Session-lifetime memo for [[resolveAssignGate]]'s probe decision,
     * keyed by the CANONICALIZED input (and seed) plans plus the gate
     * geometry — full structural plan equality, not a hash, so distinct
@@ -727,7 +804,8 @@ object Centroids {
             val dec = tot > 0L && agree * 10L >= tot * 9L
             println(s"[semassign-auto] frame=$frameLabel n=$n k=$k: " +
               s"probe agreement $agree/$tot vs threshold " +
-              s"$HierAutoAgreeMin -> " +
+              s"$HierAutoAgreeMin (conclusive=" +
+              s"${probeConclusive(agree, tot)}) -> " +
               (if (dec) "two-level" else "flat") + " assignment")
             (gateDir, durableKey) match {
               case (Some(dir), Some((canon, seedsCanon))) =>

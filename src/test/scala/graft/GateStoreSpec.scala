@@ -140,6 +140,39 @@ class GateStoreSpec extends AnyFunSuite {
       "the stored row carries the pick and its recall accounting")
   }
 
+  test("probeConclusive: the exact-integer 2-SE test matches its IEEE " +
+    "definition and reads conclusive on both measured regimes") {
+    // (10a - 9t)^2 * t > 400 * a * (t - a)  <=>  |a/t - 0.9| > 2*SE
+    def ieee(a: Long, t: Long): Boolean = {
+      val p = a.toDouble / t
+      math.abs(p - 0.9) > 2.0 * math.sqrt(p * (1 - p) / t)
+    }
+    // exhaustive cross-check at small tot (every boundary case the
+    // squaring could distort lives here) ...
+    for (t <- 1L to 60L; a <- 0L to t)
+      assert(ops.Centroids.probeConclusive(a, t) === ieee(a, t),
+        s"a=$a t=$t: integer form must match the IEEE definition")
+    // ...and spot values at the sample cap scale
+    Seq((151L, 541L), (232L, 1000L), (900L, 1000L), (905L, 1000L),
+      (950L, 1000L), (1000L, 1000L)).foreach { case (a, t) =>
+      assert(ops.Centroids.probeConclusive(a, t) === ieee(a, t),
+        s"a=$a t=$t")
+    }
+    assert(!ops.Centroids.probeConclusive(0L, 0L),
+      "an empty sample is never conclusive")
+    // a corpus sitting exactly ON the gate is inconclusive at any tot
+    assert(!ops.Centroids.probeConclusive(9L, 10L) &&
+      !ops.Centroids.probeConclusive(900L, 1000L),
+      "p-hat = 0.90 exactly must read inconclusive")
+    // both measured regimes sit far outside 2 SEs: the r11/r12/r13
+    // committed readings (isotropic 151/541, blob-mixed 232/1000) and
+    // planted locality (tot/tot)
+    assert(ops.Centroids.probeConclusive(151L, 541L) &&
+      ops.Centroids.probeConclusive(232L, 1000L) &&
+      ops.Centroids.probeConclusive(500L, 500L),
+      "the committed regimes must read conclusive")
+  }
+
   test("in-memory corpora never touch the durable store") {
     val sp = spark
     import sp.implicits._
