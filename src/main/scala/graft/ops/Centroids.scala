@@ -578,10 +578,11 @@ object Centroids {
     * (n, k, sample_mod, n_sample, n_agree, go) tuple
     * [[resolveAssignGate]] records to [[GateStore]] when it probes this
     * corpus, derived from the same one-pass [[probePicks]] frame that
-    * q277 pins per coarse cell. `go` uses the exact integer threshold
-    * (agree·10 ≥ tot·9 ∧ tot > 0 — the ADVICE r12 form), so the row is
-    * engine-independent end to end: the oracle replays the DECISION,
-    * not just its inputs. The fixture sits below [[HierAutoProbeGate]],
+    * q277 pins per coarse cell. `go` is the FULL [[gateGo]] rule — the
+    * exact integer threshold (agree·10 ≥ tot·9 ∧ tot > 0, the ADVICE
+    * r12 form) AND the r13 two-standard-error conclusiveness guard
+    * ([[probeConclusive]]) — so the row is engine-independent end to
+    * end: the oracle replays the DECISION, not just its inputs. The fixture sits below [[HierAutoProbeGate]],
     * so production would not probe it at all — like q277, this query
     * runs the accounting unconditionally; what the gate would DECIDE on
     * this corpus is exactly what it reports. Scale: one sample×k
@@ -602,8 +603,15 @@ object Centroids {
       .select(lit(n).as("n"), lit(k).as("k"),
         lit(hierSampleMod(n)).as("sample_mod"),
         col("n_sample"), col("n_agree"),
+        // the FULL resolver rule (gateGo): exact 9/10 threshold AND
+        // the 2-SE conclusiveness guard — all integer arithmetic
         when(col("n_sample") > 0L &&
-          col("n_agree") * 10L >= col("n_sample") * 9L, 1L)
+          col("n_agree") * 10L >= col("n_sample") * 9L &&
+          (col("n_agree") * 10L - col("n_sample") * 9L)
+            * (col("n_agree") * 10L - col("n_sample") * 9L)
+            * col("n_sample")
+            > lit(400L) * col("n_agree")
+              * (col("n_sample") - col("n_agree")), 1L)
           .otherwise(0L).as("go"))
   }
 
@@ -618,6 +626,16 @@ object Centroids {
        |       CAST(CASE WHEN count(*) > 0 AND
        |              sum(CASE WHEN e.efcid = h.hfcid THEN 1 ELSE 0 END)
        |                * 10 >= count(*) * 9
+       |              AND
+       |              (sum(CASE WHEN e.efcid = h.hfcid THEN 1 ELSE 0 END)
+       |                 * 10 - count(*) * 9)
+       |              * (sum(CASE WHEN e.efcid = h.hfcid THEN 1 ELSE 0 END)
+       |                 * 10 - count(*) * 9)
+       |              * count(*)
+       |              > 400 * sum(CASE WHEN e.efcid = h.hfcid
+       |                    THEN 1 ELSE 0 END)
+       |                * (count(*) - sum(CASE WHEN e.efcid = h.hfcid
+       |                      THEN 1 ELSE 0 END))
        |            THEN 1 ELSE 0 END AS BIGINT) AS go
        |FROM vcc v JOIN exact e USING (vec_id)
        |JOIN hier h USING (vec_id)""".stripMargin
@@ -698,6 +716,19 @@ object Centroids {
        |            THEN 1 ELSE 0 END AS BIGINT) AS conclusive
        |FROM vcc v JOIN exact e USING (vec_id)
        |JOIN hier h USING (vec_id)""".stripMargin
+
+  /** The full gate decision as a pure function: go iff the sampled
+    * agreement clears the exact 9/10 threshold AND the reading is
+    * [[probeConclusive]] — a corpus within two standard errors of the
+    * gate is never committed to the APPROXIMATE index on what is
+    * statistically a coin flip; the flat (exact) path is the safe
+    * default there (r13, enforcing what q279 reports). At the
+    * production sample cap (~1000 rows) the inconclusive band is
+    * p̂ ∈ (0.881, 0.919), so any corpus with real planted locality
+    * (the measured regime reads 1.0) still goes; both measured
+    * regimes sit 30+ SEs outside the band. */
+  private[graft] def gateGo(agree: Long, tot: Long): Boolean =
+    probeConclusive(agree, tot) && agree * 10L >= tot * 9L
 
   /** Session-lifetime memo for [[resolveAssignGate]]'s probe decision,
     * keyed by the CANONICALIZED input (and seed) plans plus the gate
@@ -795,13 +826,10 @@ object Centroids {
             d.go
           case None =>
             val (agree, tot) = hierGoProbe(qv, n, k, seeds)
-            // exact integer form of agree/tot >= 0.90 (ADVICE r12): the
-            // IEEE product HierAutoAgreeMin * tot is inexact (0.90 has
-            // no binary representation), so a corpus sitting exactly on
-            // the boundary could flip either way with tot; agree·10 ≥
-            // tot·9 is deterministic at every tot (no overflow: tot ≤
-            // n < 2⁶⁰)
-            val dec = tot > 0L && agree * 10L >= tot * 9L
+            // the full pure decision (exact integer threshold — ADVICE
+            // r12 — plus the r13 conclusiveness guard): agree·10 ≥
+            // tot·9 AND the reading sits more than 2 SEs from the gate
+            val dec = gateGo(agree, tot)
             println(s"[semassign-auto] frame=$frameLabel n=$n k=$k: " +
               s"probe agreement $agree/$tot vs threshold " +
               s"$HierAutoAgreeMin (conclusive=" +

@@ -171,6 +171,23 @@ class GateStoreSpec extends AnyFunSuite {
       ops.Centroids.probeConclusive(232L, 1000L) &&
       ops.Centroids.probeConclusive(500L, 500L),
       "the committed regimes must read conclusive")
+    // the FULL resolver rule (gateGo = threshold AND conclusive): a
+    // corpus within 2 SEs of the gate never commits to the approximate
+    // index, even when its point estimate clears 9/10
+    assert(!ops.Centroids.gateGo(18L, 20L),
+      "18/20 = 0.90 exactly clears the threshold but is inconclusive " +
+        "at tot=20 — the conservative flat path must win")
+    assert(!ops.Centroids.gateGo(19L, 20L),
+      "19/20 = 0.95 sits inside 2 SEs (0.0975) of the gate at tot=20")
+    assert(ops.Centroids.gateGo(20L, 20L),
+      "a unanimous sample has zero SE and goes")
+    assert(ops.Centroids.gateGo(950L, 1000L),
+      "0.95 at the production cap is 5+ SEs above the gate and goes")
+    assert(!ops.Centroids.gateGo(905L, 1000L),
+      "0.905 at the cap is inside the ~(0.881, 0.919) band and stays flat")
+    assert(!ops.Centroids.gateGo(151L, 541L) &&
+      !ops.Centroids.gateGo(0L, 0L),
+      "below-threshold and empty samples stay flat")
   }
 
   test("in-memory corpora never touch the durable store") {
