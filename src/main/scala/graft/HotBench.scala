@@ -52,7 +52,7 @@ object HotBench {
     val cap = graft.ops.Centroids.semClusterCap(n)
     // the q274 accounting at the production cap over this corpus
     val sizes = graft.ops.Centroids.semAssign(
-        graft.ops.Centroids.quantized(e), n, k)
+        graft.ops.Centroids.quantized(e), n, k, arrays = Some(e))
       .groupBy(col("cid")).agg(count(lit(1)).as("m"))
     val acct = graft.ops.Centroids
       .clusterPairAccounting(sizes, Seq(cap)).head()

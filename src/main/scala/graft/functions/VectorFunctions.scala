@@ -162,6 +162,99 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
       newChild: Expression): VectorNorm = copy(child = newChild)
 }
 
+/** Exact quantized squared-L2 distance between two float/double array
+  * columns in the `Centroids.KmeansScale` BIGINT space:
+  * Σᵢ (⌊aᵢ·2²⁰⌋ − ⌊bᵢ·2²⁰⌋)², one fused codegen loop returning LONG.
+  *
+  * This is the distance kernel of the Elkan-pruned flat assignment
+  * (r14): the exploded form quantizes to q = ⌊v·2²⁰⌋ + 2²⁰ and
+  * aggregates (q − cq)² per (vector, seed) — the +2²⁰ offset CANCELS in
+  * the difference, and ⌊·⌋ of a double is exact everywhere, so this
+  * expression is bit-identical to quantize-then-sum while computing one
+  * (vector, seed) pair per ROW instead of per d COMPONENT ROWS through
+  * a hash aggregate. All arithmetic is exact: |⌊v·2²⁰⌋| ≤ 2²⁰ for
+  * |v| ≤ 1 → per-component square ≤ 2⁴², sum < 2⁶³ for any dim < 2²⁰.
+  *
+  * Null semantics match [[CosineSimilarity]]: NULL if either array is
+  * NULL, elements assumed non-null, dimension mismatch throws. */
+case class QuantSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quant_sqdist"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch ($n vs ${b.numElements()})")
+    }
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      // the exploded form's ⌊v·2²⁰⌋ exactly (Centroids.quantized); the
+      // offset +2²⁰ it adds cancels in the difference
+      val d = math.floor(x * 1048576.0).toLong -
+        math.floor(y * 1048576.0).toLong
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(v: String, dt: DataType, i: String) = dt match {
+        case FloatType => s"(double) $v.getFloat($i)"
+        case _ => s"$v.getDouble($i)"
+      }
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "quant_sqdist: dimension mismatch (" + $n + " vs " +
+         |    $b.numElements() + ")");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d =
+         |    (long) java.lang.Math.floor(${get(a, elemType(left), i)} * 1048576.0) -
+         |    (long) java.lang.Math.floor(${get(b, elemType(right), i)} * 1048576.0);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for the native expression. */
   def vector_cosine(a: Column, b: Column): Column =
@@ -171,6 +264,11 @@ object VectorFunctions {
   /** Column API for the native norm. */
   def vector_norm(a: Column): Column =
     GraftColumnBridge.column(VectorNorm(GraftColumnBridge.expression(a)))
+
+  /** Column API for the exact quantized squared-L2 distance. */
+  def quant_sqdist(a: Column, b: Column): Column =
+    GraftColumnBridge.column(QuantSqDist(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   private val normRegistryEntry = (
     FunctionIdentifier("vector_norm"),

@@ -158,6 +158,264 @@ object Centroids {
       .select(col("vec_id"), col("cid"), col("dist"))
   }
 
+  /** Corpus-count floor below which the flat branch of [[semAssign]]
+    * keeps the single-pass exploded [[assignMembers]] form and above
+    * which it switches to the Elkan-pruned exact form
+    * ([[assignMembersPruned]], VERDICT r13 #1). The value is the
+    * MEASURED crossover (PruneBench, 3-run medians where contested,
+    * min-of-2 timed, 32 cores): at 20k vectors the pruned form's
+    * multi-stage pipeline reads +27% (1.88 vs 1.48 s — fixed stage
+    * overhead), at 40k it reads −18% (1.83 vs 2.23 s), and the gap
+    * widens monotonically from there (80k organic −45%, 200k with a
+    * 40k-clone blob −29%). Every oracle fixture (sf0.01 = 500 vectors,
+    * sf0.1 = 2000) sits far under it, so oracle rows keep the
+    * historical plan — and are ALSO bit-identical to the pruned form
+    * by the exactness proof on its Scaladoc (spec-pinned on all three
+    * regimes). */
+  private[graft] val PrunedAssignGate = 25000L
+
+  /** Pair budget per task for the pruned flat assignment's probe
+    * spread: a (vector, seed) candidate is ONE fused array fold in
+    * [[graft.functions.QuantSqDist]] (~d multiply-floors inside one
+    * codegen stage), not d hash-aggregate component rows, so the
+    * per-task work unit is ~d× coarser than [[AssignGroupsPerTask]].
+    * Sizing the pruned path with the flat budget measured 897 tasks at
+    * the sf8 chain point — sub-second tasks whose scheduling and
+    * exchange-mismatch overhead (p ≠ spark.sql.shuffle.partitions
+    * re-shuffles every downstream join) swamped the fold work. */
+  private[graft] val PrunedPairsPerTask = 2000000L
+
+  /** Count-derived probe parallelism for [[assignMembersPruned]] — the
+    * [[assignParallelism]] discipline at the pruned path's work unit. */
+  private[graft] def prunedParallelism(spark: SparkSession, n: Long,
+      k: Long): Int =
+    math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.min(n * k / PrunedPairsPerTask + 1,
+        Scale.MaxCountedTasks.toLong).toInt)
+
+  /** Conservative rounding guard for the pruned path's double-domain
+    * lower-bound test (see [[prunedPairFrames]]): D, R, m are exact
+    * BIGINTs < 2⁵¹ (exactly representable as doubles), the two products
+    * carry ≤ 2 ulps ≈ 4·2⁻⁵³ relative error, and the guard is 9 orders
+    * of magnitude wider — a pair is pruned only when m² > 4·D·R by a
+    * margin no rounding can fake. Borderline pairs are NOT pruned (they
+    * are computed exactly), so the guard only ever costs work, never
+    * correctness. */
+  private val PruneGuard = 1.0 + 1e-9
+
+  /** Internal frames of the Elkan-pruned exact flat assignment — shared
+    * by [[assignMembersPruned]] (the operator) and
+    * [[prunedAssignAccounting]] (the skip ledger): `incell` the exact
+    * in-cell distances (vec_id, fcid, dist), `pairs` the lower-bounded
+    * candidate frame for every (vector, out-of-cell seed) with
+    * `prunable` the proven-safe skip predicate over it. */
+  private[graft] final case class PrunedFrames(incell: DataFrame,
+      pairs: DataFrame, prunable: org.apache.spark.sql.Column, kc: Long)
+
+  /** Build [[PrunedFrames]] over a RAW (vec_id, embedding) frame `ea`
+    * with seeds (default: `ea` itself) filtered to vec_id < k — the
+    * array-kernel twin of [[assignMembers]]' exploded inputs. All
+    * distances are [[graft.functions.QuantSqDist]]: exact BIGINT in the
+    * same quantized space, bit-identical to the exploded sum. */
+  private[graft] def prunedPairFrames(ea0: DataFrame, k: Long,
+      seedsEa: Option[DataFrame],
+      probeParallelism: Option[Int]): PrunedFrames = {
+    import graft.functions.VectorFunctions.quant_sqdist
+    val w = org.apache.spark.sql.expressions.Window
+    val ea = ea0.select(col("vec_id"), col("embedding"))
+    val sa = seedsEa.getOrElse(ea0)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("fcid"), col("embedding").as("semb"))
+    val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val ca = sa.filter(col("fcid") < kc)
+      .select(col("fcid").as("ccid"), col("semb").as("cemb"))
+    // each fine seed's own coarse cell + its exact distance R to that
+    // cell's center (k·kc array folds — O(k^1.5·d), negligible). The
+    // kc-way expansion is an explode of a literal id sequence + an
+    // equi-join (AQE sizes the kc-row seed side) — no cross join.
+    // `semb` rides along so the pair stage below can fold survivor
+    // distances IN-STAGE: a first cut that joined arrays back by
+    // (vec_id, fcid) AFTER the filter measured 2.1–2.3× SLOWER than
+    // the flat form at every scale point (sf1 organic 5.5 vs 1.7 s,
+    // sf8+blob 31.8 vs 13.6 s) — the join-back shuffled the n·k
+    // survivor rows and re-materialized both arrays per row.
+    val scell = sa
+      .select(col("fcid"), col("semb"),
+        explode(sequence(lit(0L), lit(kc - 1L))).as("ccid"))
+      .join(ca, Seq("ccid"))
+      .select(col("fcid"), col("semb"), col("ccid"),
+        quant_sqdist(col("semb"), col("cemb")).as("sd"))
+      .withColumn("srk", row_number().over(
+        w.partitionBy(col("fcid")).orderBy(col("sd"), col("ccid"))))
+      .filter(col("srk") === 1)
+      .select(col("fcid"), col("semb"), col("ccid"), col("sd").as("r"))
+    val probe = probeParallelism
+      .map(p => ea.repartition(p, col("vec_id"))).getOrElse(ea)
+    val wv = w.partitionBy(col("vec_id"))
+    // every vector's exact distance D to every coarse center plus its
+    // own-cell pick — NARROW (vec_id, ccid, cd, crk, vccid): the
+    // embedding is dropped before the window so no array-bearing frame
+    // is ever window-sorted (a first cut carried arrays here and the
+    // two window sorts + the ub SMJ sort of ~300-byte rows ate the
+    // entire pruning win). Deliberately NOT lineage-cut: its two
+    // consumers re-run the n·kc folds + one narrow window (a 1/√k
+    // fraction of total work), which measured cheaper than the eager
+    // checkpoint jobs (sf8+blob full pruned 14.8 s with cuts, 11.6
+    // without); AQE stage reuse still shares the probe exchange.
+    val coarseD = probe
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), lit(kc - 1L))).as("ccid"))
+      .join(ca, Seq("ccid"))
+      .select(col("vec_id"), col("ccid"),
+        quant_sqdist(col("embedding"), col("cemb")).as("cd"))
+      .withColumn("crk", row_number().over(
+        wv.orderBy(col("cd"), col("ccid"))))
+      .withColumn("vccid",
+        max(when(col("crk") === 1, col("ccid"))).over(wv))
+    // exact pass over the vector's OWN cell's seeds — n·(k/kc)
+    // expected array folds. The embedding re-attaches by ONE n-to-n
+    // join (n array rows, not n·kc), hinted shuffle_hash: left to
+    // itself the planner BROADCASTS the array side whenever the
+    // corpus is under the 10 MB threshold — measured +115% at the
+    // 20k point (3.54 vs 1.88 s hinted) and a dead end at 100 TB,
+    // where an n-row broadcast cannot exist. The cell→seed map is
+    // ≤ k rows and AQE-broadcasts, so the ×(k/kc) expansion and its
+    // folds stay in-stage. Consumed lazily by the ub aggregate and
+    // the final argmin (recomputed, not cut — same measured decision
+    // as coarseD).
+    val incell = coarseD.filter(col("crk") === 1)
+      .select(col("vec_id"), col("ccid"))
+      .join(probe.hint("shuffle_hash"), Seq("vec_id"))
+      .join(scell.select(col("ccid"), col("fcid"), col("semb")),
+        Seq("ccid"))
+      .select(col("vec_id"), col("fcid"),
+        quant_sqdist(col("embedding"), col("semb")).as("dist"))
+    val ub = incell.groupBy(col("vec_id")).agg(min(col("dist")).as("ub"))
+    // the lower-bound candidate frame: ub joins into the NARROW n·kc
+    // frame, the embedding attaches by one (n·kc)-to-n join, and only
+    // then does the ≤ k-row cell→seed broadcast expand to the n·k pair
+    // rows — which exist solely inside that one join + filter + fold
+    // stage: never shuffled, never sorted, never materialized. The
+    // left join + MaxValue coalesce keeps a vector whose selected cell
+    // held no seed (impossible by the q271 no-stranded-member
+    // argument, but a frame bug here must surface as extra exact work,
+    // not a wrong assignment): ub = ∞ makes every pair non-prunable.
+    val pairs = coarseD
+      .filter(col("ccid") =!= col("vccid"))
+      .join(ub, Seq("vec_id"), "left")
+      .withColumn("ubv", coalesce(col("ub"), lit(Long.MaxValue)))
+      .join(probe.hint("shuffle_hash"), Seq("vec_id"))
+      .join(scell.select(col("fcid"), col("semb"), col("ccid"),
+        col("r")), Seq("ccid"))
+    // Elkan skip, proven-safe: d(x,f) ≥ |√D − √R| (triangle inequality
+    // through f's own cell center), so f is skippable when
+    // (√D − √R)² > ub ⟺ m := D + R − ub > 0 ∧ m² > 4·D·R. The square
+    // is tested in doubles with [[PruneGuard]] slack (exact-safe — see
+    // its doc); m itself is exact LONG (D + R < 2⁵¹, no overflow).
+    val m = col("cd") + col("r") - col("ubv")
+    val prunable = (m > 0L) &&
+      (m.cast("double") * m.cast("double") >
+        lit(4.0) * col("cd").cast("double") * col("r").cast("double") *
+          lit(PruneGuard))
+    PrunedFrames(incell, pairs, prunable, kc)
+  }
+
+  /** Elkan/Hamerly-pruned EXACT nearest-seed assignment (VERDICT r13
+    * #1) over a raw (vec_id, embedding) frame — bit-identical output to
+    * [[assignMembers]] over the same corpus and seeds, with proven-safe
+    * candidate skips instead of the full n·k·d expansion:
+    *
+    *  1. coarse pass: exact distance D to each of kc = ⌈√k⌉ coarse
+    *     centers (the first kc seeds — exactly the two-level path's
+    *     cells), n·kc array folds;
+    *  2. in-cell pass: exact distances to the own cell's seeds,
+    *     n·(k/kc) expected folds; the minimum is the upper bound ub;
+    *  3. lower-bound filter: out-of-cell seed f is SKIPPED when
+    *     (√D(x,cell(f)) − √R(f))² > ub — by the triangle inequality its
+    *     true distance then strictly exceeds an already-computed one,
+    *     so it can neither win nor tie the argmin (ties break on exact
+    *     BIGINT equality, which a strict bound excludes);
+    *  4. exact pass over the survivors only; argmin over
+    *     in-cell ∪ survivors with the (dist, lowest cid) tie-break.
+    *
+    * Work: n·kc + n·k/kc + |survivors| array folds plus an n·k
+    * filter-only stage — against the flat form's n·k·d component rows
+    * through a hash aggregate. On clustered corpora (the regime that
+    * matters: a crawl blob, planted locality) survivors ≈ 0 for blob
+    * members (measured 94% of all pairs pruned for clone-blob vectors);
+    * on a fully isotropic corpus the bound degenerates (√D ≈ √R for
+    * every pair — pruning ≈ kc/k) and the win is the kernel shape
+    * alone: one fused codegen fold per PAIR (QuantSqDist) instead of d
+    * hash-aggregate rows. Distances and tie-breaks replicate
+    * [[assignMembers]] exactly — PrunedAssignSpec pins bit-identity on
+    * the isotropic fixture, planted locality, and a clone-blob corpus,
+    * and recomputes every skipped pair's exact distance to prove it
+    * exceeds ub. Returns (vec_id, cid, dist). */
+  private[graft] def assignMembersPruned(ea: DataFrame, k: Long,
+      seedsEa: Option[DataFrame] = None,
+      probeParallelism: Option[Int] = None): DataFrame = {
+    val pf = prunedPairFrames(ea, k, seedsEa, probeParallelism)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+    // survivor distances fold IN the pair stage (both arrays are
+    // already on the row — see prunedPairFrames); output is narrow
+    def argmin(df: DataFrame): DataFrame = df
+      .withColumn("rk", row_number().over(
+        wv.orderBy(col("dist"), col("fcid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("fcid"), col("dist"))
+    val svWin = argmin(pf.pairs.filter(!pf.prunable)
+      .select(col("vec_id"), col("fcid"),
+        graft.functions.VectorFunctions
+          .quant_sqdist(col("embedding"), col("semb")).as("dist")))
+      .select(col("vec_id"), col("fcid").as("sfcid"),
+        col("dist").as("sdist"))
+    // per-side argmins + a 1-row-per-vector combine instead of a
+    // union + global window: the union repartitions the full
+    // in-cell ∪ survivor row set, while the two side windows ride the
+    // probe's existing vec_id partitioning. Full outer: a vector can
+    // miss either side (all out-of-cell pairs pruned → no survivor
+    // row; defensively, an empty own cell → no in-cell row).
+    val inWin = argmin(pf.incell)
+    inWin.join(svWin, Seq("vec_id"), "full_outer")
+      .select(col("vec_id"),
+        when(col("dist").isNull, col("sfcid"))
+          .when(col("sdist").isNull, col("fcid"))
+          .when(col("sdist") < col("dist") ||
+            (col("sdist") === col("dist") && col("sfcid") < col("fcid")),
+            col("sfcid"))
+          .otherwise(col("fcid")).as("cid"),
+        when(col("dist").isNull, col("sdist"))
+          .when(col("sdist").isNull, col("dist"))
+          .otherwise(least(col("dist"), col("sdist"))).as("dist"))
+  }
+
+  /** The pruned assignment's skip ledger (the q264/q274 accounting
+    * discipline — a bounded operator must COUNT what it skipped): one
+    * row with the pair totals of [[assignMembersPruned]] over this
+    * corpus. pairs_total = n·k; pairs_incell computed exactly in the
+    * upper-bound pass; of the out-of-cell rest, pairs_pruned are
+    * skipped by the proven-safe bound and pairs_survivor are computed
+    * exactly. incell + pruned + survivor = total by construction
+    * (asserted in PrunedAssignSpec, which also recomputes every pruned
+    * pair to prove dist > ub). */
+  private[graft] def prunedAssignAccounting(ea: DataFrame, n: Long,
+      k: Long, seedsEa: Option[DataFrame] = None,
+      probeParallelism: Option[Int] = None): DataFrame = {
+    val pf = prunedPairFrames(ea, k, seedsEa, probeParallelism)
+    val outcell = pf.pairs.agg(
+      coalesce(sum(when(pf.prunable, 1L).otherwise(0L)), lit(0L))
+        .as("pairs_pruned"),
+      coalesce(sum(when(pf.prunable, 0L).otherwise(1L)), lit(0L))
+        .as("pairs_survivor"))
+    pf.incell.agg(count(lit(1)).as("pairs_incell"))
+      .crossJoin(outcell)
+      .select(lit(n).as("n"), lit(k).as("k"), lit(pf.kc).as("kc"),
+        lit(n * k).as("pairs_total"), col("pairs_incell"),
+        col("pairs_pruned"), col("pairs_survivor"))
+  }
+
   /** Deterministic sample for the q271/q277 exact-agreement audits and
     * the go-probe: vec_id ≡ [[HierSampleRem]] (mod [[hierSampleMod]](n)).
     * A modulus keeps the oracle replayable (DuckDB filters the same
@@ -264,7 +522,10 @@ object Centroids {
   private[graft] def semAssign(qv: DataFrame, n: Long, k: Long,
       seeds: Option[DataFrame] = None,
       gate: Long = HierAssignGate,
-      frameN: Long = -1L, frameLabel: String = "corpus"): DataFrame = {
+      frameN: Long = -1L, frameLabel: String = "corpus",
+      arrays: Option[DataFrame] = None,
+      seedArrays: Option[DataFrame] = None,
+      prunedGate: Long = PrunedAssignGate): DataFrame = {
     val spark = qv.sparkSession
     // nf = the ASSIGNED frame's own row count. `n` stays the caller's
     // gate/geometry sizing count — incrSemDedup assigns a BATCH against
@@ -272,7 +533,20 @@ object Centroids {
     // audit accounting must follow the frame actually scanned (frameN;
     // an arithmetic bound is fine — it sizes tasks, not semantics).
     val nf = if (frameN >= 0L) frameN else n
-    if (n <= gate) {
+    if (n <= gate && nf > prunedGate && arrays.isDefined) {
+      // the Elkan-pruned exact form of the flat path (VERDICT r13 #1):
+      // bit-identical assignments (PrunedAssignSpec pins both regimes),
+      // proven-safe candidate skips, and the per-pair array-fold kernel
+      // instead of n·k·d component rows through a hash aggregate.
+      // `arrays` is the caller's RAW (vec_id, embedding) frame — the
+      // exploded `qv` cannot be folded back into arrays without a
+      // corpus-wide collect_list shuffle, so callers that own the raw
+      // frame pass it; callers that only have components keep the
+      // exploded form below.
+      assignMembersPruned(arrays.get, k, seedsEa = seedArrays,
+        probeParallelism = Some(prunedParallelism(spark, nf, k)))
+        .select(col("vec_id"), col("cid"))
+    } else if (n <= gate) {
       // The flat path keeps the spread UNCONDITIONAL — the one-task-
       // budget gate q262/q271 apply was A/B'd here (ADVICE r11) and
       // REJECTED on measurement: at sf0.1 (n·k ≈ 90k groups, just under
@@ -815,7 +1089,7 @@ object Centroids {
         val stored = (gateDir, durableKey) match {
           case (Some(dir), Some((canon, seedsCanon))) =>
             GateStore.lookup(qv.sparkSession, dir, HierGateKind,
-              canon, seedsCanon, inv, n, k)
+              canon, seedsCanon, inv, n, k, thrNum = 9L, thrDen = 10L)
           case _ => None
         }
         val g = stored match {
@@ -1344,7 +1618,7 @@ object Centroids {
     // members as the pair join's LEFT side (cluster-sized window
     // partitions — never the banned global-window class). Computed
     // before the persist so both pair sides and the aggregates share it.
-    val members = semAssign(qv, n, k, gate = gate)
+    val members = semAssign(qv, n, k, gate = gate, arrays = Some(e))
       .withColumn("crk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("cid")).orderBy(col("vec_id"))))
@@ -1504,7 +1778,7 @@ object Centroids {
     // the production default: the data-driven path resolver, same as
     // semDedup/incrSemDedup (isotropic fixtures keep the flat path)
     val sizes = semAssign(qv, n, k, gate = resolveAssignGate(qv, n, k,
-        None, HierAssignGate, HierAutoProbeGate))
+        None, HierAssignGate, HierAutoProbeGate), arrays = Some(e))
       .groupBy(col("cid")).agg(count(lit(1)).as("m"))
     clusterPairAccounting(sizes, Seq(Q274ForcedCap, semClusterCap(n)))
   }
@@ -1609,7 +1883,7 @@ object Centroids {
     val qv = quantized(e)
     // the production default path resolver, same as q268/q272/q274
     val members = semAssign(qv, n, k, gate = resolveAssignGate(qv, n, k,
-        None, HierAssignGate, HierAutoProbeGate))
+        None, HierAssignGate, HierAutoProbeGate), arrays = Some(e))
       .withColumn("crk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("cid")).orderBy(col("vec_id"))))
@@ -1985,7 +2259,8 @@ object Centroids {
     // which side a vector arrived on
     val gate = resolveAssignGate(stQv, nSt, kcut, None, assignGate,
       autoProbeGate, frameLabel = "standing")
-    val membersSt = semAssign(stQv, nSt, kcut, gate = gate).persist()
+    val membersSt = semAssign(stQv, nSt, kcut, gate = gate,
+      arrays = Some(standing)).persist()
     stageProbe("assign_standing", membersSt)
     // batch sized by the standing corpus — it is a fixed fraction of
     // it, so the gate/geometry/spread decisions must match the corpus's
@@ -1995,7 +2270,8 @@ object Centroids {
       // an exact arithmetic bound (IncrSemMod geometry), so the batch
       // pass's spread and audit label follow the frame it scans instead
       // of the standing corpus's gate-sizing count (ADVICE r11)
-      frameN = nSt / (IncrSemMod - 1L) + 1L, frameLabel = "batch")
+      frameN = nSt / (IncrSemMod - 1L) + 1L, frameLabel = "batch",
+      arrays = Some(e.filter(isBatch)), seedArrays = Some(standing))
       .persist()
     stageProbe("assign_batch", membersB)
     val emb = e.select(col("vec_id"), col("embedding"))
@@ -2305,7 +2581,7 @@ object Centroids {
     // the assignment on the codegen path is to not cache its input.
     // What IS shared downstream is mq — assignment result re-joined to
     // the components — consumed by the centroid and distance passes.
-    val members = semAssign(quantized(e), n, k)
+    val members = semAssign(quantized(e), n, k, arrays = Some(e))
     val mq = members.join(quantized(e), Seq("vec_id")).persist()
     val centroids = mq.groupBy(col("cid"), col("pos"))
       .agg(expr("sum(q) div count(1)").as("cq"))

@@ -17,14 +17,24 @@ import org.apache.spark.sql.types._
   * Identity model (this is the load-bearing part):
   *  - the KEY is exact, never a hash: the decision kind, the frame's
   *    CANONICALIZED logical-plan text, the seed frame's (or ""), the
-  *    gate geometry (n, k), and the file INVENTORY — every input file's
-  *    (path, length, modificationTime), sorted. Lookup matches ALL
-  *    columns by string/long equality, so two corpora can only share a
-  *    decision if they are the same computation over the same bytes.
+  *    gate geometry (n, k), the file INVENTORY — every input file's
+  *    (path, length, modificationTime), sorted — plus the exact
+  *    integer threshold in force and the decision-RULE version
+  *    (ADVICE r13: without them, changing the gate rule or threshold
+  *    in a later round would silently replay decisions probed under
+  *    the old rule). Lookup matches ALL of these by equality, so two
+  *    corpora can only share a decision if they are the same
+  *    computation over the same bytes judged by the same rule.
   *  - the inventory closes ADVICE r12's memo gap: canonicalized plans
   *    compare by relation PATHS, so a fixture rewritten in place (same
   *    path, same row count) replayed a stale decision. File length +
-  *    mtime change on rewrite; the key changes with them.
+  *    mtime change on rewrite; the key changes with them. CAVEAT
+  *    (ADVICE r13): on filesystems with coarse (1 s) mtime granularity
+  *    a same-length rewrite inside the window is invisible to the
+  *    inventory — the store assumes millisecond mtimes (every target
+  *    filesystem here) and a deployment on a coarse-mtime store should
+  *    fold a content checksum into its snapshot discipline instead of
+  *    relying on in-place rewrites.
   *  - only FILE-BACKED frames get durable rows: an in-memory frame
   *    (LocalRelation — spec corpora) has no durable identity to key on,
   *    and its canonicalized TEXT omits the data itself, so two distinct
@@ -32,24 +42,51 @@ import org.apache.spark.sql.types._
   *    them and callers fall back to the session-lifetime plan-equality
   *    memo, which compares full structural plans and cannot collide.
   *
+  * Write layout (ADVICE r13, the concurrent-append hazard): every
+  * decision is written as its OWN uniquely-named subdirectory
+  * (`d-<uuid>/`) rather than a Spark append into a shared directory —
+  * two concurrent appends share `<dir>/_temporary` staging, and one
+  * job's commit/cleanup can delete the other's staged files. With
+  * per-decision directories concurrent writers never touch each
+  * other's paths; at worst the same deterministic decision lands
+  * twice, which [[lookup]] tolerates by asserting the duplicates agree
+  * and taking the first. [[compact]] folds an accumulated sidecar back
+  * to one file (run it from a quiesced maintenance window — it is not
+  * atomic against concurrent writers; a decision written mid-compact
+  * can be dropped, which only ever costs a re-probe).
+  *
   * Scale: the store is one row per (corpus snapshot, decision kind) —
   * bounded by ingestion batches, not data. Reads are a whole-table scan
-  * of a KB-sized parquet; writes append one row. At 100 TB the same
-  * rows would live in the warehouse's control schema.
+  * of a KB-sized parquet; writes create one directory with one file. At
+  * 100 TB the same rows would live in the warehouse's control schema.
   */
 object GateStore {
+
+  /** Version of the decision RULES in force, recorded on every row and
+    * matched on lookup, so a rule change invalidates prior rows instead
+    * of silently replaying them (ADVICE r13). History: 1 = the r12
+    * exact-threshold rule; 2 = r13's threshold AND 2-SE conclusiveness
+    * guard (`Centroids.gateGo`), which also covers the nprobe
+    * minimal-clearing-dial rule introduced the same round. Rows written
+    * before the column existed read NULL and never match — the safe
+    * direction (one re-probe, never a stale replay). */
+  val RuleVer = 2L
 
   /** One recorded decision. `go` is the resolved boolean strategy;
     * `agree`/`tot` the probe accounting it was derived from; `thrNum`/
     * `thrDen` the exact integer threshold (agree·den ≥ tot·num) in
     * force; `choice` the resolved DIAL VALUE for multi-point knobs —
     * the picked nprobe for the `ivf-nprobe` kind; for the binary
-    * `hier-assign-gate` kind it mirrors `go` as 1/0. */
+    * `hier-assign-gate` kind it mirrors `go` as 1/0. `ruleVer` is
+    * [[RuleVer]] at write time. */
   final case class Decision(kind: String, planCanon: String,
       seedsCanon: String, files: String, n: Long, k: Long,
       agree: Long, tot: Long, go: Boolean, thrNum: Long, thrDen: Long,
-      choice: Long)
+      choice: Long, ruleVer: Long = RuleVer)
 
+  /** rule_ver is nullable so rows written before the column existed
+    * read as NULL (parquet schema evolution) and are filtered out —
+    * invalidated, not crashed on. */
   private val schema = StructType(Seq(
     StructField("kind", StringType, nullable = false),
     StructField("plan_canon", StringType, nullable = false),
@@ -62,14 +99,15 @@ object GateStore {
     StructField("go", BooleanType, nullable = false),
     StructField("thr_num", LongType, nullable = false),
     StructField("thr_den", LongType, nullable = false),
-    StructField("choice", LongType, nullable = false)))
+    StructField("choice", LongType, nullable = false),
+    StructField("rule_ver", LongType, nullable = true)))
 
   /** The frame's durable identity: (canonicalized-plan text, sorted
     * file inventory `path:length:mtime;…`). None when the frame is not
     * file-backed (no durable identity — see the object doc). The plan
     * text pins WHAT is computed (projections, filters, quantization)
     * with normalized expression ids; the inventory pins the BYTES it
-    * reads. */
+    * reads (mtime granularity caveat: object doc). */
   def fingerprint(df: DataFrame): Option[(String, String)] = {
     val plan = df.queryExecution.analyzed
     val files = plan.collect {
@@ -90,38 +128,90 @@ object GateStore {
     }
   }
 
-  /** The stored decision for this exact (kind, plan, seeds, files, n,
-    * k) key, if any. A missing or empty store reads as None; any other
-    * read failure propagates (a corrupt control table should be loud,
-    * not silently re-probed around). */
-  def lookup(spark: SparkSession, dir: String, kind: String,
-      planCanon: String, seedsCanon: String, files: String,
-      n: Long, k: Long): Option[Decision] = {
-    try spark.read.schema(schema).parquet(dir)
-      .filter(col("kind") === kind && col("n") === n && col("k") === k &&
-        col("plan_canon") === planCanon &&
-        col("seeds_canon") === seedsCanon && col("files") === files)
-      .collect().headOption.map(fromRow)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("PATH_NOT_FOUND") ||
-            e.getMessage.contains("Path does not exist") => None
-    }
+  /** Every decision row in the store, reading the per-decision
+    * subdirectories recursively (and any flat files a pre-r14 store
+    * left at the top level). Empty frame when the store directory does
+    * not exist yet — checked via the FileSystem API, not by matching
+    * exception message text (ADVICE r13: message substrings are
+    * brittle across Spark versions and would misclassify a genuinely
+    * corrupt store as merely missing; any failure OTHER than
+    * not-yet-created propagates loudly). */
+  def readAll(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    else spark.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
   }
 
-  /** Append one decision row. Parquet append is atomic per file and
-    * the key is collision-free, so concurrent writers at worst store
-    * the same (deterministic) decision twice — lookup takes the first. */
+  /** The stored decision for this exact (kind, plan, seeds, files, n,
+    * k, threshold, rule version) key, if any. Concurrent writers can
+    * legally store the same deterministic decision more than once;
+    * duplicates must AGREE — rows matching one key with different
+    * outcomes mean the determinism contract broke, and that must be
+    * loud, not first-row-wins silent. */
+  def lookup(spark: SparkSession, dir: String, kind: String,
+      planCanon: String, seedsCanon: String, files: String,
+      n: Long, k: Long, thrNum: Long, thrDen: Long): Option[Decision] = {
+    val rows = readAll(spark, dir)
+      .filter(col("kind") === kind && col("n") === n && col("k") === k &&
+        col("plan_canon") === planCanon &&
+        col("seeds_canon") === seedsCanon && col("files") === files &&
+        col("thr_num") === thrNum && col("thr_den") === thrDen &&
+        col("rule_ver") === RuleVer)
+      .collect().map(fromRow)
+    require(rows.map(d => (d.go, d.choice)).distinct.length <= 1,
+      s"gate store $dir holds CONFLICTING decisions for one key " +
+        s"(kind=$kind n=$n k=$k): ${rows.mkString("; ")} — the probe " +
+        "is deterministic, so this store is corrupt")
+    rows.headOption
+  }
+
+  /** Record one decision as its own uniquely-named single-file
+    * subdirectory — see the object doc for why this is not a Spark
+    * append. The UUID only names the directory; it never enters any
+    * decision key. */
   def record(spark: SparkSession, dir: String, d: Decision): Unit = {
     val row = Row(d.kind, d.planCanon, d.seedsCanon, d.files, d.n, d.k,
-      d.agree, d.tot, d.go, d.thrNum, d.thrDen, d.choice)
+      d.agree, d.tot, d.go, d.thrNum, d.thrDen, d.choice, d.ruleVer)
     spark.createDataFrame(
         java.util.Collections.singletonList(row), schema)
-      .write.mode("append").parquet(dir)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$dir/d-${java.util.UUID.randomUUID()}")
+  }
+
+  /** Fold an accumulated store (one subdirectory per decision) back to
+    * a single-file subdirectory: a long-lived deployment records one
+    * tiny parquet per decision, and a year of ingestion batches is
+    * thousands of files a whole-store scan then pays for (VERDICT r13
+    * weak #5). Reads everything (bounded — see the object doc's scale
+    * note), writes one compacted directory, then deletes the old
+    * children; a crash between write and delete leaves duplicate
+    * identical rows, which [[lookup]]'s agreement assert tolerates.
+    * NOT safe against concurrent writers (object doc). Returns the
+    * number of rows compacted. */
+  def compact(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return 0L
+    val rows = readAll(spark, dir).collect().toSeq
+    val old = fs.listStatus(path).map(_.getPath).toSeq
+    spark.createDataFrame(
+        java.util.Collections.unmodifiableList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$dir/d-compact-${java.util.UUID.randomUUID()}")
+    old.foreach(p => fs.delete(p, true))
+    rows.length.toLong
   }
 
   private def fromRow(r: Row): Decision = Decision(
     r.getString(0), r.getString(1), r.getString(2), r.getString(3),
     r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
-    r.getBoolean(8), r.getLong(9), r.getLong(10), r.getLong(11))
+    r.getBoolean(8), r.getLong(9), r.getLong(10), r.getLong(11),
+    if (r.isNullAt(12)) -1L else r.getLong(12))
 }

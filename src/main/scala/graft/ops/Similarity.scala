@@ -397,9 +397,17 @@ object Similarity {
   }
 
   /** The IVF retrieval core over any (vec_id, embedding) frame at an
-    * explicit `nprobe` — see [[q76IvfTopk]]. */
-  private[graft] def ivfTopk(e: DataFrame, nprobe: Long): DataFrame = {
-    val cents = e.filter(col("vec_id") < 8)
+    * explicit `nprobe` — see [[q76IvfTopk]]. `k` sizes the coarse
+    * quantizer (centroids = the first k vectors): 8 is the historical
+    * q76 dial; q281 passes the corpus-scaled k = ⌈√n⌉ (VERDICT r13 #2 —
+    * a fixed k leaves the inverted lists growing O(n/8) and the dial
+    * saturating at a full scan; at k = √n the per-query scan fraction
+    * is ~nprobe/√n). For k = 8 the derived stride reproduces the
+    * historical 16/15 constants, so q76's plan and rows are unchanged
+    * bit-for-bit. */
+  private[graft] def ivfTopk(e: DataFrame, nprobe: Long,
+      k: Long = 8L): DataFrame = {
+    val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     // centroid similarities, narrow rows only (score drops the arrays)
     val acs = e.crossJoin(broadcast(cents))
@@ -409,15 +417,19 @@ object Similarity {
     // (primitive-buffer limitation) and falls back to SortAggregate with
     // two extra sorts; encoding the priority as one long keeps the argmax
     // in HashAggregate with map-side partial combine and whole-stage
-    // codegen (asserted in PlanSpec). priority = round(cs·10⁴)·16 +
-    // (15 − cent_id): cs is already 4-dp rounded so the ×16 stride
-    // separates adjacent score levels (16 > k = 8 centroids), and the
-    // (15 − cent_id) term makes the SMALLEST cent_id win ties.
+    // codegen (asserted in PlanSpec). priority = round(cs·10⁴)·S +
+    // (S−1 − cent_id) with S the next power of two ABOVE k: cs is
+    // already 4-dp rounded so the ×S stride separates adjacent score
+    // levels, and the (S−1 − cent_id) term makes the SMALLEST cent_id
+    // win ties. No overflow at any realistic k: |cs4| ≤ 10⁴, so
+    // |m| ≤ 10⁴·S + S — inside Int64 up to S = 2⁴⁸.
+    val stride = centStride(k)
     val assigned = acs
       .groupBy(col("vec_id"))
-      .agg(max(round(col("cs") * 10000).cast("long") * 16 +
-        (lit(15) - col("cent_id"))).as("m"))
-      .select(col("vec_id"), (lit(15) - pmod(col("m"), lit(16))).as("cent_id"))
+      .agg(max(round(col("cs") * 10000).cast("long") * stride +
+        (lit(stride - 1) - col("cent_id"))).as("m"))
+      .select(col("vec_id"),
+        (lit(stride - 1) - pmod(col("m"), lit(stride))).as("cent_id"))
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(desc("cs"), col("cent_id"))
     val probes = acs.filter(col("vec_id") < 5)
@@ -486,11 +498,23 @@ object Similarity {
       |SELECT query_id, cand_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The tie-break stride of the long-encoded centroid argmax: the
+    * next power of two STRICTLY above k (16 for the historical k = 8 —
+    * the committed q76 constants). */
+  private[graft] def centStride(k: Long): Long =
+    java.lang.Long.highestOneBit(math.max(k, 1L)) * 2L
+
   /** The nprobe dial values q275 sweeps — powers of two up to k = 8
     * lists, so the last point probes EVERY list and its recall is
     * exactly 1.0 by construction (same rounded score + id tie-break as
     * the q75 ground truth) — the endpoint that anchors the curve. */
   private val IvfSweepProbes = Seq(1L, 2L, 4L, 8L)
+
+  /** The dial values for a k-list quantizer: powers of two below k,
+    * then k itself — the exact-endpoint anchor at any k (for k = 8
+    * this is [[IvfSweepProbes]] verbatim). */
+  private[graft] def sweepProbesFor(k: Long): Seq[Long] =
+    Iterator.iterate(1L)(_ * 2L).takeWhile(_ < k).toSeq :+ k
 
   /** q76's dial point when [[resolveNprobe]] does not probe — the
     * historical registered value, so every oracle fixture (all below
@@ -517,7 +541,7 @@ object Similarity {
     * rewrite re-probes. */
   private val nprobeMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long,
-      String), java.lang.Long]()
+      Long, String), java.lang.Long]()
 
   /** Test seam (see Centroids.clearGateMemoForTest). */
   private[graft] def clearNprobeMemoForTest(): Unit = nprobeMemo.clear()
@@ -551,12 +575,13 @@ object Similarity {
     * GateStoreSpec). */
   private[graft] def resolveNprobe(e: DataFrame, n: Long,
       autoProbeGate: Long = IvfAutoProbeGate,
-      gateDir: Option[String] = sys.env.get("SPARK_GRAFT_GATE_DIR")): Long = {
+      gateDir: Option[String] = sys.env.get("SPARK_GRAFT_GATE_DIR"),
+      k: Long = 8L): Long = {
     if (n <= autoProbeGate) IvfDefaultNprobe
     else {
       val fp = GateStore.fingerprint(e)
       val inv = fp.map(_._2).getOrElse("")
-      val key = (e.queryExecution.analyzed.canonicalized, n, inv)
+      val key = (e.queryExecution.analyzed.canonicalized, n, k, inv)
       val cached = nprobeMemo.get(key)
       if (cached != null) {
         println(s"[ivf-auto] n=$n: memoized -> nprobe=$cached")
@@ -568,7 +593,8 @@ object Similarity {
         val stored = (gateDir, fp) match {
           case (Some(dir), Some((canon, files))) =>
             GateStore.lookup(e.sparkSession, dir, "ivf-nprobe",
-              canon, "", files, n, 8L)
+              canon, "", files, n, k,
+              thrNum = IvfTargetRecallNum, thrDen = IvfTargetRecallDen)
           case _ => None
         }
         stored.map { d =>
@@ -590,28 +616,37 @@ object Similarity {
         // historical centroid-coincident slice — it reports the dial
         // for q76's own fixed queries; the RESOLVER needs an unbiased
         // estimate of what a fresh query would see.
-        val dial = ivfSweepDial(e,
-            col("vec_id") >= 8L && col("vec_id") < 13L)
-          .groupBy(col("nprobe"))
-          .agg(sum(col("n_hits")).as("hits"),
-            (count(lit(1)) * 5L).as("possible"))
+        val dial = resolverDial(e, k)
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           .sortBy(_._1)
         val pick = dial
           .find { case (_, hits, possible) =>
             hits * IvfTargetRecallDen >= possible * IvfTargetRecallNum }
-          .map(_._1).getOrElse(IvfSweepProbes.max)
-        println(s"[ivf-auto] n=$n: dial " +
+          .map(_._1).getOrElse(sweepProbesFor(k).max)
+        // ADVICE r13: a corpus whose id space misses the probe-query
+        // slice entirely yields an EMPTY dial — the pick above is then
+        // the conservative endpoint with zero evidence behind it, and
+        // that must be its own loud log line, not a normal-looking
+        // dial readout.
+        if (dial.isEmpty)
+          println(s"[ivf-auto] n=$n: no probe queries in the dial " +
+            s"slice — conservative endpoint nprobe=$pick (no recall " +
+            "evidence; seed a query slice from ids present in this " +
+            "corpus to measure)")
+        else println(s"[ivf-auto] n=$n: dial " +
           dial.map { case (p, h, t) => s"$p->$h/$t" }.mkString(", ") +
           s" vs target $IvfTargetRecallNum/$IvfTargetRecallDen -> " +
           s"nprobe=$pick")
+        // an empty dial is never recorded durably: the endpoint pick
+        // carries zero recall evidence, and a later session (or a
+        // fixed query slice) should re-measure rather than replay it
         (gateDir, fp) match {
-          case (Some(dir), Some((canon, files))) =>
+          case (Some(dir), Some((canon, files))) if dial.nonEmpty =>
             val (h, t) = dial.find(_._1 == pick)
               .map(d => (d._2, d._3)).getOrElse((0L, 0L))
             GateStore.record(e.sparkSession, dir, GateStore.Decision(
-              "ivf-nprobe", canon, "", files, n, 8L, h, t, go = true,
+              "ivf-nprobe", canon, "", files, n, k, h, t, go = true,
               IvfTargetRecallNum, IvfTargetRecallDen, choice = pick))
           case _ => ()
         }
@@ -655,8 +690,11 @@ object Similarity {
     * the historical vec_id < 5; the resolver passes a NON-CENTROID
     * slice (see its doc for why that bias matters). */
   private[graft] def ivfSweepDial(e: DataFrame,
-      queryPred: Column = col("vec_id") < 5): DataFrame = {
-    val cents = e.filter(col("vec_id") < 8)
+      queryPred: Column = col("vec_id") < 5,
+      k: Long = 8L): DataFrame = {
+    val sweep = sweepProbesFor(k)
+    val stride = centStride(k)
+    val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val acs = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
@@ -664,17 +702,17 @@ object Similarity {
     // q76's long-encoded argmax (HashAggregate-able, codegen'd)
     val assigned = acs
       .groupBy(col("vec_id"))
-      .agg(max(round(col("cs") * 10000).cast("long") * 16 +
-        (lit(15) - col("cent_id"))).as("m"))
+      .agg(max(round(col("cs") * 10000).cast("long") * stride +
+        (lit(stride - 1) - col("cent_id"))).as("m"))
       .select(col("vec_id"),
-        (lit(15) - pmod(col("m"), lit(16))).as("cent_id"))
+        (lit(stride - 1) - pmod(col("m"), lit(stride))).as("cent_id"))
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(desc("cs"), col("cent_id"))
     // rank all k lists once per query; each dial point reuses the rank
     val probes = acs.filter(queryPred)
       .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= IvfSweepProbes.max)
-      .withColumn("nprobe", explode(array(IvfSweepProbes.map(lit): _*)))
+      .filter(col("rk") <= sweep.max)
+      .withColumn("nprobe", explode(array(sweep.map(lit): _*)))
       .filter(col("rk") <= col("nprobe"))
       .select(col("nprobe"), col("vec_id").as("query_id"), col("cent_id"))
     val cands = probes
@@ -796,6 +834,135 @@ object Similarity {
        |FROM nc LEFT JOIN hits h
        |  ON h.nprobe = nc.nprobe AND h.query_id = nc.query_id
        |ORDER BY nc.nprobe, nc.query_id""".stripMargin
+
+  /** The resolver's decision slice: vec_id ∈ [8, 13) — five NON-CENTROID
+    * probe queries (ids ≥ the 8 fixed centroids; see [[resolveNprobe]]'s
+    * doc for why centroid-coincident queries bias the dial to ~1.0
+    * recall on any geometry). */
+  private[graft] val ResolverQueryPred: Column =
+    col("vec_id") >= 8L && col("vec_id") < 13L
+
+  /** The per-nprobe aggregate [[resolveNprobe]] ACTUALLY decides on —
+    * (nprobe, n_hits, n_possible, clears) over the non-centroid dial
+    * slice, where `clears` is the exact-integer target test
+    * (hits·den ≥ possible·num). q280 registers this frame verbatim, so
+    * the DuckDB hash gate pins the resolver's real decision input
+    * (VERDICT r13 #4 — q275's registered row pins only the historical
+    * centroid-coincident slice). */
+  private[graft] def resolverDial(e: DataFrame, k: Long = 8L): DataFrame =
+    ivfSweepDial(e, ResolverQueryPred, k)
+      .groupBy(col("nprobe"))
+      .agg(sum(col("n_hits")).as("n_hits"),
+        (count(lit(1)) * 5L).as("n_possible"))
+      .select(col("nprobe"), col("n_hits"), col("n_possible"),
+        when(col("n_hits") * IvfTargetRecallDen >=
+          col("n_possible") * IvfTargetRecallNum, 1L)
+          .otherwise(0L).as("clears"))
+
+  /** q280_resolver_dial — the nprobe resolver's decision input as an
+    * oracle row (VERDICT r13 #4, the q277/q278 pattern: the number a
+    * data-driven knob actually compares against its threshold must
+    * itself be hash-checked): per dial point, the sampled hit/possible
+    * counts over the resolver's exact non-centroid query slice and
+    * whether that point clears the 9/10 target — the MINIMAL clearing
+    * row is precisely [[resolveNprobe]]'s pick, spec-cross-equated in
+    * SimilaritySpec. The fixture sits below [[IvfAutoProbeGate]] so
+    * production would not probe it; like q277/q278 the query runs the
+    * accounting unconditionally — what the resolver WOULD decide here
+    * is exactly what it reports. Scale: the q275 sweep shape (one
+    * corpus assignment, |queries|-bounded joins) folded to |dial| rows. */
+  def q280ResolverDial(spark: SparkSession, sfDir: String): DataFrame =
+    resolverDial(Tables.embeddings(spark, sfDir))
+      .orderBy(col("nprobe"))
+
+  /** Composed oracle: the q275 pipeline re-sliced to the resolver's
+    * query predicate (a textual substitution of the ONLY two
+    * occurrences of the historical slice — the probe-rank filter and
+    * the inlined q75 ground truth), folded to the per-nprobe decision
+    * aggregate. Building it FROM q275Sql keeps the two oracles
+    * structurally identical, exactly as the Spark side reuses
+    * [[ivfSweepDial]]. */
+  val q280Sql: String = {
+    val sliced = q275Sql.replace(
+      "WHERE vec_id < 5", "WHERE vec_id >= 8 AND vec_id < 13")
+    s"""WITH dial AS ($sliced)
+       |SELECT nprobe,
+       |       CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       |       CAST(count(*) * 5 AS BIGINT) AS n_possible,
+       |       CAST(CASE WHEN sum(n_hits) * $IvfTargetRecallDen >=
+       |              count(*) * 5 * $IvfTargetRecallNum
+       |            THEN 1 ELSE 0 END AS BIGINT) AS clears
+       |FROM dial GROUP BY nprobe ORDER BY nprobe""".stripMargin
+  }
+
+  /** q281_ivf_scaled — IVF retrieval with the coarse quantizer SCALED
+    * to the corpus: k = ⌈√n⌉ centroids (the first k vectors — q268's
+    * deterministic seed-by-id-bound rule), nprobe from the resolver
+    * (the dial default below the auto-probe gate, the measured dial
+    * above it — recorded in GateStore under the REAL k). This is the
+    * r13 verdict's scale-headroom item #2: q76's fixed 8-centroid
+    * quantizer leaves inverted lists growing O(n/8) and its dial
+    * saturating at a full scan, while at k = √n the per-query scan
+    * fraction is ~nprobe/√n → 0 with corpus growth (measured in
+    * SCALE_POINT_r14). q76 stays registered as the historical
+    * fixed-8 oracle row; the retrieval machinery is shared
+    * ([[ivfTopk]] — the k = 8 plan and rows are bit-identical to
+    * before the generalization). */
+  def q281IvfScaled(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    ivfTopk(e, resolveNprobe(e, n, k = k), k = k)
+  }
+
+  /** The q76 oracle pipeline with k a scalar subquery (⌈√n⌉) instead
+    * of the literal 8 — assignment/probe/top-k windows identical. */
+  val q281Sql: String =
+    """WITH n AS (SELECT count(*) AS n FROM embeddings),
+      |k AS (SELECT GREATEST(2, CAST(ceil(sqrt(n)) AS BIGINT)) AS k FROM n),
+      |cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_emb
+      |  FROM embeddings WHERE vec_id < (SELECT k FROM k)),
+      |ap AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |         unnest(e.embedding)::DOUBLE AS x,
+      |         unnest(c.cent_emb)::DOUBLE AS y
+      |  FROM embeddings e, cents c),
+      |acs AS (
+      |  SELECT vec_id, cent_id,
+      |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) AS cs
+      |  FROM ap GROUP BY vec_id, cent_id),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY cs DESC, cent_id) AS rk
+      |    FROM acs) WHERE rk = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM (
+      |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY cs DESC, cent_id) AS rk
+      |    FROM acs WHERE vec_id < 5) WHERE rk <= 2),
+      |cands AS (
+      |  SELECT p.query_id, a.vec_id AS cand_id
+      |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+      |  WHERE a.vec_id <> p.query_id),
+      |sp AS (
+      |  SELECT cd.query_id, cd.cand_id,
+      |         unnest(qe.embedding)::DOUBLE AS x,
+      |         unnest(ce.embedding)::DOUBLE AS y
+      |  FROM cands cd JOIN embeddings qe ON qe.vec_id = cd.query_id
+      |                JOIN embeddings ce ON ce.vec_id = cd.cand_id),
+      |s AS (
+      |  SELECT query_id, cand_id,
+      |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4)
+      |           AS cos_sim
+      |  FROM sp GROUP BY query_id, cand_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cos_sim DESC, cand_id) AS rank
+      |  FROM s)
+      |SELECT query_id, cand_id, cos_sim, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Production-path embedding near-dup detection over any
     * (vec_id, embedding) frame: candidate pairs come from the multi-table

@@ -44,8 +44,12 @@ class GateStoreSpec extends AnyFunSuite {
     val local = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
     assert(ops.GateStore.fingerprint(local).isEmpty,
       "a LocalRelation frame has no file-backed fingerprint")
-    // rewrite in place (same bytes, new mtime): inventory must change
-    Thread.sleep(5) // mtime granularity guard
+    // rewrite in place (same bytes, new mtime): inventory must change.
+    // The sleep sits ABOVE 1 s (ADVICE r13): on a filesystem with
+    // coarse mtime granularity a 5 ms guard can flake — and the store's
+    // own documented contract only promises rewrite detection past the
+    // filesystem's mtime resolution.
+    Thread.sleep(1100)
     Files.copy(Paths.get(SparkSuite.sf, "embeddings.parquet"),
       Paths.get(dir, "embeddings.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
@@ -90,7 +94,7 @@ class GateStoreSpec extends AnyFunSuite {
       "second session must take the STORED decision without probing")
     // the store holds exactly the one accounting row, with the exact
     // integer threshold recorded
-    val rows = spark.read.parquet(gateDir).collect()
+    val rows = ops.GateStore.readAll(spark, gateDir).collect()
     assert(rows.length === 1, s"expected one decision row, got ${rows.length}")
     val r = rows.head
     assert(r.getAs[Long]("n") === 500L && r.getAs[Long]("k") === 23L &&
@@ -98,7 +102,7 @@ class GateStoreSpec extends AnyFunSuite {
     assert(r.getAs[Long]("tot") > 0L && r.getAs[Long]("agree") >= 0L)
     // rewrite the corpus in place: same path, same row count -> the
     // fingerprint changes, the stored row no longer matches, re-probe
-    Thread.sleep(5)
+    Thread.sleep(1100) // above mtime granularity (ADVICE r13)
     Files.copy(Paths.get(SparkSuite.sf, "embeddings.parquet"),
       Paths.get(fixDir, "embeddings.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
@@ -107,8 +111,8 @@ class GateStoreSpec extends AnyFunSuite {
     assert(g3 === g1, "identical bytes re-probe to the same decision")
     assert(ops.Centroids.hierProbeRuns.get() === runs0 + 2,
       "a rewritten snapshot must be re-probed, not replayed stale")
-    assert(spark.read.parquet(gateDir).count() === 2L,
-      "the fresh decision appends its own accounting row")
+    assert(ops.GateStore.readAll(spark, gateDir).count() === 2L,
+      "the fresh decision adds its own accounting row")
   }
 
   test("nprobe decisions persist too: the second session reuses the " +
@@ -132,12 +136,30 @@ class GateStoreSpec extends AnyFunSuite {
     assert(p2 === p1, "second session must reach the same dial point")
     assert(ops.Similarity.nprobeRuns.get() === runs0 + 1,
       "second session must take the STORED pick without sweeping")
-    val rows = spark.read.parquet(gateDir)
+    val rows = ops.GateStore.readAll(spark, gateDir)
       .filter(col("kind") === "ivf-nprobe").collect()
     assert(rows.length === 1)
     assert(rows.head.getAs[Long]("choice") === p1 &&
       rows.head.getAs[Long]("tot") > 0L,
       "the stored row carries the pick and its recall accounting")
+    assert(rows.head.getAs[Long]("k") === 8L,
+      "the fixed-quantizer resolve records its k")
+    // the SCALED-k resolver records the REAL k (VERDICT r13 #2): a
+    // fresh resolve at k = ⌈√n⌉ = 23 must land its own store row
+    // keyed by that k
+    ops.Similarity.clearNprobeMemoForTest()
+    resolveIn(spark.newSession()) // re-warm the memo path is irrelevant
+    ops.Similarity.clearNprobeMemoForTest()
+    val e23 = spark.newSession().read
+      .parquet(s"$fixDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pScaled = ops.Similarity.resolveNprobe(e23, 500L,
+      autoProbeGate = 0L, gateDir = Some(gateDir), k = 23L)
+    val scaledRows = ops.GateStore.readAll(spark, gateDir)
+      .filter(col("kind") === "ivf-nprobe" && col("k") === 23L).collect()
+    assert(scaledRows.length === 1 &&
+      scaledRows.head.getAs[Long]("choice") === pScaled,
+      "the scaled resolve must record its real k in the store")
   }
 
   test("probeConclusive: the exact-integer 2-SE test matches its IEEE " +
@@ -188,6 +210,81 @@ class GateStoreSpec extends AnyFunSuite {
     assert(!ops.Centroids.gateGo(151L, 541L) &&
       !ops.Centroids.gateGo(0L, 0L),
       "below-threshold and empty samples stay flat")
+  }
+
+  test("per-decision directories: concurrent-style records never " +
+    "collide; compaction folds to one file and lookups survive it") {
+    val gateDir = Files.createTempDirectory("graft-gate-compact")
+      .resolve("decisions").toString
+    def dec(i: Long) = ops.GateStore.Decision(
+      "hier-assign-gate", s"plan-$i", "", s"f-$i:1:$i", 100L + i, 10L,
+      9L, 10L, go = false, 9L, 10L, choice = 0L)
+    (0L until 5L).foreach(i => ops.GateStore.record(spark, gateDir, dec(i)))
+    // one subdirectory per decision — no shared staging path to race on
+    val fs = new org.apache.hadoop.fs.Path(gateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(gateDir))
+      .count(_.isDirectory) === 5)
+    def look(i: Long) = ops.GateStore.lookup(spark, gateDir,
+      "hier-assign-gate", s"plan-$i", "", s"f-$i:1:$i", 100L + i, 10L,
+      9L, 10L)
+    assert((0L until 5L).forall(i => look(i).exists(_.n === 100L + i)))
+    // compact: five single-row directories fold to one; every lookup
+    // still serves, and the store is one directory with one data file
+    assert(ops.GateStore.compact(spark, gateDir) === 5L)
+    assert((0L until 5L).forall(i => look(i).exists(_.n === 100L + i)))
+    val kids = fs.listStatus(new org.apache.hadoop.fs.Path(gateDir))
+      .filter(_.isDirectory)
+    assert(kids.length === 1, "compaction must leave one directory")
+    // a duplicate IDENTICAL record (the legal concurrent-writer
+    // outcome) is tolerated by lookup...
+    ops.GateStore.record(spark, gateDir, dec(0L))
+    assert(look(0L).isDefined)
+    // ...but a CONFLICTING decision under the same key is corruption
+    // and must be loud
+    ops.GateStore.record(spark, gateDir,
+      dec(1L).copy(go = true, choice = 1L))
+    assertThrows[IllegalArgumentException] { look(1L) }
+  }
+
+  test("a rule-version bump invalidates stored rows instead of " +
+    "replaying them") {
+    val gateDir = Files.createTempDirectory("graft-gate-rulever")
+      .resolve("decisions").toString
+    val old = ops.GateStore.Decision(
+      "hier-assign-gate", "plan-x", "", "f:1:1", 500L, 23L,
+      9L, 10L, go = false, 9L, 10L, choice = 0L,
+      ruleVer = ops.GateStore.RuleVer - 1L)
+    ops.GateStore.record(spark, gateDir, old)
+    assert(ops.GateStore.lookup(spark, gateDir, "hier-assign-gate",
+      "plan-x", "", "f:1:1", 500L, 23L, 9L, 10L).isEmpty,
+      "a row probed under an older rule version must not replay")
+    // and a different threshold under the current rule is its own key
+    ops.GateStore.record(spark, gateDir, old.copy(
+      ruleVer = ops.GateStore.RuleVer, thrNum = 8L))
+    assert(ops.GateStore.lookup(spark, gateDir, "hier-assign-gate",
+      "plan-x", "", "f:1:1", 500L, 23L, 9L, 10L).isEmpty,
+      "a row probed under a different threshold must not replay")
+  }
+
+  test("resolveNprobe on a corpus missing the probe-query ids: " +
+    "conservative endpoint, nothing recorded durably") {
+    val sp = spark
+    import sp.implicits._
+    val gateDir = Files.createTempDirectory("graft-gate-emptydial")
+      .resolve("decisions").toString
+    // ids start at 1000 — the [8, 13) probe slice is empty
+    val rng = new scala.util.Random(7)
+    val e = (0 until 60).map(i =>
+      (1000L + i, Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    ops.Similarity.clearNprobeMemoForTest()
+    val pick = ops.Similarity.resolveNprobe(e, 60L, autoProbeGate = 0L,
+      gateDir = Some(gateDir))
+    assert(pick === 8L,
+      "an empty dial must fall back to the conservative endpoint")
+    assert(!Files.exists(Paths.get(gateDir)),
+      "a zero-evidence endpoint pick must not persist durably")
   }
 
   test("in-memory corpora never touch the durable store") {

@@ -738,6 +738,51 @@ class SimilaritySpec extends AnyFunSuite
     assert(viaQ76.toSeq === viaCore.toSeq)
   }
 
+  test("q280 resolver dial IS the resolver's decision input: the " +
+    "minimal clearing row equals the pick, clears is the exact test") {
+    val e = Tables.embeddings(spark, SparkSuite.sf)
+      .select(col("vec_id"), col("embedding"))
+    val rows = ops.Similarity.resolverDial(e).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty, "the fixture covers the [8,13) probe slice")
+    rows.foreach { r =>
+      assert((r.getLong(1) * 10L >= r.getLong(2) * 9L)
+        === (r.getLong(3) === 1L),
+        s"clears must be the exact 9/10 integer test at nprobe " +
+          s"${r.getLong(0)}")
+    }
+    val expected = rows.find(_.getLong(3) === 1L).map(_.getLong(0))
+      .getOrElse(8L)
+    ops.Similarity.clearNprobeMemoForTest()
+    val pick = ops.Similarity.resolveNprobe(e, e.count(),
+      autoProbeGate = 0L, gateDir = None)
+    assert(pick === expected,
+      "the resolver's pick must be q280's minimal clearing dial row")
+  }
+
+  test("q281 scaled-k IVF: probing every list reproduces the exact " +
+    "brute-force ground truth; the registered form is deterministic") {
+    val e = Tables.embeddings(spark, SparkSuite.sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    // endpoint anchor at the scaled k: every list probed ⇒ the
+    // candidate set is the whole corpus minus the query, so the top-5
+    // must equal q75's brute force row for row (scores + tie-breaks)
+    val full = ops.Similarity.ivfTopk(e, nprobe = k, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val brute = ops.Similarity.q75BruteTopk(spark, SparkSuite.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(full.toSeq === brute.toSeq)
+    // the registered q281 (resolver default below the gate, nprobe 2)
+    // returns 5 rows per query with ranks 1..5
+    val out = ops.Similarity.q281IvfScaled(spark, SparkSuite.sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length)) }
+  }
+
   test("assignParallelism clamps in Long at the 100 TB design point " +
     "(ADVICE r10: the raw quotient wraps negative past Int.MaxValue)") {
     // n = 4e9 vectors, k = ceil(sqrt(n)): n·k/budget ≈ 2.5e9 >
