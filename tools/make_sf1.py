@@ -52,8 +52,9 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
 REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 EMB_ONLY = len(sys.argv) > 3 and sys.argv[3] == "embeddings_only"
 if EMB_ONLY:
-    assert 1 <= REPLICAS <= 128, \
-        "embedding rotation x negation supports at most 128 replicas"
+    assert 1 <= REPLICAS <= 256, \
+        "embedding rotation x negation x reversal supports at most " \
+        "256 replicas"
 else:
     assert 1 <= REPLICAS <= 26, "text rotation supports at most 26 replicas"
 ORD_OFF, PART_OFF, SUPP_OFF, CUST_OFF, DOC_OFF = (
@@ -68,18 +69,27 @@ def rot(s: str, i: int) -> str:
 
 
 def emb_only(con) -> None:
-    # transform i = rotation by (i mod 64) composed with negation for
-    # i >= 64 — 128 distinct orthogonal transforms, so the REPLICAS <=
-    # 128 assert above is the real guard: replica 128 would repeat
-    # transform 0 and plant byte-identical embedding copies, the exact
-    # artifact the cap exists to prevent (ADVICE r12: the guard is the
-    # assert, never a silent wrap)
+    # transform i = rotation by (i mod 64), composed with reversal for
+    # (i // 128) odd and negation for (i // 64) odd — the dihedral
+    # group D64 (rotations + reflections, 128 distinct permutations)
+    # crossed with global negation = 256 distinct orthogonal
+    # transforms (r14, for the sf16 HotBench point; r13 capped at the
+    # rotation x negation 128). Reversal is as artifact-free as the
+    # other two: norm- and intra-replica-geometry-preserving, no
+    # replica pair byte-identical, cross-replica cosines scrambled.
+    # The REPLICAS <= 256 assert above is the real guard: replica 256
+    # would repeat transform 0 and plant byte-identical embedding
+    # copies, the exact artifact the cap exists to prevent (ADVICE
+    # r12: the guard is the assert, never a silent wrap).
     def emb_expr(i: int) -> str:
         rot = i % 64
-        rotated = (f"list_slice(embedding, {rot + 1}, 64)"
-                   f" || list_slice(embedding, 1, {rot})")
-        return (f"list_transform({rotated}, x -> -x)" if i >= 64
-                else rotated)
+        e = (f"list_slice(embedding, {rot + 1}, 64)"
+             f" || list_slice(embedding, 1, {rot})")
+        if (i // 128) % 2 == 1:
+            e = f"list_reverse({e})"
+        if (i // 64) % 2 == 1:
+            e = f"list_transform({e}, x -> -x)"
+        return e
     emb_selects = " UNION ALL ".join(
         f"""SELECT vec_id + {i} * 2000 AS vec_id,
                {emb_expr(i)} AS embedding,
