@@ -396,6 +396,27 @@ object Similarity {
     ivfTopk(e, resolveNprobe(e, e.count()))
   }
 
+  /** (vec_id, cent_id, cs) — every vector's rounded cosine to every
+    * coarse centroid. The k = 8 historical form broadcasts the
+    * CONSTANT centroid frame (census-waived in AuditSweepSpec); a
+    * corpus-scaled k is a √n-row frame with unbounded growth, so it
+    * takes the explode + equi-join form instead — no cross join, no
+    * forced broadcast, AQE sizes the seed side at runtime (the r9
+    * de-hint rule). Semantics are identical: exploded ids with no
+    * matching seed produce no rows, exactly as the cross join scores
+    * only the seeds present. */
+  private def centSims(e: DataFrame, k: Long): DataFrame = {
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val joined =
+      if (k <= 8L) e.crossJoin(broadcast(cents))
+      else e.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(k - 1L))).as("cent_id"))
+        .join(cents, Seq("cent_id"))
+    joined.select(col("vec_id"), col("cent_id"),
+      round(cosine(col("embedding"), col("cent_emb")), 4).as("cs"))
+  }
+
   /** The IVF retrieval core over any (vec_id, embedding) frame at an
     * explicit `nprobe` — see [[q76IvfTopk]]. `k` sizes the coarse
     * quantizer (centroids = the first k vectors): 8 is the historical
@@ -407,12 +428,8 @@ object Similarity {
     * bit-for-bit. */
   private[graft] def ivfTopk(e: DataFrame, nprobe: Long,
       k: Long = 8L): DataFrame = {
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     // centroid similarities, narrow rows only (score drops the arrays)
-    val acs = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        round(cosine(col("embedding"), col("cent_emb")), 4).as("cs"))
+    val acs = centSims(e, k)
     // argmax as a plain LONG max — a struct max is not hash-aggregable
     // (primitive-buffer limitation) and falls back to SortAggregate with
     // two extra sorts; encoding the priority as one long keeps the argmax
@@ -694,11 +711,7 @@ object Similarity {
       k: Long = 8L): DataFrame = {
     val sweep = sweepProbesFor(k)
     val stride = centStride(k)
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    val acs = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        round(cosine(col("embedding"), col("cent_emb")), 4).as("cs"))
+    val acs = centSims(e, k)
     // q76's long-encoded argmax (HashAggregate-able, codegen'd)
     val assigned = acs
       .groupBy(col("vec_id"))

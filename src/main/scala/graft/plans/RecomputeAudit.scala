@@ -84,6 +84,11 @@ object RecomputeAudit {
         "1.24->1.40 s, sf1 1.55->1.72, sf2 1.83->1.85, timed " +
         "min-of-2); ReuseExchange shares the assignment and list-join " +
         "exchanges, the cut's eager job costs more than the recompute"),
+    Waiver("q280_resolver_dial", "Join", 2, 6,
+      "the SAME cands subtree and the same r12 A/B as the q275 Join " +
+        "waiver: q280 is the q275 dial re-sliced to the resolver's " +
+        "query predicate and folded to the per-nprobe aggregate — the " +
+        "duplicated candidate join underneath is plan-identical"),
     Waiver("q72_ngram_jaccard", "Aggregate", 2, 3,
       "Dedup.scala ngramJaccard note — r13 A/B rejected " +
         "(worktree-alternating, timed min-of-2: persist(grams) sf0.1 " +

@@ -59,6 +59,13 @@ class AuditSweepSpec extends AnyFunSuite {
         "probe-rank branches of both the candidate-count and top-k " +
         "sides (4 plan occurrences), + the inlined q75 ground truth's " +
         "fixed 5-query probe set — all constant-cardinality at any SF"),
+    ("q280_resolver_dial", "forced-broadcast") -> (5,
+      "the q275 dial pipeline re-sliced to the resolver's 5-query " +
+        "non-centroid predicate: the same k=8-row centroid frame (4 " +
+        "plan occurrences) + the ground truth's fixed probe set — all " +
+        "constant-cardinality; q281's SCALED quantizer deliberately " +
+        "has no entry: its √n-row centroid frame is unbounded, so " +
+        "centSims de-hints it (explode + equi-join, AQE-sized)"),
     ("q78_quantized_topk", "forced-broadcast") -> (1,
       "the probe-query vectors"),
     ("q66_kmeans_step", "forced-broadcast") -> (3,
