@@ -158,21 +158,26 @@ object Centroids {
       .select(col("vec_id"), col("cid"), col("dist"))
   }
 
-  /** Corpus-count floor below which the flat branch of [[semAssign]]
-    * keeps the single-pass exploded [[assignMembers]] form and above
-    * which it switches to the Elkan-pruned exact form
-    * ([[assignMembersPruned]], VERDICT r13 #1). The value is the
-    * MEASURED crossover (PruneBench, 3-run medians where contested,
-    * min-of-2 timed, 32 cores): at 20k vectors the pruned form's
-    * multi-stage pipeline reads +27% (1.88 vs 1.48 s — fixed stage
-    * overhead), at 40k it reads −18% (1.83 vs 2.23 s), and the gap
-    * widens monotonically from there (80k organic −45%, 200k with a
-    * 40k-clone blob −29%). Every oracle fixture (sf0.01 = 500 vectors,
-    * sf0.1 = 2000) sits far under it, so oracle rows keep the
-    * historical plan — and are ALSO bit-identical to the pruned form
-    * by the exactness proof on its Scaladoc (spec-pinned on all three
-    * regimes). */
-  private[graft] val PrunedAssignGate = 25000L
+  /** PAIR-count floor (probe rows × seeds) below which the flat
+    * branch of [[semAssign]] keeps the single-pass exploded
+    * [[assignMembers]] form and above which it switches to the
+    * Elkan-pruned exact form ([[assignMembersPruned]], VERDICT r13
+    * #1). The gate is on n·k, not rows, because both forms' work is
+    * the pair count: a 20k-row BATCH assigned against a standing
+    * corpus's 473 seeds (the sf8 incremental-admission shape) is the
+    * same 9.5M-pair job as a 40k self-seeded corpus, and measured
+    * accordingly. The value is the MEASURED crossover (PruneBench,
+    * 3-run medians where contested, min-of-2 timed, 32 cores): at
+    * 2.84M pairs (20k×142) the pruned form's multi-stage pipeline
+    * reads +27% (1.88 vs 1.48 s — fixed stage overhead), at 8M pairs
+    * (40k×200) it reads −18% (1.83 vs 2.23 s), and the gap widens
+    * monotonically from there (22.6M pairs −45%, 89.6M with a
+    * 40k-clone blob −29%, 253M at sf16+80k −57%). Every oracle
+    * fixture (≤ 2000×45 = 90k pairs) sits two orders of magnitude
+    * under it, so oracle rows keep the historical plan — and are ALSO
+    * bit-identical to the pruned form by the exactness proof on its
+    * Scaladoc (spec-pinned on all three regimes). */
+  private[graft] val PrunedAssignPairGate = 5000000L
 
   /** Pair budget per task for the pruned flat assignment's probe
     * spread: a (vector, seed) candidate is ONE fused array fold in
@@ -525,7 +530,7 @@ object Centroids {
       frameN: Long = -1L, frameLabel: String = "corpus",
       arrays: Option[DataFrame] = None,
       seedArrays: Option[DataFrame] = None,
-      prunedGate: Long = PrunedAssignGate): DataFrame = {
+      prunedPairGate: Long = PrunedAssignPairGate): DataFrame = {
     val spark = qv.sparkSession
     // nf = the ASSIGNED frame's own row count. `n` stays the caller's
     // gate/geometry sizing count — incrSemDedup assigns a BATCH against
@@ -533,7 +538,7 @@ object Centroids {
     // audit accounting must follow the frame actually scanned (frameN;
     // an arithmetic bound is fine — it sizes tasks, not semantics).
     val nf = if (frameN >= 0L) frameN else n
-    if (n <= gate && nf > prunedGate && arrays.isDefined) {
+    if (n <= gate && nf * k > prunedPairGate && arrays.isDefined) {
       // the Elkan-pruned exact form of the flat path (VERDICT r13 #1):
       // bit-identical assignments (PrunedAssignSpec pins both regimes),
       // proven-safe candidate skips, and the per-pair array-fold kernel

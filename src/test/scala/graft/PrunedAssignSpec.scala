@@ -132,9 +132,9 @@ class PrunedAssignSpec extends AnyFunSuite {
     val qv = ops.Centroids.quantized(e)
     val viaFlat = ops.Centroids.semAssign(qv, n, k(n))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // force the pruned branch at fixture size (prunedGate = 0)
+    // force the pruned branch at fixture size (pair gate = 0)
     val viaPruned = ops.Centroids.semAssign(qv, n, k(n),
-        arrays = Some(e), prunedGate = 0L)
+        arrays = Some(e), prunedPairGate = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaFlat === viaPruned)
   }
