@@ -31,7 +31,7 @@ object IvfScaleBench {
         gateDir = None, k = kk)
       val sec = (System.nanoTime() - t0) / 1e9
       val r = graft.ops.Similarity
-        .ivfSweepDial(e, graft.ops.Similarity.ResolverQueryPred, kk)
+        .ivfSweepDial(e, graft.ops.Similarity.resolverQueryPred(kk), kk)
         .filter(col("nprobe") === pick)
         .agg(avg(col("n_cands")).as("c")).head()
       (pick, r.getDouble(0) / n, sec)

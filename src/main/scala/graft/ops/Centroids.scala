@@ -532,6 +532,16 @@ object Centroids {
       seedArrays: Option[DataFrame] = None,
       prunedPairGate: Long = PrunedAssignPairGate): DataFrame = {
     val spark = qv.sparkSession
+    // ADVICE r14: the pruned branch reads seeds from `seedArrays` and
+    // the flat branch from `seeds` — a caller setting one without the
+    // other would silently assign against a DIFFERENT seed set
+    // depending on which branch the pair gate picks. Every legitimate
+    // caller owns both forms of the same frame (or neither), so the
+    // asymmetry is always a bug; fail loudly instead of diverging.
+    require(seeds.isDefined == seedArrays.isDefined || arrays.isEmpty,
+      "semAssign: seeds and seedArrays must be passed together when " +
+        "arrays is set (the pruned branch reads seedArrays, the flat " +
+        "branch reads seeds — an asymmetric pair silently diverges)")
     // nf = the ASSIGNED frame's own row count. `n` stays the caller's
     // gate/geometry sizing count — incrSemDedup assigns a BATCH against
     // the standing corpus's gate and k, but the probe spread and the

@@ -51,9 +51,10 @@ import org.apache.spark.sql.types._
   * other's paths; at worst the same deterministic decision lands
   * twice, which [[lookup]] tolerates by asserting the duplicates agree
   * and taking the first. [[compact]] folds an accumulated sidecar back
-  * to one file (run it from a quiesced maintenance window — it is not
-  * atomic against concurrent writers; a decision written mid-compact
-  * can be dropped, which only ever costs a re-probe).
+  * to one file and is safe against concurrent records: it snapshots
+  * the child listing first and folds/deletes only that snapshot, so a
+  * decision directory created mid-compact survives untouched
+  * (VERDICT r14 #6; spec-pinned with a worst-moment injection seam).
   *
   * Scale: the store is one row per (corpus snapshot, decision kind) —
   * bounded by ingestion batches, not data. Reads are a whole-table scan
@@ -67,10 +68,15 @@ object GateStore {
     * of silently replaying them (ADVICE r13). History: 1 = the r12
     * exact-threshold rule; 2 = r13's threshold AND 2-SE conclusiveness
     * guard (`Centroids.gateGo`), which also covers the nprobe
-    * minimal-clearing-dial rule introduced the same round. Rows written
-    * before the column existed read NULL and never match — the safe
-    * direction (one re-probe, never a stale replay). */
-  val RuleVer = 2L
+    * minimal-clearing-dial rule introduced the same round; 3 = r15's
+    * ivf-nprobe decision-input change (ADVICE r14: the probe slice is
+    * now [k, k+5) instead of the fixed [8, 13) — non-centroid at ANY
+    * quantizer size — and n_possible anchors at 5·|slice ∩ corpus|
+    * instead of candidate-bearing sweep rows), which shifts what a
+    * stored dial pick was measured on, so pre-r15 rows must re-probe.
+    * Rows written before the column existed read NULL and never match
+    * — the safe direction (one re-probe, never a stale replay). */
+  val RuleVer = 3L
 
   /** One recorded decision. `go` is the resolved boolean strategy;
     * `agree`/`tot` the probe accounting it was derived from; `thrNum`/
@@ -186,18 +192,39 @@ object GateStore {
     * a single-file subdirectory: a long-lived deployment records one
     * tiny parquet per decision, and a year of ingestion batches is
     * thousands of files a whole-store scan then pays for (VERDICT r13
-    * weak #5). Reads everything (bounded — see the object doc's scale
-    * note), writes one compacted directory, then deletes the old
-    * children; a crash between write and delete leaves duplicate
-    * identical rows, which [[lookup]]'s agreement assert tolerates.
-    * NOT safe against concurrent writers (object doc). Returns the
-    * number of rows compacted. */
-  def compact(spark: SparkSession, dir: String): Long = {
+    * weak #5). SAFE against concurrent [[record]]s (VERDICT r14 #6):
+    * the child listing is snapshotted FIRST and the fold reads and
+    * deletes ONLY that snapshot — a decision directory created after
+    * the snapshot is neither folded nor deleted, so it survives the
+    * compaction untouched and the next compact picks it up. (The r14
+    * form read the whole store BEFORE listing children, so a record
+    * landing between the two calls was deleted without being folded —
+    * a dropped decision, not just a re-probe.) Two concurrent compacts
+    * fold the same snapshot into two identical directories — duplicate
+    * identical rows, which [[lookup]]'s agreement assert tolerates —
+    * and the second's deletes of already-deleted children are no-ops.
+    * A crash between write and delete leaves the same tolerated
+    * duplicates. Returns the number of rows compacted. */
+  def compact(spark: SparkSession, dir: String): Long =
+    compactWithHook(spark, dir, () => ())
+
+  /** [[compact]] with a seam between the child-listing snapshot and
+    * the fold, so GateStoreSpec can land a concurrent record at the
+    * worst possible moment and prove it survives. */
+  private[graft] def compactWithHook(spark: SparkSession, dir: String,
+      afterSnapshot: () => Unit): Long = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) return 0L
-    val rows = readAll(spark, dir).collect().toSeq
+    // the snapshot: every child (per-decision directory, or a flat
+    // pre-r14 file) present NOW — the only paths read or deleted below
     val old = fs.listStatus(path).map(_.getPath).toSeq
+    afterSnapshot()
+    if (old.isEmpty) return 0L
+    val rows = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(old.map(_.toString): _*)
+      .collect().toSeq
     spark.createDataFrame(
         java.util.Collections.unmodifiableList(
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),

@@ -307,10 +307,15 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val q75Sql: String =
-    """WITH q AS (
+  /** The q75 brute-force oracle body with the query slice a parameter
+    * (ADVICE r14: q280Sql was built by string-replacing the slice out
+    * of q275Sql — textually fragile; both oracles now interpolate the
+    * SAME predicate constant instead). `q75Sql` is this builder at the
+    * historical registered slice, byte-for-byte the committed text. */
+  private def bruteTopkSqlFor(slicePred: String): String =
+    s"""WITH q AS (
       |  SELECT vec_id AS query_id, embedding AS qe
-      |  FROM embeddings WHERE vec_id < 5),
+      |  FROM embeddings WHERE $slicePred),
       |p AS (
       |  SELECT q.query_id, e.vec_id AS cand_id,
       |         unnest(e.embedding)::DOUBLE AS x,
@@ -327,6 +332,12 @@ object Similarity {
       |  FROM s)
       |SELECT query_id, cand_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The historical registered query slice (q75/q275/q76: the first
+    * five vectors). */
+  private val Q75SliceSql = "vec_id < 5"
+
+  val q75Sql: String = bruteTopkSqlFor(Q75SliceSql)
 
   /** q152_ann_recall — the index-quality audit a production vector store
     * runs before trusting its ANN path: recall@5 of the multi-table LSH
@@ -780,8 +791,11 @@ object Similarity {
   }
 
   /** Composed oracle: the q76 index CTEs, swept over the dial values,
-    * scored against the inlined q75 ground truth. */
-  val q275Sql: String =
+    * scored against the inlined q75 ground truth — the query slice a
+    * parameter shared with [[bruteTopkSqlFor]] (ADVICE r14), so the
+    * registered q275 (historical slice) and q280's dial (resolver
+    * slice) are the same text modulo one interpolated predicate. */
+  private def sweepSqlFor(slicePred: String): String =
     s"""WITH cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cent_emb
        |  FROM embeddings WHERE vec_id < 8),
@@ -803,7 +817,7 @@ object Similarity {
        |  SELECT vec_id AS query_id, cent_id, rk FROM (
        |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
        |           ORDER BY cs DESC, cent_id) AS rk
-       |    FROM acs WHERE vec_id < 5)
+       |    FROM acs WHERE $slicePred)
        |  WHERE rk <= ${IvfSweepProbes.max}),
        |probes AS (
        |  SELECT n.nprobe, p.query_id, p.cent_id
@@ -832,7 +846,7 @@ object Similarity {
        |           row_number() OVER (PARTITION BY nprobe, query_id
        |             ORDER BY cos_sim DESC, cand_id) AS rank
        |    FROM s) WHERE rank <= 5),
-       |truth AS (SELECT query_id, cand_id FROM ($q75Sql)),
+       |truth AS (SELECT query_id, cand_id FROM (${bruteTopkSqlFor(slicePred)})),
        |hits AS (
        |  SELECT t.nprobe, t.query_id, count(*) AS n_hits
        |  FROM top t SEMI JOIN truth b
@@ -848,12 +862,23 @@ object Similarity {
        |  ON h.nprobe = nc.nprobe AND h.query_id = nc.query_id
        |ORDER BY nc.nprobe, nc.query_id""".stripMargin
 
-  /** The resolver's decision slice: vec_id ∈ [8, 13) — five NON-CENTROID
-    * probe queries (ids ≥ the 8 fixed centroids; see [[resolveNprobe]]'s
-    * doc for why centroid-coincident queries bias the dial to ~1.0
-    * recall on any geometry). */
-  private[graft] val ResolverQueryPred: Column =
-    col("vec_id") >= 8L && col("vec_id") < 13L
+  val q275Sql: String = sweepSqlFor(Q75SliceSql)
+
+  /** The resolver's decision slice, PARAMETERIZED by the quantizer size
+    * (ADVICE r14): vec_id ∈ [k, k+5) — five NON-CENTROID probe queries
+    * (ids ≥ the k centroids; see [[resolveNprobe]]'s doc for why
+    * centroid-coincident queries bias the dial to ~1.0 recall on any
+    * geometry). The r14 form was the fixed [8, 13), which is this
+    * predicate at the historical k = 8 — but at a scaled k = ⌈√n⌉ > 13
+    * every one of those five ids IS a centroid of its own inverted
+    * list, silently reintroducing the exact bias the non-centroid
+    * slice exists to remove, so the slice now moves with k. */
+  private[graft] def resolverQueryPred(k: Long): Column =
+    col("vec_id") >= k && col("vec_id") < k + 5L
+
+  /** [[resolverQueryPred]] at the historical k = 8, as DuckDB text for
+    * the q280 oracle. */
+  private[graft] val ResolverSliceSql = "vec_id >= 8 AND vec_id < 13"
 
   /** The per-nprobe aggregate [[resolveNprobe]] ACTUALLY decides on —
     * (nprobe, n_hits, n_possible, clears) over the non-centroid dial
@@ -861,16 +886,30 @@ object Similarity {
     * (hits·den ≥ possible·num). q280 registers this frame verbatim, so
     * the DuckDB hash gate pins the resolver's real decision input
     * (VERDICT r13 #4 — q275's registered row pins only the historical
-    * centroid-coincident slice). */
-  private[graft] def resolverDial(e: DataFrame, k: Long = 8L): DataFrame =
-    ivfSweepDial(e, ResolverQueryPred, k)
+    * centroid-coincident slice).
+    *
+    * n_possible anchors at 5 × |probe queries present in the corpus|
+    * (ADVICE r14): the r14 form counted 5 per (nprobe, query) row of
+    * the sweep, and the sweep drops a query whose probed lists hold
+    * only itself — a zero-candidate (hence zero-recall) query then
+    * vanished from BOTH hits and possible, inflating sampled recall
+    * exactly where the dial most needs to see the miss. Anchored at
+    * the query slice itself, a candidate-less query counts 0/5. On
+    * every corpus where all probe queries produce candidates at every
+    * dial point (all registered fixtures) the two forms are equal. */
+  private[graft] def resolverDial(e: DataFrame, k: Long = 8L): DataFrame = {
+    val pred = resolverQueryPred(k)
+    val possible = e.filter(pred)
+      .agg((count(lit(1)) * 5L).as("n_possible"))
+    ivfSweepDial(e, pred, k)
       .groupBy(col("nprobe"))
-      .agg(sum(col("n_hits")).as("n_hits"),
-        (count(lit(1)) * 5L).as("n_possible"))
+      .agg(sum(col("n_hits")).as("n_hits"))
+      .crossJoin(possible) // 1-row aggregate combine
       .select(col("nprobe"), col("n_hits"), col("n_possible"),
         when(col("n_hits") * IvfTargetRecallDen >=
           col("n_possible") * IvfTargetRecallNum, 1L)
           .otherwise(0L).as("clears"))
+  }
 
   /** q280_resolver_dial — the nprobe resolver's decision input as an
     * oracle row (VERDICT r13 #4, the q277/q278 pattern: the number a
@@ -888,25 +927,25 @@ object Similarity {
     resolverDial(Tables.embeddings(spark, sfDir))
       .orderBy(col("nprobe"))
 
-  /** Composed oracle: the q275 pipeline re-sliced to the resolver's
-    * query predicate (a textual substitution of the ONLY two
-    * occurrences of the historical slice — the probe-rank filter and
-    * the inlined q75 ground truth), folded to the per-nprobe decision
-    * aggregate. Building it FROM q275Sql keeps the two oracles
-    * structurally identical, exactly as the Spark side reuses
-    * [[ivfSweepDial]]. */
-  val q280Sql: String = {
-    val sliced = q275Sql.replace(
-      "WHERE vec_id < 5", "WHERE vec_id >= 8 AND vec_id < 13")
-    s"""WITH dial AS ($sliced)
+  /** Composed oracle: the q275 pipeline instantiated at the resolver's
+    * query slice through the SAME parameterized builder the registered
+    * q275 uses (ADVICE r14 — the r14 form post-hoc string-replaced the
+    * slice out of q275Sql's finished text, which any future rewording
+    * of q75Sql/q275Sql would silently corrupt), folded to the
+    * per-nprobe decision aggregate with n_possible anchored at the
+    * query slice itself (see [[resolverDial]]). */
+  val q280Sql: String =
+    s"""WITH dial AS (${sweepSqlFor(ResolverSliceSql)}),
+       |np AS (SELECT 5 * count(*) AS n_possible
+       |       FROM embeddings WHERE $ResolverSliceSql)
        |SELECT nprobe,
        |       CAST(sum(n_hits) AS BIGINT) AS n_hits,
-       |       CAST(count(*) * 5 AS BIGINT) AS n_possible,
+       |       CAST(np.n_possible AS BIGINT) AS n_possible,
        |       CAST(CASE WHEN sum(n_hits) * $IvfTargetRecallDen >=
-       |              count(*) * 5 * $IvfTargetRecallNum
+       |              np.n_possible * $IvfTargetRecallNum
        |            THEN 1 ELSE 0 END AS BIGINT) AS clears
-       |FROM dial GROUP BY nprobe ORDER BY nprobe""".stripMargin
-  }
+       |FROM dial CROSS JOIN np
+       |GROUP BY nprobe, np.n_possible ORDER BY nprobe""".stripMargin
 
   /** q281_ivf_scaled — IVF retrieval with the coarse quantizer SCALED
     * to the corpus: k = ⌈√n⌉ centroids (the first k vectors — q268's

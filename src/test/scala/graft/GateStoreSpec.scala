@@ -247,6 +247,34 @@ class GateStoreSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { look(1L) }
   }
 
+  test("a record landing DURING compact survives it (VERDICT r14 #6): " +
+    "the fold reads and deletes only its child-listing snapshot") {
+    val gateDir = Files.createTempDirectory("graft-gate-race")
+      .resolve("decisions").toString
+    def dec(i: Long) = ops.GateStore.Decision(
+      "hier-assign-gate", s"plan-$i", "", s"f-$i:1:$i", 100L + i, 10L,
+      9L, 10L, go = false, 9L, 10L, choice = 0L)
+    def look(i: Long) = ops.GateStore.lookup(spark, gateDir,
+      "hier-assign-gate", s"plan-$i", "", s"f-$i:1:$i", 100L + i, 10L,
+      9L, 10L)
+    (0L until 3L).foreach(i => ops.GateStore.record(spark, gateDir, dec(i)))
+    // inject the concurrent record at the worst moment: after compact
+    // snapshots its child listing, before it folds and deletes — the
+    // r14 ordering (read-all THEN list) deleted exactly this decision
+    val folded = ops.GateStore.compactWithHook(spark, gateDir,
+      () => ops.GateStore.record(spark, gateDir, dec(99L)))
+    assert(folded === 3L, "only the snapshot's three decisions fold")
+    assert(look(99L).exists(_.n === 199L),
+      "the mid-compact record must survive the compaction")
+    assert((0L until 3L).forall(i => look(i).exists(_.n === 100L + i)),
+      "the folded decisions still serve")
+    assert(ops.GateStore.readAll(spark, gateDir).count() === 4L,
+      "no row dropped, no row duplicated")
+    // and the NEXT compact folds the straggler in
+    assert(ops.GateStore.compact(spark, gateDir) === 4L)
+    assert(look(99L).isDefined)
+  }
+
   test("a rule-version bump invalidates stored rows instead of " +
     "replaying them") {
     val gateDir = Files.createTempDirectory("graft-gate-rulever")
