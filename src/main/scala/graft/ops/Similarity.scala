@@ -416,7 +416,7 @@ object Similarity {
     * de-hint rule). Semantics are identical: exploded ids with no
     * matching seed produce no rows, exactly as the cross join scores
     * only the seeds present. */
-  private def centSims(e: DataFrame, k: Long): DataFrame = {
+  private[graft] def centSims(e: DataFrame, k: Long): DataFrame = {
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val joined =
@@ -428,6 +428,234 @@ object Similarity {
       round(cosine(col("embedding"), col("cent_emb")), 4).as("cs"))
   }
 
+  /** PAIR-count floor (corpus rows × centroids) below which
+    * [[ivfAssign]] keeps the single-pass long-encoded argmax over the
+    * full n·k cosine frame and above which it takes the angular
+    * Elkan-pruned exact form ([[ivfAssignPruned]], VERDICT r14 #1 —
+    * the scaled-k dial resolve was the last heavy un-pruned kernel:
+    * one corpus×k cosine assignment, O(n^1.5·d), 69.6 s at 320k). The
+    * [[graft.ops.Centroids.PrunedAssignPairGate]] discipline: gate on
+    * the WORK unit (pairs), measured crossover (IvfPruneBench,
+    * same-session min-of-2, organic corpora — the no-locality worst
+    * case for the bound): flat 2.12 s vs pruned 1.86 s at 2.84M pairs
+    * (sf1, k = 142), flat 16.49 vs 2.57 at 22.6M (sf4, k = 283,
+    * 6.4×), flat 108.2 vs 7.38 at 181M (sf16, k = 566, 14.7×). The
+    * pruned form wins at every measured multi-million-pair point even
+    * with ≤ 8% of pairs pruned, because the flat k > 8 shape pays a
+    * sort-merge join of n·k array-carrying rows while the pruned
+    * pipeline keeps every pair inside broadcast-join fold stages —
+    * the gate's job is only to keep FIXTURE-scale jobs (≤ 90k pairs,
+    * two orders below it) on their committed single-pass plan, where
+    * the pruned pipeline's extra stages are pure task-scheduling
+    * overhead. */
+  private[graft] val IvfPrunedPairGate = 2000000L
+
+  /** Rounding + fp guard for the angular prune's skip test: a centroid
+    * is skipped only when its cosine CEILING sits below the in-cell
+    * best rounded cosine by more than half the 4-dp rounding step
+    * (5e-5 — past it the rounded cosine is strictly smaller, so the
+    * pair can neither win nor tie the committed argmax even with the
+    * smallest-id tie-break) plus 1e-6 of floating-point slack. The
+    * ceiling is three cosine folds and two sqrts in doubles whose
+    * accumulated error at d = 64 is < 1e-12 — six orders inside the
+    * slack; borderline pairs are computed exactly, never skipped, so
+    * the guard only ever costs work, not correctness. */
+  private val IvfPruneMargin = 5.0e-5 + 1.0e-6
+
+  /** Internal frames of the angular Elkan-pruned IVF assignment —
+    * shared by [[ivfAssignPruned]] (the operator) and
+    * [[ivfPrunedAccounting]] (the skip ledger): `incell` the exact
+    * rounded cosines to the own angular cell's centroids, `pairs` the
+    * bounded candidate frame for every (vector, out-of-cell centroid)
+    * with `prunable` the proven-safe skip predicate over it. */
+  private[graft] final case class IvfPrunedFrames(incell: DataFrame,
+      pairs: DataFrame, prunable: Column, kc: Long)
+
+  /** Build [[IvfPrunedFrames]] over a (vec_id, embedding) corpus with
+    * the first `k` vectors as centroids — the cosine-domain twin of
+    * [[graft.ops.Centroids.prunedPairFrames]] (VERDICT r14 #1: that
+    * bound machinery speaks quantized L2, the IVF metric is rounded
+    * cosine, so the triangle inequality moves to the unit sphere
+    * instead of forcing a metric swap under the committed oracle
+    * semantics):
+    *
+    *  - cosine is scale-invariant, so every vector sits on the unit
+    *    sphere where the chordal distance d(x̂, ŷ)² = 2 − 2·cos(x, y)
+    *    is a true metric — D and R below are computed from the SAME
+    *    codegen'd cosine kernel the flat path folds, no normalization
+    *    pass;
+    *  - coarse pass: D = d²(x̂, ĝ) to each of kc = ⌈√k⌉ coarse centers
+    *    (the first kc centroids), n·kc folds; the nearest center is
+    *    x's angular cell;
+    *  - each centroid's own cell + R = d²(ĉ, ĝ) to its center (k·kc
+    *    folds, negligible);
+    *  - in-cell pass: exact ROUNDED cosines (the committed 4-dp
+    *    values) to the own cell's centroids, n·(k/kc) expected folds;
+    *    the maximum is the upper bound ub;
+    *  - skip test: by the triangle inequality d(x̂, ĉ) ≥ |√D − √R|, so
+    *    cos(x, c) ≤ 1 − (√D − √R)²/2 — centroid c is SKIPPED when that
+    *    ceiling sits more than [[IvfPruneMargin]] below ub (its
+    *    rounded cosine is then strictly smaller than an
+    *    already-computed one, so it can neither win nor tie).
+    *
+    * The plan shape is the Centroids twin's, measured decisions
+    * inherited (narrow window frames — no array-bearing sort; the
+    * embedding re-attaches by ONE hinted shuffle_hash join per pass —
+    * the planner's sub-10MB broadcast of the corpus side is a 100 TB
+    * dead end; the ≤ k-row cell→centroid frame AQE-broadcasts so the
+    * n·k pair rows exist only inside one join + filter + fold stage,
+    * never shuffled or materialized). */
+  private[graft] def ivfPrunedFrames(e0: DataFrame, k: Long,
+      probeParallelism: Option[Int]): IvfPrunedFrames = {
+    val w = Window
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("fcid"), col("embedding").as("semb"))
+    val kc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val ca = cents.filter(col("fcid") < kc)
+      .select(col("fcid").as("ccid"), col("semb").as("cemb"))
+    // chordal sq-distance on the unit sphere from the raw-array cosine
+    // (greatest(…, 0) guards the last-ulp cos > 1 of a self-pair —
+    // sqrt of a negative is NaN and would silently disable the skip)
+    def chord(a: Column, b: Column): Column =
+      greatest(lit(0.0), lit(2.0) - lit(2.0) * cosine(a, b))
+    val scell = cents
+      .select(col("fcid"), col("semb"),
+        explode(sequence(lit(0L), lit(kc - 1L))).as("ccid"))
+      .join(ca, Seq("ccid"))
+      .select(col("fcid"), col("semb"), col("ccid"),
+        chord(col("semb"), col("cemb")).as("sd"))
+      .withColumn("srk", row_number().over(
+        w.partitionBy(col("fcid")).orderBy(col("sd"), col("ccid"))))
+      .filter(col("srk") === 1)
+      .select(col("fcid"), col("semb"), col("ccid"), col("sd").as("r"))
+    val probe = probeParallelism
+      .map(p => e.repartition(p, col("vec_id"))).getOrElse(e)
+    val wv = w.partitionBy(col("vec_id"))
+    val coarseD = probe
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), lit(kc - 1L))).as("ccid"))
+      .join(ca, Seq("ccid"))
+      .select(col("vec_id"), col("ccid"),
+        chord(col("embedding"), col("cemb")).as("cd"))
+      .withColumn("crk", row_number().over(
+        wv.orderBy(col("cd"), col("ccid"))))
+      .withColumn("vccid",
+        max(when(col("crk") === 1, col("ccid"))).over(wv))
+    val incell = coarseD.filter(col("crk") === 1)
+      .select(col("vec_id"), col("ccid"))
+      .join(probe.hint("shuffle_hash"), Seq("vec_id"))
+      .join(scell.select(col("ccid"), col("fcid"), col("semb")),
+        Seq("ccid"))
+      .select(col("vec_id"), col("fcid"),
+        round(cosine(col("embedding"), col("semb")), 4).as("cs"))
+    val ub = incell.groupBy(col("vec_id")).agg(max(col("cs")).as("ub"))
+    // left join + (−2) coalesce: a vector whose cell held no centroid
+    // is impossible (cell center g < kc IS centroid g, so every cell
+    // holds at least its own center), but a frame bug here must
+    // surface as extra exact work, not a wrong assignment — ub = −2
+    // (below any cosine) makes every pair non-prunable
+    val pairs = coarseD
+      .filter(col("ccid") =!= col("vccid"))
+      .join(ub, Seq("vec_id"), "left")
+      .withColumn("ubv", coalesce(col("ub"), lit(-2.0)))
+      .join(probe.hint("shuffle_hash"), Seq("vec_id"))
+      .join(scell.select(col("fcid"), col("semb"), col("ccid"),
+        col("r")), Seq("ccid"))
+    val diff = sqrt(col("cd")) - sqrt(col("r"))
+    val prunable =
+      lit(1.0) - diff * diff / lit(2.0) <
+        col("ubv") - lit(IvfPruneMargin)
+    IvfPrunedFrames(incell, pairs, prunable, kc)
+  }
+
+  /** Angular Elkan-pruned EXACT IVF coarse assignment (VERDICT r14
+    * #1) — bit-identical output to the flat long-encoded argmax over
+    * [[centSims]] (the committed rounded-cosine semantics, smallest
+    * cent_id winning ties), with proven-safe candidate skips instead
+    * of the full n·k cosine expansion. See [[ivfPrunedFrames]] for
+    * the bound; survivors' cosines are computed by the SAME
+    * round(cosine, 4) expression the flat path folds, so computed
+    * values are identical doubles and skipped pairs are proven unable
+    * to reach the in-cell best (IvfPrunedSpec pins bit-identity on
+    * planted locality, isotropic, and clone-blob corpora, and
+    * recomputes every skipped pair's rounded cosine to prove it
+    * strictly below ub). Returns (vec_id, cent_id). */
+  private[graft] def ivfAssignPruned(e: DataFrame, k: Long,
+      probeParallelism: Option[Int] = None): DataFrame = {
+    val pf = ivfPrunedFrames(e, k, probeParallelism)
+    val stride = centStride(k)
+    // the flat path's long-encoded argmax priority, per side, then a
+    // per-vector combine — the union'd global aggregate would
+    // repartition the in-cell ∪ survivor row set, while the two side
+    // aggregates ride the probe's existing vec_id partitioning
+    def pr(df: DataFrame): DataFrame = df
+      .groupBy(col("vec_id"))
+      .agg(max(round(col("cs") * 10000).cast("long") * stride +
+        (lit(stride - 1) - col("fcid"))).as("m"))
+    val sv = pr(pf.pairs.filter(!pf.prunable)
+        .select(col("vec_id"), col("fcid"),
+          round(cosine(col("embedding"), col("semb")), 4).as("cs")))
+      .select(col("vec_id"), col("m").as("sm"))
+    // full outer: a vector with every out-of-cell pair pruned has no
+    // survivor row (the common case on clustered mass); defensively,
+    // a vector with no in-cell row combines from the survivor side
+    pr(pf.incell).join(sv, Seq("vec_id"), "full_outer")
+      .select(col("vec_id"),
+        (lit(stride - 1) - pmod(greatest(col("m"), col("sm")),
+          lit(stride))).as("cent_id"))
+  }
+
+  /** The pruned IVF assignment's skip ledger (the q274/pruned-assign
+    * accounting discipline — a bounded operator must COUNT what it
+    * skipped): one row with the pair totals over this corpus.
+    * incell + pruned + survivor = n·k by construction (asserted in
+    * IvfPrunedSpec, which also recomputes every pruned pair). */
+  private[graft] def ivfPrunedAccounting(e: DataFrame, n: Long,
+      k: Long, probeParallelism: Option[Int] = None): DataFrame = {
+    val pf = ivfPrunedFrames(e, k, probeParallelism)
+    val outcell = pf.pairs.agg(
+      coalesce(sum(when(pf.prunable, 1L).otherwise(0L)), lit(0L))
+        .as("pairs_pruned"),
+      coalesce(sum(when(pf.prunable, 0L).otherwise(1L)), lit(0L))
+        .as("pairs_survivor"))
+    pf.incell.agg(count(lit(1)).as("pairs_incell"))
+      .crossJoin(outcell)
+      .select(lit(n).as("n"), lit(k).as("k"), lit(pf.kc).as("kc"),
+        lit(n * k).as("pairs_total"), col("pairs_incell"),
+        col("pairs_pruned"), col("pairs_survivor"))
+  }
+
+  /** The IVF coarse assignment — (vec_id, cent_id) = argmax of the
+    * 4-dp rounded cosine over the k centroids, smallest id winning
+    * ties — with the scale path gated on the measured WORK unit: the
+    * flat single-pass argmax over the shared n·k cosine frame below
+    * [[IvfPrunedPairGate]] pairs (every oracle fixture and every
+    * fixed-8 resolve — the committed plans), the angular Elkan-pruned
+    * exact form above it. `nHint` is the caller's corpus count; a
+    * caller without one (the registered fixed-k queries) passes −1
+    * and keeps the flat path unconditionally. */
+  private[graft] def ivfAssign(e: DataFrame, acs: DataFrame, k: Long,
+      nHint: Long = -1L,
+      prunedPairGate: Long = IvfPrunedPairGate): DataFrame = {
+    val stride = centStride(k)
+    // k ≤ 8 (the historical quantizer) keeps the flat form at ANY n:
+    // its centSims is a broadcast cross-join — one in-stage pass, no
+    // shuffle, none of the k > 8 sort-merge-join shape the pruned
+    // pipeline exists to beat — and at 8 lists a kc = 3 coarse pass
+    // visits 3 + 8/3 centers per vector, a wash with no headroom.
+    if (k > 8L && nHint >= 0L && nHint * k > prunedPairGate)
+      ivfAssignPruned(e, k,
+        probeParallelism = Some(Centroids.prunedParallelism(
+          e.sparkSession, nHint, k)))
+    else acs
+      .groupBy(col("vec_id"))
+      .agg(max(round(col("cs") * 10000).cast("long") * stride +
+        (lit(stride - 1) - col("cent_id"))).as("m"))
+      .select(col("vec_id"),
+        (lit(stride - 1) - pmod(col("m"), lit(stride))).as("cent_id"))
+  }
+
   /** The IVF retrieval core over any (vec_id, embedding) frame at an
     * explicit `nprobe` — see [[q76IvfTopk]]. `k` sizes the coarse
     * quantizer (centroids = the first k vectors): 8 is the historical
@@ -436,9 +664,10 @@ object Similarity {
     * saturating at a full scan; at k = √n the per-query scan fraction
     * is ~nprobe/√n). For k = 8 the derived stride reproduces the
     * historical 16/15 constants, so q76's plan and rows are unchanged
-    * bit-for-bit. */
+    * bit-for-bit. `nHint` routes the assignment's pair gate
+    * ([[ivfAssign]]). */
   private[graft] def ivfTopk(e: DataFrame, nprobe: Long,
-      k: Long = 8L): DataFrame = {
+      k: Long = 8L, nHint: Long = -1L): DataFrame = {
     // centroid similarities, narrow rows only (score drops the arrays)
     val acs = centSims(e, k)
     // argmax as a plain LONG max — a struct max is not hash-aggregable
@@ -450,14 +679,10 @@ object Similarity {
     // already 4-dp rounded so the ×S stride separates adjacent score
     // levels, and the (S−1 − cent_id) term makes the SMALLEST cent_id
     // win ties. No overflow at any realistic k: |cs4| ≤ 10⁴, so
-    // |m| ≤ 10⁴·S + S — inside Int64 up to S = 2⁴⁸.
-    val stride = centStride(k)
-    val assigned = acs
-      .groupBy(col("vec_id"))
-      .agg(max(round(col("cs") * 10000).cast("long") * stride +
-        (lit(stride - 1) - col("cent_id"))).as("m"))
-      .select(col("vec_id"),
-        (lit(stride - 1) - pmod(col("m"), lit(stride))).as("cent_id"))
+    // |m| ≤ 10⁴·S + S — inside Int64 up to S = 2⁴⁸. Above the pair
+    // gate the argmax takes the angular Elkan-pruned form instead
+    // (bit-identical — [[ivfAssignPruned]]).
+    val assigned = ivfAssign(e, acs, k, nHint)
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(desc("cs"), col("cent_id"))
     val probes = acs.filter(col("vec_id") < 5)
@@ -644,7 +869,7 @@ object Similarity {
         // historical centroid-coincident slice — it reports the dial
         // for q76's own fixed queries; the RESOLVER needs an unbiased
         // estimate of what a fresh query would see.
-        val dial = resolverDial(e, k)
+        val dial = resolverDial(e, k, nHint = n)
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           .sortBy(_._1)
@@ -719,17 +944,12 @@ object Similarity {
     * slice (see its doc for why that bias matters). */
   private[graft] def ivfSweepDial(e: DataFrame,
       queryPred: Column = col("vec_id") < 5,
-      k: Long = 8L): DataFrame = {
+      k: Long = 8L, nHint: Long = -1L): DataFrame = {
     val sweep = sweepProbesFor(k)
-    val stride = centStride(k)
     val acs = centSims(e, k)
-    // q76's long-encoded argmax (HashAggregate-able, codegen'd)
-    val assigned = acs
-      .groupBy(col("vec_id"))
-      .agg(max(round(col("cs") * 10000).cast("long") * stride +
-        (lit(stride - 1) - col("cent_id"))).as("m"))
-      .select(col("vec_id"),
-        (lit(stride - 1) - pmod(col("m"), lit(stride))).as("cent_id"))
+    // q76's long-encoded argmax (HashAggregate-able, codegen'd) below
+    // the pair gate; the angular Elkan-pruned exact form above it
+    val assigned = ivfAssign(e, acs, k, nHint)
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(desc("cs"), col("cent_id"))
     // rank all k lists once per query; each dial point reuses the rank
@@ -897,11 +1117,12 @@ object Similarity {
     * the query slice itself, a candidate-less query counts 0/5. On
     * every corpus where all probe queries produce candidates at every
     * dial point (all registered fixtures) the two forms are equal. */
-  private[graft] def resolverDial(e: DataFrame, k: Long = 8L): DataFrame = {
+  private[graft] def resolverDial(e: DataFrame, k: Long = 8L,
+      nHint: Long = -1L): DataFrame = {
     val pred = resolverQueryPred(k)
     val possible = e.filter(pred)
       .agg((count(lit(1)) * 5L).as("n_possible"))
-    ivfSweepDial(e, pred, k)
+    ivfSweepDial(e, pred, k, nHint)
       .groupBy(col("nprobe"))
       .agg(sum(col("n_hits")).as("n_hits"))
       .crossJoin(possible) // 1-row aggregate combine
@@ -964,7 +1185,31 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-    ivfTopk(e, resolveNprobe(e, n, k = k), k = k)
+    ivfTopk(e, resolveNprobe(e, n, k = k), k = k, nHint = n)
+  }
+
+  /** The production IVF retrieval entry (VERDICT r14 #7): the
+    * quantizer sized by the measured rule instead of a constant a
+    * deployment edits — the historical fixed k = 8 below
+    * [[IvfAutoProbeGate]] (every oracle fixture: at that size the
+    * whole retrieval is a few task budgets and 8 lists are plenty),
+    * the corpus-scaled k = ⌈√n⌉ above it (q281's rule — measured
+    * dominant at every scale point: per-query scan fraction
+    * ~nprobe/√n, falling 0.0072 → 0.0017 across 20k → 320k, vs the
+    * fixed-8 dial saturating at a FULL scan per query at equal
+    * sampled recall, SCALE_POINT_r14 §C). nprobe comes from the
+    * resolver (the dial default below the auto-probe gate, the
+    * measured minimal clearing point above it, GateStore-recorded
+    * under the real k), and the assignment takes the angular
+    * Elkan-pruned path above [[IvfPrunedPairGate]] pairs. Below the
+    * gate this IS the registered q76 plan (spec-pinned row equality
+    * in IvfPrunedSpec). */
+  def ivfRetrieve(e: DataFrame): DataFrame = {
+    val n = e.count()
+    val k =
+      if (n <= IvfAutoProbeGate) 8L
+      else math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    ivfTopk(e, resolveNprobe(e, n, k = k), k = k, nHint = n)
   }
 
   /** The q76 oracle pipeline with k a scalar subquery (⌈√n⌉) instead
