@@ -80,10 +80,22 @@ object PruneBench {
     val flatSec = timed(() => graft.ops.Centroids.assignMembers(
       graft.ops.Centroids.quantized(e), k, hintCentroids = false,
       probeParallelism = Some(p)))
+    // production default (own-center bound MEASURED OFF — see
+    // OwnBoundDefaultRows)
     val prunedSec = timed(() => graft.ops.Centroids.assignMembersPruned(
       e, k, probeParallelism = Some(pp)))
+    // the r15 bound-2 A/B arm: the same pipeline with the own-center
+    // bound enabled
+    val prunedOwnSec = timed(() =>
+      graft.ops.Centroids.assignMembersPruned(
+        e, k, probeParallelism = Some(pp),
+        ownBoundRows = graft.ops.Centroids.OwnBoundMaxRows))
     val acct = graft.ops.Centroids
       .prunedAssignAccounting(e, n, k, probeParallelism = Some(pp)).head()
+    // own-bound attribution (what the second bound WOULD prove)
+    val acctOwn = graft.ops.Centroids
+      .prunedAssignAccounting(e, n, k, probeParallelism = Some(pp),
+        ownBoundRows = graft.ops.Centroids.OwnBoundMaxRows).head()
     println(s"""{"metric":"prune_ab","sf_dir":"$sfDir",""" +
       s""""n_total":$n,"n_clones":$nClones,"k":$k,""" +
       s""""kc":${acct.getLong(2)},""" +
@@ -91,7 +103,11 @@ object PruneBench {
       s""""pairs_incell":${acct.getLong(4)},""" +
       s""""pairs_pruned":${acct.getLong(5)},""" +
       s""""pairs_survivor":${acct.getLong(6)},""" +
-      s""""flat_sec":$flatSec,"pruned_sec":$prunedSec}""")
+      s""""pairs_pruned_union":${acctOwn.getLong(5)},""" +
+      s""""pairs_pruned_tri":${acctOwn.getLong(7)},""" +
+      s""""pairs_pruned_own":${acctOwn.getLong(8)},""" +
+      s""""flat_sec":$flatSec,"pruned_sec":$prunedSec,""" +
+      s""""pruned_own_sec":$prunedOwnSec}""")
     spark.stop()
   }
 }

@@ -208,14 +208,50 @@ object Centroids {
     * correctness. */
   private val PruneGuard = 1.0 + 1e-9
 
+  /** Row ceiling on the k·kc seed-to-every-coarse-center distance
+    * table when the OWN-CENTER bound of [[prunedPairFrames]] is
+    * enabled: the table must broadcast into the pair fold stage — a
+    * shuffle there would re-exchange the n·k pair rows the whole
+    * pipeline exists to keep in-stage — and k·kc = k^1.5 = n^0.75
+    * rows of three BIGINTs grows without bound, so the bound must
+    * switch off rather than force an unbounded broadcast (2M rows ≈
+    * 48 MB, binding past n ≈ 2·10⁸ vectors). */
+  private[graft] val OwnBoundMaxRows = 2000000L
+
+  /** Production default for the own-center bound: MEASURED OFF
+    * (VERDICT r14 #2, A/B'd and rejected — the
+    * [[HierAssignGate]]/checkpoint discipline of keeping the seam
+    * wired with the measurement as the reason). On the sf8+40k-clone
+    * chain corpus (89.6M pairs) the bound PROVES 17.39M pairs itself
+    * but 99.6% of them are already proven by the seed-cell triangle
+    * bound — 63k genuinely new skips of 85.6M out-of-cell pairs
+    * (+0.07%) — while its broadcast lookup + extra filter over every
+    * pair row cost +62% wall on the whole assignment (tri-only
+    * 9.33 s vs 15.15 s, same-session min-of-2; sf16+80k reads the
+    * same shape). The two bounds fire on the same blob-adjacent mass:
+    * where √D ≈ √R degenerates the first bound, √s ≈ √dxv degenerates
+    * the second the same way (both are projections of the same
+    * concentrated isotropic geometry), so the second bound buys
+    * nothing the first did not — the survivor tail is genuinely
+    * unprunable by exact triangle bounds on this mass. A corpus
+    * family whose geometry separates the two projections can enable
+    * it per call (`ownBoundRows = OwnBoundMaxRows`); the safety proof
+    * and attribution ledger stay spec-pinned either way. */
+  private[graft] val OwnBoundDefaultRows = 0L
+
   /** Internal frames of the Elkan-pruned exact flat assignment — shared
     * by [[assignMembersPruned]] (the operator) and
     * [[prunedAssignAccounting]] (the skip ledger): `incell` the exact
     * in-cell distances (vec_id, fcid, dist), `pairs` the lower-bounded
     * candidate frame for every (vector, out-of-cell seed) with
-    * `prunable` the proven-safe skip predicate over it. */
+    * `prunable` the proven-safe skip predicate over it — the union of
+    * the two independent triangle bounds, each exposed for the skip
+    * ledger's attribution (`prunableTri` through the seed's own cell
+    * center, `prunableOwn` through the vector's own cell center). */
   private[graft] final case class PrunedFrames(incell: DataFrame,
-      pairs: DataFrame, prunable: org.apache.spark.sql.Column, kc: Long)
+      pairs: DataFrame, prunable: org.apache.spark.sql.Column, kc: Long,
+      prunableTri: org.apache.spark.sql.Column,
+      prunableOwn: org.apache.spark.sql.Column)
 
   /** Build [[PrunedFrames]] over a RAW (vec_id, embedding) frame `ea`
     * with seeds (default: `ea` itself) filtered to vec_id < k — the
@@ -224,7 +260,8 @@ object Centroids {
     * same quantized space, bit-identical to the exploded sum. */
   private[graft] def prunedPairFrames(ea0: DataFrame, k: Long,
       seedsEa: Option[DataFrame],
-      probeParallelism: Option[Int]): PrunedFrames = {
+      probeParallelism: Option[Int],
+      ownBoundRows: Long = OwnBoundDefaultRows): PrunedFrames = {
     import graft.functions.VectorFunctions.quant_sqdist
     val w = org.apache.spark.sql.expressions.Window
     val ea = ea0.select(col("vec_id"), col("embedding"))
@@ -245,16 +282,22 @@ object Centroids {
     // the flat form at every scale point (sf1 organic 5.5 vs 1.7 s,
     // sf8+blob 31.8 vs 13.6 s) — the join-back shuffled the n·k
     // survivor rows and re-materialized both arrays per row.
-    val scell = sa
+    val sAll = sa
       .select(col("fcid"), col("semb"),
         explode(sequence(lit(0L), lit(kc - 1L))).as("ccid"))
       .join(ca, Seq("ccid"))
       .select(col("fcid"), col("semb"), col("ccid"),
         quant_sqdist(col("semb"), col("cemb")).as("sd"))
+    val scell = sAll
       .withColumn("srk", row_number().over(
         w.partitionBy(col("fcid")).orderBy(col("sd"), col("ccid"))))
       .filter(col("srk") === 1)
       .select(col("fcid"), col("semb"), col("ccid"), col("sd").as("r"))
+    // the full seed-to-every-coarse-center table (k·kc narrow rows —
+    // the pre-argmin sAll re-projected), keyed for the OWN-CENTER
+    // bound's lookup: (seed f, the VECTOR's cell g) → s = d²(f, g)
+    val sOwn = sAll
+      .select(col("fcid"), col("ccid").as("vccid"), col("sd").as("s"))
     val probe = probeParallelism
       .map(p => ea.repartition(p, col("vec_id"))).getOrElse(ea)
     val wv = w.partitionBy(col("vec_id"))
@@ -278,6 +321,11 @@ object Centroids {
         wv.orderBy(col("cd"), col("ccid"))))
       .withColumn("vccid",
         max(when(col("crk") === 1, col("ccid"))).over(wv))
+      // the vector's own-cell coarse distance, carried for the
+      // OWN-CENTER bound — same unordered window frame as vccid, so
+      // no extra sort
+      .withColumn("dxv",
+        max(when(col("crk") === 1, col("cd"))).over(wv))
     // exact pass over the vector's OWN cell's seeds — n·(k/kc)
     // expected array folds. The embedding re-attaches by ONE n-to-n
     // join (n array rows, not n·kc), hinted shuffle_hash: left to
@@ -306,24 +354,51 @@ object Centroids {
     // held no seed (impossible by the q271 no-stranded-member
     // argument, but a frame bug here must surface as extra exact work,
     // not a wrong assignment): ub = ∞ makes every pair non-prunable.
-    val pairs = coarseD
+    val ownBound = k * kc <= ownBoundRows
+    val pairs0 = coarseD
       .filter(col("ccid") =!= col("vccid"))
       .join(ub, Seq("vec_id"), "left")
       .withColumn("ubv", coalesce(col("ub"), lit(Long.MaxValue)))
       .join(probe.hint("shuffle_hash"), Seq("vec_id"))
       .join(scell.select(col("fcid"), col("semb"), col("ccid"),
         col("r")), Seq("ccid"))
+    // the OWN-CENTER bound's lookup rides the same fold stage: sOwn
+    // is k·kc narrow rows, broadcast EXPLICITLY (a planner shuffle on
+    // (fcid, vccid) would re-exchange the n·k pair rows) — bounded by
+    // [[OwnBoundMaxRows]], past which the bound switches off
+    val pairs =
+      if (ownBound) pairs0.join(broadcast(sOwn), Seq("fcid", "vccid"))
+      else pairs0
     // Elkan skip, proven-safe: d(x,f) ≥ |√D − √R| (triangle inequality
     // through f's own cell center), so f is skippable when
     // (√D − √R)² > ub ⟺ m := D + R − ub > 0 ∧ m² > 4·D·R. The square
     // is tested in doubles with [[PruneGuard]] slack (exact-safe — see
     // its doc); m itself is exact LONG (D + R < 2⁵¹, no overflow).
     val m = col("cd") + col("r") - col("ubv")
-    val prunable = (m > 0L) &&
+    val prunableTri = (m > 0L) &&
       (m.cast("double") * m.cast("double") >
         lit(4.0) * col("cd").cast("double") * col("r").cast("double") *
           lit(PruneGuard))
-    PrunedFrames(incell, pairs, prunable, kc)
+    // SECOND bound (VERDICT r14 #2 — the triangle bound through the
+    // seed's cell degenerates when √D ≈ √R, which is exactly the
+    // survivor mass): the same inequality through the VECTOR's own
+    // cell center g, d(x,f) ≥ |√s − √dxv| with s = d²(f, g) and
+    // dxv = d²(x, g) — both exact BIGINTs in the same quantized
+    // space, both directions of the triangle valid, same
+    // double-domain square test with the same guard. Independent of
+    // the first bound (different projection axis), so the union
+    // prunes pairs either alone cannot.
+    val prunableOwn =
+      if (!ownBound) lit(false)
+      else {
+        val m2 = col("s") + col("dxv") - col("ubv")
+        (m2 > 0L) &&
+          (m2.cast("double") * m2.cast("double") >
+            lit(4.0) * col("s").cast("double") *
+              col("dxv").cast("double") * lit(PruneGuard))
+      }
+    PrunedFrames(incell, pairs, prunableTri || prunableOwn, kc,
+      prunableTri, prunableOwn)
   }
 
   /** Elkan/Hamerly-pruned EXACT nearest-seed assignment (VERDICT r13
@@ -359,8 +434,10 @@ object Centroids {
     * exceeds ub. Returns (vec_id, cid, dist). */
   private[graft] def assignMembersPruned(ea: DataFrame, k: Long,
       seedsEa: Option[DataFrame] = None,
-      probeParallelism: Option[Int] = None): DataFrame = {
-    val pf = prunedPairFrames(ea, k, seedsEa, probeParallelism)
+      probeParallelism: Option[Int] = None,
+      ownBoundRows: Long = OwnBoundDefaultRows): DataFrame = {
+    val pf = prunedPairFrames(ea, k, seedsEa, probeParallelism,
+      ownBoundRows)
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
     // survivor distances fold IN the pair stage (both arrays are
@@ -407,18 +484,27 @@ object Centroids {
     * pair to prove dist > ub). */
   private[graft] def prunedAssignAccounting(ea: DataFrame, n: Long,
       k: Long, seedsEa: Option[DataFrame] = None,
-      probeParallelism: Option[Int] = None): DataFrame = {
-    val pf = prunedPairFrames(ea, k, seedsEa, probeParallelism)
+      probeParallelism: Option[Int] = None,
+      ownBoundRows: Long = OwnBoundDefaultRows): DataFrame = {
+    val pf = prunedPairFrames(ea, k, seedsEa, probeParallelism,
+      ownBoundRows)
     val outcell = pf.pairs.agg(
       coalesce(sum(when(pf.prunable, 1L).otherwise(0L)), lit(0L))
         .as("pairs_pruned"),
       coalesce(sum(when(pf.prunable, 0L).otherwise(1L)), lit(0L))
-        .as("pairs_survivor"))
+        .as("pairs_survivor"),
+      // by-bound attribution (overlapping — a pair both bounds prove
+      // is counted in each; `pairs_pruned` is their union)
+      coalesce(sum(when(pf.prunableTri, 1L).otherwise(0L)), lit(0L))
+        .as("pairs_pruned_tri"),
+      coalesce(sum(when(pf.prunableOwn, 1L).otherwise(0L)), lit(0L))
+        .as("pairs_pruned_own"))
     pf.incell.agg(count(lit(1)).as("pairs_incell"))
       .crossJoin(outcell)
       .select(lit(n).as("n"), lit(k).as("k"), lit(pf.kc).as("kc"),
         lit(n * k).as("pairs_total"), col("pairs_incell"),
-        col("pairs_pruned"), col("pairs_survivor"))
+        col("pairs_pruned"), col("pairs_survivor"),
+        col("pairs_pruned_tri"), col("pairs_pruned_own"))
   }
 
   /** Deterministic sample for the q271/q277 exact-agreement audits and
