@@ -52,9 +52,9 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
 REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 EMB_ONLY = len(sys.argv) > 3 and sys.argv[3] == "embeddings_only"
 if EMB_ONLY:
-    assert 1 <= REPLICAS <= 256, \
-        "embedding rotation x negation x reversal supports at most " \
-        "256 replicas"
+    assert 1 <= REPLICAS <= 512, \
+        "embedding rotation x negation x reversal x pairswap supports " \
+        "at most 512 replicas"
 else:
     assert 1 <= REPLICAS <= 26, "text rotation supports at most 26 replicas"
 ORD_OFF, PART_OFF, SUPP_OFF, CUST_OFF, DOC_OFF = (
@@ -70,21 +70,32 @@ def rot(s: str, i: int) -> str:
 
 def emb_only(con) -> None:
     # transform i = rotation by (i mod 64), composed with reversal for
-    # (i // 128) odd and negation for (i // 64) odd — the dihedral
-    # group D64 (rotations + reflections, 128 distinct permutations)
-    # crossed with global negation = 256 distinct orthogonal
-    # transforms (r14, for the sf16 HotBench point; r13 capped at the
-    # rotation x negation 128). Reversal is as artifact-free as the
-    # other two: norm- and intra-replica-geometry-preserving, no
-    # replica pair byte-identical, cross-replica cosines scrambled.
-    # The REPLICAS <= 256 assert above is the real guard: replica 256
-    # would repeat transform 0 and plant byte-identical embedding
-    # copies, the exact artifact the cap exists to prevent (ADVICE
-    # r12: the guard is the assert, never a silent wrap).
+    # (i // 128) odd, negation for (i // 64) odd, and ADJACENT-PAIR
+    # SWAP for (i // 256) odd — the dihedral group D64 (rotations +
+    # reflections, 128 distinct permutations) crossed with global
+    # negation and with the pair-swap involution = 512 distinct
+    # orthogonal transforms (r15, for the sf32 fifth-doubling point;
+    # r14 capped at the D64 x negation 256). Pair swap ((0 1)(2 3)...
+    # on the 0-based positions) is NOT in D64: a rotation is a
+    # constant shift and a reflection is i -> s - i for one fixed s,
+    # while pair swap needs s = 2i + 1 to vary with i — so composing
+    # it doubles the family rather than aliasing it. Like the other
+    # three it is norm- and intra-replica-geometry-preserving (a
+    # signed permutation), no replica pair byte-identical (asserted
+    # below), cross-replica cosines scrambled. The REPLICAS <= 512
+    # assert above is the real guard: replica 512 would repeat
+    # transform 0 and plant byte-identical embedding copies, the
+    # exact artifact the cap exists to prevent (ADVICE r12: the guard
+    # is the assert, never a silent wrap).
     def emb_expr(i: int) -> str:
+        if (i // 256) % 2 == 1:
+            base = ("list_transform(range(1, 65), j -> embedding["
+                    "j + CASE WHEN j % 2 = 1 THEN 1 ELSE -1 END])")
+        else:
+            base = "embedding"
         rot = i % 64
-        e = (f"list_slice(embedding, {rot + 1}, 64)"
-             f" || list_slice(embedding, 1, {rot})")
+        e = (f"list_slice({base}, {rot + 1}, 64)"
+             f" || list_slice({base}, 1, {rot})")
         if (i // 128) % 2 == 1:
             e = f"list_reverse({e})"
         if (i // 64) % 2 == 1:
@@ -100,7 +111,22 @@ def emb_only(con) -> None:
         "(FORMAT PARQUET)")
     n = con.execute(
         f"SELECT count(*) FROM '{OUT}/embeddings.parquet'").fetchone()[0]
-    print(f"[make_sf1] embeddings (only): {n} rows -> {OUT}")
+    # distinctness audit: every replica of a sample source vector must
+    # be a DISTINCT byte pattern (a generic vector has trivial
+    # stabilizer under signed permutations; an aliasing bug in the
+    # transform family would collapse two replicas to identical bytes
+    # — the exact planted-near-dup artifact the family exists to
+    # avoid). Checked on three sample ids, not just one, in case a
+    # single embedding happens to be symmetric.
+    for sid in (7, 131, 997):
+        tot, dis = con.execute(
+            f"SELECT count(*), count(DISTINCT embedding::VARCHAR) "
+            f"FROM '{OUT}/embeddings.parquet' "
+            f"WHERE vec_id % 2000 = {sid}").fetchone()
+        assert tot == dis == REPLICAS, \
+            f"transform aliasing at source id {sid}: {dis}/{tot} distinct"
+    print(f"[make_sf1] embeddings (only): {n} rows -> {OUT} "
+          f"({REPLICAS} replicas, distinctness audited)")
 
 
 def main() -> None:
