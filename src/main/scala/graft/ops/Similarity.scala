@@ -1212,6 +1212,23 @@ object Similarity {
     ivfTopk(e, resolveNprobe(e, n, k = k), k = k, nHint = n)
   }
 
+  /** q282_ivf_retrieve — [[ivfRetrieve]] (the PRODUCTION retrieval
+    * entry with the measured k-rule and the resolver dial) under the
+    * oracle gate. Below [[IvfAutoProbeGate]] (every fixture) the rule
+    * resolves to the historical fixed-8 quantizer at the default dial
+    * point, so the oracle IS q76's — the row exists so the path a
+    * deployment actually calls is the path the hash gate checks (the
+    * q280 discipline), and any drift in the default rule surfaces as
+    * a hash mismatch instead of silently changing production
+    * retrievals. */
+  def q282IvfRetrieve(spark: SparkSession, sfDir: String): DataFrame =
+    ivfRetrieve(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")))
+
+  /** The production entry's fixture-scale oracle is exactly the
+    * registered q76 pipeline (see [[q282IvfRetrieve]]). */
+  val q282Sql: String = q76Sql
+
   /** The q76 oracle pipeline with k a scalar subquery (⌈√n⌉) instead
     * of the literal 8 — assignment/probe/top-k windows identical. */
   val q281Sql: String =

@@ -54,6 +54,11 @@ class AuditSweepSpec extends AnyFunSuite {
       "the fixed probe-query vector set"),
     ("q76_ivf_topk", "forced-broadcast") -> (2,
       "k IVF centroids + the probe-query vectors"),
+    ("q282_ivf_retrieve", "forced-broadcast") -> (2,
+      "the production ivfRetrieve entry at fixture scale IS the q76 " +
+        "plan (the measured k-rule resolves to fixed-8 below the " +
+        "auto-probe gate): the same k=8 centroid + probe-query " +
+        "constant frames"),
     ("q275_ivf_sweep", "forced-broadcast") -> (5,
       "the k=8-row centroid frame, read by the assignment and the " +
         "probe-rank branches of both the candidate-count and top-k " +
