@@ -104,6 +104,30 @@ class IvfPrunedSpec extends AnyFunSuite {
       "a pruned pair's rounded cosine must sit strictly below its bound")
   }
 
+  test("pruned IVF plan shape: the hinted shuffle_hash array attaches " +
+    "survive planning, and no pair-stage join degrades to sort-merge") {
+    // The 14.7x win at 181M pairs rests on the pair rows existing only
+    // inside hash-join fold stages: the two probe-side array attaches
+    // are hinted shuffle_hash (the planner's sub-10MB broadcast is a
+    // 100 TB dead end, and an SMJ there sorts n·k array-carrying
+    // rows). Pin the executed counts at fixture scale: exactly 3
+    // ShuffledHashJoins (the hints + one planner pick) and no MORE
+    // than the 5 known narrow-frame SortMergeJoins (id-keyed,
+    // array-free — ub attach, argmax combine, and window-adjacent
+    // joins). A dropped hint reads SHJ < 3; a pair-stage degradation
+    // reads SMJ > 5.
+    val e = Tables.embeddings(spark, SparkSuite.sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val df = ops.Similarity.ivfAssignPruned(e, k(n))
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString()
+    assert("ShuffledHashJoin".r.findAllIn(p).length === 3, p)
+    assert("SortMergeJoin".r.findAllIn(p).length <= 5, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ivfRetrieve (VERDICT r14 #7): below the auto-probe gate the " +
     "production default IS the registered q76, row for row") {
     val e = Tables.embeddings(spark, SparkSuite.sf)

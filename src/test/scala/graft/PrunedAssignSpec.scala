@@ -185,6 +185,27 @@ class PrunedAssignSpec extends AnyFunSuite {
     assert(rows(flat) === rows(prunedOwn))
   }
 
+  test("pruned assignment plan shape: the hinted shuffle_hash array " +
+    "attaches survive planning, no pair-stage join degrades to " +
+    "sort-merge") {
+    // the IvfPrunedSpec pin's twin for the quantized-L2 pipeline: 3
+    // ShuffledHashJoins (the two hints + one planner pick), at most
+    // the 5 known narrow-frame SortMergeJoins, never a cartesian. A
+    // dropped hint reads SHJ < 3 (the planner broadcasts the sub-10MB
+    // corpus side — measured +115% and a 100 TB dead end); a
+    // pair-stage degradation reads SMJ > 5 (sorting n·k array rows).
+    val e = Tables.embeddings(spark, SparkSuite.sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val df = ops.Centroids.assignMembersPruned(e, k(n))
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString()
+    assert("ShuffledHashJoin".r.findAllIn(p).length === 3, p)
+    assert("SortMergeJoin".r.findAllIn(p).length <= 5, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("semAssign dispatches to the pruned path above the gate and the " +
     "result is row-identical to the exploded flat path") {
     val e = Tables.embeddings(spark, SparkSuite.sf)
