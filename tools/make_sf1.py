@@ -52,9 +52,9 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
 REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 EMB_ONLY = len(sys.argv) > 3 and sys.argv[3] == "embeddings_only"
 if EMB_ONLY:
-    assert 1 <= REPLICAS <= 512, \
-        "embedding rotation x negation x reversal x pairswap supports " \
-        "at most 512 replicas"
+    assert 1 <= REPLICAS <= 1024, \
+        "embedding rotation x negation x reversal x pairswap x " \
+        "altneg supports at most 1024 replicas"
 else:
     assert 1 <= REPLICAS <= 26, "text rotation supports at most 26 replicas"
 ORD_OFF, PART_OFF, SUPP_OFF, CUST_OFF, DOC_OFF = (
@@ -70,29 +70,40 @@ def rot(s: str, i: int) -> str:
 
 def emb_only(con) -> None:
     # transform i = rotation by (i mod 64), composed with reversal for
-    # (i // 128) odd, negation for (i // 64) odd, and ADJACENT-PAIR
-    # SWAP for (i // 256) odd — the dihedral group D64 (rotations +
+    # (i // 128) odd, negation for (i // 64) odd, ADJACENT-PAIR SWAP
+    # for (i // 256) odd, and ALTERNATING-POSITION NEGATION for
+    # (i // 512) odd — the dihedral group D64 (rotations +
     # reflections, 128 distinct permutations) crossed with global
-    # negation and with the pair-swap involution = 512 distinct
-    # orthogonal transforms (r15, for the sf32 fifth-doubling point;
-    # r14 capped at the D64 x negation 256). Pair swap ((0 1)(2 3)...
-    # on the 0-based positions) is NOT in D64: a rotation is a
-    # constant shift and a reflection is i -> s - i for one fixed s,
-    # while pair swap needs s = 2i + 1 to vary with i — so composing
-    # it doubles the family rather than aliasing it. Like the other
-    # three it is norm- and intra-replica-geometry-preserving (a
-    # signed permutation), no replica pair byte-identical (asserted
-    # below), cross-replica cosines scrambled. The REPLICAS <= 512
-    # assert above is the real guard: replica 512 would repeat
-    # transform 0 and plant byte-identical embedding copies, the
-    # exact artifact the cap exists to prevent (ADVICE r12: the guard
-    # is the assert, never a silent wrap).
+    # negation, the pair-swap involution, and the alt-neg involution
+    # = 1024 distinct orthogonal transforms (r15: pair swap for the
+    # sf32 point, alt-neg headroom for the r16 sf64 point; r14 capped
+    # at the D64 x negation 256). Pair swap ((0 1)(2 3)... on the
+    # 0-based positions) is NOT in D64: a rotation is a constant
+    # shift and a reflection is i -> s - i for one fixed s, while
+    # pair swap needs s = 2i + 1 to vary with i — so composing it
+    # doubles the family rather than aliasing it. Alt-neg (negate
+    # every other component, applied INNERMOST) doubles it again:
+    # every composition of the other four generators carries a
+    # UNIFORM sign pattern (the permutations are unsigned and global
+    # negation flips all signs together), so a mixed-sign transform
+    # can never alias one — T1∘altneg = T2 would need altneg =
+    # T1⁻¹∘T2, uniform-signed. All five are norm- and
+    # intra-replica-geometry-preserving (signed permutations), no
+    # replica pair byte-identical (asserted below), cross-replica
+    # cosines scrambled. The REPLICAS <= 1024 assert above is the
+    # real guard: replica 1024 would repeat transform 0 and plant
+    # byte-identical embedding copies, the exact artifact the cap
+    # exists to prevent (ADVICE r12: the guard is the assert, never a
+    # silent wrap).
     def emb_expr(i: int) -> str:
+        base = "embedding"
+        if (i // 512) % 2 == 1:
+            base = (f"list_transform(range(1, 65), j -> "
+                    f"CASE WHEN j % 2 = 1 THEN ({base})[j] "
+                    f"ELSE -(({base})[j]) END)")
         if (i // 256) % 2 == 1:
-            base = ("list_transform(range(1, 65), j -> embedding["
+            base = (f"list_transform(range(1, 65), j -> ({base})["
                     "j + CASE WHEN j % 2 = 1 THEN 1 ELSE -1 END])")
-        else:
-            base = "embedding"
         rot = i % 64
         e = (f"list_slice({base}, {rot + 1}, 64)"
              f" || list_slice({base}, 1, {rot})")
