@@ -417,17 +417,22 @@ object Streams {
         .coalesce(1).write.parquet(s"$dir/in")
     }
     val schema = spark.read.parquet(s"$in/in").schema
-    dedupStream(spark.readStream.schema(schema).parquet(s"$in/in"),
-        Seq("user_id", "event_type", "day"), "ts")
-      .select(col("user_id"), col("event_type"), col("day"))
-      .writeStream.format("parquet")
-      .option("path", s"$root/out")
-      .option("checkpointLocation", s"$root/cp")
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    // (q119's state-sized partition note applies, but dedup keeps ONE
-    // store; the default partitioning is fine at this state size)
+    // state-sized partition count, scoped to the stream (q119's note):
+    // dedup keeps one store PER PARTITION, and each commits a delta file
+    // every batch — 8 bounds that fixed cost at any core count
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      dedupStream(spark.readStream.schema(schema).parquet(s"$in/in"),
+          Seq("user_id", "event_type", "day"), "ts")
+        .select(col("user_id"), col("event_type"), col("day"))
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevPart)
     spark.read.parquet(s"$root/out")
       .orderBy(col("user_id"), col("event_type"), col("day"))
   }
@@ -463,14 +468,19 @@ object Streams {
       ev.unionByName(flush).coalesce(1).write.parquet(s"$dir/in")
     }
     val schema = spark.read.parquet(s"$in/in").schema
-    windowedCounts(spark.readStream.schema(schema).parquet(s"$in/in"))
-      .writeStream.format("parquet")
-      .outputMode("append")
-      .option("path", s"$root/out")
-      .option("checkpointLocation", s"$root/cp")
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
+    // state-sized partition count, scoped to the stream — q259's note
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      windowedCounts(spark.readStream.schema(schema).parquet(s"$in/in"))
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevPart)
     spark.read.parquet(s"$root/out")
       .filter(col("event_type") =!= "__flush")
       .orderBy(col("window_start"), col("event_type"))
@@ -921,17 +931,30 @@ object Streams {
       }
     }
     val schema = spark.read.parquet(in).schema
-    windowedCounts(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(in),
-      "1 hour", s"$LateDelayMin minutes")
-      .writeStream.format("parquet")
-      .outputMode("append")
-      .option("path", s"$root/out")
-      .option("checkpointLocation", s"$root/cp")
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
+    // State-sized partitioning (q119's rationale): the windowed aggregate
+    // keeps hours-in-horizon × |event_type| rows of state, but every
+    // micro-batch commits one state-store delta file PER PARTITION — at
+    // the session default (= cores) that is cores × LateBatches checkpoint
+    // commits for a handful of state rows. 8 partitions bounds the fixed
+    // per-batch store/commit overhead at any core count; the conf is
+    // scoped to the stream and restored (results are partitioning-blind:
+    // the watermark is global and the aggregate is keyed). Set AFTER
+    // staging so the one-time fixture build keeps the session's sizing.
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      windowedCounts(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        "1 hour", s"$LateDelayMin minutes")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevPart)
     spark.read.parquet(s"$root/out")
       .filter(col("event_type") =!= "__flush")
       .orderBy(col("window_start"), col("event_type"))
