@@ -342,7 +342,14 @@ object Graph {
     * order-independent beyond counts. */
   def q252BfsLayers(spark: SparkSession, sfDir: String): DataFrame = {
     val e = CoPurchase.edges(spark, sfDir).cutLineage()
-    // both directions once, so each round is one equi-join
+    // both directions once, so each round is one equi-join.
+    // NOTE (r15 optimization pass): the q114 partition-pin +
+    // SHUFFLE_HASH treatment was A/B'd here and REJECTED — measured
+    // isolated min-of-2 2.63 s → 3.72 s. Unlike LPA/SSSP, the per-hop
+    // build side is the SHRINKING frontier (tiny after hop 1), which AQE
+    // already broadcasts, so the edge side was never re-exchanged per
+    // hop to begin with; forcing a shuffled-hash join only bought the
+    // pin's upfront repartition+persist and a per-hop frontier shuffle.
     val adj = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
       .toDF("src", "dst").cutLineage()
     val seed = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -965,6 +972,13 @@ object Graph {
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"))
+    // NOTE (r15 optimization pass): the q114 partition-pin (TWO persisted
+    // copies, one per alternating join key, SHUFFLE_HASH score builds)
+    // was A/B'd here and REJECTED — isolated min-of-2 3.22 s → 4.70 s.
+    // With only HitsRounds=2 rounds the 2·rounds saved edge exchanges do
+    // not pay for two upfront repartition+persist+count materializations
+    // of the edge list; the LPA/SSSP pins win because their loops re-use
+    // ONE pinned copy 3-6 times.
     val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
       .select(col("o_custkey").cast("long").as("cust"),
         col("l_partkey").cast("long").as("part"))
@@ -1083,8 +1097,21 @@ object Graph {
     * aggregate hot key, which AQE splits. */
   def q256LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
     val e = CoPurchase.edges(spark, sfDir).cutLineage()
+    // Pin the big side's partitioning ONCE — the q114 discipline: hash-
+    // partition the adjacency by `src` and PERSIST it (a localCheckpoint
+    // surfaces UnknownPartitioning, so every round would re-exchange BOTH
+    // sides; a cached plan's output partitioning survives), so each
+    // round's contribution join re-uses this single exchange and only the
+    // node-sized label frame moves. Partition count scales with the BUILD
+    // side (the label frame, bounded by |part| — a parquet-metadata
+    // count), per Scale.hashBuildParallelism.
+    val nodeBound = Tables.part(spark, sfDir).count()
     val adj = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
-      .toDF("src", "dst").cutLineage()
+      .toDF("src", "dst")
+      .repartition(Scale.hashBuildParallelism(spark, nodeBound,
+        Scale.NarrowBuildRowsPerTask), col("src"))
+      .persist()
+    adj.count() // materialize outside the iteration lineage
     val pack = when(col("label").between(0L, 2147483647L),
       col("n") * lit(2147483648L) + (lit(2147483647L) - col("label")))
       .otherwise(raise_error(
@@ -1093,7 +1120,10 @@ object Graph {
       .distinct().withColumn("label", col("node"))
     for (_ <- 1 to LpaRounds) {
       labels = adj
-        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        // SHUFFLE_HASH building on the node-sized label frame: the pinned
+        // adjacency side is neither re-exchanged nor sorted (q114's note)
+        .join(labels.select(col("node").as("src"), col("label"))
+          .hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("dst"))
@@ -1167,19 +1197,31 @@ object Graph {
   def q257Sssp(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = CoPurchase.pairs(spark, sfDir)
+    // Pinned src-partitioning + persist instead of a bare localCheckpoint:
+    // every relaxation round equi-joins the frontier against this frame on
+    // `src`, and a checkpointed frame's UnknownPartitioning would
+    // re-exchange the edge side SsspRounds times (q114's measured lesson,
+    // same sizing rule — build side is the node-cardinality dist frame).
+    val nodeBound = Tables.part(spark, sfDir).count()
     val adj = pairs
       .unionAll(pairs.select(col("pb").as("pa"), col("pa").as("pb"),
         col("n_shared")))
       .select(col("pa").as("src"), col("pb").as("dst"),
         expr("100 div n_shared + 1").as("w"))
-      .cutLineage()
+      .repartition(Scale.hashBuildParallelism(spark, nodeBound,
+        Scale.NarrowBuildRowsPerTask), col("src"))
+      .persist()
+    adj.count() // materialize outside the iteration lineage
     val seed = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("src")).limit(1)
       .select(col("src").as("node"), lit(0L).as("d"))
     var dist = seed.cutLineage()
     for (_ <- 1 to SsspRounds) {
       val relaxed = adj
-        .join(dist.select(col("node").as("src"), col("d")), Seq("src"))
+        // build on the node-sized frontier; the pinned adjacency is
+        // neither re-exchanged nor sorted (q114's note)
+        .join(dist.select(col("node").as("src"), col("d"))
+          .hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("d")).as("d"))
