@@ -1233,6 +1233,14 @@ object Centroids {
     val qv = quantized(embeddings)
     val cent = qv.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+    // MEASURED-REJECTION (r15): `members` feeds two consumers (the
+    // update join + the stats aggregate) — the diamond surfaced as a
+    // GroupedTopKPlan duplicate once the rn=1 argmin began lowering to
+    // the heap operator. localCheckpoint(members) A/B'd at sf0.1
+    // (timed min-of-2, fresh JVMs): uncut 0.91 s vs cut 1.09 s — the
+    // eager cut job costs more than the post-shuffle re-aggregation
+    // it saves (the dists exchange is shared by ReuseExchange).
+    // Registry: RecomputeAudit.measuredRejections.
     val members = assignMembers(qv, k, hintCentroids = true)
     val newc = members.join(qv, Seq("vec_id"))
       .groupBy(col("cid"), col("pos"))
@@ -1354,12 +1362,18 @@ object Centroids {
         .groupBy(col("vec_id"), col("cid"))
         .agg(sum((col("q") - col("cq")) * (col("q") - col("cq")))
           .as("dist"))
+      // argmin as a MAP-SIDE-COMBINABLE aggregate instead of a
+      // row_number window (r15 optimization, q229's treatment): the
+      // window form exchanged AND sorted all n·k distance rows per round
+      // just to keep rank 1 per vector; min_by over the (dist, cid)
+      // total order (cid unique per group — no ties) collapses k:1 in
+      // the partial aggregate before the shuffle. Identical argmin.
       val members = dists
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("dist"), col("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid"), col("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("dist")),
+          struct(col("dist"), col("cid"))).as("mc"))
+        .select(col("vec_id"), col("mc.cid").as("cid"),
+          col("mc.dist").as("dist"))
       val newc = members.join(qv, Seq("vec_id"))
         .groupBy(col("cid"), col("pos"))
         .agg(expr("sum(q) div count(1)").as("ncq"))

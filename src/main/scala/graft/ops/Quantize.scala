@@ -125,19 +125,29 @@ object Quantize {
         slice(col("qv"), (col("m") * PqD + 1).cast("int"), lit(PqD)).as("sv"))
     val wSeed = Window.partitionBy(col("m"))
       .orderBy(col("h"), col("vec_id"))
-    val codebook = sub
-      .withColumn("h",
-        StableHash.intMix62(col("vec_id") * PqM + col("m"), 101L))
+    // KMV seed pick through the grouped-top-k operator: the window form
+    // sorted ALL n·M subvector rows inside M partitions (parallelism
+    // capped at M=8!) to keep K per subspace; the heap pass reduces each
+    // map slice to ≤K rows per m pre-shuffle, and the k index is then a
+    // window over the surviving M·K (=128) rows only — same (h, vec_id)
+    // total order, so the selected set and indices are unchanged.
+    val codebook = graft.plans.GroupedTopK.topKPerKey(
+        sub.withColumn("h",
+          StableHash.intMix62(col("vec_id") * PqM + col("m"), 101L)),
+        Seq("m"), Seq("h" -> false, "vec_id" -> false), PqK)
       .withColumn("k", (row_number().over(wSeed) - 1).cast("long"))
-      .filter(col("k") < PqK)
       .select(col("m"), col("k"), col("sv").as("cw"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dd"), col("k"))
+    // Nearest-codeword argmin as a MAP-SIDE-COMBINABLE aggregate instead
+    // of a row_number window: the window form exchanged AND sorted the
+    // n·M·K joined rows just to keep rank 1 per (vector, subspace);
+    // min_by over the (dd, k) total order (k is unique per group, so no
+    // ties) collapses K:1 in the partial aggregate before the shuffle —
+    // 16× fewer shuffled rows, no sort. Identical argmin by construction.
     val enc = sub.join(broadcast(codebook), Seq("m"))
       .select(col("vec_id"), col("m"), col("k"), col("cw"),
         intL2sq(col("sv"), col("cw")).as("dd"))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cw"), struct(col("dd"), col("k"))).as("cw"))
       .select(col("vec_id"), col("m"), col("cw"))
     val qsub = sub.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))

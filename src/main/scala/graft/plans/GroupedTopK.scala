@@ -194,7 +194,7 @@ object GroupedTopK {
     */
   object RankFilterToTopK
       extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, LessThan, LessThanOrEqual, Literal, NamedExpression, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, LessThan, LessThanOrEqual, Literal, NamedExpression, WindowExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window, WindowGroupLimit}
     import org.apache.spark.sql.types.IntegerType
 
@@ -204,6 +204,15 @@ object GroupedTopK {
           if a.exprId == rn.exprId => Some(k)
       case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
           if a.exprId == rn.exprId => Some(k - 1)
+      // rn = 1 is top-1-per-group — the argmax/mode idiom (r15
+      // optimization round: q108's mode pick was measured sorting its
+      // whole melted frame because only </<= matched here). ONLY k=1:
+      // rn = k for k>1 keeps the k-th row alone, which a top-k heap does
+      // not express.
+      case EqualTo(a: AttributeReference, Literal(1, IntegerType))
+          if a.exprId == rn.exprId => Some(1)
+      case EqualTo(Literal(1, IntegerType), a: AttributeReference)
+          if a.exprId == rn.exprId => Some(1)
       case _ => None
     }
 
