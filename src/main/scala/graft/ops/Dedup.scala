@@ -837,44 +837,54 @@ object Dedup {
     val ref = Components.dupGroups(docs)
       .select(col("doc_id"), (col("n_members") >= 2L).as("ref_dup"))
       .cutLineage()
-    val perConfig = SweepBands.map { nb =>
-      val bandCols = (0 until nb).map { b =>
+    // ALL four sweep configs in ONE pass (r15 optimization, guide §2.4):
+    // the former per-config subtrees each paid their own explode,
+    // bucket-count exchange, bucket⋈count join, and per-doc aggregate —
+    // 4× every stage over the same signature frame, unioned at the end.
+    // Tagging each band row with its config's band count `nb` and keying
+    // every stage by (nb, …) computes the identical confusion counts in
+    // one explode, one bucket aggregate, one join, and two aggregates —
+    // same total row volume (Σ nb bands per doc), a quarter of the
+    // stages/exchanges. Per-config folds are byte-identical to before.
+    val bandCols = SweepBands.flatMap { nb =>
+      (0 until nb).map { b =>
         val fold = (b * NumHashes / nb until (b + 1) * NumHashes / nb)
           .map(j => col(s"sig_$j"))
           .foldLeft(lit(0L): org.apache.spark.sql.Column)(
             (acc, s) => pmod(acc * lit(65599L) + s, lit(MinhashP)))
-        struct(lit(b).as("band"), fold.as("sig"))
+        struct(lit(nb).as("nb"), lit(b).as("band"), fold.as("sig"))
       }
-      val buckets = signed
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.sig").as("sig"))
-      val counts = buckets.groupBy(col("band"), col("sig"))
-        .agg(count(lit(1)).as("cn"))
-      val flag = buckets.join(counts, Seq("band", "sig"))
-        .groupBy(col("doc_id")).agg(max(col("cn")).as("mx"))
-        .select(col("doc_id"), (col("mx") >= 2L).as("lsh_dup"))
-      flag.join(ref, Seq("doc_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("lsh_dup") && col("ref_dup"), 1L).otherwise(0L))
-            .as("tp"),
-          sum(when(col("lsh_dup") && !col("ref_dup"), 1L).otherwise(0L))
-            .as("fp"),
-          sum(when(!col("lsh_dup") && col("ref_dup"), 1L).otherwise(0L))
-            .as("fn"),
-          sum(when(!col("lsh_dup") && !col("ref_dup"), 1L).otherwise(0L))
-            .as("tn"))
-        .select(lit(nb).as("n_bands"),
-          lit(NumHashes / nb).as("rows_per_band"),
-          col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
-          when(col("tp") + col("fp") === 0L, lit(0.0))
-            .otherwise(col("tp").cast("double") / (col("tp") + col("fp")))
-            .as("lsh_precision"),
-          when(col("tp") + col("fn") === 0L, lit(0.0))
-            .otherwise(col("tp").cast("double") / (col("tp") + col("fn")))
-            .as("lsh_recall"))
     }
-    perConfig.reduce(_.unionByName(_)).orderBy(col("n_bands"))
+    val buckets = signed
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.nb").as("nb"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val counts = buckets.groupBy(col("nb"), col("band"), col("sig"))
+      .agg(count(lit(1)).as("cn"))
+    val flag = buckets.join(counts, Seq("nb", "band", "sig"))
+      .groupBy(col("nb"), col("doc_id")).agg(max(col("cn")).as("mx"))
+      .select(col("nb"), col("doc_id"), (col("mx") >= 2L).as("lsh_dup"))
+    flag.join(ref, Seq("doc_id"))
+      .groupBy(col("nb"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lsh_dup") && col("ref_dup"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("lsh_dup") && !col("ref_dup"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("lsh_dup") && col("ref_dup"), 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!col("lsh_dup") && !col("ref_dup"), 1L).otherwise(0L))
+          .as("tn"))
+      .select(col("nb").as("n_bands"),
+        expr(s"$NumHashes div nb").cast("int").as("rows_per_band"),
+        col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("lsh_precision"),
+        when(col("tp") + col("fn") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn")))
+          .as("lsh_recall"))
+      .orderBy(col("n_bands"))
   }
 
   /** Generated oracle for q223: [[q70Sql]]'s gram-hash/signature CTE prefix,

@@ -113,9 +113,12 @@ object Events {
     * partitions, not one. */
   def q63Gapfill(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one shared user_id exchange for aggregate/grid/join/window — the
+    // q104 treatment (guide §2.4); see the note there
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
         col("value"))
+      .repartition(col("user_id"))
     val hourly = ev.groupBy(col("user_id"), col("hr"))
       .agg(count(lit(1)).as("n_events"), decSum(col("value"), 2).as("sum_value"))
     val grid = ev.groupBy(col("user_id"))
@@ -478,9 +481,19 @@ object Events {
     * identically in both engines so the IEEE results match bitwise. */
   def q104Interpolate(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE exchange for the whole query (guide §2.4 "share one exchange"):
+    // every downstream operator — the (user, hr) hourly aggregate, the
+    // per-user grid bounds, the grid⋈hourly equi-join, and both
+    // interpolation windows — only needs rows CO-LOCATED by user_id.
+    // Hash-partitioning the projected scan once satisfies all of them
+    // (HashPartitioning(user) satisfies ClusteredDistribution for any
+    // superset key set), and the two aggregate consumers reuse the same
+    // exchange subtree (ReuseExchange). Count left to the session/AQE —
+    // scale-adaptive, nothing local-tuned.
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
         col("value"))
+      .repartition(col("user_id"))
     val hourly = ev.groupBy(col("user_id"), col("hr"))
       .agg(decSum(col("value"), 2).as("sum_value"))
     val grid = ev.groupBy(col("user_id"))

@@ -74,8 +74,14 @@ object Pipeline {
     * Returns the conformed frame for read-back comparison. */
   def runTripPipeline(spark: SparkSession, sfDir: String,
       root: String): DataFrame = {
+    // Materialize the conformed frame ONCE (r15 optimization, guide §5):
+    // three actions consume it — the first warehouse load, the guarded
+    // re-load's delta side, and the raw-zone landing — and each would
+    // otherwise re-run the source scan + conform projection end-to-end.
+    // Narrow projected rows; the cut is the standard multi-consumer
+    // treatment (triangleCounts' note).
     val conformed = Schemas.conform(syntheticTripsRaw(spark, sfDir),
-      Schemas.fhvhvTripdata, Schemas.fhvhvRenames)
+      Schemas.fhvhvTripdata, Schemas.fhvhvRenames).localCheckpoint()
     val wh = s"$root/warehouse"
     conformed.write.mode("append").parquet(wh)
     // the reference's existence-check guard, replayed as a real re-run:
