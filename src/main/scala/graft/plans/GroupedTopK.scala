@@ -194,7 +194,7 @@ object GroupedTopK {
     */
   object RankFilterToTopK
       extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, LessThan, LessThanOrEqual, Literal, NamedExpression, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, LessThan, LessThanOrEqual, Literal, NamedExpression, WindowExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window, WindowGroupLimit}
     import org.apache.spark.sql.types.IntegerType
 
@@ -204,15 +204,17 @@ object GroupedTopK {
           if a.exprId == rn.exprId => Some(k)
       case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
           if a.exprId == rn.exprId => Some(k - 1)
-      // rn = 1 is top-1-per-group — the argmax/mode idiom (r15
-      // optimization round: q108's mode pick was measured sorting its
-      // whole melted frame because only </<= matched here). ONLY k=1:
-      // rn = k for k>1 keeps the k-th row alone, which a top-k heap does
-      // not express.
-      case EqualTo(a: AttributeReference, Literal(1, IntegerType))
-          if a.exprId == rn.exprId => Some(1)
-      case EqualTo(Literal(1, IntegerType), a: AttributeReference)
-          if a.exprId == rn.exprId => Some(1)
+      // MEASURED-REJECTION (r15 optimization round): extending the match
+      // to the rn = 1 argmax/mode idiom (EqualTo(rn, 1) → k=1 heap) was
+      // implemented, plan-verified (q108's mode pick lowered to heaps,
+      // zero Window), and then A/B'd worse — q108 window 2.31/2.36 s vs
+      // heap 2.39–2.79 s over five runs, q66 0.90/1.02 vs 1.01–1.14
+      // (sf0.1 timed min-of-2, alternating binaries). Spark 4's
+      // InferWindowGroupLimit already pre-filters rank ≤ k per partition
+      // INSIDE codegen before the sort, so for k=1 the window form is a
+      // streaming min pass; the heap exec's row-at-a-time projection
+      // breaks whole-stage codegen and loses. The </<= rewrites stay:
+      // their wins were measured at larger k against full sorts (q126).
       case _ => None
     }
 

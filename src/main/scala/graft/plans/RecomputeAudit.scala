@@ -109,13 +109,6 @@ object RecomputeAudit {
         "(localCheckpoint sf0.1 0.93->0.94 s, sf1 0.91->1.01): the " +
         "corpus posexplode exchange is shared, the recompute is the " +
         "k*d-row final aggregate"),
-    Waiver("q66_kmeans_step", "GroupedTopKPlan", 2, 4,
-      "Centroids.scala kmeansStep note — r15 A/B rejected " +
-        "(localCheckpoint(members) sf0.1 timed min-of-2: 0.91->1.09 s); " +
-        "the diamond predates r15 but surfaced under this root when the " +
-        "rn=1 argmin began lowering to the GroupedTopK heap; the dists " +
-        "exchange is shared, each recompute is the post-shuffle " +
-        "aggregate + heap only"),
     Waiver("q269_jl_projection", "Aggregate", 2, 3,
       "Quantize.scala proj note — r13 A/B rejected (localCheckpoint " +
         "sf0.1 1.11->1.05 s wash, sf1 3.09->4.45 +44%): the eager cut " +
